@@ -1,0 +1,18 @@
+"""Operator modules — importing this package populates the registry.
+
+One module per SURVEY.md §2 category. Each operator is a pure function
+``(spark, sf_dir) -> DataFrame`` registered with its DuckDB oracle twin.
+"""
+
+from insight_gp_import_spark.operators import (  # noqa: F401
+    aggregation,
+    joins,
+    llm,
+    projection,
+    scans,
+    setops,
+    scalar_functions,
+    streaming_ops,
+    udfs,
+    windows,
+)

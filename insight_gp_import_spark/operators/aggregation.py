@@ -1,0 +1,290 @@
+"""Aggregation operators (SURVEY.md §2.D).
+
+Greenplum-side aggregation in the reference's warehouse queries,
+re-expressed as Spark hash aggregates. All doubles rounded in the final
+projection per the determinism protocol (SURVEY.md §2.X); partial
+(map-side) aggregation and whole-stage codegen come free from Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "aggregation"
+
+
+@op(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           ROUND(MIN(l_quantity), 2) AS min_qty,
+           ROUND(MAX(l_quantity), 2) AS max_qty
+    FROM lineitem
+    """,
+    category=CAT,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped count/sum/avg/min/max — single-row global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@op(
+    "agg_hash_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS count_order,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category=CAT,
+)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 pricing summary (TPC-H Q1 shape) — the flagship query.
+
+    scan → pushed filter → hash aggregate; Catalyst plans a partial
+    aggregate before the shuffle so only 6 groups cross the exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+@op(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT l_partkey) AS cnt_parts,
+           COUNT(DISTINCT l_suppkey) AS cnt_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT x), several per group (expand-based in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("l_partkey").alias("cnt_parts"),
+        F.countDistinct("l_suppkey").alias("cnt_supps"),
+    )
+
+
+@op("agg_approx_distinct", oracle=None, category=CAT)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — rows-only (sketches differ by engine).
+
+    Accuracy is unit-tested instead: |approx - exact| / exact < 0.05
+    (tests/test_units.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    category=CAT,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS incl. grand total (bench B10). NULL markers align."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("igis_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM igis_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@op(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    category=CAT,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) → (status) → ()."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@op(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    category=CAT,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@op(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    category=CAT,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .filter(F.col("cnt") >= 15)
+    )
+
+
+@op(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    category=CAT,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group list, deterministically sorted and serialized to a string.
+
+    Serialization (array_join) dodges array-representation hashing
+    (§2.X rule 3); sort_array makes collect_list order-insensitive.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("lines")
+    )
+
+
+@op(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; percentile ≡ quantile_cont (probe-6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("median_price"),
+    )
+
+
+@op(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    category=CAT,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns. Explicit pivot values (§2.D: never
+    inferred — inference adds a scan AND can diverge from the oracle);
+    coalesce(…,0) because Spark pivot yields NULL for absent combos where
+    COUNT FILTER yields 0."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory with the configs this engine depends on.
+
+The one load-bearing config is ``spark.sql.legacy.parquet.nanosAsLong``:
+the ``events`` table is parquet TIMESTAMP(NANOS), which Spark 4.1.2
+refuses to read by default (PARQUET_TYPE_ILLEGAL — SURVEY.md §1.3).
+Verified this session that the conf IS runtime-settable
+(``spark.conf.set``), so :func:`ensure_nanos_as_long` is also applied
+defensively inside the events loader for sessions we did not build
+(e.g. the verify driver's).
+
+Scale defaults (100 TB design notes, SURVEY.md §4):
+
+- AQE on: runtime broadcast-join conversion, skew-join splitting and
+  partition coalescing replace hand-tuned shuffle counts at scale.
+- ``shuffle.partitions`` defaults to ``SPARK_GRAFT_CPUS`` locally; on a
+  real cluster this should be ~2-3x total executor cores or simply left
+  to AQE's coalescing with a high initial value.
+- ``maxPartitionBytes`` left at 128 MB: right for both local parquet and
+  cluster HDFS/S3 scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_session(
+    app_name: str = "insight-gp-import-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or (os.cpu_count() or 8)),
+        )
+        # Arrow for pandas_udf / applyInPandas / toPandas: batch transfer
+        # instead of row-at-a-time pickling (SURVEY.md §3.2 boundary map).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Make a foreign SparkSession able to read TIMESTAMP(NANOS) parquet.
+
+    Runtime-settable (verified); required before every ``events`` scan.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,59 @@
+"""Schema-checked loaders for the test corpus (TESTDATA.md / FIXTURES.md).
+
+Tables: ``region nation customer supplier part orders lineitem events
+documents embeddings`` — the exact view names the verify driver
+pre-registers in DuckDB (__spark_entry__.py:34-35).
+
+The one special case is ``events``: its ``ts`` column is parquet
+TIMESTAMP(NANOS), unreadable by stock Spark 4.1.2. The verified recipe
+(SURVEY.md §1.3, probe-1) reads it as a long via
+``spark.sql.legacy.parquet.nanosAsLong`` and truncates ns→µs with
+``timestamp_micros(ts/1000)`` — bit-exact with DuckDB's own ns→µs
+truncation.
+
+At 100 TB these loaders are where partition discovery and predicate
+pushdown happen: we always go through ``spark.read.parquet`` (vectorized
+reader, row-group pruning) and never infer schemas in oracled queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.session import ensure_nanos_as_long
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table; applies the events ns-timestamp recipe."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a proper TIMESTAMP (µs), parity-safe vs DuckDB."""
+    ensure_nanos_as_long(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
