@@ -1,1 +1,327 @@
-"""Placeholder — operators land in subsequent milestones."""
+"""Join operators (SURVEY.md §2.C).
+
+Scale notes (100 TB): dimension joins (region/nation/customer) are
+broadcast — explicitly via ``F.broadcast`` or by AQE's runtime size
+check — so the fact table never shuffles for them. Fact-fact joins
+(orders⋈lineitem) shuffle on the join key; at cluster scale the right
+move is bucketing both tables on the key at write time (see
+``sources/sinks.py``). AQE skew-join splitting handles hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "joins"
+
+
+@op(
+    "join_inner_equi",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+    category=CAT,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join customer⋈nation⋈region."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@op(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    category=CAT,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with observable NULL padding (neg-balance customers)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@op(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber
+    FROM (SELECT * FROM lineitem WHERE l_quantity > 45) l
+    RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+    category=CAT,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join; unmatched right rows keep NULL left columns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return li.join(o, li.l_orderkey == o.o_orderkey, "right").select(
+        "o_orderkey", "l_linenumber"
+    )
+
+
+@op(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM (SELECT * FROM customer WHERE c_custkey <= 500) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    category=CAT,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with NULLs observable on both sides."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@op(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    category=CAT,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — customers having at least one big order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@op(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    category=CAT,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — the reference's incremental "insert only new rows"
+    primitive (load only batches/rows absent from the target)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@op(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    category=CAT,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the 25-row dim: map-side join, no fact shuffle.
+
+    Identical SQL to an inner join — the difference is the physical plan
+    (BroadcastHashJoin; see tests/test_plans.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@op(
+    "join_cross",
+    oracle="""
+    SELECT r_name, seg
+    FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+    category=CAT,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (small inputs only: 5 regions × 5 segments)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return r.crossJoin(seg)
+
+
+@op(
+    "join_range_theta",
+    oracle="""
+    SELECT a.event_id AS signup_id, b.event_id AS follow_id, b.event_type AS follow_type
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'signup'
+    """,
+    category=CAT,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join: activity within 5 minutes after a signup.
+
+    Equi on user_id + theta on ts, so Spark still plans a hash join on
+    user_id with the range as a post-filter (not a nested loop). The
+    oracle CASTs DuckDB's ns timestamps to µs so both engines compare
+    the same truncated instants.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("signup_id"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("signup_id", "follow_id", "follow_type")
+
+
+@op(
+    "join_asof",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               event_type,
+               CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+    ), enriched AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(view_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prior_view_id
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, prior_view_id
+    FROM enriched
+    WHERE event_type = 'purchase'
+    """,
+    category=CAT,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior (or same-
+    instant) view by the same user.
+
+    Spark has no native ASOF JOIN; the scalable formulation is a single
+    sort within user partitions — union the tagged streams and carry the
+    last non-null view id forward (one shuffle, no self-join). The
+    oracle declares the *identical* window formulation so boundary
+    semantics cannot diverge (SURVEY.md §2.C risk note).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "prior_view_id", F.last("view_id", ignorenulls=True).over(w)
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "prior_view_id"
+    )
+
+
+@op(
+    "join_star_multiway",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    category=CAT,
+)
+def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: 6-table star join, TPC-H Q5 shape (local-supplier revenue).
+
+    Dims (region/nation/supplier at this ratio) broadcast via AQE; the
+    orders date filter is pushed into the parquet scan before the join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )

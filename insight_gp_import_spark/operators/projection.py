@@ -1,1 +1,171 @@
-"""Placeholder — operators land in subsequent milestones."""
+"""Projection / filter / predicate operators (SURVEY.md §2.B).
+
+The reference's load path projects and casts CSV columns into typed
+table columns; the analytic equivalents here are declarative selects
+and filters that Catalyst pushes down into the parquet scan (verify
+with ``.explain``: PushedFilters + pruned ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "projection"
+
+
+@op(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+    FROM lineitem
+    """,
+    category=CAT,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select + alias + arithmetic derived columns.
+
+    Rounding width matters per-row: price(2dp) × (1-disc(2dp)) has
+    exactly 4 decimal digits, so round(…,4) is tie-free in both engines.
+    round(…,2) would land on .xx5 half-ulp ties where Spark and DuckDB
+    disagree (observed locally) — per-row rounds must use the expression's
+    exact decimal width; only *aggregated* doubles tolerate coarser
+    rounding (§2.X rule 1).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "disc_price"
+        ),
+        F.round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            6,
+        ).alias("charge"),
+    )
+
+
+@op(
+    "filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice > 150000)
+       OR (o_orderstatus = 'O' AND NOT o_totalprice >= 50000)
+    """,
+    category=CAT,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT with numeric + string comparisons (pushed to the scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+        | ((F.col("o_orderstatus") == "O") & ~(F.col("o_totalprice") >= 50000))
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+@op(
+    "filter_in_between_like",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_acctbal BETWEEN 1000 AND 8000
+      AND c_name LIKE '%1%'
+    """,
+    category=CAT,
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin / between / like predicates."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_acctbal").between(1000, 8000)
+        & F.col("c_name").like("%1%")
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+@op(
+    "filter_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'P') IS NULL AS was_p,
+           nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS eq_f
+    FROM orders
+    WHERE nullif(o_orderstatus, 'P') IS NULL OR nullif(o_orderstatus, 'P') = 'F'
+    """,
+    category=CAT,
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] NULL + null-safe equality (<=> ≡ IS NOT DISTINCT FROM).
+
+    The corpus has no NULLs, so they are introduced with nullif —
+    the same trick both engines share.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.filter(status_n.isNull() | (status_n == "F")).select(
+        "o_orderkey",
+        status_n.isNull().alias("was_p"),
+        status_n.eqNullSafe(F.lit("F")).alias("eq_f"),
+    )
+
+
+@op(
+    "distinct_project",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+    category=CAT,
+)
+def distinct_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT on a projection (partial-dedup before shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@op(
+    "sample_deterministic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS qty
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) < '4'
+    """,
+    category=CAT,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable deterministic ~25% sample.
+
+    Never ``df.sample`` in oracled ops — RNG streams differ across
+    engines (§2.X rule 5). md5 of the composite key is identical
+    everywhere (probe-2) and keeps the sample stable at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.filter(F.substring(F.md5(key), 1, 1) < "4").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("qty"),
+    )

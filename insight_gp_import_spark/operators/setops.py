@@ -1,1 +1,156 @@
-"""Placeholder — operators land in subsequent milestones."""
+"""Sort / limit / set operators (SURVEY.md §2.F).
+
+Sorting is only observable through LIMIT (the driver's value-hash is
+order-insensitive), so both sort ops are top-k with unique tie-break
+keys (§2.X rule 2). Spark plans these as TakeOrderedAndProject — a
+per-partition top-k + driver merge, no full sort at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "setops"
+
+
+@op(
+    "sort_multi_nulls",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n,
+           ROUND(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY nullif(o_orderstatus, 'P') DESC NULLS LAST, o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    category=CAT,
+)
+def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with DESC NULLS LAST, observable through LIMIT."""
+    o = load_table(spark, sf_dir, "orders")
+    status_n = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        o.select(
+            "o_orderkey",
+            status_n.alias("status_n"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("o_totalprice").alias("_raw_price"),
+        )
+        .orderBy(
+            F.col("status_n").desc_nulls_last(),
+            F.col("_raw_price").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+        .drop("_raw_price")
+    )
+
+
+@op(
+    "limit_topk",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    category=CAT,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: 3-way join + agg + ORDER BY ... LIMIT 10 (TPC-H Q3 shape).
+
+    Ordering uses the *rounded* revenue (identical in both engines) with
+    l_orderkey tie-break, so near-equal raw doubles can't reorder the
+    top-k differently per engine.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+def _orders_slice_a(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+def _orders_slice_b(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+_SLICE_A_SQL = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 250000"
+_SLICE_B_SQL = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'"
+
+
+@op(
+    "setop_union_all",
+    oracle=f"{_SLICE_A_SQL} UNION ALL {_SLICE_B_SQL}",
+    category=CAT,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — overlapping slices keep their duplicates."""
+    return _orders_slice_a(spark, sf_dir).unionAll(_orders_slice_b(spark, sf_dir))
+
+
+@op(
+    "setop_union_distinct",
+    oracle=f"{_SLICE_A_SQL} UNION {_SLICE_B_SQL}",
+    category=CAT,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union — duplicates across the overlapping slices collapse."""
+    return (
+        _orders_slice_a(spark, sf_dir)
+        .union(_orders_slice_b(spark, sf_dir))
+        .distinct()
+    )
+
+
+@op(
+    "setop_intersect",
+    oracle=f"{_SLICE_A_SQL} INTERSECT {_SLICE_B_SQL}",
+    category=CAT,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): finished orders above the price bar."""
+    return _orders_slice_a(spark, sf_dir).intersect(_orders_slice_b(spark, sf_dir))
+
+
+@op(
+    "setop_except",
+    oracle=f"{_SLICE_A_SQL} EXCEPT {_SLICE_B_SQL}",
+    category=CAT,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): expensive orders that are not finished."""
+    return _orders_slice_a(spark, sf_dir).exceptAll(
+        _orders_slice_b(spark, sf_dir)
+    ).distinct()
