@@ -40,11 +40,14 @@ def _norm_cell(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v + 0.0  # normalize -0.0
+            return ("f", "NaN")
+        # Tag floats so 29516.0 (DuckDB floor) != 29516 (Spark floor):
+        # Python's 1.0 == 1 would otherwise mask type mismatches that a
+        # stringifying value-hash (the driver's) will catch.
+        return ("f", repr(v + 0.0))
     if isinstance(v, int):
         return int(v)
     if isinstance(v, datetime.datetime):

@@ -1,1 +1,294 @@
-"""Placeholder — operators land in subsequent milestones."""
+"""Scalar function families (SURVEY.md §2.G) — one themed query each.
+
+These stay JVM-side (built-in ``pyspark.sql.functions``, whole-stage
+codegen); the Python boundary is only crossed by §2.I UDF ops. Known
+cross-engine divergences are shimmed in the *oracle* (dayofweek +1) or
+avoided (stringified doubles/timestamps, double→int casts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "functions"
+
+
+@op(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           trim(c_name || '  ') AS trimmed,
+           substring(c_name, 1, 8) AS prefix,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(c_name, 'Customer', 'Cust') AS replaced,
+           string_split(c_name, '#')[1] AS first_part,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked
+    FROM customer
+    """,
+    category=CAT,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/case/trim/substring/length/pad/replace/split/regexp family."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.trim(F.concat(F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("first_part"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "x").alias("masked"),
+    )
+
+
+@op(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)  AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate)   AS dy,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           dayofweek(o_orderdate) + 1 AS dow
+    FROM orders
+    """,
+    category=CAT,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/date_trunc/date_add/datediff/last_day/dayofweek.
+
+    Oracle shim: DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday →
+    ``+1`` on the DuckDB side (probe-8).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@op(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice)  AS BIGINT) AS price_ceil,
+           ROUND(abs(l_discount - 0.05), 2) AS disc_dev,
+           ROUND(sqrt(l_extendedprice), 4) AS price_sqrt,
+           ROUND(pow(l_quantity, 2), 4) AS qty_sq,
+           ROUND(exp(l_discount), 6) AS disc_exp,
+           ROUND(ln(l_extendedprice), 6) AS price_ln,
+           ROUND(log10(l_extendedprice), 6) AS price_log10,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+    category=CAT,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """floor/ceil/abs/sqrt/pow/exp/ln/log10/sign/modulo family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 2).alias("disc_dev"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@op(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+           least(o_totalprice, 150000.0)    AS capped,
+           greatest(o_totalprice, 50000.0)  AS floored
+    FROM orders
+    """,
+    category=CAT,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / least / greatest."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_filled"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored"),
+    )
+
+
+@op(
+    "fn_cast_try",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+           TRY_CAST('12.5' AS DOUBLE) AS good_double,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_custkey AS DOUBLE) AS cust_double
+    FROM orders
+    """,
+    category=CAT,
+)
+def fn_cast_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast + try_cast between string/int/double/date.
+
+    Deliberately excluded (engine-divergent, SURVEY §2.G): double→string
+    (format differs), double→int (Spark truncates, DuckDB rounds),
+    timestamp→string.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_int"),
+        F.lit("12.5").try_cast("double").alias("good_double"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_custkey").cast("double").alias("cust_double"),
+    )
+
+
+@op(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_toks,
+           list_contains(string_split(text, ' '), 'join') AS has_join,
+           array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',')
+               AS first5_distinct
+    FROM documents
+    """,
+    category=CAT,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array size/contains/distinct/sort/slice; serialized via array_join
+    before hashing (§2.X rule 3 — never emit raw arrays)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 5), ",").alias(
+            "first5_distinct"
+        ),
+    )
+
+
+@op(
+    "fn_struct_map",
+    oracle="""
+    SELECT c_custkey,
+           (struct_pack(id := c_custkey, seg := c_mktsegment)).seg AS seg_from_struct,
+           c_mktsegment AS seg_from_map,
+           ROUND((struct_pack(bal := c_acctbal)).bal, 2) AS bal_from_struct
+    FROM customer
+    """,
+    category=CAT,
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct/map construction + field access, projected back to scalars
+    (raw structs/maps never appear in hashed output — §2.X rule 3).
+
+    The map round-trip is semantically the identity, which is exactly
+    what the oracle states for ``seg_from_map``.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = F.struct(
+        F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("seg")
+    )
+    m = F.create_map(F.lit("seg"), F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        s.getField("seg").alias("seg_from_struct"),
+        F.element_at(m, "seg").alias("seg_from_map"),
+        F.round(
+            F.struct(F.col("c_acctbal").alias("bal")).getField("bal"), 2
+        ).alias("bal_from_struct"),
+    )
+
+
+@op(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: JSON path extraction from events.props + aggregate (probe-10)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@op(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+    FROM documents
+    """,
+    category=CAT,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha2-256 content addressing — the dedup key primitives
+    (engine-portable, unlike Spark-internal hash/xxhash64)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )

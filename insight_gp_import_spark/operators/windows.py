@@ -1,1 +1,221 @@
-"""Placeholder — operators land in subsequent milestones."""
+"""Window-function operators (SURVEY.md §2.E).
+
+Every ordered window carries a total tie-break key (…, event_id /
+o_orderkey) so per-row outputs are engine-deterministic (§2.X rule 2).
+At scale a window = one shuffle on the partition key + an in-partition
+sort; partitionBy keys here (user_id, o_custkey) are high-cardinality,
+so no single-partition bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "windows"
+
+
+@op(
+    "win_ranking",
+    oracle="""
+    SELECT o_orderkey,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER w AS nt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    category=CAT,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile with a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("nt"),
+    )
+
+
+@op(
+    "win_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    category=CAT,
+)
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: top-3 orders per customer (row_number + filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn",
+        )
+    )
+
+
+@op(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(lag(value, 1, -1.0)  OVER w, 4) AS prev_value,
+           ROUND(lead(value, 1, -1.0) OVER w, 4) AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    category=CAT,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with explicit defaults at partition edges."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1, -1.0).over(w), 4).alias("prev_value"),
+        F.round(F.lead("value", 1, -1.0).over(w), 4).alias("next_value"),
+    )
+
+
+@op(
+    "win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_sum,
+           COUNT(*) OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+    FROM events
+    """,
+    category=CAT,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/count; the ROWS frame + total order fixes the
+    floating-point addition sequence, so doubles agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+        F.count("*").over(w).alias("running_cnt"),
+    )
+
+
+@op(
+    "win_moving",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg
+    FROM events
+    """,
+    category=CAT,
+)
+def win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 3-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+    )
+
+
+@op(
+    "win_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS sum_1h
+    FROM events
+    """,
+    category=CAT,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour sum via a RANGE frame on epoch seconds.
+
+    Both sides order by *truncated* epoch seconds (Spark unix_timestamp
+    truncates; DuckDB date_trunc('second') before epoch) — identical
+    formulation, per SURVEY §2.E C-risk note. RANGE frames are
+    peer-inclusive, so no tie-break key is needed (or allowed).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+@op(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_id,
+           last_value(event_id)  OVER w AS last_id,
+           nth_value(event_id, 2) OVER w AS second_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    category=CAT,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value with an explicit full-partition frame
+    (the default frame stops at CURRENT ROW — a classic silent bug)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(w).alias("last_id"),
+        F.nth_value("event_id", 2).over(w).alias("second_id"),
+    )
