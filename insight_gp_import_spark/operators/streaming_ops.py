@@ -1,1 +1,221 @@
-"""Placeholder — operators land in subsequent milestones."""
+"""Streaming operators, batch-equivalent declarations (SURVEY.md §2.H).
+
+The reference's core loop is a directory-watching ingest
+(staging dir → load each new file exactly once); Structured Streaming
+makes that native. Every op here has a batch formulation using the SAME
+DataFrame operators the stream uses (tumbling/sliding/session windows,
+dedup, upsert), which is what the DuckDB oracle checks; actual
+micro-batch execution (readStream → foreachBatch → sink) is covered by
+tests/test_streaming_runtime.py and insight_gp_import_spark/streaming/.
+
+Watermarks are a no-op in batch, so `stream_watermark_late` is
+runtime-only (no queries() entry can observe it deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "streaming"
+
+
+@op(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category=CAT,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: 1-hour tumbling window counts+sums per event_type.
+
+    ``F.window(ts, '1 hour').start ≡ date_trunc('hour', ts)`` (probe-9).
+    Identical code runs under readStream + watermark in the runtime tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@op(
+    "stream_sliding",
+    oracle="""
+    SELECT w.ws AS window_start,
+           COUNT(*) AS cnt,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e
+    JOIN (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:30:00',
+                                        TIMESTAMP '2024-01-31 00:00:00',
+                                        INTERVAL 30 MINUTE)) AS ws) w
+      ON CAST(e.ts AS TIMESTAMP) >= w.ws
+     AND CAST(e.ts AS TIMESTAMP) <  w.ws + INTERVAL 1 HOUR
+    GROUP BY w.ws
+    """,
+    category=CAT,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (each event in 2 windows).
+
+    Oracle = generate_series of 30-min marks inner-joined on containment
+    (probe-11: exact parity, empty windows absent on both sides). Spark
+    window starts align to the epoch, which is 30-min aligned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@op(
+    "stream_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    category=CAT,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: per-user session windows with a 10-minute inactivity gap.
+
+    Spark side: native ``F.session_window`` (the same operator the
+    streaming runtime uses with state-store-backed merging). Oracle:
+    gaps-and-islands with the matching boundary rule — Spark merges an
+    event into the open session iff ``ts < prev_end = prev_ts + gap``,
+    so a gap of exactly 10min starts a NEW session (``>=`` in the flag).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@op(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    category=CAT,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First occurrence per (user_id, event_type) — exactly-once keyed
+    dedup under at-least-once delivery (the reference's re-upload
+    idempotence). Streaming twin: ``dropDuplicates`` + watermark
+    (runtime-tested); the batch oracle needs the order-deterministic
+    row_number formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@op(
+    "stream_upsert_sink",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           ROUND(value, 4) AS last_value
+    FROM (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    category=CAT,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert (merge) applied batch-by-batch — latest row wins.
+
+    Splits events at the median timestamp into two "micro-batches" and
+    folds them through the same merge used by the foreachBatch sink
+    (insight_gp_import_spark.streaming.upsert_merge). The end state must
+    equal "latest per key over everything" — which is what the oracle
+    says, making merge-associativity itself the thing under test.
+    """
+    from insight_gp_import_spark.streaming import upsert_merge
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts"
+    )
+    mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    batch1 = ev.filter(F.col("ts") < mid)
+    batch2 = ev.filter(F.col("ts") >= mid)
+    target = upsert_merge(None, batch1, keys=["user_id", "event_type"], order_col="ts", tie_col="event_id")
+    target = upsert_merge(target, batch2, keys=["user_id", "event_type"], order_col="ts", tie_col="event_id")
+    return target.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_value"),
+    )

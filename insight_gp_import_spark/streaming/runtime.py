@@ -1,0 +1,92 @@
+"""Streaming source/sink plumbing + the upsert merge.
+
+At 100 TB the file-source pattern is the scalable one: executors list
+and read new files in parallel, ``maxFilesPerTrigger`` bounds batch
+size, the checkpoint (driver-side, small) is the only coordination
+state. The state store (window/session/dedup state) is per-partition
+RocksDB at scale — keyed by the same partitioning the batch operators
+shuffle on.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, directory: str, max_files: int | None = None) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    The directory-watching analog of the reference's staging-dir scan:
+    each file is processed exactly once (checkpoint-tracked), new files
+    picked up per trigger.
+    """
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(directory)
+
+
+def run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> None:
+    """Run a streaming DataFrame to completion (availableNow) into an
+    in-memory table named ``query_name``; read back with
+    ``spark.table(query_name)``."""
+    with tempfile.TemporaryDirectory(prefix="igis-ckpt-") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        q.stop()
+
+
+def upsert_merge(
+    target: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Merge a micro-batch into a keyed target: latest row per key wins.
+
+    The foreachBatch upsert the reference's full-table snapshot loads
+    need (latest snapshot replaces). Pure DataFrame formulation:
+    union then keep row_number()==1 per key ordered by (order_col,
+    tie_col) DESC — associative across batches, so folding N batches
+    equals one global pass. With a real warehouse sink this becomes
+    MERGE INTO (JDBC/Delta); see sources/jdbc.py.
+    """
+    from pyspark.sql.window import Window
+
+    merged = batch if target is None else target.unionByName(batch)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col(tie_col).desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -8,8 +8,8 @@ The one special case is ``events``: its ``ts`` column is parquet
 TIMESTAMP(NANOS), unreadable by stock Spark 4.1.2. The verified recipe
 (SURVEY.md §1.3, probe-1) reads it as a long via
 ``spark.sql.legacy.parquet.nanosAsLong`` and truncates ns→µs with
-``timestamp_micros(ts/1000)`` — bit-exact with DuckDB's own ns→µs
-truncation.
+``timestamp_micros(ts div 1000)`` — bit-exact with DuckDB's own ns→µs
+truncation (integer div, never ``/``: see load_events).
 
 At 100 TB these loaders are where partition discovery and predicate
 pushdown happen: we always go through ``spark.read.parquet`` (vectorized
@@ -47,12 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper TIMESTAMP (µs), parity-safe vs DuckDB."""
+    """events with ``ts`` as a proper TIMESTAMP (µs), parity-safe vs DuckDB.
+
+    ns→µs MUST be integer division (``div``): ``ts/1000`` would promote
+    to double, whose 53-bit mantissa cannot represent ~1.7e18 ns exactly
+    — the rounding error shows up as ±1µs on raw timestamps (caught by
+    stream_session parity). ``div`` truncates exactly like DuckDB.
+    """
     ensure_nanos_as_long(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

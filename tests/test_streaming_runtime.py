@@ -1,0 +1,152 @@
+"""Runtime tests for the D-risk streaming ops (SURVEY.md §5.2.5):
+actual micro-batch execution that no batch oracle can observe —
+file-source exactly-once, watermark late-data drop, streaming dedup,
+and the tumbling window under readStream matching its batch twin.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    upsert_merge,
+)
+from insight_gp_import_spark.tables import load_events
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """events split into 3 parquet files in a temp dir (the staging dir)."""
+    tmp = tempfile.mkdtemp(prefix="igis-stream-src-")
+    ev = load_events(spark, SF)
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(f"{tmp}/f0")
+    ev.filter(F.col("event_id") % 3 == 1).coalesce(1).write.parquet(f"{tmp}/f1")
+    ev.filter(F.col("event_id") % 3 == 2).coalesce(1).write.parquet(f"{tmp}/f2")
+    # flatten: move part files up so the dir is one flat staging dir
+    flat = tempfile.mkdtemp(prefix="igis-stream-flat-")
+    for i, p in enumerate(sorted(Path(tmp).glob("f*/part-*.parquet"))):
+        p.rename(Path(flat) / f"batch_{i}.parquet")
+    return flat
+
+
+def test_stream_source_dir_exactly_once(spark, events_dir):
+    """Every row of every file processed exactly once (checkpointed)."""
+    stream = read_events_stream(spark, events_dir, max_files=1)
+    run_to_memory(stream, "src_all", output_mode="append")
+    got = spark.table("src_all")
+    assert got.count() == 1000
+    assert got.select("event_id").distinct().count() == 1000
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir):
+    """Windowed agg under readStream == the same agg in batch."""
+    stream = read_events_stream(spark, events_dir).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "event_type", "cnt")
+    )
+    run_to_memory(agg, "tumbling_stream", output_mode="append")
+    got = {tuple(r) for r in spark.table("tumbling_stream").collect()}
+
+    ev = load_events(spark, SF)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type",
+            "cnt",
+        )
+    )
+    # append mode only emits windows CLOSED by the final watermark
+    # (max event ts - 1h delay); the un-finalized tail stays in state.
+    wm = ev.agg(F.max("ts")).collect()[0][0] - __import__("datetime").timedelta(hours=1)
+    want = {
+        (r.ws, r.event_type, r.cnt) for r in batch.collect() if r.we <= wm
+    }
+    assert want, "watermark excluded every window — fixture too small"
+    assert got == want
+
+
+def test_stream_dedup_under_duplicated_input(spark, events_dir):
+    """dropDuplicates gives exactly-once by event_id even when the
+    source delivers every file (hence every row) twice."""
+    dup_dir = tempfile.mkdtemp(prefix="igis-stream-dup-")
+    files = sorted(Path(events_dir).glob("*.parquet"))
+    for i, p in enumerate(files):
+        data = p.read_bytes()
+        (Path(dup_dir) / f"a_{i}.parquet").write_bytes(data)
+        (Path(dup_dir) / f"b_{i}.parquet").write_bytes(data)
+    stream = read_events_stream(spark, dup_dir).dropDuplicates(["event_id"])
+    run_to_memory(stream, "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream")
+    assert got.count() == 1000
+    assert got.select("event_id").distinct().count() == 1000
+
+
+def test_stream_watermark_drops_late_rows(spark):
+    """Rows older than the in-effect watermark are dropped, not aggregated.
+
+    Spark's contract is one-directional: data within the watermark is
+    never dropped; data later than it is dropped once the *filter*
+    watermark catches up — which lags the eviction watermark by one
+    micro-batch (the filter uses the previous batch's committed value).
+    So three micro-batches (``maxFilesPerTrigger=1`` + mtime ordering):
+    batch A (Jan 15+) advances the watermark; batch B rides the
+    one-batch grace; batch C's Jan 1-7 rows hit the now-advanced filter
+    watermark and MUST be dropped (verified: droppedByWatermark=7 here).
+    """
+    import datetime
+    import os
+    import time
+
+    src = tempfile.mkdtemp(prefix="igis-late-")
+    ev = load_events(spark, SF)
+
+    def dump(pred, name, mtime):
+        ev.filter(pred).coalesce(1).write.parquet(f"{src}/stage_{name}")
+        p = next(Path(src).glob(f"stage_{name}/part-*.parquet"))
+        p.rename(Path(src) / f"{name}.parquet")
+        os.utime(Path(src) / f"{name}.parquet", (mtime, mtime))
+
+    jan8 = F.lit("2024-01-08").cast("timestamp")
+    jan15 = F.lit("2024-01-15").cast("timestamp")
+    now = time.time()
+    dump(F.col("ts") >= jan15, "a", now - 600)
+    dump((F.col("ts") >= jan8) & (F.col("ts") < jan15), "b", now - 300)
+    dump(F.col("ts") < jan8, "c", now)
+
+    stream = read_events_stream(spark, src, max_files=1).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )
+    run_to_memory(agg, "late_test", output_mode="append")
+    finalized = {r.ws for r in spark.table("late_test").collect()}
+    assert finalized, "stream emitted no finalized windows"
+    # batch C's Jan 1-7 rows were dropped: no window before Jan 8 exists
+    assert min(finalized) >= datetime.datetime(2024, 1, 8), sorted(finalized)[:3]
+
+
+def test_upsert_merge_associative(spark):
+    """Folding batches through upsert_merge == one global latest-per-key."""
+    ev = load_events(spark, SF).select("user_id", "event_type", "event_id", "value", "ts")
+    parts = [
+        ev.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    target = None
+    for p in parts:
+        target = upsert_merge(target, p, keys=["user_id", "event_type"], order_col="ts", tie_col="event_id")
+    direct = upsert_merge(None, ev, keys=["user_id", "event_type"], order_col="ts", tie_col="event_id")
+    assert {tuple(r) for r in target.collect()} == {tuple(r) for r in direct.collect()}
