@@ -1,0 +1,79 @@
+"""Bench harness — the B1-B10 headline suite (BASELINE.md).
+
+Runs each bench query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": suite_sec, "unit": "sec",
+"queries": {...}, "sf": ...}``.
+
+Protocol (matches how BASELINE.md was measured): one shared warm
+SparkSession, startup excluded, 1 discard run + median of 3 timed runs
+per query, timing = full plan build + execution + collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# B-id -> registry op id (BASELINE.md rows B1-B10)
+BENCH_QUERIES = {
+    "q1": "agg_hash_groupby",
+    "q2": "limit_topk",
+    "q3": "join_star_multiway",
+    "q4": "win_topn_per_group",
+    "q5": "stream_tumbling",
+    "q6": "stream_session",
+    "q7": "dedup_exact",
+    "q8": "sim_search_topk",
+    "q9": "fn_json",
+    "q10": "agg_grouping_sets",
+}
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from insight_gp_import_spark.registry import load_all_ops
+    from insight_gp_import_spark.session import get_session
+
+    spark = get_session(app_name="igis-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = load_all_ops()
+
+    timings: dict[str, float] = {}
+    for qid, op_id in BENCH_QUERIES.items():
+        fn = ops[op_id].fn
+        fn(spark, sf_dir).collect()  # discard run (JIT, file listing, AQE stats)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[qid] = round(statistics.median(samples), 4)
+
+    suite = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": suite,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Unit/property tests for the LLM-pipeline ops that the oracle can't
+fully grade: MinHash-LSH recall vs the exact jaccard ground truth, and
+dedup idempotence (SURVEY.md §5.2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.registry import load_all_ops
+
+SF = "/root/testdata/sf0.01"
+OPS = load_all_ops()
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates, post-verified with exact jaccard, must recover
+    most true near-dup pairs (precision is 1.0 by construction)."""
+    exact = {
+        (r.d1, r.d2) for r in OPS["dedup_near_jaccard"].fn(spark, SF).collect()
+    }
+    approx = {
+        (r.d1, r.d2) for r in OPS["dedup_near_minhash"].fn(spark, SF).collect()
+    }
+    assert exact, "ground truth empty — fixture changed?"
+    assert approx <= exact, "minhash emitted a non-duplicate pair (precision < 1)"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"minhash recall {recall:.3f} too low"
+
+
+def test_dedup_exact_idempotent(spark):
+    """dedup(dedup(x)) == dedup(x): survivors contain no duplicate hash."""
+    surv = OPS["dedup_exact"].fn(spark, SF)
+    assert surv.groupBy("content_md5").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_dedup_exact_survivors_cover_all_content(spark):
+    """Every distinct content hash has exactly one survivor."""
+    from insight_gp_import_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert OPS["dedup_exact"].fn(spark, SF).count() == n_distinct
