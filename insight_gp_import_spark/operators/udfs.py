@@ -1,1 +1,137 @@
-"""Placeholder — operators land in subsequent milestones."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.I).
+
+UDFs are the slow path (SURVEY.md §3.2: the JVM↔Python boundary exists
+only here) — these four ops exist to prove the engine exposes every
+extension point with correct semantics, each implementing an *exactly
+SQL-expressible* spec so the DuckDB oracle can grade it:
+
+- ``udf_scalar``     — row-at-a-time Python UDF (pickled rows; the
+  ~10-100× slower path, never used elsewhere in this engine).
+- ``udf_pandas``     — Arrow-batched pandas UDF (vectorized transfer).
+- ``udaf_grouped_pandas`` — ``applyInPandas`` grouped custom aggregate
+  (per-group OLS slope), the custom-UDAF pattern.
+- ``udtf_explode``   — table function doc → (doc_id, pos, token); the
+  builtin ``posexplode`` formulation (JVM-side; a Python UDTF would buy
+  generality at Arrow-transfer cost — not needed for this spec).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "udfs"
+
+
+@op(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+    category=CAT,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python scalar UDF: normalize text (lower, strip non-alnum,
+    collapse spaces) — implements exactly the oracle's SQL spec."""
+
+    @F.udf(T.StringType())
+    def normalize(s: str) -> str:
+        s = re.sub(r"[^a-z0-9 ]", "", s.lower())
+        return re.sub(r" +", " ", s).strip()
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize("text").alias("clean_text"))
+
+
+@op(
+    "udf_pandas",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER ()) / stddev_samp(value) OVER (), 4)
+               AS zscore
+    FROM events
+    """,
+    category=CAT,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF: global z-score of ``value``.
+
+    The mean/stddev are computed as Spark aggregates (one tiny
+    collect), then applied in a vectorized batch transform — the
+    pattern for any fitted-parameter scoring at scale (broadcast the
+    params, stream the batches).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mu, sd = ev.agg(F.avg("value"), F.stddev_samp("value")).first()
+
+    @F.pandas_udf("double")
+    def zscore(v: pd.Series) -> pd.Series:
+        return ((v - mu) / sd).round(4)
+
+    return ev.select("event_id", zscore("value").alias("zscore"))
+
+
+@op(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, epoch(CAST(ts AS TIMESTAMP))), 6) AS slope
+    FROM events
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregate via ``applyInPandas``: per-event-type
+    OLS slope of value over time — the custom-UDAF extension point.
+    Arrow-batched per group; each group must fit one worker (fine: the
+    alternative for giant groups is the sufficient-statistics
+    formulation as built-in aggs, which is what the oracle uses)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("x"), F.col("value").alias("y")
+    )
+
+    def ols_slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["x"].astype("float64"), pdf["y"]
+        cov = ((x - x.mean()) * (y - y.mean())).sum()
+        var = ((x - x.mean()) ** 2).sum()
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "slope": [round(cov / var, 6)]}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        ols_slope, "event_type string, slope double"
+    )
+
+
+@op(
+    "udtf_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+    category=CAT,
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function: one doc row → (doc_id, pos, token) rows.
+
+    posexplode keeps tokenization JVM-side (probe-7 parity); this is
+    the row-expanding extension point (n_rows out per row in).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("long"))
