@@ -30,21 +30,57 @@ CAT = "llm"
 JACCARD_THRESHOLD = 0.8
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays, computed in double.
+def _dot_sql(x: str, y: str) -> str:
+    """Dot product of two float-array SQL expressions in double — a
+    single-pass JVM expression (zip_with + aggregate, codegen'd, no
+    shuffle). Built as ONE SQL string: the Column-API equivalent costs
+    hundreds of py4j round-trips per lambda and measurably dominates
+    small-query latency (~140ms per plan build)."""
+    return (
+        f"aggregate(zip_with({x}, {y}, (p, q) -> cast(p as double) * cast(q as double)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
 
-    zip_with multiply + aggregate sum are single-pass JVM expressions
-    (no shuffle, codegen'd); parity with DuckDB list_cosine_similarity
-    proven at 4 dp (probe-3).
+
+def _dot(x: str, y: str) -> Column:
+    return F.expr(_dot_sql(x, y))
+
+
+def _norm(x: str) -> Column:
+    return F.expr(f"sqrt({_dot_sql(x, x)})")
+
+
+def _cosine(a: str, b: str) -> Column:
+    """Cosine similarity of two float-array columns, in double.
+
+    Parity with DuckDB list_cosine_similarity proven at 4 dp (probe-3).
+    Hot paths should NOT call this per pair — precompute each side's
+    norm once per vector (``_norm``) and divide a single ``_dot``:
+    3× fewer array passes, and the norm of a join side is computed
+    |side| times instead of |side₁|·|side₂| times.
     """
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    return F.expr(
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+def _lit_vec_sql(vec: list[float]) -> str:
+    """A float list as a SQL double-array literal (repr is the shortest
+    round-trip form, parsed back to the identical double)."""
+    return "array(" + ", ".join(repr(x) + "D" for x in vec) + ")"
+
+
+def _fetch_query_vector(sf_dir: str, vec_id: int) -> list[float]:
+    """Driver-side fetch of one embedding row via pyarrow — query
+    parameters (like fitted model params) don't deserve a Spark job."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return [float(x) for x in tbl.column("embedding")[0].as_py()]
 
 
 def _doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,13 +344,19 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is the recall baseline; ann_ivf_topk is the scale path.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+    # the query vector is one row: fetch it driver-side (pyarrow row
+    # lookup, no Spark job) and inline it as a LITERAL array, so the
+    # plan is a single corpus scan + TakeOrdered — no second scan, no
+    # broadcast exchange, no join. Python floats preserve the exact
+    # float32 values the oracle's list_cosine_similarity sees.
+    qvec = _fetch_query_vector(sf_dir, QUERY_VEC_ID)
+    qn = sum(x * x for x in qvec) ** 0.5
+    sim = F.expr(
+        f"{_dot_sql('embedding', _lit_vec_sql(qvec))}"
+        f" / (sqrt({_dot_sql('embedding', 'embedding')}) * {qn!r}D)"
     )
-    sim = _cosine(F.col("embedding"), F.col("qv"))
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
         .withColumn("raw_sim", sim)
         .orderBy(F.desc("raw_sim"), "vec_id")
         .limit(TOPK)
@@ -352,16 +394,22 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window becomes a partial top-k (AQE) — still one shuffle.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms materialize once per vector on each side, BEFORE the cross
+    # join — per pair only one dot product remains
     probes = emb.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        _norm("embedding").alias("pn"),
     )
     corpus = emb.filter(F.col("label") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm("embedding").alias("cn"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("raw_sim"), "neighbor_id")
     return (
         corpus.crossJoin(F.broadcast(probes))
-        .withColumn("raw_sim", _cosine(F.col("pv"), F.col("cv")))
+        .withColumn("raw_sim", _dot("pv", "cv") / (F.col("pn") * F.col("cn")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select("probe_id", "neighbor_id", F.round("raw_sim", 4).alias("sim"), "rank")
@@ -392,14 +440,7 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize embeddings; emit the norm and first 4 components as
     rounded scalar doubles (§2.X: no raw arrays in hashed output)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    out = emb.withColumn("norm", norm)
+    out = emb.withColumn("norm", _norm("embedding"))
     comps = [
         F.round(F.element_at("embedding", i + 1).cast("double") / F.col("norm"), 4).alias(
             f"e{i}"
@@ -433,14 +474,18 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     features + embedding features side by side)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
-    )
+    qvec = _fetch_query_vector(sf_dir, QUERY_VEC_ID)
+    qn = sum(x * x for x in qvec) ** 0.5
     return (
         docs.filter(F.col("lang") == "en")
         .join(emb, docs.doc_id == emb.vec_id)
-        .crossJoin(F.broadcast(q))
-        .withColumn("raw_sim", _cosine(F.col("embedding"), F.col("qv")))
+        .withColumn(
+            "raw_sim",
+            F.expr(
+                f"{_dot_sql('embedding', _lit_vec_sql(qvec))}"
+                f" / (sqrt({_dot_sql('embedding', 'embedding')}) * {qn!r}D)"
+            ),
+        )
         .orderBy(F.desc("raw_sim"), "doc_id")
         .limit(TOPK)
         .select(

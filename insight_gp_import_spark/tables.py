@@ -37,23 +37,43 @@ TABLES = (
 )
 
 
+# Catalog cache: DataFrames are immutable logical plans, so the scan
+# relation for a given (session, dir, table) can be built once and
+# reused — spark.read.parquet costs ~100ms of driver-side file listing
+# + footer schema read PER CALL otherwise, which dominates small-query
+# latency. Keyed by the session object itself (not id()) so a new
+# session never aliases a dead one's cache entries.
+_SCAN_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table; applies the events ns-timestamp recipe."""
+    """Load one corpus table; applies the events ns-timestamp recipe.
+    Scans are memoized per (session, sf_dir, table)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark, sf_dir, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events_uncached(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper TIMESTAMP (µs), parity-safe vs DuckDB.
+    """events with ``ts`` as a proper TIMESTAMP (µs), parity-safe vs
+    DuckDB (memoized like every other table)."""
+    return load_table(spark, sf_dir, "events")
 
-    ns→µs MUST be integer division (``div``): ``ts/1000`` would promote
-    to double, whose 53-bit mantissa cannot represent ~1.7e18 ns exactly
-    — the rounding error shows up as ±1µs on raw timestamps (caught by
-    stream_session parity). ``div`` truncates exactly like DuckDB.
-    """
+
+def _load_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ns→µs MUST be integer division (``div``): ``ts/1000`` would
+    promote to double, whose 53-bit mantissa cannot represent ~1.7e18 ns
+    exactly — the rounding error shows up as ±1µs on raw timestamps
+    (caught by stream_session parity). ``div`` truncates exactly like
+    DuckDB."""
     ensure_nanos_as_long(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
