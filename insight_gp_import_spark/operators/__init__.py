@@ -8,11 +8,14 @@ from insight_gp_import_spark.operators import (  # noqa: F401
     aggregation,
     joins,
     llm,
+    multimodal,
     projection,
     scans,
     setops,
     scalar_functions,
     streaming_ops,
+    training_dedup,
+    training_text,
     udfs,
     windows,
 )

@@ -1,0 +1,171 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched Python (mapInPandas).
+
+No image/audio libraries exist in this environment, so the DECODE step
+is a clearly-marked deterministic fake (see ``_fake_decode_meta``) /
+``NotImplementedError`` (see ``resize_images``); everything Spark-side
+is real and tested: binary column construction, mapInPandas schemas,
+Arrow batch iteration, row-expanding frame sampling, partition-
+preserving plumbing.
+
+The test corpus has no true media, so payloads are the documents' UTF-8
+bytes — which makes the fake decode SQL-expressible and therefore
+honestly ORACLED (ascii/length/md5 over the same text), a stronger
+check than rows-only despite the stub.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "multimodal"
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload column (+ media-type metadata).
+    On a real corpus this is the image/audio bytes column read from
+    parquet; here it is the UTF-8 encoding of the text."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """DETERMINISTIC FAKE of an image header decode (no PIL in env).
+
+    Real implementation would parse the image header; the fake derives
+    "dimensions" from the first two bytes so the full pipeline —
+    schema, Arrow transfer, batch iteration — is exercised end-to-end
+    and remains oracle-checkable.
+    """
+    n = len(payload)
+    width = (payload[0] % 8 + 1) * 64 if n > 0 else 0
+    height = (payload[1] % 8 + 1) * 64 if n > 1 else 0
+    checksum = hashlib.md5(payload).hexdigest()
+    return n, width, height, checksum
+
+
+@op(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           n_chars AS n_bytes,
+           CAST((ascii(substr(text, 1, 1)) % 8 + 1) * 64 AS INTEGER) AS width,
+           CAST((ascii(substr(text, 2, 1)) % 8 + 1) * 64 AS INTEGER) AS height,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    category=CAT,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary payloads via mapInPandas.
+
+    The Arrow-batched iterator is the real scale pattern: executors
+    stream record batches through Python, one batch in flight per task,
+    no per-row overhead; decode cost parallelizes with partitions.
+    (Payload bytes are UTF-8 text here, so the oracle can recompute the
+    fake decode in SQL — corpus is pure ASCII, byte == char.)
+    """
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "width": meta.map(lambda m: m[1]),
+                    "height": meta.map(lambda m: m[2]),
+                    "checksum": meta.map(lambda m: m[3]),
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode_batches,
+        "doc_id long, n_bytes long, width int, height int, checksum string",
+    )
+
+
+FRAME_BYTES = 30  # fake: one "frame" per 30 payload bytes
+FRAME_STRIDE = 10  # sample every 10th frame
+
+
+@op(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id, frame_idx, md5(doc_id || ':' || frame_idx) AS frame_key
+    FROM (
+        SELECT doc_id,
+               CAST(unnest(generate_series(0, (n_chars // {FRAME_BYTES}) - 1,
+                                           {FRAME_STRIDE})) AS BIGINT) AS frame_idx
+        FROM documents
+        WHERE n_chars >= {FRAME_BYTES}
+    )
+    """,
+    category=CAT,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over "video" payloads: every {FRAME_STRIDE}-th of
+    n_bytes/{FRAME_BYTES} frames, as (doc_id, frame_idx, frame_key)
+    rows. Row expansion is JVM-side (sequence + explode — no Python in
+    the multiplying step); the downstream per-frame decode would be the
+    mapInPandas stage above. frame_key stands in for the frame content
+    address a real pipeline writes."""
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+    n_frames = F.expr(f"length(payload) div {FRAME_BYTES}")  # exact floor div
+    return (
+        payloads.withColumn("n_frames", n_frames)
+        .filter(F.col("n_frames") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.col("n_frames") - 1),
+                    F.lit(FRAME_STRIDE).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_key", F.md5(F.concat_ws(":", "doc_id", "frame_idx")))
+    )
+
+
+def resize_images(
+    payloads: DataFrame, width: int, height: int, *, fake: bool = False
+) -> DataFrame:
+    """Resize binary image payloads → binary (mapInPandas, binary-in
+    binary-out — the shape every media transform shares).
+
+    REAL DECODE NOT IMPLEMENTED in this environment (no PIL/opencv);
+    ``fake=True`` exercises the full plumbing with a deterministic
+    stand-in (truncate/pad payload to width*height bytes).
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires an image library (PIL/opencv) "
+                    "not present in this environment; pass fake=True to "
+                    "exercise the plumbing"
+                )
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target]).ljust(target, b"\0")
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": resized})
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        resize_batches, "doc_id long, payload binary"
+    )

@@ -1,0 +1,87 @@
+"""Unit tests for the rows-only scale-path dedup/ANN ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.operators import training_dedup as td
+from insight_gp_import_spark.registry import load_all_ops
+from insight_gp_import_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+OPS = load_all_ops()
+
+
+def test_simhash_pairs_within_hamming(spark):
+    """Every emitted pair respects the hamming bound (post-filter), and
+    hamming is consistent with recomputed fingerprints."""
+    out = OPS["dedup_simhash"].fn(spark, SF)
+    rows = out.collect()
+    assert rows, "no simhash near-dup pairs found at sf0.01"
+    assert all(0 <= r.hamming <= td.SIMHASH_MAX_HAMMING for r in rows)
+
+
+def test_simhash_banding_is_lossless(spark):
+    """hamming ≤ 3 over 4 bands of 16 bits ⇒ ≥1 identical band, so LSH
+    candidates must contain EVERY qualifying pair: verify against a
+    brute-force all-pairs hamming scan."""
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bitsums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+            for b in range(td.SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(td.SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp + term
+    sigs = bitsums.select("doc_id", fp.alias("simhash"))
+    a = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    b_ = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    brute = (
+        a.join(b_, F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= td.SIMHASH_MAX_HAMMING)
+    )
+    want = {(r.d1, r.d2) for r in brute.collect()}
+    got = {(r.d1, r.d2) for r in OPS["dedup_simhash"].fn(spark, SF).collect()}
+    assert got == want
+
+
+def test_ann_full_probe_equals_brute_force(spark, monkeypatch):
+    """Probing ALL centroids must reproduce the exact brute-force
+    top-k — the ANN structure loses nothing when nprobe=ncentroids."""
+    monkeypatch.setattr(td, "N_PROBE", td.N_CENTROIDS)
+    ann = [tuple(r) for r in OPS["ann_ivf_topk"].fn(spark, SF).collect()]
+    brute = [tuple(r) for r in OPS["sim_search_topk"].fn(spark, SF).collect()]
+    assert ann == brute
+
+
+def test_ann_partial_probe_contract(spark):
+    """nprobe < ncentroids: k rows, sims are a subset of legal corpus
+    sims, descending order, no query vector."""
+    from insight_gp_import_spark.operators.llm import QUERY_VEC_ID, TOPK
+
+    rows = OPS["ann_ivf_topk"].fn(spark, SF).collect()
+    assert len(rows) == TOPK
+    assert all(r.vec_id != QUERY_VEC_ID for r in rows)
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    brute = OPS["sim_search_topk"].fn(spark, SF).collect()
+    # ANN can't beat exact search
+    assert max(sims) <= max(r.sim for r in brute) + 1e-9
+
+
+def test_embed_cosine_symmetric_bounds(spark):
+    out = OPS["dedup_embed_cosine"].fn(spark, SF).collect()
+    assert out, "no embed near-dup pairs at sf0.01 (threshold drifted?)"
+    assert all(r.v1 < r.v2 for r in out)
+    assert all(td.EMBED_DUP_THRESHOLD < r.sim <= 1.0 for r in out)
