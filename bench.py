@@ -44,7 +44,14 @@ def main() -> None:
     from insight_gp_import_spark.registry import load_all_ops
     from insight_gp_import_spark.session import get_session
 
-    spark = get_session(app_name="igis-bench", master=f"local[{cpus}]")
+    # Local-mode tuning: at sub-GB scale fewer shuffle partitions beat
+    # cpu_count (less task scheduling + fewer shuffle files; AQE still
+    # coalesces post-shuffle). On a cluster leave the session default
+    # (~2-3x executor cores) — see session.py's scale notes.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = get_session(
+        app_name="igis-bench", master=f"local[{cpus}]", shuffle_partitions=shuffle
+    )
     spark.sparkContext.setLogLevel("ERROR")
     ops = load_all_ops()
 

@@ -14,6 +14,12 @@ runtime-only (no queries() entry can observe it deterministically).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+import time
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -22,6 +28,27 @@ from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
 
 CAT = "streaming"
+
+
+def _qname(prefix: str, sf_dir: str) -> str:
+    """Unique memory-sink table name per (op, sf_dir) so repeated driver
+    calls never collide."""
+    return f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
+def _stage_events_files(spark: SparkSession, sf_dir: str, splits: int = 3) -> str:
+    """Write events as N flat parquet files in a temp staging dir —
+    the reference's staging-directory shape."""
+    tmp = tempfile.mkdtemp(prefix="igis-stage-")
+    ev = load_table(spark, sf_dir, "events")
+    flat = tempfile.mkdtemp(prefix="igis-stage-flat-")
+    for i in range(splits):
+        ev.filter(F.col("event_id") % splits == i).coalesce(1).write.parquet(
+            f"{tmp}/f{i}"
+        )
+    for i, p in enumerate(sorted(Path(tmp).glob("f*/part-*.parquet"))):
+        p.rename(Path(flat) / f"batch_{i}.parquet")
+    return flat
 
 
 @op(
@@ -177,6 +204,63 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@op("stream_source_dir", oracle=None, category=CAT)
+def stream_source_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core loop, native: watch a staging directory,
+    process each new file exactly once (checkpoint-tracked file source,
+    availableNow trigger). Rows-only — the observable is the runtime
+    behavior itself; exactly-once is asserted by the distinct-count
+    columns in the returned summary (1 row: total == distinct ids)."""
+    from insight_gp_import_spark.streaming import read_events_stream, run_to_memory
+
+    staged = _stage_events_files(spark, sf_dir)
+    name = _qname("src_dir", sf_dir)
+    stream = read_events_stream(spark, staged, max_files=1)
+    run_to_memory(stream, name, output_mode="append")
+    got = spark.table(name)
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+    )
+
+
+@op("stream_watermark_late", oracle=None, category=CAT)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, observed end-to-end (rows-only; a
+    watermark is a no-op in batch so no oracle can see it).
+
+    Three mtime-ordered micro-batches: recent rows first (advance the
+    watermark), mid rows (one-batch filter-lag grace), then stale rows
+    — which MUST be dropped. Returns the finalized windows; the stale
+    days are absent (asserted in tests/test_streaming_runtime.py).
+    """
+    from insight_gp_import_spark.streaming import read_events_stream, run_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="igis-late-op-")
+    jan8 = F.lit("2024-01-08").cast("timestamp")
+    jan15 = F.lit("2024-01-15").cast("timestamp")
+    now = time.time()
+    for name_, pred, mtime in [
+        ("a", F.col("ts") >= jan15, now - 600),
+        ("b", (F.col("ts") >= jan8) & (F.col("ts") < jan15), now - 300),
+        ("c", F.col("ts") < jan8, now),
+    ]:
+        ev.filter(pred).coalesce(1).write.parquet(f"{src}/stage_{name_}")
+        p = next(Path(src).glob(f"stage_{name_}/part-*.parquet"))
+        p.rename(Path(src) / f"{name_}.parquet")
+        os.utime(Path(src) / f"{name_}.parquet", (mtime, mtime))
+    stream = read_events_stream(spark, src, max_files=1).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "cnt")
+    )
+    qn = _qname("wm_late", sf_dir)
+    run_to_memory(agg, qn, output_mode="append")
+    return spark.table(qn).orderBy("ws")
 
 
 @op(

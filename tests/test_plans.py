@@ -1,0 +1,68 @@
+"""Physical-plan assertions (SURVEY.md §4 / M6): the optimizations that
+matter at 100 TB must actually appear in the plan, not just be hoped
+for. Guards against regressions that correctness tests cannot see.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from insight_gp_import_spark.registry import load_all_ops
+
+SF = "/root/testdata/sf0.01"
+OPS = load_all_ops()
+
+
+def plan_of(spark, name: str) -> str:
+    df = OPS[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_b1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "agg_hash_groupby")
+    # the shipdate filter must reach the parquet reader
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # column pruning: lineitem has 11 columns; the scan must read fewer
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read_schema.count(":") <= 7, read_schema
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "join_star_multiway")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no dim is big enough to shuffle
+    # selective region filter pushed into the scan
+    assert "EqualTo(r_name" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "limit_topk")
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    # partition top-k + merge), never a global Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sim_search_single_scan_no_join(spark):
+    plan = plan_of(spark, "sim_search_topk")
+    # literal query vector: one corpus scan, no join/exchange before
+    # the top-k
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_manifest_dedup_broadcasts(spark):
+    plan = plan_of(spark, "ingest_manifest_dedup")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "Broadcast" in plan
+    )
+
+
+def test_knn_broadcasts_probe_side(spark):
+    plan = plan_of(spark, "sim_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
