@@ -288,3 +288,45 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
     )
+
+
+SALT_BUCKETS = 16
+
+
+@op(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the skewed-hot-key recipe.
+
+    events has only 5 event_type values, the worst-case skew shape: a
+    plain groupBy sends every 'view' row to ONE reducer. Salting splits
+    each hot key into SALT_BUCKETS sub-keys for the first (heavy)
+    shuffle, then combines the tiny partials in a second shuffle of
+    |keys|×|salts| rows. Identical result to the direct groupBy (the
+    oracle IS the direct formulation); at 100 TB this is the difference
+    between one straggler reducer and even utilization. (AQE skew-join
+    handles join skew automatically; agg skew still wants the salt.)
+    The salt is derived from event_id — deterministic, no RNG (§2.X).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", (F.col("event_id") % SALT_BUCKETS).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("p_cnt"), F.sum("value").alias("p_sum"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("p_cnt").alias("cnt"),
+            F.round(F.sum("p_sum"), 2).alias("sum_value"),
+        )
+    )

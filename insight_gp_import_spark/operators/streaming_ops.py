@@ -206,6 +206,41 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    category=CAT,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) executed as a
+    REAL stream: per-user cumulative totals across micro-batches, state
+    in the state store. The op replays events as 3 staged files, runs
+    the stateful query, and returns the FINAL state per user — which
+    must equal the plain batch groupBy (the oracle). cnt is monotone,
+    so the final update per user is the row with max cnt."""
+    from insight_gp_import_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals,
+    )
+
+    staged = _stage_events_files(spark, sf_dir)
+    name = _qname("stateful", sf_dir)
+    totals = running_user_totals(read_events_stream(spark, staged, max_files=1))
+    run_to_memory(totals, name, output_mode="update")
+    emitted = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "cnt", F.round("total_value", 2).alias("total_value"))
+    )
+
+
 @op("stream_source_dir", oracle=None, category=CAT)
 def stream_source_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core loop, native: watch a staging directory,

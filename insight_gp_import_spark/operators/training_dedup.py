@@ -225,3 +225,141 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOPK)
         .select("vec_id", "label", F.round("raw_sim", 4).alias("sim"))
     )
+
+
+NGRAM_K = 3
+# jaccard > 0.9, expressed in integers: 10*shared > 9*union, and the
+# AllPairs prefix length L = n - ceil(0.9 n) + 1 = n - (9n+9) div 10 + 1.
+# Pure integer arithmetic on BOTH engines — no float ceil() divergence.
+NGRAM_T_NUM, NGRAM_T_DEN = 9, 10
+
+
+@op(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - {NGRAM_K - 1}),
+                                     i -> substr(text, i, {NGRAM_K}))) AS g
+        FROM documents
+        WHERE n_chars >= {NGRAM_K}
+    ), freq AS (
+        SELECT g, count(*) AS dfreq FROM grams GROUP BY g
+    ), ranked AS (
+        SELECT g, row_number() OVER (ORDER BY dfreq, g) AS grank FROM freq
+    ), gd AS (
+        SELECT doc_id, grams.g, grank FROM grams JOIN ranked ON grams.g = ranked.g
+    ), sized AS (
+        SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id
+    ), pos AS (
+        SELECT doc_id, g,
+               row_number() OVER (PARTITION BY doc_id ORDER BY grank) AS pos
+        FROM gd
+    ), pref AS (
+        SELECT p.doc_id, p.g, s.n
+        FROM pos p JOIN sized s ON p.doc_id = s.doc_id
+        WHERE p.pos <= s.n - (({NGRAM_T_NUM} * s.n + {NGRAM_T_NUM}) // {NGRAM_T_DEN}) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM pref a JOIN pref b ON a.g = b.g
+        WHERE a.doc_id < b.doc_id
+          AND {NGRAM_T_DEN} * least(a.n, b.n) >= {NGRAM_T_NUM} * greatest(a.n, b.n)
+    ), sets AS (
+        SELECT doc_id, list(g) AS gs, count(*) AS n FROM gd GROUP BY doc_id
+    )
+    SELECT d1, d2, round(shared * 1.0 / (n1 + n2 - shared), 4) AS jaccard
+    FROM (
+        SELECT d1, d2, len(list_intersect(s1.gs, s2.gs)) AS shared,
+               s1.n AS n1, s2.n AS n2
+        FROM cand
+        JOIN sets s1 ON cand.d1 = s1.doc_id
+        JOIN sets s2 ON cand.d2 = s2.doc_id
+    )
+    WHERE {NGRAM_T_DEN} * shared > {NGRAM_T_NUM} * (n1 + n2 - shared)
+    """,
+    category=CAT,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character {NGRAM_K}-gram Jaccard near-dup pairs (> 0.9), EXACT,
+    via AllPairs prefix filtering (Bayardo et al., WWW'07) — the
+    scalable exact similarity join.
+
+    Order all grams globally by (document frequency asc, gram asc);
+    a pair with jaccard ≥ t must share its globally-smallest common
+    gram within BOTH prefixes of length n - ceil(t·n) + 1, so joining
+    only the prefixes (≈ n/10 of each doc's grams, and the RAREST ones
+    — tiny join groups) finds every candidate; exact verification runs
+    on candidates only. At 100 TB this turns the quadratic gram join
+    into one proportional to true near-duplication.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= NGRAM_K
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {NGRAM_K - 1}),"
+                f" i -> substring(text, i, {NGRAM_K}))"
+            )
+        ).alias("g"),
+    ).distinct()
+    freq = grams.groupBy("g").agg(F.count("*").alias("dfreq"))
+    ranked = freq.select(
+        "g", F.row_number().over(Window.orderBy("dfreq", "g")).alias("grank")
+    )
+    gd = grams.join(F.broadcast(ranked), "g")
+    sized = gd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pos = gd.select(
+        "doc_id",
+        "g",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("grank"))
+        .alias("pos"),
+    )
+    prefix_len = F.col("n") - F.expr(
+        f"({NGRAM_T_NUM} * n + {NGRAM_T_NUM}) div {NGRAM_T_DEN}"
+    ) + 1
+    pref = pos.join(sized, "doc_id").filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "g", "n"
+    )
+    a = pref.select(F.col("doc_id").alias("d1"), "g", F.col("n").alias("pn1"))
+    b = pref.select(F.col("doc_id").alias("d2"), "g", F.col("n").alias("pn2"))
+    # length filter (part of AllPairs): J ≥ t forces set sizes within
+    # t — prune size-incompatible pairs inside the join, before the
+    # expensive distinct+verify (3× wall-clock here; lossless)
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            & (
+                NGRAM_T_DEN * F.least("pn1", "pn2")
+                >= NGRAM_T_NUM * F.greatest("pn1", "pn2")
+            )
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    sets = gd.groupBy("doc_id").agg(
+        F.collect_set("g").alias("gs"), F.count("*").alias("n")
+    )
+    s1 = sets.select(
+        F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"), F.col("n").alias("n1")
+    )
+    s2 = sets.select(
+        F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"), F.col("n").alias("n2")
+    )
+    shared = F.size(F.array_intersect("gs1", "gs2"))
+    union = F.col("n1") + F.col("n2") - shared
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("shared", shared)
+        .withColumn("union_n", union)
+        .filter(NGRAM_T_DEN * F.col("shared") > NGRAM_T_NUM * F.col("union_n"))
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("shared") / F.col("union_n"), 4).alias("jaccard"),
+        )
+    )

@@ -17,3 +17,6 @@ from insight_gp_import_spark.streaming.runtime import (  # noqa: F401
     run_to_memory,
     upsert_merge,
 )
+from insight_gp_import_spark.streaming.stateful import (  # noqa: F401
+    running_user_totals,
+)

@@ -150,3 +150,30 @@ def test_upsert_merge_associative(spark):
         target = upsert_merge(target, p, keys=["user_id", "event_type"], order_col="ts", tie_col="event_id")
     direct = upsert_merge(None, ev, keys=["user_id", "event_type"], order_col="ts", tie_col="event_id")
     assert {tuple(r) for r in target.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_stateful_totals_updates_across_batches(spark, events_dir):
+    """applyInPandasWithState must carry state ACROSS micro-batches:
+    users appearing in several files get several monotone updates."""
+    from insight_gp_import_spark.streaming import running_user_totals
+
+    stream = read_events_stream(spark, events_dir, max_files=1)
+    run_to_memory(running_user_totals(stream), "stateful_rt", output_mode="update")
+    emitted = spark.table("stateful_rt").collect()
+    per_user: dict[int, list[int]] = {}
+    for r in emitted:
+        per_user.setdefault(r.user_id, []).append(r.cnt)
+    # at least one user spans multiple batches (1000 events, 3 files)
+    assert any(len(v) > 1 for v in per_user.values())
+    # cumulative counts are strictly increasing per user
+    for cnts in per_user.values():
+        s = sorted(cnts)
+        assert s == sorted(set(s)), cnts
+    # final state equals batch ground truth
+    ev = load_events(spark, SF)
+    want = {
+        (r.user_id, r.cnt)
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = {(u, max(cnts)) for u, cnts in per_user.items()}
+    assert got == want
