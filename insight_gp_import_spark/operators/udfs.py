@@ -11,8 +11,10 @@ SQL-expressible* spec so the DuckDB oracle can grade it:
 - ``udaf_grouped_pandas`` — ``applyInPandas`` grouped custom aggregate
   (per-group OLS slope), the custom-UDAF pattern.
 - ``udtf_explode``   — table function doc → (doc_id, pos, token); the
-  builtin ``posexplode`` formulation (JVM-side; a Python UDTF would buy
-  generality at Arrow-transfer cost — not needed for this spec).
+  builtin ``posexplode`` formulation (JVM-side fast path).
+- ``udtf_python_tokenize`` — the same spec as a REAL Spark 4 Python
+  ``@udtf`` class invoked via SQL LATERAL: the arbitrary-logic path,
+  proving the extension point end-to-end.
 """
 
 from __future__ import annotations
@@ -135,3 +137,39 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@op(
+    "udtf_python_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT)
+               AS pos,
+           unnest(string_split(text, ' ')) AS token,
+           length(unnest(string_split(text, ' '))) AS token_len
+    FROM documents
+    """,
+    category=CAT,
+)
+def udtf_python_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 @udtf class): one input row → many
+    output rows computed in Python, registered and invoked through SQL
+    with LATERAL — the generality extension point (udtf_explode is the
+    JVM fast path for the same spec; this proves the slow-but-arbitrary
+    path works end-to-end). Implements exactly the whitespace-tokenize
+    spec so the same oracle grades it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            for pos, token in enumerate(text.split(" ")):
+                yield pos, token, len(token)
+
+    spark.udtf.register("igis_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("igis_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token, t.token_len "
+        "FROM igis_udtf_docs d, LATERAL igis_tokenize(d.text) t"
+    )
