@@ -228,3 +228,98 @@ def full_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("latest_price"),
         )
     )
+
+
+@op(
+    "full_snapshot_scd2",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS snapshot_id,
+           CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                AS TIMESTAMP) AS valid_to,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+            IS NULL) AS is_current,
+           o_totalprice AS snapshot_value
+    FROM orders
+    """,
+    category=CAT,
+)
+def full_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: instead of replacing each full
+    snapshot (full_snapshot_latest), keep history as validity intervals
+    — valid_from = snapshot time, valid_to = next snapshot's time (NULL
+    = current). One window per key; this is how the reference's
+    dimension snapshots become point-in-time joinable at the warehouse
+    layer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("snapshot_id"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("o_totalprice").alias("snapshot_value"),
+    )
+
+
+BUCKETS = 8
+
+
+@op("sink_parquet_bucketed", oracle=None, category=CAT)
+def sink_parquet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables + co-located join — the shuffle-free-join layout.
+
+    orders and lineitem are written bucketed (and sorted) by order key
+    into the same bucket count; the subsequent join reads bucket i
+    against bucket i with NO exchange on either side (asserted in
+    tests/test_plans.py). At 100 TB this is the canonical answer to
+    "this join shuffles 100 TB every night": pay the shuffle once at
+    write time, never again at read time. Rows-only: the observable is
+    the plan shape; the returned aggregate doubles as a row-count check.
+    """
+    import hashlib as _h
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = tempfile.mkdtemp(prefix="igis-bucketed-")
+    t_orders, t_lineitem = f"igis_orders_b_{tag}", f"igis_lineitem_b_{tag}"
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # repartition by the bucket key first: writer tasks then hold whole
+    # buckets (repartition and bucketBy share the Murmur3 hash), so each
+    # bucket is exactly ONE file — the layout Spark requires to trust
+    # bucket sortedness and elide the Sort under the merge join
+    (
+        orders.repartition(BUCKETS, F.col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{warehouse}/orders")
+        .saveAsTable(t_orders)
+    )
+    (
+        lineitem.repartition(BUCKETS, F.col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{warehouse}/lineitem")
+        .saveAsTable(t_lineitem)
+    )
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    # MERGE hint: at test scale AQE would broadcast the small side and
+    # hide the point; forcing SortMergeJoin shows the bucket payoff —
+    # zero Exchange AND zero Sort on both inputs (pre-bucketed+sorted),
+    # which is exactly the plan a 100 TB fact-fact join needs.
+    return (
+        o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -66,3 +66,19 @@ def test_manifest_dedup_broadcasts(spark):
 def test_knn_broadcasts_probe_side(spark):
     plan = plan_of(spark, "sim_knn_join")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed by the join key: the (hinted) sort-merge
+    join must run with NO Exchange on either input — the 100 TB
+    co-location payoff (the write-time shuffle is paid once, never per
+    query). A within-bucket Sort remains: Spark 4's file scan does not
+    propagate bucket sort order to the planner, and sorting an
+    already-sorted bucket is cheap — the shuffle is what matters."""
+    plan = plan_of(spark, "sink_parquet_bucketed")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree, tree
+    # the only Exchange allowed is the final aggregation's; none may
+    # feed the join
+    assert tree.count("Exchange") <= 1, tree
+    assert "SelectedBucketsCount" in plan, plan
