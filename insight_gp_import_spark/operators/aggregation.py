@@ -330,3 +330,17 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p_sum"), 2).alias("sum_value"),
         )
     )
+
+
+@op("agg_approx_quantile", oracle=None, category=CAT)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (approx_percentile, t-digest-style):
+    the streaming/large-scale path where exact percentile's full sort
+    is unaffordable. Rows-only (sketches differ across engines);
+    tests/test_rows_only_ops.py bounds the error vs the exact
+    percentile per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("p95"),
+    )

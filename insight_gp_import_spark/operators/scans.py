@@ -323,3 +323,36 @@ def sink_parquet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+SMALL_FILES = 40
+TARGET_FILES = 4
+
+
+@op("maintenance_compact", oracle=None, category=CAT)
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/batch-append table needs (each micro-batch or load writes
+    a file; a year later the listing alone dominates scan time).
+    Rewrite N small files into a few target-size files and prove
+    nothing was lost. At 100 TB this runs per partition with
+    target = maxPartitionBytes so scans get full-size splits.
+    """
+    src = tempfile.mkdtemp(prefix="igis-compact-src-")
+    dst = tempfile.mkdtemp(prefix="igis-compact-dst-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(SMALL_FILES).write.mode("overwrite").parquet(src)
+    small = spark.read.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    # real compaction sizes by bytes: files/target ratio stands in here
+    small.coalesce(TARGET_FILES).write.mode("overwrite").parquet(dst)
+    n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    back = spark.read.parquet(dst)
+    return back.agg(
+        F.lit(n_before).alias("files_before"),
+        F.lit(n_after).alias("files_after"),
+        F.count("*").alias("rows"),
+        F.countDistinct("event_id").alias("distinct_ids"),
+    )

@@ -82,3 +82,25 @@ def test_bucketed_join_has_no_shuffle(spark):
     # feed the join
     assert tree.count("Exchange") <= 1, tree
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_partitioned_readback_prunes_partitions(spark):
+    """A day-filter over the date-partitioned sink must prune to that
+    partition's directory (PartitionFilters in the scan), not list and
+    read every day."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from insight_gp_import_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="igis-prune-")
+    ev = load_table(spark, SF, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-15")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if l.startswith("PartitionFilters")]
+    assert pf and "event_date" in pf[0], plan

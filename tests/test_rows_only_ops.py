@@ -60,3 +60,30 @@ def test_partitioned_sink_round_trip(spark):
     assert all(r.cnt == r.n_ids for r in rows)
     # one partition per distinct day
     assert len(rows) == ev.select(F.to_date("ts")).distinct().count()
+
+
+def test_approx_quantile_error_bound(spark):
+    """approx_percentile within 2% relative error of exact percentile."""
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for r in OPS["agg_approx_quantile"].fn(spark, SF).collect():
+        e50, e95 = exact[r.event_type]
+        assert abs(r.p50 - e50) / abs(e50) < 0.02, (r.event_type, r.p50, e50)
+        assert abs(r.p95 - e95) / abs(e95) < 0.02, (r.event_type, r.p95, e95)
+
+
+def test_compaction_preserves_rows(spark):
+    row = OPS["maintenance_compact"].fn(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events")
+    assert row.files_before == scans.SMALL_FILES
+    assert row.files_after == scans.TARGET_FILES
+    assert row.rows == ev.count()
+    assert row.distinct_ids == row.rows
