@@ -325,6 +325,56 @@ def sink_parquet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op(
+    "sink_jdbc_gp",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    category=CAT,
+)
+def sink_jdbc_gp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Greenplum load path, end-to-end through a real JDBC driver:
+    batched parallel ``df.write.jdbc`` then a range-partitioned
+    ``spark.read.jdbc`` read-back, aggregated to prove the round trip
+    lost nothing. The test environment has no Greenplum, so the url
+    points at Apache Derby (embedded, ships with Spark) — the Spark
+    code path (writer partitioning, batchsize, partitioned source
+    splits) is identical; a deployment swaps url/driver properties.
+    Hash-matched against the source table's aggregate, so any row the
+    sink dropped or duplicated fails the oracle."""
+    from insight_gp_import_spark.sources import (
+        JdbcSinkConfig,
+        read_jdbc_partitioned,
+        write_jdbc,
+    )
+
+    db = tempfile.mkdtemp(prefix="igis-jdbc-") + "/db"
+    cfg = JdbcSinkConfig(
+        url=f"jdbc:derby:{db};create=true",
+        table="customer_load",
+        mode="overwrite",
+        num_partitions=4,
+        batch_size=5_000,
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    write_jdbc(cust, cfg)
+    bounds = cust.agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    ).collect()[0]
+    back = read_jdbc_partitioned(spark, cfg, "c_custkey", bounds.lo, bounds.hi + 1)
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
 SMALL_FILES = 40
 TARGET_FILES = 4
 

@@ -3,5 +3,6 @@
 from insight_gp_import_spark.sources.jdbc import (  # noqa: F401
     JdbcSinkConfig,
     prepare_jdbc_write,
+    read_jdbc_partitioned,
     write_jdbc,
 )

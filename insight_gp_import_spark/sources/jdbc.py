@@ -8,13 +8,14 @@ equivalent keeps the same property from the other side: ``numPartitions``
 concurrent executor connections, each INSERTing its own partition with
 ``batchsize``-row batches. For Greenplum specifically, JDBC is the
 portable path; the fast path on a real deployment is staging parquet/CSV
-to the segments and using gpfdist — out of scope here (no DB in the test
-environment), which is why this module is config + plan only, verified
-by unit tests that stop short of connecting.
+to the segments and using gpfdist — out of scope here (no Greenplum in
+the test environment).
 
-No oracle/queries() entry: there is nothing DuckDB-checkable about a
-network sink. The unit tests (tests/test_jdbc_sink.py) validate the
-partitioning/batching decisions instead.
+The plumbing IS exercised end-to-end, though: Spark ships Apache Derby
+(an embedded JDBC database), so ``operators/scans.py::sink_jdbc_gp``
+runs the full write→read-back round trip through a real JDBC driver —
+same ``df.write.jdbc`` / ``spark.read.jdbc`` code paths a Greenplum
+deployment would use, just a different url/driver pair.
 """
 
 from __future__ import annotations
@@ -64,4 +65,26 @@ def write_jdbc(df: DataFrame, cfg: JdbcSinkConfig) -> None:
         shaped.write.mode(cfg.mode).jdbc(
             url=cfg.url, table=cfg.table, properties=cfg.jdbc_properties()
         )
+    )
+
+
+def read_jdbc_partitioned(
+    spark,
+    cfg: JdbcSinkConfig,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+) -> DataFrame:
+    """Parallel JDBC source: ``num_partitions`` concurrent range-scan
+    queries over ``partition_column`` (the standard Spark JDBC split —
+    each task reads WHERE lo <= col < hi). Without this, a JDBC read is
+    a single connection and the whole table serializes through it."""
+    return spark.read.jdbc(
+        url=cfg.url,
+        table=cfg.table,
+        column=partition_column,
+        lowerBound=lower_bound,
+        upperBound=upper_bound,
+        numPartitions=cfg.num_partitions,
+        properties=cfg.jdbc_properties(),
     )

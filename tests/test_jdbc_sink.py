@@ -1,5 +1,6 @@
-"""Unit tests for the JDBC sink config/shaping layer (no DB in env —
-SURVEY.md §2.A sink_jdbc_gp is doc+unit only)."""
+"""Tests for the JDBC sink (SURVEY.md §2.A sink_jdbc_gp): config/
+shaping units plus a real write→read-back round trip through embedded
+Derby (the JDBC driver Spark ships for its Hive metastore)."""
 
 from __future__ import annotations
 
@@ -40,3 +41,25 @@ def test_prepare_widens_with_repartition(spark):
     cfg = JdbcSinkConfig(url="jdbc:x", table="t", num_partitions=8)
     shaped = prepare_jdbc_write(df, cfg)
     assert shaped.rdd.getNumPartitions() == 8
+
+
+def test_jdbc_round_trip_derby(spark):
+    """sink_jdbc_gp: every (nationkey, count, sum) group after the
+    Derby round trip equals the same aggregate computed parquet-side,
+    and the read-back is split across parallel range partitions."""
+    from pyspark.sql import functions as F
+
+    from insight_gp_import_spark.operators.scans import sink_jdbc_gp
+
+    got = {
+        r.c_nationkey: (r.n_customers, round(r.sum_acctbal, 2))
+        for r in sink_jdbc_gp(spark, SF).collect()
+    }
+    want = {
+        r.c_nationkey: (r.n, round(r.s, 2))
+        for r in load_table(spark, SF, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), F.sum("c_acctbal").alias("s"))
+        .collect()
+    }
+    assert got == want
