@@ -290,6 +290,42 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@op(
+    "agg_unpivot",
+    oracle="""
+    SELECT metric,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM (
+        SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) long
+    GROUP BY metric
+    """,
+    category=CAT,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide measure columns into long (metric, value)
+    rows, then summarize per metric — the wide→long reshape feature
+    pipelines need before per-metric stats. Spark's native `unpivot`
+    expands rows inside the scan stage (no shuffle until the agg), so
+    at 100 TB the cost is the same single pass a SELECT would make;
+    the alternative UNION-of-scans reads the table once per measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot([], MELT_MEASURES, "metric", "value")
+    return long.groupBy("metric").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
 SALT_BUCKETS = 16
 
 
