@@ -325,3 +325,52 @@ def join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+SKEW_SALTS = 8
+
+
+@op(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    """,
+    category=CAT,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted skew join — the pre-AQE (and beyond-AQE) fix for
+    a shuffle join whose hot keys overflow one reducer. events.user_id
+    has ~N/150 rows per key, so at 100 TB a single user's partition is
+    hundreds of GB; AQE skew-split only kicks in for sort-merge joins
+    after stats arrive. The explicit form always works: fact rows get
+    salt = hash(row) % S (splitting each hot key S ways), the small
+    side is replicated S× (explode over the salt range), and the join
+    key becomes (key, salt) — so each hot key lands on S reducers
+    instead of one. Result provably identical to the unsalted join:
+    the oracle is the plain JOIN."""
+    S = SKEW_SALTS
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(S))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+    )
+    # shuffle_hash hint: at test scale the replicated dim would be
+    # broadcast (making the salt moot); at 100 TB a replicated dim
+    # exceeds the broadcast threshold and this IS the shuffle join the
+    # salt exists for — pin the plan to the scenario being modeled.
+    joined = ev.join(
+        cust.hint("shuffle_hash"),
+        (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -219,3 +219,31 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(w).alias("last_id"),
         F.nth_value("event_id", 2).over(w).alias("second_id"),
     )
+
+
+@op(
+    "win_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist()    OVER w, 6) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    category=CAT,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist per
+    event_type. ORDER BY (value, event_id) — the §2.X unique tie-break
+    so both engines rank identically; doubles rounded to 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").asc(), F.col("event_id").asc())
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

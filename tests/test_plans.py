@@ -104,3 +104,13 @@ def test_partitioned_readback_prunes_partitions(spark):
     plan = buf.getvalue()
     pf = [l for l in plan.splitlines() if l.startswith("PartitionFilters")]
     assert pf and "event_date" in pf[0], plan
+
+
+def test_salted_join_partitions_on_salt(spark):
+    """The skew fix is real only if the shuffle key includes the salt:
+    hashpartitioning on (user_id/custkey, salt) spreads each hot key
+    over SKEW_SALTS reducers. A plan that shuffles on the bare key
+    silently reintroduces the skew."""
+    plan = plan_of(spark, "join_skew_salted")
+    parts = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("salt" in l for l in parts), plan
