@@ -406,3 +406,71 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("rows"),
         F.countDistinct("event_id").alias("distinct_ids"),
     )
+
+
+N_BATCHES = 4  # staged CSV batches; batch 0 is already in the manifest
+
+
+@op(
+    "pipeline_batch_load",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE event_id % 4 <> 0
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def pipeline_batch_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the reference's whole job as one composed pipeline —
+    staged CSV batches → load-manifest idempotence → tolerant
+    schema-explicit parse → append → aggregate. Batches are staged
+    per-directory (one dir per batch id, the staging layout the
+    directory-watching ingest loop consumes); the manifest already
+    contains batch 0, so only batches 1..N-1 load — re-running the
+    pipeline loads nothing twice (exactly-once at batch granularity).
+    Deterministic batch assignment (event_id % N) makes the whole
+    pipeline SQL-expressible, so the END-TO-END composition is
+    hash-checked, not just each stage alone.
+    At scale each stage stays distributed: CSV parse is per-file
+    parallel, the manifest anti-join broadcasts (manifests are tiny),
+    and the final agg is the only shuffle."""
+    stage = tempfile.mkdtemp(prefix="igis-stage-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).withColumn("batch_id", F.pmod(F.col("event_id"), F.lit(N_BATCHES)))
+    for b in range(N_BATCHES):
+        (
+            ev.filter(F.col("batch_id") == b)
+            .drop("batch_id")
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(f"{stage}/batch_{b}")
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    manifest = spark.createDataFrame([("batch_0",)], ["batch_id"])
+    incoming = (
+        spark.read.option("header", True)
+        .schema(schema)
+        .csv(f"{stage}/batch_*")
+        .withColumn(
+            "batch_id",
+            F.regexp_extract(F.input_file_name(), r"(batch_\d+)", 1),
+        )
+    )
+    fresh = incoming.join(
+        F.broadcast(manifest), on="batch_id", how="left_anti"
+    )
+    return fresh.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
