@@ -374,3 +374,98 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@op(
+    "subquery_scalar_correlated",
+    oracle="""
+    WITH cnt AS (
+        SELECT c_custkey, c_nationkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_nationkey
+    ), nat AS (
+        SELECT c_nationkey, avg(n_orders) AS nation_avg
+        FROM cnt GROUP BY c_nationkey
+    )
+    SELECT c_custkey, n_orders, round(nation_avg, 6) AS nation_avg
+    FROM cnt JOIN nat USING (c_nationkey)
+    WHERE n_orders > nat.nation_avg
+    """,
+    category=CAT,
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers with more orders than their
+    nation's average (``WHERE n > (SELECT avg(n) ... WHERE nationkey =
+    outer.nationkey)``), expressed DECORRELATED — aggregate-then-join —
+    which is exactly the plan Catalyst's RewriteCorrelatedScalarSubquery
+    rule produces, declared directly so both engines run the identical
+    formulation.
+
+    Hash-determinism: the comparison operand is avg over exact integer
+    counts (one double division, no summation-order drift — §2.X), so
+    the > boundary cannot flake between engines.
+
+    Scale: the per-nation average is 25 rows → broadcast back onto the
+    per-customer counts; the only real shuffle is the customer⋈orders
+    join + count, both keyed on custkey.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cnt = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    nat = cnt.groupBy("c_nationkey").agg(F.avg("n_orders").alias("nation_avg"))
+    return (
+        cnt.join(F.broadcast(nat), "c_nationkey")
+        .filter(F.col("n_orders") > F.col("nation_avg"))
+        .select("c_custkey", "n_orders", F.round("nation_avg", 6).alias("nation_avg"))
+    )
+
+
+@op(
+    "join_bloom_prune",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-bloom-filter pruned fact⋈dim join — the 100 TB shuffle
+    reducer. A selective filter on orders means most lineitem rows will
+    not survive the join; with runtime bloom filters enabled, Catalyst's
+    InjectRuntimeFilter builds a bloom filter over the filtered orders
+    keys and applies ``might_contain(l_orderkey)`` on the lineitem side
+    BEFORE its shuffle, so non-matching fact rows never leave the scan
+    stage. Result-identical to the plain join (bloom false positives are
+    removed by the join itself), hence the plain-join oracle.
+
+    At test scale the filtered dim side is below the broadcast threshold
+    and Spark picks a broadcast join instead (bloom would be redundant);
+    tests/test_plans.py pins the 100 TB scenario by dropping the
+    threshold and asserting ``might_contain`` appears ahead of the
+    probe-side exchange, with the result still hash-matching.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

@@ -23,6 +23,7 @@ from insight_gp_import_spark.operators.llm import (
     QUERY_VEC_ID,
     TOPK,
     _dot,
+    _dot_sql,
     _fetch_query_vector,
     _lit_vec_sql,
     _norm,
@@ -363,3 +364,110 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shared") / F.col("union_n"), 4).alias("jaccard"),
         )
     )
+
+
+# --- signed-random-projection LSH ANN (complements ann_ivf_topk) ------------
+
+LSH_TABLES = 8
+LSH_BITS = 8
+_LSH_DIM = 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    """LSH_TABLES x LSH_BITS deterministic +-1 hyperplanes, derived from
+    md5 so every run (and every engine) sees the same planes — no RNG
+    (SURVEY.md §2.X rule 5)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"lsh:{t}:{b}:{d}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for d in range(_LSH_DIM)
+        ]
+        for t in range(LSH_TABLES)
+        for b in range(LSH_BITS)
+    ]
+
+
+def _lsh_code_cols(planes: list[list[float]]) -> list:
+    """One LSH bucket-code column per table: bit b of table t's code =
+    sign(embedding · plane[t*B+b]). All JVM-side expressions."""
+    cols = []
+    for t in range(LSH_TABLES):
+        code = F.lit(0).cast("long")
+        for b in range(LSH_BITS):
+            plane = planes[t * LSH_BITS + b]
+            code = code + (
+                F.when(_dot("embedding", _lit_vec_sql(plane)) > 0, F.lit(1 << b))
+                .otherwise(0)
+                .cast("long")
+            )
+        cols.append(code.alias(f"lsh_code{t}"))
+    return cols
+
+
+def lsh_topk(
+    spark: SparkSession, sf_dir: str, *, probe_all: bool = False
+) -> DataFrame:
+    """Library form of ann_lsh_topk with a ``probe_all`` escape hatch:
+    True disables bucket pruning, making the result provably identical
+    to brute-force ``sim_search_topk`` (unit-tested)."""
+    planes = _lsh_planes()
+    qvec = _fetch_query_vector(sf_dir, QUERY_VEC_ID)
+    qcodes = [
+        sum(
+            (1 << b)
+            for b in range(LSH_BITS)
+            if sum(a * c for a, c in zip(qvec, planes[t * LSH_BITS + b])) > 0
+        )
+        for t in range(LSH_TABLES)
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = emb.select("vec_id", "label", "embedding", *_lsh_code_cols(planes))
+    if probe_all:
+        cand = coded
+    else:
+        match = None
+        for t in range(LSH_TABLES):
+            m = F.col(f"lsh_code{t}") == F.lit(qcodes[t])
+            match = m if match is None else (match | m)
+        cand = coded.filter(match)
+    qn = sum(x * x for x in qvec) ** 0.5
+    sim = F.expr(
+        f"{_dot_sql('embedding', _lit_vec_sql(qvec))}"
+        f" / (sqrt({_dot_sql('embedding', 'embedding')}) * {qn!r}D)"
+    )
+    return (
+        cand.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("raw_sim", sim)
+        .orderBy(F.desc("raw_sim"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id", "label", F.round("raw_sim", 4).alias("sim"))
+    )
+
+
+@op("ann_lsh_topk", oracle=None, category=CAT)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via signed-random-projection LSH (rows-only: bucket
+    pruning is approximate by design, so no SQL oracle).
+
+    LSH_TABLES hash tables x LSH_BITS bits: bit = sign of the dot with a
+    deterministic md5-derived +-1 hyperplane; a vector is a candidate iff
+    it shares at least one table's full bucket code with the query. The
+    candidate set is then ranked by exact cosine.
+
+    Scale shape: codes are computed in the scan projection (JVM
+    expressions, no shuffle); for a SINGLE query the bucket match is a
+    pushable OR-of-equalities scan filter, for a query BATCH it becomes
+    an equi-join on (table, bucket) — either way the brute-force scan
+    over the full corpus is replaced by ~corpus/2^LSH_BITS per table.
+    Recall depends on data geometry: on true near-duplicates (cosine
+    near 1, the dedup use case) bucket-collision probability per table
+    is (1 - theta/pi)^LSH_BITS ~ 1; on this synthetic corpus the best
+    match to the query is only cosine 0.37, so tests assert structural
+    contracts (planted near-dup retrieved; probe_all == brute force)
+    rather than data-dependent recall.
+    """
+    return lsh_topk(spark, sf_dir)

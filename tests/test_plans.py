@@ -114,3 +114,28 @@ def test_salted_join_partitions_on_salt(spark):
     plan = plan_of(spark, "join_skew_salted")
     parts = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert any("salt" in l for l in parts), plan
+
+
+def test_bloom_prune_injects_runtime_filter(spark):
+    """join_bloom_prune models the 100 TB scenario where the filtered
+    dim side exceeds the broadcast threshold: with broadcast disabled,
+    InjectRuntimeFilter must place a bloom might_contain(l_orderkey) on
+    the lineitem side BEFORE its exchange — and the result must still
+    hash-match the plain join (bloom is semantics-preserving)."""
+    baseline = {tuple(r) for r in OPS["join_bloom_prune"].fn(spark, SF).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = OPS["join_bloom_prune"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert {tuple(r) for r in df.collect()} == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_subquery_decorrelated_broadcasts_nation_avg(spark):
+    """The 25-row per-nation average must come back as a broadcast, not
+    a shuffle join against the per-customer counts."""
+    plan = plan_of(spark, "subquery_scalar_correlated")
+    assert "BroadcastHashJoin" in plan, plan

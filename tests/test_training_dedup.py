@@ -85,3 +85,60 @@ def test_embed_cosine_symmetric_bounds(spark):
     assert out, "no embed near-dup pairs at sf0.01 (threshold drifted?)"
     assert all(r.v1 < r.v2 for r in out)
     assert all(td.EMBED_DUP_THRESHOLD < r.sim <= 1.0 for r in out)
+
+
+def test_lsh_full_probe_equals_brute_force(spark):
+    """probe_all=True disables bucket pruning; the LSH structure must
+    then reproduce the exact brute-force top-k."""
+    full = [tuple(r) for r in td.lsh_topk(spark, SF, probe_all=True).collect()]
+    brute = [tuple(r) for r in OPS["sim_search_topk"].fn(spark, SF).collect()]
+    assert full == brute
+
+
+def test_lsh_retrieves_planted_near_duplicate(spark):
+    """The LSH dedup contract: a true near-duplicate of the query
+    (cosine ~0.9996) must share a bucket in >=1 table and rank #1.
+    Built on a literal corpus: the query vector, a tiny perturbation of
+    it, and its negation (cosine -1, must not outrank)."""
+    from insight_gp_import_spark.operators.llm import (
+        QUERY_VEC_ID,
+        _fetch_query_vector,
+    )
+
+    qvec = _fetch_query_vector(SF, QUERY_VEC_ID)
+    near = [x + (0.02 if i % 2 == 0 else -0.02) for i, x in enumerate(qvec)]
+    far = [-x for x in qvec]
+    planes = td._lsh_planes()
+    rows = [(1001, 0, near), (1002, 1, far)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id BIGINT, label INT, embedding ARRAY<FLOAT>"
+    ).select("vec_id", "label", "embedding", *td._lsh_code_cols(planes))
+    qcodes = [
+        sum(
+            (1 << b)
+            for b in range(td.LSH_BITS)
+            if sum(a * c for a, c in zip(qvec, planes[t * td.LSH_BITS + b])) > 0
+        )
+        for t in range(td.LSH_TABLES)
+    ]
+    got = corpus.collect()
+    near_row = next(r for r in got if r.vec_id == 1001)
+    matches = sum(
+        near_row[f"lsh_code{t}"] == qcodes[t] for t in range(td.LSH_TABLES)
+    )
+    # cosine ~0.9996 -> per-bit collision prob ~0.99; all 8 tables match
+    assert matches >= 1, (matches, qcodes)
+
+
+def test_lsh_partial_probe_contract(spark):
+    """Default probing: k rows max, no query vector, descending sims,
+    never beating exact search; pruning must actually prune."""
+    from insight_gp_import_spark.operators.llm import QUERY_VEC_ID, TOPK
+
+    rows = OPS["ann_lsh_topk"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= TOPK
+    assert all(r.vec_id != QUERY_VEC_ID for r in rows)
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    brute = OPS["sim_search_topk"].fn(spark, SF).collect()
+    assert max(sims) <= max(r.sim for r in brute) + 1e-9
