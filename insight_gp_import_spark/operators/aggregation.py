@@ -380,3 +380,94 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),
         F.expr("approx_percentile(value, 0.95, 1000)").alias("p95"),
     )
+
+
+@op(
+    "agg_funnel_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+               min(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS users,
+           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS signed_up,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    THEN 1 ELSE 0 END) AS viewed_after,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    AND t_purchase > t_view THEN 1 ELSE 0 END) AS purchased_after
+    FROM s
+    """,
+    category=CAT,
+)
+def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup → first later view → first later purchase
+    conversion counts across users — the event-analytics staple, done as
+    ONE conditional-min aggregation per user plus a global rollup (no
+    self-joins: the naive 3-way events⋈events⋈events formulation
+    shuffles the fact table three times; conditional aggregation
+    shuffles it once on user_id, then the per-user stage table is tiny).
+
+    Timestamp comparisons happen on µs-truncated values on both sides
+    (the events ns-recipe / CAST AS TIMESTAMP — §1.3), so boundary
+    flake is impossible.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage2 = F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_view"))
+    return per_user.agg(
+        F.count("*").alias("users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias(
+            "signed_up"
+        ),
+        F.sum(F.when(stage2, 1).otherwise(0)).alias("viewed_after"),
+        F.sum(F.when(stage3, 1).otherwise(0)).alias("purchased_after"),
+    )
+
+
+HIST_BUCKET_WIDTH = 50000
+
+
+@op(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+           count(*) AS cnt,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    category=CAT,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket id + count + the
+    observed min/max inside each bucket. Bucketing is a scan-side
+    projection (floor division — no width_bucket dialect drift), so the
+    whole histogram is one map-side-combined aggregation over ~10 keys;
+    at 100 TB this is the profile-a-column primitive that costs one
+    pass and ~no shuffle (10 groups × partial rows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", (F.col("o_totalprice") / F.lit(HIST_BUCKET_WIDTH)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
