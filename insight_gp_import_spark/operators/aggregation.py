@@ -471,3 +471,83 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@op(
+    "agg_retention_cohort",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, d) // 7 AS BIGINT) AS offset_w,
+           count(DISTINCT user_id) AS active_users
+    FROM a JOIN f USING (user_id) GROUP BY 1, 2
+    """,
+    category=CAT,
+)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date
+    (cohort), counted per whole-week offset of later activity — the
+    second event-analytics staple next to agg_funnel_conversion.
+
+    Day-level cohorts on purpose: date_trunc('week') week-start
+    conventions are dialect bait, while µs-truncated ts → DATE and
+    day-diff ÷ 7 are engine-identical (verified sf0.01+sf0.1).
+
+    Scale: two aggregations over events, both keyed on user_id (first
+    shuffle) then the tiny (cohort, offset) grid; the distinct-day
+    projection collapses the fact table before the join, so the join
+    input is |users| × |active days|, not |events|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        act.join(first, "user_id")
+        .withColumn(
+            "offset_w", (F.datediff("d", "cohort_day") / F.lit(7)).cast("long")
+        )
+        .groupBy("cohort_day", "offset_w")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@op(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n FROM (
+        SELECT user_id, event_type, count(*) AS n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    """,
+    category=CAT,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent event_type per user) with an
+    alphabetical tie-break so the winner is deterministic (§2.X rule 2
+    applied to a window, not a LIMIT). count-then-row_number beats
+    Spark's native ``F.mode`` here: mode's tie choice is
+    engine-internal, the explicit window is portable and identically
+    phrased in the oracle.
+
+    Scale: the count collapses events to ≤5 rows per user before the
+    window, so the window partition is bounded regardless of fact size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    cnts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
