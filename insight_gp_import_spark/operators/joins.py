@@ -469,3 +469,45 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@op(
+    "join_copurchase_pairs",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+    FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    category=CAT,
+)
+def join_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least 2 orders — the self-join-on-container graph pattern (also how
+    co-citation / co-click matrices are built). The self-join keys on
+    l_orderkey, so pair expansion is quadratic only in ORDER SIZE
+    (~7 items → ~21 pairs), never in table size; the distinct()
+    pre-collapse keeps multi-line duplicates of the same part from
+    inflating pair counts.
+
+    Scale: one shuffle on l_orderkey for the self-join (both sides the
+    same relation → same partitioning, AQE-coalesced), then the pair
+    aggregation shuffles the already-collapsed pair list. Hot orders
+    don't exist (order size is bounded), so no salting needed.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -292,3 +292,30 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2(F.col("text"), 256).alias("text_sha256"),
     )
+
+
+@op(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id, event_id & 255 AS b_and, event_id | 4096 AS b_or,
+           xor(event_id, 170) AS b_xor, event_id << 3 AS b_shl,
+           event_id >> 2 AS b_shr, bit_count(event_id) AS b_pop
+    FROM events WHERE event_id < 64
+    """,
+    category=CAT,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor, shifts, popcount — the primitives
+    the SimHash/LSH banding operators build on, exercised directly.
+    DuckDB spells xor as a function, Spark as ``^``; everything else
+    maps operator-for-operator on bigints."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 64)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("b_and"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("b_or"),
+        F.col("event_id").bitwiseXOR(F.lit(170)).alias("b_xor"),
+        F.shiftleft("event_id", 3).alias("b_shl"),
+        F.shiftright("event_id", 2).alias("b_shr"),
+        F.bit_count("event_id").alias("b_pop"),
+    )
