@@ -57,6 +57,73 @@ def _norm_cell(v):
     return v
 
 
+def _canon_duck_type(t: str) -> str:
+    """Canonicalize a DuckDB DESCRIBE column_type to Spark simpleString form.
+
+    Deliberately does NOT alias HUGEINT (int128) to bigint: the round-1
+    driver hash failure (agg_funnel_conversion, CORRECTNESS_r01.json) was a
+    DuckDB ``sum(int)`` → HUGEINT column whose *values* equalled Spark's
+    BIGINT — the driver's serialization-sensitive value-hash still rejected
+    it. Keeping hugeint distinct makes that class of failure fail locally,
+    pre-declaration (ADVICE.md item 2).
+    """
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{_canon_duck_type(t[:-2])}>"
+    u = t.upper()
+    simple = {
+        "VARCHAR": "string",
+        "INTEGER": "int",
+        "BIGINT": "bigint",
+        "HUGEINT": "hugeint",
+        "UBIGINT": "ubigint",
+        "SMALLINT": "smallint",
+        "TINYINT": "tinyint",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "BOOLEAN": "boolean",
+        "DATE": "date",
+        "TIMESTAMP": "timestamp",
+        "BLOB": "binary",
+    }
+    if u in simple:
+        return simple[u]
+    if u.startswith("DECIMAL"):
+        return u.lower().replace(" ", "")
+    return u.lower()
+
+
+def declared_types(con: duckdb.DuckDBPyConnection, oracle: str) -> dict[str, str]:
+    """Column → canonical declared type for an oracle query (via DESCRIBE)."""
+    con.execute(f"CREATE OR REPLACE TEMP VIEW __oracle_probe AS {oracle}")
+    rows = con.execute("DESCRIBE __oracle_probe").fetchall()
+    return {r[0]: _canon_duck_type(r[1]) for r in rows}
+
+
+def type_family(canon: str) -> str:
+    """Collapse a canonical type to its pandas/arrow value-representation.
+
+    Calibrated against round-1 driver evidence: ops whose columns differ
+    only within {tinyint..bigint} or {timestamp, timestamp_ntz} DID
+    hash-match (text_normalize, sim_knn_join, text_tfidf — all driver
+    pass), so width-only integer and tz-naive timestamp diffs are fine.
+    HUGEINT did NOT (agg_funnel_conversion): int128 leaves the int64
+    family when serialized (pandas → float64/object), so it is its own
+    family and flags against bigint.
+    """
+    if canon.startswith("array<") and canon.endswith(">"):
+        return f"array<{type_family(canon[6:-1])}>"
+    if canon in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if canon in ("float", "double"):
+        return "float"
+    if canon in ("timestamp", "timestamp_ntz"):
+        return "timestamp"
+    if canon.startswith("decimal"):
+        return "decimal"
+    return canon
+
+
 def _sort_key(row):
     return tuple((c is None, str(type(c).__name__), str(c)) for c in row)
 
@@ -80,9 +147,11 @@ class ParityResult:
 def compare(name: str, spark_df, oracle: str, sf_dir: str) -> ParityResult:
     """Run the Spark DataFrame and the DuckDB oracle; compare like the driver."""
     s_cols = spark_df.columns
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
     s_rows = [tuple(r) for r in spark_df.collect()]
     con = duckdb_connect(sf_dir)
     try:
+        d_types = declared_types(con, oracle)
         cur = con.execute(oracle)
         d_cols = [d[0] for d in cur.description]
         d_rows = cur.fetchall()
@@ -93,6 +162,15 @@ def compare(name: str, spark_df, oracle: str, sf_dir: str) -> ParityResult:
     dc, dr = normalize(d_cols, d_rows)
     if sc != dc:
         return ParityResult(name, False, f"schema mismatch: spark={sc} duckdb={dc}")
+    type_diffs = [
+        f"{c}: spark={s_types[c]} duckdb={d_types[c]}"
+        for c in sc
+        if type_family(s_types[c]) != type_family(d_types[c])
+    ]
+    if type_diffs:
+        return ParityResult(
+            name, False, "declared-type mismatch: " + "; ".join(type_diffs)
+        )
     if len(sr) != len(dr):
         return ParityResult(
             name, False, f"row-count mismatch: spark={len(sr)} duckdb={len(dr)}"

@@ -396,11 +396,13 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT count(*) AS users,
-           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS signed_up,
-           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-                    THEN 1 ELSE 0 END) AS viewed_after,
-           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-                    AND t_purchase > t_view THEN 1 ELSE 0 END) AS purchased_after
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS signed_up,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS viewed_after,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    AND t_purchase > t_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchased_after
     FROM s
     """,
     category=CAT,
