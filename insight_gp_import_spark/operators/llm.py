@@ -28,6 +28,9 @@ from insight_gp_import_spark.tables import load_table
 CAT = "llm"
 
 JACCARD_THRESHOLD = 0.8
+# exact rational form of the threshold for the AllPairs prefix/length
+# filters (integer math, no float ceil)
+JACCARD_T_NUM, JACCARD_T_DEN = 4, 5
 
 
 def _dot_sql(x: str, y: str) -> str:
@@ -197,36 +200,92 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: token-set Jaccard > 0.8.
 
-    Scale design: docs collapse to DISTINCT token-sets first (identical
-    sets are jaccard-1 without any join), the O(sets²)-bounded pair join
-    runs on set fingerprints, and doc pairs are expanded back at the
-    end. The naive doc×doc token join is 448M rows at sf0.1; this plan's
-    set-level join is ~100× smaller and shrinks further the more
-    duplication the corpus has (the 100 TB regime).
+    Scale design, three layers (each lossless):
+
+    1. Docs collapse to DISTINCT token-sets first — identical sets are
+       jaccard-1 without any join; the pair search runs on set
+       fingerprints and doc pairs are expanded back at the end.
+    2. Set fingerprint = md5 of the joined token list, so the (possibly
+       multi-KB) token-set string never travels as a join/shuffle key —
+       only 32-char hashes do.
+    3. AllPairs prefix filtering (Bayardo et al., WWW'07), the same
+       scheme dedup_ngram_jaccard uses: order tokens by global document
+       frequency (rarest first); a pair with J ≥ t must share a token
+       inside both prefixes of length n − ceil(t·n) + 1, so the
+       candidate join touches only the rarest ≈ (1−t)·n tokens of each
+       set. This removes the quadratic blow-up on stop-words ("the"
+       joins every set against every set in the naive token join);
+       candidate count becomes proportional to true near-duplication.
+       Exact verification (array_intersect on the full sets) runs on
+       candidates only, so precision is unchanged.
+
+    The oracle is deliberately the NAIVE all-token-join formulation —
+    an independent plan computing the same relation is a stronger
+    differential check than a mirrored one.
     """
-    sets = _doc_token_sets(spark, sf_dir).select("doc_id", "k", "n")
-    gs = sets.groupBy("k", "n").count().select("k", "n")
-    g_toks = gs.select("k", "n", F.explode(F.split("k", r"\|")).alias("tok"))
-    a, b = g_toks.alias("a"), g_toks.alias("b")
-    pairs = (
-        a.join(b, "tok")
-        .filter(F.col("a.k") < F.col("b.k"))
-        .groupBy(
-            F.col("a.k").alias("k1"),
-            F.col("b.k").alias("k2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
-        )
-        .agg(F.count("*").alias("shared"))
+    base = _doc_token_sets(spark, sf_dir).withColumn("kh", F.md5("k"))
+    sets = base.select("doc_id", "kh")
+    # one representative row per distinct token-set (same kh ⇒ same arr/n)
+    gs = base.groupBy("kh").agg(
+        F.first("arr").alias("arr"), F.first("n").alias("n")
     )
-    jac = pairs.select(
-        "k1",
-        "k2",
-        (F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))).alias("j"),
-    ).filter(F.col("j") > JACCARD_THRESHOLD)
+    stoks = gs.select("kh", "n", F.explode("arr").alias("tok"))
+    freq = stoks.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    ranked = freq.select(
+        "tok", F.row_number().over(Window.orderBy("dfreq", "tok")).alias("trank")
+    )
+    td = stoks.join(F.broadcast(ranked), "tok")
+    pos = td.select(
+        "kh",
+        "tok",
+        "n",
+        F.row_number().over(Window.partitionBy("kh").orderBy("trank")).alias("pos"),
+    )
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"({JACCARD_T_NUM} * n + {JACCARD_T_NUM}) div {JACCARD_T_DEN}")
+        + 1
+    )
+    pref = pos.filter(F.col("pos") <= prefix_len).select("kh", "tok", "n")
+    a = pref.select(F.col("kh").alias("kh1"), "tok", F.col("n").alias("pn1"))
+    b = pref.select(F.col("kh").alias("kh2"), "tok", F.col("n").alias("pn2"))
+    # length filter (part of AllPairs): J ≥ t bounds |x|/|y| within t
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("kh1") < F.col("kh2"))
+            & (
+                JACCARD_T_DEN * F.least("pn1", "pn2")
+                >= JACCARD_T_NUM * F.greatest("pn1", "pn2")
+            )
+        )
+        .select("kh1", "kh2")
+        .distinct()
+    )
+    g1 = gs.select(
+        F.col("kh").alias("kh1"), F.col("arr").alias("arr1"), F.col("n").alias("n1")
+    )
+    g2 = gs.select(
+        F.col("kh").alias("kh2"), F.col("arr").alias("arr2"), F.col("n").alias("n2")
+    )
+    shared = F.size(F.array_intersect("arr1", "arr2"))
+    jac = (
+        cand.join(g1, "kh1")
+        .join(g2, "kh2")
+        .select(
+            "kh1",
+            "kh2",
+            (shared / (F.col("n1") + F.col("n2") - shared)).alias("j"),
+        )
+        .filter(F.col("j") > JACCARD_THRESHOLD)
+    )
     cross = (
-        jac.join(sets.select(F.col("k").alias("k1"), F.col("doc_id").alias("da")), "k1")
-        .join(sets.select(F.col("k").alias("k2"), F.col("doc_id").alias("db")), "k2")
+        jac.join(
+            sets.select(F.col("kh").alias("kh1"), F.col("doc_id").alias("da")), "kh1"
+        )
+        .join(
+            sets.select(F.col("kh").alias("kh2"), F.col("doc_id").alias("db")), "kh2"
+        )
         .select(
             F.least("da", "db").alias("d1"),
             F.greatest("da", "db").alias("d2"),
@@ -235,7 +294,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x, y = sets.alias("x"), sets.alias("y")
     same = (
-        x.join(y, "k")
+        x.join(y, "kh")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("d1"),
