@@ -8,7 +8,9 @@ dedup toolbox a training-data pipeline needs:
 - token-set jaccard, exact       → llm.dedup_near_jaccard
 - MinHash+LSH (set similarity)   → llm.dedup_near_minhash
 - SimHash (weighted fingerprint) → dedup_simhash (here)
-- embedding cosine               → dedup_embed_cosine (here)
+- embedding cosine               → dedup_embed_cosine (exact baseline,
+                                   here) / dedup_embed_lsh (LSH-blocked
+                                   scale path, here)
 - ANN search                     → ann_ivf_topk (here) vs brute-force
                                    llm.sim_search_topk
 """
@@ -125,8 +127,10 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (semantic dedup): all pairs with
     cosine > threshold. Norms are precomputed per vector BEFORE the
     self-join so each pair costs one dot product. The quadratic join is
-    the exact baseline; at 100 TB the same verify step runs only on LSH
-    or IVF-bucket candidates instead of all pairs."""
+    the exact baseline ONLY — the registered 100 TB scale path is
+    ``dedup_embed_lsh`` (same verify step, candidates blocked on shared
+    LSH bucket codes instead of all pairs); this op exists as its
+    ground-truth oracle and for small corpora."""
     emb = load_table(spark, sf_dir, "embeddings")
     sides = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
     a = sides.select(
@@ -471,6 +475,86 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than data-dependent recall.
     """
     return lsh_topk(spark, sf_dir)
+
+
+def embed_lsh_pairs(emb: DataFrame, *, probe_all: bool = False) -> DataFrame:
+    """Library form of ``dedup_embed_lsh``: LSH-blocked embedding
+    near-dup pairs over any (vec_id, embedding) DataFrame.
+
+    ``probe_all=True`` disables bucket blocking, making the result
+    provably identical to the all-pairs ``dedup_embed_cosine``
+    (unit-tested) — the same escape hatch ``lsh_topk`` exposes.
+    """
+    planes = _lsh_planes()
+    coded = emb.select("vec_id", *_lsh_code_cols(planes))
+    if probe_all:
+        a = coded.select(F.col("vec_id").alias("v1"))
+        b = coded.select(F.col("vec_id").alias("v2"))
+        cand = a.join(b, F.col("v1") < F.col("v2"))
+    else:
+        # (vec_id, table, code) rows ONLY — the embedding payload stays
+        # out of the banding shuffle; it is joined back for verification
+        bands = coded.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.col(f"lsh_code{t}") for t in range(LSH_TABLES)])
+            ).alias("tbl", "code"),
+        )
+        l, r = bands.alias("l"), bands.alias("r")
+        cand = (
+            l.join(r, ["tbl", "code"])
+            .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+            .select(
+                F.col("l.vec_id").alias("v1"), F.col("r.vec_id").alias("v2")
+            )
+            .dropDuplicates(["v1", "v2"])
+        )
+    sides = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    g1 = sides.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    g2 = sides.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(g1, "v1")
+        .join(g2, "v2")
+        .withColumn("sim", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") > EMBED_DUP_THRESHOLD)
+        .select("v1", "v2", F.round("sim", 4).alias("sim"))
+    )
+
+
+@op("dedup_embed_lsh", oracle=None, category=CAT)
+def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with LSH bucket blocking — the
+    registered 100 TB scale path for semantic dedup (rows-only: bucket
+    blocking is approximate by design).
+
+    Candidates are pairs sharing at least one of LSH_TABLES full
+    signed-random-projection bucket codes (reusing ann_lsh_topk's
+    deterministic md5-derived hyperplanes); exact cosine verification
+    runs on candidates only, so precision vs dedup_embed_cosine is 1.0
+    by construction and recall is the quality metric.
+
+    Scale shape: codes are scan-projection expressions (no shuffle);
+    the banding shuffle carries (vec_id, table, code) triples — never
+    the embedding payload, which joins back only for the ~true-dup-
+    proportional candidate set. Candidate volume per table is bounded
+    by bucket occupancy (corpus / 2^LSH_BITS on spread data); widen
+    LSH_BITS to trade recall for sparser buckets. At the true near-dup
+    operating point (cosine ≥ 0.9, the dedup use case) per-table
+    collision is ≈ (1 − θ/π)^8 ≈ 0.29, so 8 tables give ≈ 0.94 recall;
+    unit tests pin the probe_all≡all-pairs identity, precision 1.0, and
+    planted-near-dup retrieval rather than data-dependent recall on
+    this synthetic corpus (whose 0.4-threshold pairs are far below the
+    real operating point).
+    """
+    return embed_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 LEV_BLOCK_CHARS = 10  # n_chars blocking bucket width

@@ -142,3 +142,46 @@ def test_lsh_partial_probe_contract(spark):
     assert sims == sorted(sims, reverse=True)
     brute = OPS["sim_search_topk"].fn(spark, SF).collect()
     assert max(sims) <= max(r.sim for r in brute) + 1e-9
+
+
+def test_embed_lsh_full_probe_equals_exact(spark):
+    """probe_all=True disables bucket blocking: the verify stage must
+    then reproduce dedup_embed_cosine exactly (pair-for-pair)."""
+    emb = load_table(spark, SF, "embeddings")
+    full = {tuple(r) for r in td.embed_lsh_pairs(emb, probe_all=True).collect()}
+    exact = {tuple(r) for r in OPS["dedup_embed_cosine"].fn(spark, SF).collect()}
+    assert full == exact
+
+
+def test_embed_lsh_precision_is_one(spark):
+    """Bucket blocking may lose pairs but must never invent one: every
+    emitted pair is a true cosine near-dup (approx ⊆ exact)."""
+    approx = {
+        (r.v1, r.v2) for r in OPS["dedup_embed_lsh"].fn(spark, SF).collect()
+    }
+    exact = {
+        (r.v1, r.v2) for r in OPS["dedup_embed_cosine"].fn(spark, SF).collect()
+    }
+    assert exact, "ground truth empty — threshold drifted?"
+    assert approx <= exact, "LSH emitted a non-duplicate pair (precision < 1)"
+
+
+def test_embed_lsh_retrieves_planted_near_duplicate(spark):
+    """The dedup contract at the real operating point (cosine ~1): a
+    planted near-duplicate pair must collide in >=1 table and survive
+    verification; the negated vector (cosine -1) must not appear."""
+    from insight_gp_import_spark.operators.llm import (
+        QUERY_VEC_ID,
+        _fetch_query_vector,
+    )
+
+    qvec = _fetch_query_vector(SF, QUERY_VEC_ID)
+    near = [x + (0.02 if i % 2 == 0 else -0.02) for i, x in enumerate(qvec)]
+    far = [-x for x in qvec]
+    corpus = spark.createDataFrame(
+        [(1, qvec), (2, near), (3, far)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    pairs = {(r.v1, r.v2) for r in td.embed_lsh_pairs(corpus).collect()}
+    assert (1, 2) in pairs, pairs
+    assert all(3 not in p for p in pairs), pairs
