@@ -444,19 +444,16 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage. Result-identical to the plain join (bloom false positives are
     removed by the join itself), hence the plain-join oracle.
 
-    At test scale the filtered dim side is below the broadcast threshold
-    and Spark picks a broadcast join instead (bloom would be redundant);
-    tests/test_plans.py pins the 100 TB scenario by dropping the
-    threshold and asserting ``might_contain`` appears ahead of the
-    probe-side exchange, with the result still hash-matching.
+    Injection is governed by session confs that Spark 4 already defaults
+    to enabled (``runtime.bloomFilter.enabled=true``); the op therefore
+    mutates NO session state — a shared driver session keeps its
+    optimizer settings. At test scale the filtered dim side is below the
+    broadcast threshold and Spark picks a broadcast join instead (bloom
+    would be redundant); tests/test_plans.py pins the 100 TB scenario by
+    dropping the broadcast threshold and the application-side scan-size
+    floor (save/restore inside the test) and asserting ``might_contain``
+    appears ahead of the probe-side exchange, result still hash-matching.
     """
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
-    )
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-    )
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000)
     )

@@ -150,7 +150,11 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     category=CAT,
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set semantics): expensive orders that are not finished."""
-    return _orders_slice_a(spark, sf_dir).exceptAll(
-        _orders_slice_b(spark, sf_dir)
-    ).distinct()
+    """EXCEPT (set semantics): expensive orders that are not finished.
+
+    ``subtract`` IS SQL EXCEPT DISTINCT: any row present in B is
+    removed entirely. (``exceptAll().distinct()`` is subtly different —
+    it keeps a row whose multiplicity in A exceeds that in B, which
+    only coincided here because o_orderkey is unique per slice.)
+    """
+    return _orders_slice_a(spark, sf_dir).subtract(_orders_slice_b(spark, sf_dir))

@@ -18,6 +18,8 @@ reader, row-group pruning) and never infer schemas in oracled queries.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,9 +43,12 @@ TABLES = (
 # relation for a given (session, dir, table) can be built once and
 # reused — spark.read.parquet costs ~100ms of driver-side file listing
 # + footer schema read PER CALL otherwise, which dominates small-query
-# latency. Keyed by the session object itself (not id()) so a new
-# session never aliases a dead one's cache entries.
-_SCAN_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
+# latency. Outer key is the session object held WEAKLY: when a session
+# is stopped and dropped, its scan entries (whose plans reference the
+# dead session) are reclaimed instead of pinned for process lifetime,
+# and a fresh session can never alias them.
+_SCAN_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]
+_SCAN_CACHE = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,14 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Scans are memoized per (session, sf_dir, table)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark, sf_dir, name)
-    df = _SCAN_CACHE.get(key)
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is None:
         if name == "events":
             df = _load_events_uncached(spark, sf_dir)
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _SCAN_CACHE[key] = df
+        per_session[key] = df
     return df
 
 

@@ -123,15 +123,23 @@ def test_bloom_prune_injects_runtime_filter(spark):
     the lineitem side BEFORE its exchange — and the result must still
     hash-match the plain join (bloom is semantics-preserving)."""
     baseline = {tuple(r) for r in OPS["join_bloom_prune"].fn(spark, SF).collect()}
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    pinned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # test-scale scans are far below the 10 GB default floor
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in pinned}
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
         df = OPS["join_bloom_prune"].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in plan, plan
         assert {tuple(r) for r in df.collect()} == baseline
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def test_subquery_decorrelated_broadcasts_nation_avg(spark):
