@@ -18,7 +18,9 @@ each call — deterministic content, so declared rows-only but stable.
 
 from __future__ import annotations
 
+import gzip
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,16 +71,24 @@ CSV_BAD_ROWS = 2
 
 @op("scan_csv_tolerant", oracle=None, category=CAT)
 def scan_csv_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV batch load with row-level error tolerance (the Greenplum
-    SEGMENT REJECT LIMIT analog): malformed rows are quarantined into a
-    corrupt-record column, good rows survive. Returns the good rows;
-    the bad ones stay inspectable via ``_bad IS NOT NULL``."""
+    """Gzip-compressed CSV batch load with row-level error tolerance
+    (the Greenplum SEGMENT REJECT LIMIT analog over ``.csv.gz`` staging
+    batches): malformed rows are quarantined into a corrupt-record
+    column, good rows survive. Returns the good rows; the bad ones stay
+    inspectable via ``_bad IS NOT NULL``.
+
+    The fixture is written as ``.csv.gz`` deliberately — Spark's text
+    datasources decompress by file extension, so compressed staging
+    batches need no extra code, but gz files are NOT splittable: one
+    file = one task. At 100 TB the staging layout must therefore be
+    many-files-per-batch (as a gpfdist-style loader produces anyway);
+    a single giant .gz would serialize the whole parse."""
     tmp = tempfile.mkdtemp(prefix="igis-csv-")
-    path = os.path.join(tmp, "batch.csv")
+    path = os.path.join(tmp, "batch.csv.gz")
     lines = [f"{i},name_{i},{i * 10}" for i in range(CSV_GOOD_ROWS)]
     lines.insert(3, "not_an_int,oops,nope")  # type-malformed
     lines.insert(6, "5,missing_value")  # arity-malformed (short row)
-    with open(path, "w") as fh:
+    with gzip.open(path, "wt") as fh:
         fh.write("\n".join(lines) + "\n")
     schema = T.StructType(
         [
@@ -473,4 +483,123 @@ def pipeline_batch_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@op(
+    "pipeline_file_lifecycle",
+    oracle=f"""
+    WITH per_batch AS (
+        SELECT 'batch_' || CAST(event_id % {N_BATCHES} AS VARCHAR) AS batch_id,
+               count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT 1 AS run, batch_id,
+           CASE WHEN batch_id = 'batch_0' THEN 'skipped' ELSE 'loaded' END AS status,
+           CASE WHEN batch_id = 'batch_0' THEN 0 ELSE n END AS n_rows
+    FROM per_batch
+    UNION ALL
+    SELECT 1 AS run, 'batch_err' AS batch_id, 'error' AS status, 0 AS n_rows
+    UNION ALL
+    SELECT 2 AS run, batch_id, 'skipped' AS status, 0 AS n_rows FROM per_batch
+    """,
+    category=CAT,
+)
+def pipeline_file_lifecycle(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> DataFrame:
+    """Staged-batch load with the reference loader's full file
+    lifecycle: incoming/ batches either load-and-archive, quarantine to
+    error/, or are skipped via the manifest — and a second pass proves
+    exactly-once (everything skips).
+
+    Per batch dir in incoming/: already in manifest → 'skipped';
+    parses with zero good rows → 'error', dir moved to error/; else
+    good rows append to the processed parquet sink, dir moved to
+    archive/, manifest updated ('loaded'). The returned accounting
+    relation (run, batch_id, status, n_rows) is hash-checked against
+    DuckDB recomputing the same per-batch row counts from events —
+    i.e. the oracle checks that load accounting matches the data that
+    was actually staged, end-to-end through CSV parse and manifest.
+
+    Scale shape: the per-batch loop is DRIVER-SIDE METADATA work (it
+    iterates over batch directories, like any manifest/metastore
+    operation — cost ∝ #batches, never #rows); the row-bearing paths
+    (CSV parse, parquet append) stay distributed per batch. Moves are
+    directory renames, O(1) per batch on a real filesystem; on object
+    stores the same step is a manifest pointer swap.
+    """
+    root = root or tempfile.mkdtemp(prefix="igis-lifecycle-")
+    incoming, archive, errdir = (os.path.join(root, d) for d in
+                                 ("incoming", "archive", "error"))
+    processed = os.path.join(root, "processed")
+    for d in (incoming, archive, errdir):
+        os.makedirs(d)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    ).withColumn("batch_id", F.pmod(F.col("event_id"), F.lit(N_BATCHES)))
+    for b in range(N_BATCHES):
+        (
+            ev.filter(F.col("batch_id") == b)
+            .drop("batch_id")
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(f"{incoming}/batch_{b}")
+        )
+    os.makedirs(f"{incoming}/batch_err")
+    with open(f"{incoming}/batch_err/part-0.csv", "w") as fh:
+        fh.write("event_id,user_id,event_type,value\n")
+        fh.write("not_a_number,also_bad,,broken\nx,y,z\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    manifest_path = os.path.join(root, "manifest.txt")
+    with open(manifest_path, "w") as fh:
+        fh.write("batch_0\n")
+
+    def run_once(run_no: int) -> list[tuple[int, str, str, int]]:
+        with open(manifest_path) as fh:
+            loaded = {ln.strip() for ln in fh if ln.strip()}
+        out = []
+        for batch in sorted(os.listdir(incoming)):
+            src = os.path.join(incoming, batch)
+            if batch in loaded:
+                out.append((run_no, batch, "skipped", 0))
+                continue
+            raw = spark.read.option("header", True).schema(schema).csv(
+                src, mode="PERMISSIVE", columnNameOfCorruptRecord="_bad"
+            ).cache()
+            good = raw.filter(F.col("_bad").isNull()).drop("_bad")
+            n_good = good.count()
+            if n_good == 0:
+                shutil.move(src, os.path.join(errdir, batch))
+                out.append((run_no, batch, "error", 0))
+                continue
+            good.write.mode("append").parquet(processed)
+            shutil.move(src, os.path.join(archive, batch))
+            loaded.add(batch)
+            with open(manifest_path, "a") as fh:
+                fh.write(batch + "\n")
+            out.append((run_no, batch, "loaded", n_good))
+        return out
+
+    rows = run_once(1)
+    # second pass: re-deliver every archived batch (the watcher seeing
+    # the same files again) — all must skip via the manifest, proving
+    # exactly-once at batch granularity. Quarantined error batches stay
+    # in error/ and are NOT re-attempted; they re-enter only by explicit
+    # operator action (the reference's retry semantics).
+    for batch in sorted(os.listdir(archive)):
+        shutil.copytree(
+            os.path.join(archive, batch), os.path.join(incoming, batch)
+        )
+    rows += run_once(2)
+    return spark.createDataFrame(
+        rows, "run INT, batch_id STRING, status STRING, n_rows BIGINT"
     )

@@ -4,6 +4,8 @@ scan quarantine counts, partitioned-sink round trip."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from insight_gp_import_spark.operators import scans
@@ -87,3 +89,34 @@ def test_compaction_preserves_rows(spark):
     assert row.files_after == scans.TARGET_FILES
     assert row.rows == ev.count()
     assert row.distinct_ids == row.rows
+
+
+def test_file_lifecycle_dirs_and_manifest(spark, tmp_path):
+    """pipeline_file_lifecycle must leave the on-disk state the
+    reference loader's lifecycle implies: loaded batches archived,
+    the bad batch quarantined in error/, manifest covering every
+    loaded batch, and the processed sink holding each row exactly
+    once despite the re-delivery pass."""
+    root = str(tmp_path / "lc")
+    out = scans.pipeline_file_lifecycle(spark, SF, root=root)
+    rows = {(r.run, r.batch_id): (r.status, r.n_rows) for r in out.collect()}
+
+    archived = sorted(os.listdir(f"{root}/archive"))
+    assert archived == [f"batch_{b}" for b in range(1, scans.N_BATCHES)]
+    assert sorted(os.listdir(f"{root}/error")) == ["batch_err"]
+    with open(f"{root}/manifest.txt") as fh:
+        manifest = {ln.strip() for ln in fh if ln.strip()}
+    assert manifest == {f"batch_{b}" for b in range(scans.N_BATCHES)}
+
+    # every batch skipped on re-delivery; error batch not re-attempted
+    for b in range(scans.N_BATCHES):
+        assert rows[(2, f"batch_{b}")] == ("skipped", 0)
+    assert (2, "batch_err") not in rows
+    assert rows[(1, "batch_err")] == ("error", 0)
+
+    # processed sink has each loaded row exactly once
+    ev = load_table(spark, SF, "events")
+    expect = ev.filter(F.pmod("event_id", F.lit(scans.N_BATCHES)) != 0).count()
+    back = spark.read.parquet(f"{root}/processed")
+    assert back.count() == expect
+    assert back.select("event_id").distinct().count() == expect
