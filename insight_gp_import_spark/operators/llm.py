@@ -158,9 +158,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "dedup_near_jaccard",
-    oracle=f"""
+# shared with dedup_cluster's oracle (which embeds the pair relation as
+# a CTE under its recursive connected-components walk)
+JACCARD_PAIRS_SQL = f"""
     WITH toks AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents
@@ -194,9 +194,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT x.doc_id AS d1, y.doc_id AS d2, 1.0 AS jaccard
     FROM sets x JOIN sets y USING (k)
     WHERE x.doc_id < y.doc_id
-    """,
-    category=CAT,
-)
+    """
+
+
+@op("dedup_near_jaccard", oracle=JACCARD_PAIRS_SQL, category=CAT)
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: token-set Jaccard > 0.8.
 

@@ -169,3 +169,45 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round("l_quantity", 2).alias("qty"),
     )
+
+
+STRATUM_N = 20  # docs kept per language
+
+
+@op(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= {STRATUM_N}
+    """,
+    category=CAT,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly min(N, |stratum|) docs
+    per language — the balanced-corpus subsampling step of a training
+    pipeline (uniform sampling reproduces the majority-language skew;
+    per-stratum quotas don't).
+
+    md5-of-key ordering gives an unbiased-but-reproducible pick
+    (§2.X rule 5: never df.sample / rand in oracled ops); doc_id
+    tie-break makes the window total. One shuffle on lang; at scale
+    swap row_number for a per-partition heap via the same window —
+    Spark already stops consuming each partition after N rows here
+    (WindowGroupLimit pushes the limit into the sort).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_N)
+        .drop("rk")
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from insight_gp_import_spark.operators.llm import (
+    JACCARD_PAIRS_SQL,
     QUERY_VEC_ID,
     TOPK,
     _dot,
@@ -29,6 +30,7 @@ from insight_gp_import_spark.operators.llm import (
     _fetch_query_vector,
     _lit_vec_sql,
     _norm,
+    dedup_near_jaccard,
 )
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -555,6 +557,81 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     real operating point).
     """
     return embed_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+CLUSTER_MAX_ITERS = 50
+
+
+@op(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({JACCARD_PAIRS_SQL}) jp),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION
+        SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id,
+           node = min(label) AS is_survivor
+    FROM walk GROUP BY node
+    """,
+    category=CAT,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step
+    that turns PAIRS into dedup DECISIONS. Transitivity matters: if
+    A~B and B~C, keeping "one of each pair" independently can keep
+    both A and C; clustering keeps exactly one survivor (min doc_id)
+    per component. Every doc appears (singletons are their own
+    cluster), so downstream filtering is one semi-join on is_survivor.
+
+    Iterative min-label propagation: each round, every node takes the
+    min label over itself and its neighbors; fixpoint when no label
+    changes (driver-side count per round — the loop is iterative by
+    nature, like Pregel). Rounds ≤ graph diameter; near-dup components
+    are dense blobs of mutual duplicates, so the fixpoint lands in a
+    handful of rounds (sf0.01's 341-doc giant component converges in
+    ~5). ``localCheckpoint`` truncates the growing lineage each round
+    — without it the plan doubles per iteration. At extreme scale the
+    same loop upgrades to large-star/small-star (O(log²) rounds) with
+    identical output; the oracle is an independent formulation
+    entirely (DuckDB recursive-CTE reachability over the same edges).
+    """
+    pairs = dedup_near_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select("d2", "d1")).toDF("src", "dst").distinct()
+    ).cache()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(CLUSTER_MAX_ITERS):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
 
 
 LEV_BLOCK_CHARS = 10  # n_chars blocking bucket width

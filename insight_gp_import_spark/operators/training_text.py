@@ -221,3 +221,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(shingles).alias("fingerprint"),
         F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
     )
+
+
+NGRAM_TOP_K = 50
+
+
+@op(
+    "text_ngram_counts",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT string_split(text, ' ') AS arr FROM documents
+    ), grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(arr) - 1),
+                   i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+        FROM arrs
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM grams
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT {NGRAM_TOP_K}
+    """,
+    category=CAT,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token-bigram counts, top {NGRAM_TOP_K} — the
+    n-gram statistics pass of a corpus analysis pipeline (vocabulary
+    building, contamination screening, boilerplate spotting).
+
+    Bigrams are built as one JVM transform over the token array (no
+    self-join, no per-row Python), exploded, then hash-aggregated with
+    map-side partial combine; the final top-K is TakeOrdered (per-
+    partition heaps + driver merge), never a full sort. (cnt DESC,
+    bigram) ordering makes the K-boundary deterministic (§2.X rule 4).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(F.split("text", " ").alias("arr"))
+    grams = arrs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(NGRAM_TOP_K)
+    )

@@ -185,3 +185,26 @@ def test_embed_lsh_retrieves_planted_near_duplicate(spark):
     pairs = {(r.v1, r.v2) for r in td.embed_lsh_pairs(corpus).collect()}
     assert (1, 2) in pairs, pairs
     assert all(3 not in p for p in pairs), pairs
+
+
+def test_dedup_cluster_consistent_with_pairs(spark):
+    """Every near-dup pair must land in one cluster (that is the
+    transitivity contract), and exactly one survivor exists per
+    cluster — the min doc_id."""
+    from insight_gp_import_spark.operators.llm import dedup_near_jaccard
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in OPS["dedup_cluster"].fn(spark, SF).collect()
+    }
+    pairs = dedup_near_jaccard(spark, SF).select("d1", "d2").collect()
+    assert pairs
+    for r in pairs:
+        assert labels[r.d1] == labels[r.d2], (r.d1, r.d2)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, c in labels.items():
+        members[c].append(doc)
+    for c, docs in members.items():
+        assert c == min(docs), (c, min(docs))
