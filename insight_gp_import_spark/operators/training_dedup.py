@@ -29,6 +29,7 @@ from insight_gp_import_spark.operators.llm import (
     _dot_sql,
     _fetch_query_vector,
     _lit_vec_sql,
+    _cosine,
     _norm,
     dedup_near_jaccard,
 )
@@ -557,6 +558,63 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     real operating point).
     """
     return embed_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+EMBED_DIM = 64
+OUTLIER_SIM_THRESHOLD = 0.1
+
+
+@op(
+    "embed_outlier_centroid",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label, i, sum(embedding[i]) AS c
+        FROM embeddings, generate_series(1, {EMBED_DIM}) AS t(i)
+        GROUP BY label, i
+    ), cents AS (
+        SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), c.cent) AS DOUBLE),
+                 4) AS sim,
+           round(CAST(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), c.cent) AS DOUBLE),
+                 4) < {OUTLIER_SIM_THRESHOLD} AS is_outlier
+    FROM embeddings e JOIN cents c USING (label)
+    """,
+    category=CAT,
+)
+def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: flag examples far from their class
+    centroid (mislabeled / noisy candidates). Cosine to the per-label
+    SUM vector — same direction as the mean, so the similarity is
+    identical and no count division enters the float math.
+
+    Scale shape: the centroid agg is one map-side-combined shuffle of
+    {EMBED_DIM} partial sums per label (bytes ∝ labels × dim, not
+    rows); centroids broadcast back; per-row cosine is JVM zip_with /
+    aggregate math inside the scan stage. The outlier flag compares
+    the ROUNDED similarity in both engines, so flag parity follows
+    from sim parity (float-sum ordering drift lives below the 4th
+    decimal).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.groupBy("label").agg(
+        F.array(
+            *[F.sum(F.col("embedding").getItem(i)) for i in range(EMBED_DIM)]
+        ).alias("cent")
+    )
+    sim = F.round(_cosine("embedding", "cent"), 4)
+    return (
+        emb.join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            sim.alias("sim"),
+            (sim < OUTLIER_SIM_THRESHOLD).alias("is_outlier"),
+        )
+    )
 
 
 CLUSTER_MAX_ITERS = 50

@@ -74,7 +74,7 @@ DRIVER_ORDER: list[str] = [
     "win_moving", "win_range_interval", "win_first_last", "win_distribution",
     # -- slot 51+: oracled but past this round's 50-slot window --
     "sink_jdbc_gp", "pipeline_file_lifecycle", "dedup_cluster",
-    "sample_stratified", "text_ngram_counts",
+    "sample_stratified", "text_ngram_counts", "embed_outlier_centroid",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
