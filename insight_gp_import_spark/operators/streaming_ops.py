@@ -299,6 +299,53 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    category=CAT,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the views
+    by the same user in the preceding hour (attribution). The batch
+    declaration here IS the streaming join's transformation — under
+    readStream both sides carry watermarks and this exact time-range
+    condition is what lets Spark EXPIRE join state (a view's row can
+    be dropped once the watermark passes v.ts + 1h), which is the
+    whole trick of stream-stream joins at scale: state ∝ events per
+    hour, not stream length. tests/test_streaming_runtime.py runs the
+    same join under two readStream file sources and asserts it equals
+    this batch result.
+
+    Plan shape (batch): both sides shuffle once on user_id; the range
+    predicate evaluates inside the sort-merge join. No driver-side
+    work.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "view_id", "purchase_id")
+
+
+@op(
     "stream_upsert_sink",
     oracle="""
     SELECT user_id, event_type, event_id AS last_event_id,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -271,4 +272,70 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "bigram")
         .limit(NGRAM_TOP_K)
+    )
+
+
+@op(
+    "pipeline_training_corpus",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang, n_chars, md5(text) AS h,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+        FROM documents
+    ), surv AS (
+        SELECT * FROM feats
+        QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    ), kept AS (
+        SELECT * FROM surv
+        WHERE n_chars >= 100 AND n_tokens >= 20
+          AND CAST(alpha_chars AS DOUBLE) / n_chars > 0.7
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM kept GROUP BY lang
+    """,
+    category=CAT,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone for the LLM-data side (the batch-load capstone's twin):
+    exact-dedup survivors → quality gate → per-language token budget,
+    composed as ONE declarative plan so the end-to-end chain is
+    hash-checked, not just each stage.
+
+    Scale shape: every per-doc feature (md5, token counts, alpha
+    chars) is computed in the SCAN projection, so the dedup window
+    shuffles scalars only — the text column never crosses the wire
+    (same trick as dedup_exact). The quality filter runs before the
+    final agg, and the per-lang agg is map-side combined. One plan,
+    two shuffles (dedup hash, lang agg), zero Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("alpha_chars"),
+        F.regexp_count("text", F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    surv = (
+        feats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = surv.filter(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("alpha_chars").cast("double") / F.col("n_chars") > 0.7)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )

@@ -177,3 +177,47 @@ def test_stateful_totals_updates_across_batches(spark, events_dir):
     }
     got = {(u, max(cnts)) for u, cnts in per_user.items()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """A real two-source stream-stream interval join (watermarks on
+    both sides, time-range condition bounding state) must produce
+    exactly the batch op's rows."""
+    from insight_gp_import_spark.operators.streaming_ops import stream_stream_join
+
+    ev = load_events(spark, SF)
+    vdir = tempfile.mkdtemp(prefix="igis-ssj-v-")
+    pdir = tempfile.mkdtemp(prefix="igis-ssj-p-")
+    ev.filter(F.col("event_type") == "view").write.mode("overwrite").parquet(vdir)
+    ev.filter(F.col("event_type") == "purchase").write.mode("overwrite").parquet(
+        pdir
+    )
+    v = (
+        read_events_stream(spark, vdir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    p = (
+        read_events_stream(spark, pdir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    run_to_memory(joined, "ssj_stream", output_mode="append")
+    got = {tuple(r) for r in spark.table("ssj_stream").collect()}
+    want = {tuple(r) for r in stream_stream_join(spark, SF).collect()}
+    assert want, "batch join empty at sf0.001?"
+    assert got == want
