@@ -8,6 +8,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from insight_gp_import_spark.registry import load_all_ops
 
 SF = "/root/testdata/sf0.01"
@@ -147,3 +149,47 @@ def test_subquery_decorrelated_broadcasts_nation_avg(spark):
     a shuffle join against the per-customer counts."""
     plan = plan_of(spark, "subquery_scalar_correlated")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The built-in complement to join_skew_salted: for a sort-merge
+    join whose runtime stats reveal a hot key, AQE's OptimizeSkewedJoin
+    must split the oversized partition (SortMergeJoin(skew=true) +
+    'skewed' AQEShuffleRead) with the result unchanged. The corpus
+    keys are uniform at test scale, so the skew is constructed: one
+    key carrying 50% of a 200k-row fact side."""
+    pinned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k) for k in pinned}
+    try:
+        for k, v in pinned.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("key"),
+            (F.col("id") % 97).alias("v"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("key"), (F.col("id") * 10).alias("w")
+        )
+        df = (
+            fact.join(dim, "key")
+            .groupBy()
+            .agg(F.count("*").alias("cnt"))
+        )
+        [row] = df.collect()
+        # every even id (100k rows) matches key 0; odd ids match 1..99 (50 rows)
+        assert row.cnt == 100_050
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
