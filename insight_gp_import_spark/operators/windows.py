@@ -247,3 +247,33 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@op(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS acctbal,
+           ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+    category=CAT,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing: per-nation account-balance quartiles via
+    ntile(4) — the feature-binning window (equal-count buckets, unlike
+    agg_histogram's equal-width). Partitioned by nation so the sort is
+    per-group, never global; unique (c_acctbal, c_custkey) ordering
+    makes bucket boundaries deterministic (§2.X rule 4). For a GLOBAL
+    quantile split at 100 TB, bin against approx_percentile cut points
+    instead (agg_approx_quantile) — a single-partition ntile window
+    would serialize the corpus through one task.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )

@@ -75,7 +75,7 @@ DRIVER_ORDER: list[str] = [
     # -- slot 51+: oracled but past this round's 50-slot window --
     "sink_jdbc_gp", "pipeline_file_lifecycle", "dedup_cluster",
     "sample_stratified", "text_ngram_counts", "embed_outlier_centroid",
-    "stream_stream_join", "pipeline_training_corpus",
+    "stream_stream_join", "pipeline_training_corpus", "win_ntile",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
