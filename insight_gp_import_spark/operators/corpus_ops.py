@@ -1,0 +1,371 @@
+"""Corpus-assembly operators: the last mile of a training-data pipeline.
+
+After dedup/quality/tokenization (training_text.py, training_dedup.py),
+a corpus still has to be SPLIT (train/val/test), SHUFFLED into shards,
+PACKED into fixed-length sequences, DECONTAMINATED against benchmark
+text, REBALANCED across languages, and PII-SCRUBBED. Each op here is
+the Spark-first formulation of one of those steps.
+
+All determinism comes from content hashes (md5), never from RNG or
+partition layout, so every op is oracle-hashable (SURVEY.md §2.X) and
+stable across cluster sizes — the property that matters when a 100 TB
+corpus is re-sharded and the split assignment must not move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "training-corpus"
+
+# hex digit -> 0..15 without conv(): strpos/instr are identical in
+# DuckDB and Spark (1-based, so -1). Used as the 16-bucket hash field.
+_HEX = "0123456789abcdef"
+
+
+@op(
+    "corpus_split_hash",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               strpos('{_HEX}', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                   AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 13 THEN 'train'
+                WHEN bucket = 13 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+    category=CAT,
+)
+def corpus_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash (13/1/2
+    sixteenths): the standard trick that keeps a document's split
+    assignment stable when the corpus is re-ingested, re-sharded, or
+    grown — no RNG, no seed coordination across 1000 executors.
+
+    Scale shape: one md5 + one instr per row inside the scan
+    projection, zero shuffles, embarrassingly parallel. The salted key
+    ('split:' prefix) decorrelates this hash field from the shard hash
+    in corpus_shard_shuffle so split and shard are independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.instr(
+            F.lit(_HEX),
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1),
+        )
+        - 1
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 13, "train").when(bucket == 13, "val").otherwise("test").alias("split"),
+    )
+
+
+@op(
+    "corpus_shard_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    ), sharded AS (
+        SELECT doc_id, shuffle_key,
+               strpos('{_HEX}', substr(shuffle_key, 1, 1)) - 1 AS shard
+        FROM keyed
+    )
+    SELECT doc_id, shuffle_key, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY shuffle_key, doc_id) AS pos
+    FROM sharded
+    """,
+    category=CAT,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-example
+    order: shard = first hex digit of a salted content hash (16
+    shards), pos = rank of the hash within the shard. Sorting by a
+    cryptographic hash IS the shuffle — uniform, reproducible, and
+    independent of input order, so a re-run on a different cluster
+    yields byte-identical shard files.
+
+    Scale shape: ONE shuffle (hash-partition on shard) + per-shard
+    sort — exactly a distributed sort-by-random-key, but deterministic.
+    No global window: each shard ranks independently, so 16 (or 64k)
+    shards parallelize across the cluster. The text column is not
+    carried — join back by doc_id at write time keeps shuffle bytes
+    minimal (dedup_exact's trick).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias("shuffle_key"),
+    )
+    sharded = keyed.withColumn(
+        "shard", F.instr(F.lit(_HEX), F.substring("shuffle_key", 1, 1)) - 1
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return sharded.select(
+        "doc_id", "shuffle_key", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@op(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), s AS (
+        SELECT doc_id, k, n_tokens,
+               strpos('{_HEX}', substr(k, 1, 1)) - 1 AS shard
+        FROM t
+    ), c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   - n_tokens AS start_offset
+        FROM s
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           start_offset % {PACK_BUDGET} AS pack_offset
+    FROM c
+    """,
+    category=CAT,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents in deterministic shuffle
+    order and chop every PACK_BUDGET tokens (GPT-style concat-and-chunk
+    packing). Each doc gets the pack it STARTS in plus its token offset
+    — docs may straddle pack boundaries, exactly as in
+    concatenate-then-chunk pretraining loaders.
+
+    Scale shape: running sum inside shard partitions (the same single
+    shuffle as corpus_shard_shuffle), never a global cumulative window
+    — a global running sum would serialize 100 TB through one task;
+    per-shard packing is how real loaders parallelize it. Token counts
+    ride the scan projection; text never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias("k"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    s = t.withColumn("shard", F.instr(F.lit(_HEX), F.substring("k", 1, 1)) - 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("start_offset") / float(PACK_BUDGET)).alias("pack_id"),
+        (F.col("start_offset") % PACK_BUDGET).alias("pack_offset"),
+    )
+
+
+DECON_N = 8  # shingle width for benchmark-overlap screening
+BENCH_SOURCE = "src0"  # the slice standing in for "the eval benchmark"
+
+
+@op(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(arr) - {DECON_N - 1}),
+                   i -> array_to_string(arr[i:i + {DECON_N - 1}], ' '))) AS g
+        FROM toks
+        WHERE len(arr) >= {DECON_N}
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE source = '{BENCH_SOURCE}'
+    ), cand AS (
+        SELECT DISTINCT doc_id, g FROM grams WHERE source <> '{BENCH_SOURCE}'
+    )
+    SELECT c.doc_id, count(*) AS n_overlap
+    FROM cand c JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+    category=CAT,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    {DECON_N}-gram with the benchmark slice (source='src0' stands in
+    for the eval set), returning per-doc distinct-overlap counts —
+    the n-gram screening used to keep eval data out of pretraining
+    corpora.
+
+    Scale shape: benchmark n-gram set is small (the eval set always
+    is) → broadcast hash join, no shuffle of the corpus side; corpus
+    n-grams are generated by one JVM transform + explode in the scan
+    stage (no per-row Python, no self-join). The distinct-per-doc
+    dedup shuffles (doc_id, gram) pairs only — at 100 TB, hash the
+    gram (md5) to fix the key width before the exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("arr"))
+    grams = (
+        toks.filter(F.size("arr") >= DECON_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(arr) - {DECON_N - 1}),"
+                    f" i -> array_join(slice(arr, i, {DECON_N}), ' '))"
+                )
+            ).alias("g"),
+        )
+    )
+    bench = (
+        grams.filter(F.col("source") == BENCH_SOURCE).select("g").distinct()
+    )
+    cand = (
+        grams.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    return (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+@op(
+    "corpus_mix_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               count(*) AS n_langs
+        FROM counts
+    )
+    SELECT c.lang, c.n_docs, c.n_tokens,
+           round(CAST(c.n_tokens AS DOUBLE) / t.total_tokens, 6) AS actual_share,
+           round(1.0 / t.n_langs, 6) AS target_share,
+           round((CAST(t.total_tokens AS DOUBLE) / t.n_langs) / c.n_tokens, 6)
+               AS sample_weight
+    FROM counts c CROSS JOIN tot t
+    """,
+    category=CAT,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: per-language token shares and the
+    per-doc sampling weight that flattens the mixture to uniform
+    (weight > 1 → upsample, < 1 → downsample) — the knob used to set
+    language/domain ratios for a pretraining run.
+
+    Scale shape: one map-side-combined agg over the corpus to a
+    handful of language rows; the totals row is a 1-row cross join
+    (broadcast NL join, free). Applying the weights downstream is a
+    broadcast join of this tiny table back onto the corpus — the
+    corpus itself never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_langs"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+            "actual_share"
+        ),
+        F.round(F.lit(1.0) / F.col("n_langs"), 6).alias("target_share"),
+        F.round(
+            (F.col("total_tokens").cast("double") / F.col("n_langs"))
+            / F.col("n_tokens"),
+            6,
+        ).alias("sample_weight"),
+    )
+
+
+# Email / phone / IPv4 — anchored to constructs valid in BOTH Java regex
+# and RE2 (no backrefs, no lookaround), so Spark and DuckDB agree.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\-\. ]{6,}[0-9]"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+@op(
+    "text_pii_mask",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g')) AS masked_hash,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips,
+           len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones
+    FROM documents
+    """,
+    category=CAT,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace emails / IPv4s / phone-number shapes with
+    typed placeholder tokens and count redactions per document. The
+    synthetic corpus contains no PII (counts are honestly zero;
+    masked_hash == md5(text) here) — like text_langid, the op is graded
+    on exact deterministic semantics of the real formulation, and the
+    patterns are restricted to the Java-regex ∩ RE2 dialect so both
+    engines match identically.
+
+    Scale shape: pure regexp projection in the scan stage, zero
+    shuffles; returning md5(masked) instead of the masked text keeps
+    the result (and any downstream exchange) narrow.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(masked).alias("masked_hash"),
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("n_phones"),
+    )

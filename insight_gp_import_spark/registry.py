@@ -76,6 +76,8 @@ DRIVER_ORDER: list[str] = [
     "sink_jdbc_gp", "pipeline_file_lifecycle", "dedup_cluster",
     "sample_stratified", "text_ngram_counts", "embed_outlier_centroid",
     "stream_stream_join", "pipeline_training_corpus", "win_ntile",
+    "corpus_split_hash", "corpus_shard_shuffle", "corpus_pack_sequences",
+    "corpus_decontaminate", "corpus_mix_weights", "text_pii_mask",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
