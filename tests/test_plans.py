@@ -193,3 +193,44 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_corpus_split_hash_no_shuffle(spark):
+    plan = plan_of(spark, "corpus_split_hash")
+    # pure scan-stage projection: the split assignment must not cost
+    # an exchange (at 100 TB it runs inside the ingest scan)
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_pii_mask_no_shuffle(spark):
+    plan = plan_of(spark, "text_pii_mask")
+    assert "Exchange" not in plan
+
+
+def test_shard_shuffle_single_exchange(spark):
+    plan = plan_of(spark, "corpus_shard_shuffle")
+    # exactly one hash exchange (on shard) — the deterministic shuffle
+    # IS that exchange; a second one would mean a redundant repartition
+    assert plan.count("hashpartitioning(shard") == 1, plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    plan = plan_of(spark, "corpus_pack_sequences")
+    # the running sum must reuse the shard partitioning: one exchange
+    assert plan.count("hashpartitioning(shard") == 1, plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    plan = plan_of(spark, "corpus_decontaminate")
+    # benchmark gram-set is the small side: broadcast, never SMJ
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_weights_broadcasts_totals(spark):
+    plan = plan_of(spark, "corpus_mix_weights")
+    # 1-row totals joined via broadcast NL join; corpus aggregates with
+    # map-side partial combine (two HashAggregate levels)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
