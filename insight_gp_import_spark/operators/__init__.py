@@ -11,6 +11,7 @@ from insight_gp_import_spark.operators import (  # noqa: F401
     llm,
     multimodal,
     projection,
+    quality_ops,
     scans,
     setops,
     scalar_functions,

@@ -369,3 +369,95 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ips"),
         F.regexp_count("text", F.lit(PII_PHONE)).alias("n_phones"),
     )
+
+
+def _u16_sql(key: str) -> str:
+    """Uniform-[0,1) from the first 4 hex digits of ``key`` — written in
+    the strpos/instr dialect both engines share (no conv() in DuckDB)."""
+    digs = [
+        f"(strpos('{_HEX}', substr({key}, {i + 1}, 1)) - 1)" for i in range(4)
+    ]
+    return (
+        f"({digs[0]} * 4096 + {digs[1]} * 256 + {digs[2]} * 16 + {digs[3]})"
+        " / 65536.0"
+    )
+
+
+def _u16_col(key) -> F.Column:
+    digs = [
+        F.instr(F.lit(_HEX), F.substring(key, i + 1, 1)) - 1 for i in range(4)
+    ]
+    return (digs[0] * 4096 + digs[1] * 256 + digs[2] * 16 + digs[3]) / 65536.0
+
+
+@op(
+    "corpus_apply_mix",
+    oracle=f"""
+    WITH w AS (
+        SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_langs
+        FROM w
+    ), wt AS (
+        SELECT lang, (CAST(total_tokens AS DOUBLE) / n_langs) / n_tokens AS wgt
+        FROM w CROSS JOIN tot
+    ), keyed AS (
+        SELECT doc_id, d.lang, wgt,
+               md5('mix:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents d JOIN wt USING (lang)
+    ), n AS (
+        SELECT doc_id, lang,
+               CAST(floor(wgt) + CASE WHEN {_u16_sql('k')} < wgt - floor(wgt)
+                                      THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM keyed
+    )
+    SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy_id
+    FROM n WHERE n_copies >= 1
+    """,
+    category=CAT,
+)
+def corpus_apply_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply corpus_mix_weights: deterministic weighted resampling to a
+    uniform language mixture. Each doc gets floor(w) guaranteed copies
+    plus one more iff a 16-bit content-hash uniform falls below
+    frac(w) — upsampling AND downsampling in one rule, reproducible
+    across clusters (no RNG state, no seed plumbing).
+
+    Determinism note: both engines derive w from the same integer
+    token counts with the same double arithmetic, and u is an exact
+    multiple of 2^-16, so the u < frac(w) comparison can't drift.
+
+    Scale shape: the weight table is |languages| rows → broadcast join
+    onto the corpus; copies materialize via sequence+explode in the
+    scan stage (no shuffle at all — the plan is scan → broadcast join
+    → generate). Downstream shuffling of the resampled corpus is
+    corpus_shard_shuffle's job.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    tot = w.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count("*").alias("n_langs")
+    )
+    wt = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        ((F.col("total_tokens").cast("double") / F.col("n_langs")) / F.col("n_tokens")).alias("wgt"),
+    )
+    keyed = docs.select("doc_id", "lang").join(F.broadcast(wt), "lang").withColumn(
+        "k", F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    )
+    n = keyed.select(
+        "doc_id",
+        "lang",
+        (
+            F.floor("wgt")
+            + F.when(_u16_col(F.col("k")) < F.col("wgt") - F.floor("wgt"), 1).otherwise(0)
+        ).cast("bigint").alias("n_copies"),
+    )
+    return n.filter(F.col("n_copies") >= 1).select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias("copy_id"),
+    )

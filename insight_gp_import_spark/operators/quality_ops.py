@@ -1,0 +1,217 @@
+"""Data-quality + CDC operators: the validation/merge layer of a
+warehouse load pipeline.
+
+A loader that ships data into a warehouse needs (a) column profiling
+(null/distinct/min/max) to catch drift, (b) referential-integrity
+checks between fact and dimension tables, and (c) changelog
+application (insert/update/delete merge) for incremental feeds.
+Each is expressed as one declarative Spark plan with a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "quality"
+
+# (column, kind) pairs profiled on orders; numeric min/max are rounded
+# doubles, string/date min/max are ISO strings — separate typed columns
+# so no engine-specific float→varchar formatting enters the hash.
+_PROFILE_COLS = [
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderdate", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"round(CAST(min({c}) AS DOUBLE), 2)"
+            mx = f"round(CAST(max({c}) AS DOUBLE), 2)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms = f"CAST(min({c}) AS VARCHAR)"
+            xs = f"CAST(max({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col, count(*) AS n_rows, count({c}) AS n_non_null,"
+            f" count(DISTINCT {c}) AS n_distinct, {mn} AS min_num, {mx} AS max_num,"
+            f" {ms} AS min_str, {xs} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@op("dq_profile", oracle=_profile_oracle(), category=CAT)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling: per-column row/non-null/distinct counts and
+    typed min/max over the orders feed — the drift detector a loader
+    runs on every batch before committing it.
+
+    Scale shape: one map-side-combined aggregate pass PER COLUMN over
+    the same cached scan (4 small jobs), each reading only its own
+    column (pruned scan). count(DISTINCT) is the exact two-phase
+    expansion; at 100 TB swap to approx_count_distinct per profile
+    config — the frame is identical. Min/max land in typed columns
+    (double vs string) so no float→varchar formatting divergence can
+    enter the comparison.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    frames = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = F.round(F.min(c).cast("double"), 2).alias("min_num")
+            mx = F.round(F.max(c).cast("double"), 2).alias("max_num")
+            ms = F.lit(None).cast("string").alias("min_str")
+            xs = F.lit(None).cast("string").alias("max_str")
+        else:
+            mn = F.lit(None).cast("double").alias("min_num")
+            mx = F.lit(None).cast("double").alias("max_num")
+            ms = F.min(c).cast("string").alias("min_str")
+            xs = F.max(c).cast("string").alias("max_str")
+        frames.append(
+            orders.agg(
+                F.count("*").alias("n_rows"),
+                F.count(c).alias("n_non_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                mn, mx, ms, xs,
+            ).select(F.lit(c).alias("col"), "*")
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+# FK edges checked: child table, child key, parent table, parent key
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _referential_oracle() -> str:
+    parts = [
+        f"SELECT '{ct}.{ck}' AS fk, count(*) AS n_orphans FROM {ct} c"
+        f" WHERE NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})"
+        for ct, ck, pt, pk in _FK_EDGES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@op("dq_referential", oracle=_referential_oracle(), category=CAT)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for each fact→dim
+    foreign key (anti-join cardinality). Zero everywhere on a clean
+    load; non-zero rows are the load-gate alarm.
+
+    Scale shape: each edge is a LEFT ANTI join — dimension sides
+    (customer, nation) broadcast; the lineitem→orders edge shuffles
+    once on the join key with only the key column carried (pruned
+    scan). At 100 TB this is the cheapest possible formulation: no
+    row data moves, only keys.
+    """
+    frames = []
+    for ct, ck, pt, pk in _FK_EDGES:
+        child = load_table(spark, sf_dir, ct).select(ck)
+        parent = load_table(spark, sf_dir, pt).select(pk)
+        orphans = child.join(parent, child[ck] == parent[pk], "left_anti")
+        frames.append(
+            orphans.agg(F.count("*").alias("n_orphans")).select(
+                F.lit(f"{ct}.{ck}").alias("fk"), "n_orphans"
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+@op(
+    "merge_cdc_apply",
+    oracle="""
+    WITH cents AS (
+        SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    ), chg AS (
+        SELECT o_orderkey AS key, 'D' AS cdc_op,
+               CAST(NULL AS DOUBLE) AS new_totalprice
+        FROM cents WHERE o_orderkey % 13 = 0
+        UNION ALL
+        -- +10% in integer cents, explicit half-up: no float .005 ambiguity
+        SELECT o_orderkey, 'U', ((price_c * 11 + 5) // 10) / 100.0
+        FROM cents WHERE o_orderkey % 13 = 1
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'I', price_c / 100.0
+        FROM cents WHERE o_orderkey % 13 = 2
+    )
+    SELECT COALESCE(b.o_orderkey, c.key) AS o_orderkey,
+           COALESCE(b.o_custkey, CAST(-1 AS BIGINT)) AS o_custkey,
+           round(CASE WHEN c.cdc_op IN ('U', 'I') THEN c.new_totalprice
+                      ELSE b.o_totalprice END, 2) AS o_totalprice,
+           CASE WHEN c.cdc_op = 'U' THEN 'update'
+                WHEN c.cdc_op = 'I' THEN 'insert'
+                ELSE 'keep' END AS cdc_action
+    FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.key
+    WHERE COALESCE(c.cdc_op, '') <> 'D'
+    """,
+    category=CAT,
+)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog MERGE: apply an insert/update/delete feed onto a base
+    snapshot in one full-outer-join pass (the engine-level semantics
+    of SQL MERGE / Delta upsert, without requiring a table format).
+    The changelog is derived deterministically from the base (keys
+    ≡0 mod 13 delete, ≡1 update +10%, ≡2 insert under a shifted key)
+    so the op is self-contained and hash-checkable. The +10% runs in
+    integer cents with explicit half-up division — `round(x*1.1, 2)`
+    diverges between engines when the product lands on a .005
+    boundary (found by the local parity gate at sf0.01).
+
+    Scale shape: a real CDC feed is tiny vs the snapshot → Spark
+    broadcasts the changes side automatically under AQE (full outer
+    with one small side stays a shuffle join, so at 100 TB pre-bucket
+    both sides on the key — sink_parquet_bucketed demonstrates that
+    layout; the merge then runs shuffle-free). Deletes are a filter,
+    updates a projection — no per-row driver logic anywhere.
+    """
+    base = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cents = base.withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    chg = (
+        cents.filter(k % 13 == 0)
+        .select(k.alias("key"), F.lit("D").alias("cdc_op"),
+                F.lit(None).cast("double").alias("new_totalprice"))
+        .unionByName(
+            cents.filter(k % 13 == 1).select(
+                k.alias("key"), F.lit("U").alias("cdc_op"),
+                (F.expr("(price_c * 11 + 5) div 10") / 100.0).alias("new_totalprice"))
+        )
+        .unionByName(
+            cents.filter(k % 13 == 2).select(
+                (k + 100000000).alias("key"), F.lit("I").alias("cdc_op"),
+                (F.col("price_c") / 100.0).alias("new_totalprice"))
+        )
+    )
+    merged = base.join(chg, base["o_orderkey"] == chg["key"], "full_outer")
+    return merged.filter(
+        F.coalesce(F.col("cdc_op"), F.lit("")) != "D"
+    ).select(
+        F.coalesce(base["o_orderkey"], chg["key"]).alias("o_orderkey"),
+        F.coalesce(base["o_custkey"], F.lit(-1).cast("bigint")).alias("o_custkey"),
+        F.round(
+            F.when(F.col("cdc_op").isin("U", "I"), F.col("new_totalprice"))
+            .otherwise(base["o_totalprice"]),
+            2,
+        ).alias("o_totalprice"),
+        F.when(F.col("cdc_op") == "U", "update")
+        .when(F.col("cdc_op") == "I", "insert")
+        .otherwise("keep")
+        .alias("cdc_action"),
+    )

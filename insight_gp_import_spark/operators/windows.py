@@ -277,3 +277,60 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("acctbal"),
         F.ntile(4).over(w).alias("balance_quartile"),
     )
+
+
+@op(
+    "win_quantile_bin_global",
+    oracle="""
+    WITH cents AS (
+        SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ), cuts AS (
+        SELECT quantile_cont(bal_c, 0.25) AS q1,
+               quantile_cont(bal_c, 0.50) AS q2,
+               quantile_cont(bal_c, 0.75) AS q3
+        FROM cents
+    )
+    SELECT CASE WHEN bal_c <= q1 THEN 1 WHEN bal_c <= q2 THEN 2
+                WHEN bal_c <= q3 THEN 3 ELSE 4 END AS bin,
+           count(*) AS n_customers,
+           round(avg(bal_c) / 100.0, 4) AS avg_bal
+    FROM cents CROSS JOIN cuts
+    GROUP BY 1
+    """,
+    category=CAT,
+)
+def win_quantile_bin_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL quantile binning — the scale path win_ntile's docstring
+    promises: compute the three quartile cut points once, broadcast
+    them, and bin with a CASE in the scan stage. No global window, no
+    single-task sort — the only serial object is a 3-number row.
+
+    Determinism: quantiles are taken over integer cents (balances have
+    2 decimals), so linear interpolation lands on exact .0/.5 doubles
+    and Spark `percentile` == DuckDB `quantile_cont` bit-for-bit
+    (§2.X rule 6 without rounding slack). At 100 TB swap `percentile`
+    for `approx_percentile` and re-verify against tolerance, not hash.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    cuts = cents.agg(
+        F.expr("percentile(bal_c, 0.25)").alias("q1"),
+        F.expr("percentile(bal_c, 0.50)").alias("q2"),
+        F.expr("percentile(bal_c, 0.75)").alias("q3"),
+    )
+    binned = cents.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("bal_c") <= F.col("q1"), 1)
+        .when(F.col("bal_c") <= F.col("q2"), 2)
+        .when(F.col("bal_c") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("bin"),
+        "bal_c",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("bal_c") / 100.0, 4).alias("avg_bal"),
+    )

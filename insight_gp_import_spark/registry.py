@@ -78,6 +78,8 @@ DRIVER_ORDER: list[str] = [
     "stream_stream_join", "pipeline_training_corpus", "win_ntile",
     "corpus_split_hash", "corpus_shard_shuffle", "corpus_pack_sequences",
     "corpus_decontaminate", "corpus_mix_weights", "text_pii_mask",
+    "corpus_apply_mix", "win_quantile_bin_global",
+    "dq_profile", "dq_referential", "merge_cdc_apply",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
