@@ -234,3 +234,31 @@ def test_mix_weights_broadcasts_totals(spark):
     # map-side partial combine (two HashAggregate levels)
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_apply_mix_broadcasts_weights_and_generates(spark):
+    plan = plan_of(spark, "corpus_apply_mix")
+    # |langs|-row weight table broadcast onto corpus; copies come from
+    # sequence+explode (Generate), not a join against a numbers table
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan
+
+
+def test_quantile_bin_broadcasts_cuts(spark):
+    plan = plan_of(spark, "win_quantile_bin_global")
+    # 3-number cut-point row arrives via broadcast NL join; binning must
+    # NOT use a Window (no global sort anywhere)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_referential_uses_anti_joins(spark):
+    plan = plan_of(spark, "dq_referential")
+    # every FK edge is an anti join; dimension sides broadcast
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_merge_is_full_outer(spark):
+    plan = plan_of(spark, "merge_cdc_apply")
+    assert "FullOuter" in plan
