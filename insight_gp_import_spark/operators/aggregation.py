@@ -553,3 +553,62 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+@op(
+    "agg_incremental_merge",
+    oracle="""
+    WITH prior AS (
+        SELECT o_orderpriority, count(*) AS cnt, sum(o_totalprice) AS sm
+        FROM orders WHERE o_orderkey % 4 < 3 GROUP BY 1
+    ), delta AS (
+        SELECT o_orderpriority, count(*) AS cnt, sum(o_totalprice) AS sm
+        FROM orders WHERE o_orderkey % 4 = 3 GROUP BY 1
+    ), merged AS (
+        SELECT o_orderpriority,
+               CAST(sum(cnt) AS BIGINT) AS n_orders,
+               sum(sm) AS sum_raw
+        FROM (SELECT * FROM prior UNION ALL SELECT * FROM delta) u
+        GROUP BY 1
+    )
+    SELECT o_orderpriority, n_orders,
+           round(sum_raw, 2) AS sum_total,
+           round(sum_raw / n_orders, 4) AS avg_total
+    FROM merged
+    """,
+    category=CAT,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-priority
+    aggregate (batches ≡0..2 mod 4) absorbs a new batch (≡3) by merging
+    PARTIAL states — counts and sums add, avg re-derives — instead of
+    rescanning history. This is the algebra behind every incremental
+    warehouse rollup; test_aggregation asserts merged ≡ full recompute.
+
+    Scale shape: the prior state is |groups| rows read back from the
+    materialized store (here recomputed from the batch slice for
+    hash-checkability); only the delta batch is scanned at load time —
+    at 100 TB that's the difference between scanning one day and
+    scanning ten years. The merge itself is a map-side-combined agg
+    over |groups|·2 rows: free.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("cnt"), F.sum("o_totalprice").alias("sm")
+        )
+
+    prior = partial(orders.filter(F.col("o_orderkey") % 4 < 3))
+    delta = partial(orders.filter(F.col("o_orderkey") % 4 == 3))
+    merged = (
+        prior.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("sm").alias("sum_raw"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("sum_raw", 2).alias("sum_total"),
+        F.round(F.col("sum_raw") / F.col("n_orders"), 4).alias("avg_total"),
+    )

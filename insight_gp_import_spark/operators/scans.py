@@ -603,3 +603,74 @@ def pipeline_file_lifecycle(
     return spark.createDataFrame(
         rows, "run INT, batch_id STRING, status STRING, n_rows BIGINT"
     )
+
+
+@op(
+    "snapshot_diff",
+    oracle="""
+    WITH s1 AS (
+        SELECT o_custkey, o_orderkey FROM orders
+        WHERE o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    ), s2 AS (
+        SELECT o_custkey, o_orderkey FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT COALESCE(s2.o_custkey, s1.o_custkey) AS o_custkey,
+           CASE WHEN s1.o_custkey IS NULL THEN 'added'
+                WHEN s2.o_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS action,
+           s1.o_orderkey AS old_orderkey,
+           s2.o_orderkey AS new_orderkey
+    FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+    WHERE s1.o_custkey IS NULL OR s2.o_custkey IS NULL
+       OR s1.o_orderkey <> s2.o_orderkey
+    """,
+    category=CAT,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report: diff the per-key 'latest as of T1' state
+    against 'latest as of T2' (added / removed / changed keys) — the
+    audit query behind 'what changed between yesterday's load and
+    today's' on a full_snapshot_latest-style dimension.
+
+    Scale shape (verified in the plan): WindowGroupLimit pushes the
+    top-1-per-key below each exchange, so only one row per key per
+    side crosses the wire; both sides then arrive partitioned on
+    o_custkey and the full-outer join adds NO third shuffle. Two
+    shuffles of |keys| rows total — at 100 TB the as-of filter also
+    prunes date partitions. 'removed' is impossible with monotone
+    history but the branch is kept — on a real feed keys do disappear.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+
+    def as_of(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey")
+        )
+
+    s1 = as_of(orders.filter(F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp")))
+    s2 = as_of(orders)
+    j = s1.alias("s1").join(
+        s2.alias("s2"), F.col("s1.o_custkey") == F.col("s2.o_custkey"), "full_outer"
+    )
+    return j.filter(
+        F.col("s1.o_custkey").isNull()
+        | F.col("s2.o_custkey").isNull()
+        | (F.col("s1.o_orderkey") != F.col("s2.o_orderkey"))
+    ).select(
+        F.coalesce(F.col("s2.o_custkey"), F.col("s1.o_custkey")).alias("o_custkey"),
+        F.when(F.col("s1.o_custkey").isNull(), "added")
+        .when(F.col("s2.o_custkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("action"),
+        F.col("s1.o_orderkey").alias("old_orderkey"),
+        F.col("s2.o_orderkey").alias("new_orderkey"),
+    )

@@ -107,3 +107,27 @@ def test_cdc_merge_cardinality(spark):
     assert out.count() == n - n_del + n_ins
     assert out.filter(F.col("cdc_action") == "insert").count() == n_ins
     assert out.filter((F.col("cdc_action") == "update") & (F.col("o_orderkey") % 13 != 1)).count() == 0
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """The whole point of partial-state maintenance: merged(prior,
+    delta) must equal the full-table aggregate exactly."""
+    full = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            F.round(F.sum("o_totalprice") / F.count("*"), 4).alias("avg_total"),
+        )
+    )
+    merged = OPS["agg_incremental_merge"].fn(spark, SF)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_snapshot_diff_only_added_and_changed_on_monotone_history(spark):
+    out = OPS["snapshot_diff"].fn(spark, SF).cache()
+    # orders history only grows: nothing can be 'removed'
+    assert out.filter(F.col("action") == "removed").count() == 0
+    assert out.filter((F.col("action") == "changed") & (F.col("old_orderkey") == F.col("new_orderkey"))).count() == 0
+    assert out.count() > 0
