@@ -508,3 +508,69 @@ def join_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@op(
+    "join_point_in_time",
+    oracle="""
+    WITH scd AS (
+        SELECT o_custkey AS key,
+               o_totalprice AS state_value,
+               CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+               CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)
+                    AS TIMESTAMP) AS valid_to
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), facts AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS TIMESTAMP) AS fact_ts
+        FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.fact_ts,
+           s.state_value, s.valid_from
+    FROM facts f JOIN scd s
+      ON f.o_custkey = s.key
+     AND f.fact_ts >= s.valid_from
+     AND (s.valid_to IS NULL OR f.fact_ts < s.valid_to)
+    """,
+    category=CAT,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks the SCD2
+    dimension state whose [valid_from, valid_to) interval contains the
+    fact timestamp — the query full_snapshot_scd2's history exists to
+    serve, and the lookup every feature-store / as-of-reporting layer
+    runs. Dimension snapshots = orders with key≡0 mod 3 per custkey;
+    facts = the rest.
+
+    Scale shape: this is an EQUI join on the entity key with the
+    interval predicate as a residual filter — one shuffle per side on
+    custkey, never a range-only join (a pure interval join without the
+    key equality degrades to O(n·m) broadcast-NL; the key makes it
+    hash-partitionable). Intervals per key are few (SCD history), so
+    the residual filter scans a handful of rows per probe. At 100 TB:
+    identical plan, plus date-partition pruning on the fact side.
+    Contrast join_asof (nearest-preceding, window-based) — PIT is
+    interval-containment, join_asof is sort-based nearest.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    scd = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_totalprice").alias("state_value"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(
+                Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            ).alias("valid_to"),
+        )
+    )
+    facts = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("fact_ts")
+    )
+    return facts.join(
+        scd,
+        (facts["o_custkey"] == scd["key"])
+        & (facts["fact_ts"] >= scd["valid_from"])
+        & (scd["valid_to"].isNull() | (facts["fact_ts"] < scd["valid_to"])),
+    ).select("o_orderkey", "o_custkey", "fact_ts", "state_value", "valid_from")

@@ -73,6 +73,9 @@ DRIVER_ORDER: list[str] = [
     "win_ranking", "win_topn_per_group", "win_lag_lead", "win_running",
     "win_moving", "win_range_interval", "win_first_last", "win_distribution",
     # -- slot 51+: oracled but past this round's 50-slot window --
+    # ROUND-3 TODO: rotate — move the round-2-verified block (slots 1-50
+    # above) to the back and promote everything below this line into
+    # slots 1-50 so the driver hashes the round-2 additions next.
     "sink_jdbc_gp", "pipeline_file_lifecycle", "dedup_cluster",
     "sample_stratified", "text_ngram_counts", "embed_outlier_centroid",
     "stream_stream_join", "pipeline_training_corpus", "win_ntile",
@@ -80,7 +83,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_decontaminate", "corpus_mix_weights", "text_pii_mask",
     "corpus_apply_mix", "win_quantile_bin_global",
     "dq_profile", "dq_referential", "merge_cdc_apply",
-    "snapshot_diff", "agg_incremental_merge",
+    "snapshot_diff", "agg_incremental_merge", "join_point_in_time",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",

@@ -262,3 +262,12 @@ def test_referential_uses_anti_joins(spark):
 def test_cdc_merge_is_full_outer(spark):
     plan = plan_of(spark, "merge_cdc_apply")
     assert "FullOuter" in plan
+
+
+def test_point_in_time_join_is_keyed_not_nl(spark):
+    # interval containment must ride the custkey EQUI join as a
+    # residual filter — a BroadcastNestedLoopJoin here would mean the
+    # planner saw no equi key and the op degrades to O(n·m) at scale
+    plan = plan_of(spark, "join_point_in_time")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
