@@ -461,3 +461,66 @@ def corpus_apply_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias("copy_id"),
     )
+
+
+SCORE_KEEP = 0.5  # stand-in classifier decision threshold
+
+
+@op(
+    "text_score_batch",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, md5('score:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           round({_u16_sql('k')}, 6) AS model_score,
+           {_u16_sql('k')} >= {SCORE_KEEP} AS keep
+    FROM keyed
+    """,
+    category=CAT,
+)
+def text_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model-inference plumbing: score every document with a
+    'classifier' via mapInPandas — the Arrow-batched shape used to run
+    a real quality/toxicity model over a 100 TB corpus (load model
+    once per task, score a whole record batch per call, no per-row
+    Python). The model here is a deterministic stand-in (16-bit
+    md5 uniform, the same formula the oracle recomputes in SQL), so
+    unlike a stubbed NotImplementedError the full executor path — 
+    Arrow serialization, batch iteration, schema contract — runs and
+    hash-verifies end to end. Swap `_score` for a real model's
+    predict_proba and nothing else changes.
+
+    Scale shape: embarrassingly parallel scan stage; one Python worker
+    per task streaming record batches; decision threshold applied to
+    the ROUNDED score JVM-side after return.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def _score(doc_id: int) -> float:
+        h = hashlib.md5(f"score:{doc_id}".encode()).hexdigest()
+        return int(h[:4], 16) / 65536.0
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a real model would be loaded HERE, once per task, not per row
+        for pdf in batches:
+            scores = pdf["doc_id"].map(_score)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "raw_score": scores}
+            )
+
+    scored = docs.mapInPandas(
+        score_batches, "doc_id long, lang string, raw_score double"
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round("raw_score", 6).alias("model_score"),
+        (F.col("raw_score") >= SCORE_KEEP).alias("keep"),
+    )

@@ -339,3 +339,61 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+REP_THRESHOLD = 0.8  # distinct-bigram ratio below this => repetitive
+
+
+@op(
+    "text_repetition",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               len(arr) AS n_tokens,
+               round(CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr), 6)
+                   AS uniq_unigram_ratio,
+               round(CAST(len(list_distinct(list_transform(
+                         generate_series(1, len(arr) - 1),
+                         i -> arr[i] || ' ' || arr[i + 1]))) AS DOUBLE)
+                     / (len(arr) - 1), 6) AS uniq_bigram_ratio
+        FROM arrs WHERE len(arr) >= 2
+    )
+    SELECT doc_id, n_tokens, uniq_unigram_ratio, uniq_bigram_ratio,
+           uniq_bigram_ratio < {REP_THRESHOLD} AS is_repetitive
+    FROM feats
+    """,
+    category=CAT,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the Gopher/C4-style quality
+    rule): distinct-unigram and distinct-bigram ratios per doc, with a
+    repetition flag when the bigram ratio drops below
+    {REP_THRESHOLD} — boilerplate, keyword-stuffed, and looped text
+    all crater this ratio long before exact dedup would catch them.
+
+    The flag compares the ROUNDED ratio (drift-proof, §2.X): both
+    engines round to 6dp before the threshold test, so a float ulp
+    can't flip the boolean. Pure JVM array expressions in the scan
+    stage — per-doc work, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    uni_ratio = F.round(F.size(F.array_distinct(arr)).cast("double") / n, 6)
+    bi_ratio = F.round(
+        F.size(F.array_distinct(bigrams)).cast("double") / (n - 1), 6
+    )
+    return docs.filter(n >= 2).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        uni_ratio.alias("uniq_unigram_ratio"),
+        bi_ratio.alias("uniq_bigram_ratio"),
+        (bi_ratio < REP_THRESHOLD).alias("is_repetitive"),
+    )
