@@ -199,18 +199,18 @@ BENCH_SOURCE = "src0"  # the slice standing in for "the eval benchmark"
         SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
     ), grams AS (
         SELECT doc_id, source,
-               unnest(list_transform(
+               md5(unnest(list_transform(
                    generate_series(1, len(arr) - {DECON_N - 1}),
-                   i -> array_to_string(arr[i:i + {DECON_N - 1}], ' '))) AS g
+                   i -> array_to_string(arr[i:i + {DECON_N - 1}], ' ')))) AS gh
         FROM toks
         WHERE len(arr) >= {DECON_N}
     ), bench AS (
-        SELECT DISTINCT g FROM grams WHERE source = '{BENCH_SOURCE}'
+        SELECT DISTINCT gh FROM grams WHERE source = '{BENCH_SOURCE}'
     ), cand AS (
-        SELECT DISTINCT doc_id, g FROM grams WHERE source <> '{BENCH_SOURCE}'
+        SELECT DISTINCT doc_id, gh FROM grams WHERE source <> '{BENCH_SOURCE}'
     )
     SELECT c.doc_id, count(*) AS n_overlap
-    FROM cand c JOIN bench b USING (g)
+    FROM cand c JOIN bench b USING (gh)
     GROUP BY c.doc_id
     """,
     category=CAT,
@@ -225,9 +225,10 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: benchmark n-gram set is small (the eval set always
     is) → broadcast hash join, no shuffle of the corpus side; corpus
     n-grams are generated by one JVM transform + explode in the scan
-    stage (no per-row Python, no self-join). The distinct-per-doc
-    dedup shuffles (doc_id, gram) pairs only — at 100 TB, hash the
-    gram (md5) to fix the key width before the exchange.
+    stage (no per-row Python, no self-join). Grams are md5'd at birth
+    so the distinct-per-doc dedup and the bench join move fixed-width
+    32-char keys, never raw n-gram text (same trick as dedup_exact;
+    identical hashing on both engines keeps the op hash-checked).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", F.split("text", " ").alias("arr"))
@@ -239,21 +240,21 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(arr) - {DECON_N - 1}),"
-                    f" i -> array_join(slice(arr, i, {DECON_N}), ' '))"
+                    f" i -> md5(array_join(slice(arr, i, {DECON_N}), ' ')))"
                 )
-            ).alias("g"),
+            ).alias("gh"),
         )
     )
     bench = (
-        grams.filter(F.col("source") == BENCH_SOURCE).select("g").distinct()
+        grams.filter(F.col("source") == BENCH_SOURCE).select("gh").distinct()
     )
     cand = (
         grams.filter(F.col("source") != BENCH_SOURCE)
-        .select("doc_id", "g")
+        .select("doc_id", "gh")
         .distinct()
     )
     return (
-        cand.join(F.broadcast(bench), "g")
+        cand.join(F.broadcast(bench), "gh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
     )
