@@ -525,3 +525,140 @@ def text_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_score", 6).alias("model_score"),
         (F.col("raw_score") >= SCORE_KEEP).alias("keep"),
     )
+
+
+@op(
+    "pipeline_corpus_assembly",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, source, text, md5(text) AS h,
+               len(string_split(text, ' ')) AS n_tokens,
+               string_split(text, ' ') AS arr
+        FROM documents
+    ), surv AS (
+        SELECT * FROM feats
+        QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    ), kept AS (
+        SELECT * FROM surv WHERE n_tokens >= 20 AND source <> '{BENCH_SOURCE}'
+    ), bench AS (
+        SELECT DISTINCT md5(unnest(list_transform(
+                   generate_series(1, len(arr) - {DECON_N - 1}),
+                   i -> array_to_string(arr[i:i + {DECON_N - 1}], ' ')))) AS gh
+        FROM feats WHERE source = '{BENCH_SOURCE}' AND len(arr) >= {DECON_N}
+    ), doc_grams AS (
+        SELECT doc_id, md5(unnest(list_transform(
+                   generate_series(1, len(arr) - {DECON_N - 1}),
+                   i -> array_to_string(arr[i:i + {DECON_N - 1}], ' ')))) AS gh
+        FROM kept WHERE len(arr) >= {DECON_N}
+    ), contaminated AS (
+        SELECT DISTINCT doc_id FROM doc_grams WHERE gh IN (SELECT gh FROM bench)
+    ), clean AS (
+        SELECT k.doc_id, k.n_tokens FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), train AS (
+        SELECT doc_id, n_tokens FROM clean
+        WHERE strpos('{_HEX}', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+    ), keyed AS (
+        SELECT doc_id, n_tokens,
+               md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM train
+    ), sharded AS (
+        SELECT doc_id, n_tokens, k,
+               strpos('{_HEX}', substr(k, 1, 1)) - 1 AS shard
+        FROM keyed
+    ), packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   - n_tokens AS start_offset
+        FROM sharded
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           start_offset % {PACK_BUDGET} AS pack_offset
+    FROM packed
+    """,
+    category=CAT,
+)
+def pipeline_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-assembly capstone (the third capstone, alongside
+    pipeline_batch_load and pipeline_training_corpus): exact-dedup
+    survivors → token-count quality gate → benchmark decontamination
+    (drop any doc sharing an 8-gram with the eval slice) → train split
+    → deterministic shard → sequence packing, composed as ONE
+    declarative plan so the whole chain is hash-checked end to end.
+
+    Scale shape, stage by stage: dedup shuffles md5 scalars (text stays
+    in the scan); the gate is a scan filter; decontamination is a
+    broadcast anti-semi-join on md5 gram keys; split is a projection;
+    shard+pack reuse one hash-partition exchange. Three shuffles total
+    for six pipeline stages, no Python anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.split("text", " ").alias("arr"),
+    )
+    wdup = Window.partitionBy("h").orderBy("doc_id")
+    surv = (
+        feats.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = surv.filter(
+        (F.col("n_tokens") >= 20) & (F.col("source") != BENCH_SOURCE)
+    )
+    gram_expr = F.explode(
+        F.expr(
+            f"transform(sequence(1, size(arr) - {DECON_N - 1}),"
+            f" i -> md5(array_join(slice(arr, i, {DECON_N}), ' ')))"
+        )
+    ).alias("gh")
+    bench = (
+        feats.filter(
+            (F.col("source") == BENCH_SOURCE) & (F.size("arr") >= DECON_N)
+        )
+        .select(gram_expr)
+        .distinct()
+    )
+    doc_grams = kept.filter(F.size("arr") >= DECON_N).select("doc_id", gram_expr)
+    contaminated = (
+        doc_grams.join(F.broadcast(bench), "gh").select("doc_id").distinct()
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens"
+    )
+    split_bucket = (
+        F.instr(
+            F.lit(_HEX),
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+            ),
+        )
+        - 1
+    )
+    train = clean.filter(split_bucket < 13)
+    keyed = train.withColumn(
+        "k", F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    ).withColumn("shard", F.instr(F.lit(_HEX), F.substring("k", 1, 1)) - 1)
+    wpack = (
+        Window.partitionBy("shard")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = keyed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(wpack) - F.col("n_tokens")).alias("start_offset"),
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("start_offset") / float(PACK_BUDGET)).alias("pack_id"),
+        (F.col("start_offset") % PACK_BUDGET).alias("pack_offset"),
+    )

@@ -84,7 +84,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_apply_mix", "win_quantile_bin_global",
     "dq_profile", "dq_referential", "merge_cdc_apply",
     "snapshot_diff", "agg_incremental_merge", "join_point_in_time",
-    "text_repetition", "text_score_batch",
+    "text_repetition", "text_score_batch", "pipeline_corpus_assembly",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
