@@ -589,10 +589,16 @@ def pipeline_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative plan so the whole chain is hash-checked end to end.
 
     Scale shape, stage by stage: dedup shuffles md5 scalars (text stays
-    in the scan); the gate is a scan filter; decontamination is a
-    broadcast anti-semi-join on md5 gram keys; split is a projection;
-    shard+pack reuse one hash-partition exchange. Three shuffles total
-    for six pipeline stages, no Python anywhere.
+    in the scan, WindowGroupLimit pre-prunes below the exchange); the
+    gate is a scan filter; decontamination is a broadcast anti-join on
+    md5 gram keys (two gram-distinct aggs feed it); split is a pure
+    projection; shard+pack share one hash-partition exchange. Every
+    exchange key in the plan is a fixed-width hash — the widest value
+    crossing any wire is a 32-char md5, never document text — and no
+    stage is Python. The static plan evaluates the survivor branch
+    twice (once per consumer); at 100 TB persist the survivors
+    (localCheckpoint) between stages — at test scale AQE's exchange
+    reuse makes it moot.
     """
     docs = load_table(spark, sf_dir, "documents")
     feats = docs.select(
