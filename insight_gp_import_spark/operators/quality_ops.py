@@ -215,3 +215,45 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("cdc_action"),
     )
+
+
+@op(
+    "observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS null_custkey,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    """,
+    category=CAT,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline metrics via df.observe(): the load job
+    itself carries accumulator-style aggregates (row count, sum,
+    null count), so data-quality counters cost ZERO extra scans —
+    at 100 TB a separate dq_profile pass doubles the read; observe
+    rides the write. The observed values are returned as a 1-row
+    DataFrame and hash-checked against the oracle recomputation.
+
+    (n_statuses uses a plain agg: observe() forbids distinct
+    aggregates, a documented limitation of the metric channel.)
+    """
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("load_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "load" action
+    m = obs.get
+    n_statuses = orders.select("o_orderstatus").distinct().count()
+    return spark.createDataFrame(
+        [(m["n_rows"], float(m["sum_price"]), m["null_custkey"], n_statuses)],
+        "n_rows long, sum_price double, null_custkey long, n_statuses long",
+    )

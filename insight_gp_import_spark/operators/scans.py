@@ -674,3 +674,53 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1.o_orderkey").alias("old_orderkey"),
         F.col("s2.o_orderkey").alias("new_orderkey"),
     )
+
+
+@op("sink_parquet_range_sorted", oracle=None, category=CAT)
+def sink_parquet_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted parquet output WITHOUT a single-task sort:
+    repartitionByRange(l_shipdate) range-partitions the data (sampled
+    split points), sortWithinPartitions orders each range file — file
+    k's max <= file k+1's min, so the dataset is globally ordered
+    while every partition sorts in parallel. This is THE way to write
+    a 100 TB sorted/zone-mapped table; an orderBy().write would pull
+    the sort into one task chain, and a coalesce(1) is a non-starter.
+
+    Returns the verification summary (rows-only: output layout is
+    filesystem-dependent): per-file [min,max] l_shipdate ranges must
+    be non-overlapping in file-range order, and the row total must
+    survive the round trip.
+    """
+    out = tempfile.mkdtemp(prefix="igis-rangesort-")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn(
+        "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    per_file = back.groupBy("file").agg(
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy("mn", "file")
+    overlaps = per_file.withColumn("prev_mx", F.lag("mx").over(w)).filter(
+        F.col("prev_mx").isNotNull() & (F.col("mn") < F.col("prev_mx"))
+    )
+    return spark.createDataFrame(
+        [
+            (
+                per_file.count(),
+                int(per_file.agg(F.sum("n")).collect()[0][0]),
+                int(li.count()),
+                overlaps.count() == 0,
+            )
+        ],
+        "n_files int, rows_written long, rows_source long, globally_sorted boolean",
+    )

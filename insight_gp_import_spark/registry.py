@@ -85,11 +85,12 @@ DRIVER_ORDER: list[str] = [
     "dq_profile", "dq_referential", "merge_cdc_apply",
     "snapshot_diff", "agg_incremental_merge", "join_point_in_time",
     "text_repetition", "text_score_batch", "pipeline_corpus_assembly",
+    "observe_metrics",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
     "stream_watermark_late", "dedup_simhash", "ann_ivf_topk", "ann_lsh_topk",
-    "dedup_embed_lsh",
+    "dedup_embed_lsh", "sink_parquet_range_sorted",
     # -- round-1 driver-verified (CORRECTNESS_r01.json) --
     "agg_global", "agg_hash_groupby", "agg_count_distinct",
     "agg_approx_distinct", "agg_grouping_sets", "agg_rollup", "agg_cube",

@@ -131,3 +131,10 @@ def test_snapshot_diff_only_added_and_changed_on_monotone_history(spark):
     assert out.filter(F.col("action") == "removed").count() == 0
     assert out.filter((F.col("action") == "changed") & (F.col("old_orderkey") == F.col("new_orderkey"))).count() == 0
     assert out.count() > 0
+
+
+def test_range_sorted_sink_is_globally_sorted(spark):
+    [row] = OPS["sink_parquet_range_sorted"].fn(spark, SF).collect()
+    assert row.globally_sorted, row
+    assert row.rows_written == row.rows_source
+    assert row.n_files > 1  # parallel write, not a coalesce(1) cheat
