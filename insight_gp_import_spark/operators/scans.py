@@ -724,3 +724,56 @@ def sink_parquet_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_files int, rows_written long, rows_source long, globally_sorted boolean",
     )
+
+
+@op("sink_partition_overwrite_dynamic", oracle=None, category=CAT)
+def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental day-reload:
+    rewriting one ingest day must replace ONLY that day's directory,
+    not truncate the table (static overwrite mode, the default, drops
+    every partition first). This is how a loader re-runs a failed or
+    corrected batch against a 100 TB date-partitioned table: the
+    rewrite touches one partition's files; every other day is
+    untouched bytes on disk.
+
+    Returns the verification summary (rows-only: fs layout): day-1
+    rows doubled by the re-load of a doubled batch, all other days
+    byte-identical counts, total days preserved.
+    """
+    out = tempfile.mkdtemp(prefix="igis-dynover-")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    days = [r[0] for r in ev.select("event_date").distinct().orderBy("event_date").collect()]
+    target = days[0]
+    # corrected batch for the target day: the same rows duplicated
+    redo = ev.filter(F.col("event_date") == target)
+    redo = redo.unionByName(redo)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        redo.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(out)
+    n_target_before = ev.filter(F.col("event_date") == target).count()
+    n_target_after = back.filter(F.col("event_date") == target).count()
+    others_intact = (
+        back.filter(F.col("event_date") != target).count()
+        == ev.filter(F.col("event_date") != target).count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                target,
+                n_target_before,
+                n_target_after,
+                n_target_after == 2 * n_target_before,
+                others_intact,
+                back.select("event_date").distinct().count() == len(days),
+            )
+        ],
+        "target_day string, rows_before long, rows_after long,"
+        " target_replaced boolean, others_intact boolean, days_preserved boolean",
+    )

@@ -138,3 +138,10 @@ def test_range_sorted_sink_is_globally_sorted(spark):
     assert row.globally_sorted, row
     assert row.rows_written == row.rows_source
     assert row.n_files > 1  # parallel write, not a coalesce(1) cheat
+
+
+def test_dynamic_partition_overwrite_replaces_only_target(spark):
+    [row] = OPS["sink_partition_overwrite_dynamic"].fn(spark, SF).collect()
+    assert row.target_replaced, row
+    assert row.others_intact, row
+    assert row.days_preserved, row
