@@ -777,3 +777,90 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
         "target_day string, rows_before long, rows_after long,"
         " target_replaced boolean, others_intact boolean, days_preserved boolean",
     )
+
+
+@op("sink_parquet_zorder", oracle=None, category=CAT)
+def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered parquet layout: interleave the bits of TWO
+    filter columns (l_partkey, l_suppkey) into one Morton key, range-
+    partition + sort on it, and every file becomes a small rectangle in
+    (partkey, suppkey) space — parquet footer min/max stats then prune
+    files for predicates on EITHER column. A plain sort clusters one
+    column and leaves the other spread across the full domain in every
+    file (no skipping possible); that contrast is measured below, not
+    assumed. This is the layout play for 100 TB point/range lookups on
+    two keys with ONE copy of the data: the z-key is a scan-stage
+    projection, the only exchange is the same repartitionByRange a
+    single-column sorted sink needs.
+
+    Rows-only (fs layout): returns per-dimension mean file-range widths
+    (fraction of domain) for the z-order layout vs a single-column-sort
+    baseline, plus round-trip row counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    # 1-row bounds scan (same benign pattern as the JDBC range bounds).
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    mnx, mxx, mny, mxy = int(b[0]), int(b[1]), int(b[2]), int(b[3])
+
+    def scale16(c, mn, mx):  # map to [0, 65535]
+        return F.least(
+            F.lit(65535),
+            ((c - F.lit(mn)).cast("long") * 65535 / F.lit(max(mx - mn, 1))).cast("int"),
+        )
+
+    xb, yb = scale16(F.col("l_partkey"), mnx, mxx), scale16(F.col("l_suppkey"), mny, mxy)
+    z = F.lit(0).cast("long")
+    for i in range(16):  # Morton interleave, pure JVM bit math
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
+        )
+    n_files = 16
+
+    def file_widths(df: DataFrame, out: str) -> DataFrame:
+        back = spark.read.parquet(out).withColumn(
+            "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        return back.groupBy("file").agg(
+            ((F.max("l_partkey") - F.min("l_partkey")) / F.lit(max(mxx - mnx, 1))).alias("wx"),
+            ((F.max("l_suppkey") - F.min("l_suppkey")) / F.lit(max(mxy - mny, 1))).alias("wy"),
+            F.count("*").alias("n"),
+        )
+
+    out_z = tempfile.mkdtemp(prefix="igis-zorder-")
+    (
+        li.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(out_z)
+    )
+    out_lin = tempfile.mkdtemp(prefix="igis-linsort-")
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(out_lin)
+    )
+    wz = file_widths(li, out_z).agg(
+        F.avg("wx").alias("z_wx"), F.avg("wy").alias("z_wy"),
+        F.sum("n").alias("rows_z"), F.count("*").alias("files_z"),
+    ).collect()[0]
+    wl = file_widths(li, out_lin).agg(
+        F.avg("wx").alias("l_wx"), F.avg("wy").alias("l_wy")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(
+            int(wz["files_z"]), int(wz["rows_z"]), int(li.count()),
+            round(float(wz["z_wx"]), 4), round(float(wz["z_wy"]), 4),
+            round(float(wl["l_wx"]), 4), round(float(wl["l_wy"]), 4),
+        )],
+        "n_files int, rows_written long, rows_source long, "
+        "zorder_width_partkey double, zorder_width_suppkey double, "
+        "linear_width_partkey double, linear_width_suppkey double",
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 import time
 from pathlib import Path
@@ -384,4 +385,57 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("event_id").alias("last_event_id"),
         F.round("value", 4).alias("last_value"),
+    )
+
+
+@op("stream_checkpoint_restart", oracle=None, category=CAT)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-recovery contract of the ingest loop: stop the query, land
+    a new staging file, RESTART FROM THE SAME CHECKPOINT — the new run
+    must pick up exactly the unprocessed file (no reprocess of files
+    1-2, no loss of file 3). This is what replaces the reference's
+    archive/retry directory choreography: the checkpoint (source file
+    log) plus the parquet sink's _spark_metadata transaction log give
+    exactly-once across restarts with NO file moves at all. At 100 TB
+    the recovery state is O(files-seen) driver-side metadata —
+    independent of data volume.
+
+    Rows-only: the observable is the recovery behavior itself (phase-1
+    row count strictly between 0 and total; final rows == source rows
+    with event_ids unique proves no replay after restart).
+    """
+    from insight_gp_import_spark.streaming import read_events_stream
+
+    staged = _stage_events_files(spark, sf_dir)
+    files = sorted(Path(staged).glob("*.parquet"))
+    src = tempfile.mkdtemp(prefix="igis-restart-src-")
+    out = tempfile.mkdtemp(prefix="igis-restart-out-")
+    ckpt = tempfile.mkdtemp(prefix="igis-restart-ckpt-")
+
+    def run_to_sink() -> None:
+        q = (
+            read_events_stream(spark, src, max_files=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    for p in files[:-1]:  # phase 1: all but the last staged file
+        shutil.copy2(p, Path(src) / p.name)
+    run_to_sink()
+    rows_phase1 = spark.read.parquet(out).count()
+    shutil.copy2(files[-1], Path(src) / files[-1].name)  # late arrival
+    run_to_sink()  # restart from the same checkpoint
+    back = spark.read.parquet(out)
+    n_total = back.count()
+    n_distinct = back.select("event_id").distinct().count()
+    n_source = load_table(spark, sf_dir, "events").count()
+    return spark.createDataFrame(
+        [(int(rows_phase1), int(n_total), int(n_distinct), int(n_source))],
+        "rows_phase1 long, rows_total long, distinct_ids long, rows_source long",
     )

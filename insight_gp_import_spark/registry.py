@@ -91,7 +91,8 @@ DRIVER_ORDER: list[str] = [
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
     "stream_watermark_late", "dedup_simhash", "ann_ivf_topk", "ann_lsh_topk",
     "dedup_embed_lsh", "sink_parquet_range_sorted",
-    "sink_partition_overwrite_dynamic",
+    "sink_partition_overwrite_dynamic", "sink_parquet_zorder",
+    "stream_checkpoint_restart",
     # -- round-1 driver-verified (CORRECTNESS_r01.json) --
     "agg_global", "agg_hash_groupby", "agg_count_distinct",
     "agg_approx_distinct", "agg_grouping_sets", "agg_rollup", "agg_cube",

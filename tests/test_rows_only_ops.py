@@ -120,3 +120,14 @@ def test_file_lifecycle_dirs_and_manifest(spark, tmp_path):
     back = spark.read.parquet(f"{root}/processed")
     assert back.count() == expect
     assert back.select("event_id").distinct().count() == expect
+
+
+def test_zorder_sink_clusters_both_dims(spark):
+    """Z-order layout: every file covers a small rectangle in
+    (partkey, suppkey) space — both dims prunable; a single-column
+    sort leaves the second dim spread across the full domain."""
+    r = OPS["sink_parquet_zorder"].fn(spark, SF).collect()[0]
+    assert r.rows_written == r.rows_source
+    assert r.zorder_width_partkey < 0.6
+    assert r.zorder_width_suppkey < 0.6
+    assert r.linear_width_suppkey > 0.9  # the contrast z-order removes

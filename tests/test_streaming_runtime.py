@@ -17,6 +17,7 @@ from insight_gp_import_spark.streaming import (
     run_to_memory,
     upsert_merge,
 )
+from insight_gp_import_spark.registry import load_all_ops
 from insight_gp_import_spark.tables import load_events
 
 SF = "/root/testdata/sf0.001"
@@ -221,3 +222,12 @@ def test_stream_stream_join_matches_batch(spark):
     want = {tuple(r) for r in stream_stream_join(spark, SF).collect()}
     assert want, "batch join empty at sf0.001?"
     assert got == want
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Restarting from the same checkpoint picks up only the new file:
+    no replay of processed files, no loss of the late one."""
+    ops = load_all_ops()
+    r = ops["stream_checkpoint_restart"].fn(spark, SF).collect()[0]
+    assert 0 < r.rows_phase1 < r.rows_source
+    assert r.rows_total == r.rows_source == r.distinct_ids
