@@ -281,6 +281,85 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "join_asof_tolerance",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               event_type,
+               CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+               CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END AS view_ts
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+    ), enriched AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(view_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prior_view_id,
+               last_value(view_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prior_view_ts
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN prior_view_ts >= ts - INTERVAL 1 HOUR
+                THEN prior_view_id END AS view_id_within_1h,
+           CASE WHEN prior_view_ts >= ts - INTERVAL 1 HOUR
+                THEN CAST(date_diff('second', prior_view_ts, ts) AS BIGINT)
+                END AS staleness_sec
+    FROM enriched
+    WHERE event_type = 'purchase'
+    """,
+    category=CAT,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas ``merge_asof
+    tolerance=`` / kdb ``wj`` semantics): the most recent prior view
+    counts only if it is at most 1 hour stale — older matches become
+    NULL, exactly like a feature-store lookup that refuses expired
+    features. Same single-shuffle carry-forward formulation as
+    ``join_asof`` (no self-join, no range explosion): tolerance is a
+    post-window CASE, so the 100 TB cost is identical to the unbounded
+    as-of — one exchange on user_id. The oracle declares the identical
+    window + CASE so boundary semantics cannot diverge.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "prior_view_id", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn("prior_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    fresh = F.col("prior_view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(fresh, F.col("prior_view_id")).alias("view_id_within_1h"),
+        F.when(
+            fresh,
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prior_view_ts")
+            ).cast("long"),
+        ).alias("staleness_sec"),
+    )
+
+
+@op(
     "join_star_multiway",
     oracle="""
     SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
