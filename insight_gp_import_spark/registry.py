@@ -85,7 +85,7 @@ DRIVER_ORDER: list[str] = [
     "dq_profile", "dq_referential", "merge_cdc_apply",
     "snapshot_diff", "agg_incremental_merge", "join_point_in_time",
     "text_repetition", "text_score_batch", "pipeline_corpus_assembly",
-    "observe_metrics", "join_asof_tolerance",
+    "observe_metrics", "join_asof_tolerance", "scan_orc_roundtrip",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
