@@ -16,6 +16,7 @@ from insight_gp_import_spark.operators import (  # noqa: F401
     setops,
     scalar_functions,
     streaming_ops,
+    timeseries,
     training_dedup,
     training_text,
     udfs,

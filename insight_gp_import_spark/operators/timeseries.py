@@ -1,0 +1,222 @@
+"""Time-series operators over the events stream (SURVEY.md §2.K).
+
+Batch-side time-series shaping: sessionization, spine gap-fill, and
+bucket resampling — the event-log counterparts of the streaming ops in
+streaming_ops.py. All ts arithmetic is integer microseconds
+(``unix_micros`` ↔ DuckDB ``epoch_us``) — float seconds drift on raw
+timestamps (§1.3 ns recipe; same reason as the ``div 1000`` rule).
+
+Scale notes per op in the docstrings; the shared shape is: one shuffle
+on the entity key (user_id / event_type), then windows/aggregates
+inside the partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.tables import load_table
+
+CAT = "timeseries"
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@op(
+    "sessionize_gap",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_us IS NULL
+                         OR us - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    category=CAT,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a session breaks after a 30-minute silence
+    — the batch twin of ``stream_session`` (which uses
+    ``F.session_window``; here the gap rule is spelled out with
+    lag → flag → running-sum, the classic formulation).
+
+    One shuffle on user_id serves both windows AND the final groupBy
+    (same partitioning, Catalyst reuses the exchange). Gap compare is
+    integer µs — ``unix_micros`` ↔ ``epoch_us`` are bit-equal, float
+    seconds are not. (event_id tie-break makes the running sum total,
+    §2.X rule 2.) At 100 TB user_id is high-cardinality and unskewed;
+    a hot user would need the salting of agg_salted_skew.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_s").over(w).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@op(
+    "ts_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(h) AS lo, max(h) AS hi FROM hourly
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM hourly
+    )
+    SELECT t.event_type, s.h AS bucket, COALESCE(hh.n, 0) AS n_events
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN hourly hh ON hh.event_type = t.event_type AND hh.h = s.h
+    """,
+    category=CAT,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time spine with zero-fill: hourly counts per event type
+    where silent hours appear explicitly as 0 — what every downstream
+    rate/alert computation needs (a missing bucket reads as "no data",
+    a 0 reads as "no events"; they are different facts).
+
+    Spine = ``sequence(min, max, interval 1 hour)`` exploded once on
+    the driver-side 2-row bounds aggregate, then cross-joined with the
+    distinct types and LEFT-joined back to the sparse counts. Both
+    small sides broadcast (spine ≈ hours × types — thousands of rows
+    even for years of data), so the sparse-counts side never
+    reshuffles: at 100 TB the only wide op remains the initial
+    groupBy. COALESCE(n, 0) keeps BIGINT family (§2.X rule on int
+    sums).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count("*").alias("n"))
+        .cache()
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = hourly.select("event_type").distinct()
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            hourly.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("event_type")) & (hourly["h"] == spine["h"]),
+            "left",
+        )
+        .select(
+            "event_type",
+            spine["h"].alias("bucket"),
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n_events"),
+        )
+    )
+
+
+@op(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               value,
+               row_number() OVER w  AS rn_a,
+               row_number() OVER w2 AS rn_d
+        FROM events
+        WINDOW w  AS (PARTITION BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                      ORDER BY ts, event_id),
+               w2 AS (PARTITION BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                      ORDER BY ts DESC, event_id DESC)
+    )
+    SELECT event_type, d AS bucket,
+           ROUND(min(CASE WHEN rn_a = 1 THEN value END), 4) AS open_v,
+           ROUND(max(value), 4) AS high_v,
+           ROUND(min(value), 4) AS low_v,
+           ROUND(min(CASE WHEN rn_d = 1 THEN value END), 4) AS close_v,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY event_type, d
+    """,
+    category=CAT,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to daily OHLC bars per event type — irregular ticks
+    → regular buckets, the resample step of any metric pipeline.
+
+    first/last-in-bucket are NOT min/max: they need the time order.
+    Expressed engine-portably as row_number over (ts, event_id) asc /
+    desc + conditional min — deterministic even with duplicate
+    timestamps, where ``min_by(value, ts)`` ties arbitrarily in both
+    engines (§2.X rule 2). Both windows and the groupBy share one
+    hash-partitioning on (event_type, day); Catalyst plans a single
+    Exchange, the second window is just another in-partition sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.to_date(F.col("ts"))
+    w_a = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        bucket.alias("d"),
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", F.col("d").alias("bucket")).agg(
+        F.round(F.min(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open_v"),
+        F.round(F.max("value"), 4).alias("high_v"),
+        F.round(F.min("value"), 4).alias("low_v"),
+        F.round(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close_v"),
+        F.count("*").alias("n_events"),
+    )

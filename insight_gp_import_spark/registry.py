@@ -86,6 +86,7 @@ DRIVER_ORDER: list[str] = [
     "snapshot_diff", "agg_incremental_merge", "join_point_in_time",
     "text_repetition", "text_score_batch", "pipeline_corpus_assembly",
     "observe_metrics", "join_asof_tolerance", "scan_orc_roundtrip",
+    "sessionize_gap", "ts_gap_fill", "ts_resample_ohlc",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
