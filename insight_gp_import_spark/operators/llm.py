@@ -660,3 +660,67 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOPK)
         .select("doc_id", "term", F.round("raw_tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+@op(
+    "embed_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               embedding,
+               -- CAST both sides: DuckDB 127.0/FLOAT divides in float32 and
+               -- the float32 scale drifts vs Spark's double (caught at sf0.1)
+               CAST(127.0 AS DOUBLE) / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(least(127, greatest(-127, floor(x * scale + 0.5))) AS BIGINT)
+           )) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(embedding,
+                x -> CAST(least(127, greatest(-127, floor(x * scale + 0.5))) AS BIGINT) <> 0
+           )) AS BIGINT) AS nnz_q,
+           CAST(floor(list_max(list_transform(embedding,
+                x -> abs(x - least(127, greatest(-127, floor(x * scale + 0.5))) / scale)
+           )) * 1e6 + 0.5) AS BIGINT) AS max_err_e6
+    FROM q
+    """,
+    category=CAT,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    step before shipping an embedding corpus to an ANN index or a
+    training shard (4× smaller than float32, 16× than float64).
+
+    scale = 127/max|x| per vector; q = clamp(round-half-up(x·scale)).
+    Rounding is spelled floor(x·scale + 0.5) — both engines execute
+    the same IEEE double ops, whereas built-in round() is half-even in
+    one engine and half-away in the other on exact .5 products (§2.X;
+    same class as the money-math rule). Everything is a scan-stage
+    array expression: zero shuffles, zero Python — at 100 TB this is
+    pure whole-stage-codegen throughput. Output is scalar audit
+    columns (checksum, nnz, max reconstruction error in integer ppm —
+    built-in round() is half-even vs half-away across engines on 6th-
+    decimal doubles, floor(x·1e6+0.5) is not), never the raw int8
+    array (§2.X: no array hashing).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.withColumn(
+        "scale",
+        F.lit(127.0)
+        / F.expr("array_max(transform(embedding, x -> abs(x)))"),
+    )
+    qexpr = "CAST(least(127, greatest(-127, floor(x * scale + 0.5))) AS BIGINT)"
+    return q.select(
+        "vec_id",
+        F.expr(
+            f"CAST(aggregate(transform(embedding, x -> {qexpr}), 0L, (a, b) -> a + b) AS BIGINT)"
+        ).alias("sum_q"),
+        F.expr(
+            f"CAST(size(filter(embedding, x -> {qexpr} <> 0)) AS BIGINT)"
+        ).alias("nnz_q"),
+        F.expr(
+            "CAST(floor(array_max(transform(embedding,"
+            f" x -> abs(x - {qexpr} / scale))) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("max_err_e6"),
+    )

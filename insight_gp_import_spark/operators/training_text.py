@@ -397,3 +397,182 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi_ratio.alias("uniq_bigram_ratio"),
         (bi_ratio < REP_THRESHOLD).alias("is_repetitive"),
     )
+
+
+SPAN_W = 10  # words per dedup chunk
+
+@op(
+    "text_dedup_span",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               md5(c) AS chunk_key
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0, CAST(floor(len(string_split(text, ' ')) / {SPAN_W}) AS INT) - 1),
+                       i -> array_to_string(string_split(text, ' ')[i*{SPAN_W}+1 : i*{SPAN_W}+{SPAN_W}], ' ')
+                   )) AS c
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {SPAN_W}
+        )
+    ), dup_keys AS (
+        SELECT chunk_key
+        FROM chunks
+        GROUP BY chunk_key
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(d.chunk_key) AS BIGINT) AS n_dup_chunks,
+           ROUND(count(d.chunk_key) * 1.0 / count(*), 4) AS dup_ratio
+    FROM chunks c LEFT JOIN dup_keys d USING (chunk_key)
+    GROUP BY c.doc_id
+    """,
+    category=CAT,
+)
+def text_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (the C4/RefinedWeb paragraph-dedup step,
+    word-chunked because this corpus has no newlines): fixed 10-word
+    chunks, a chunk is duplicated if it occurs in ≥2 distinct docs;
+    per-doc duplicated-span ratio drives the curation decision
+    (drop doc / cut spans).
+
+    Chunking is pure JVM array code in the scan stage
+    (split → sequence → slice → concat_ws); the only shuffled payload
+    is (doc_id, md5(chunk)) — 16-byte keys, never raw text, same
+    fixed-width-key discipline as corpus_decontaminate. The dup-key set
+    is an aggregate-then-broadcast-join; at 100 TB the chunk agg is the
+    one real shuffle and it's map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = (
+        docs.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, int(floor(size(words) / {SPAN_W})) - 1),"
+                    f" i -> md5(concat_ws(' ', slice(words, i*{SPAN_W}+1, {SPAN_W}))))"
+                )
+            ).alias("chunk_key"),
+        )
+    )
+    dup_keys = (
+        chunks.groupBy("chunk_key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_key")
+    )
+    flagged = chunks.join(
+        F.broadcast(dup_keys.withColumn("is_dup", F.lit(1))), "chunk_key", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count("is_dup").alias("n_dup_chunks"),
+        F.round(F.count("is_dup") / F.count("*"), 4).alias("dup_ratio"),
+    )
+
+
+BM25_TERMS = ["spark", "query", "join"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 50
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = " + ".join(
+        f"ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * ({BM25_K1} + 1))"
+        f" / (tf_{t} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               {tf_cols}
+        FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               avg(dl) AS avgdl,
+               {df_cols}
+        FROM per_doc
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           ROUND({score}, 4) AS bm25
+    FROM per_doc CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@op("text_bm25_rank", oracle=_bm25_oracle(), category=CAT)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking for a fixed term query — the retrieval
+    scorer behind decontamination-by-search and quality-by-query
+    curation (Okapi BM25, k1=1.2, b=0.75).
+
+    Per-doc tf and dl are scan-stage array expressions; the corpus
+    statistics (N, avgdl, per-term df) are ONE 1-row aggregate
+    broadcast back via cross join — the classic tiny-global-state
+    pattern, so the big side is never reshuffled. The per-term score
+    components are summed in fixed textual order (float addition is
+    not associative; an explode-then-sum would be order-nondeterministic
+    across engines). Top-k by (rounded score, doc_id) is a
+    TakeOrderedAndProject — no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        *[
+            # NB: not F.filter + two-arg lambda — PySpark reads a second
+            # lambda param as the element INDEX, not a closure variable.
+            F.expr(f"size(filter(split(text, ' '), w -> w = '{t}'))").alias(
+                f"tf_{t}"
+            )
+            for t in BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    score = None
+    for t in BM25_TERMS:
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        comp = idf * (F.col(f"tf_{t}") * (BM25_K1 + 1)) / (
+            F.col(f"tf_{t}")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = comp if score is None else score + comp
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("dl"),
+            F.round(score, 4).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -87,6 +87,7 @@ DRIVER_ORDER: list[str] = [
     "text_repetition", "text_score_batch", "pipeline_corpus_assembly",
     "observe_metrics", "join_asof_tolerance", "scan_orc_roundtrip",
     "sessionize_gap", "ts_gap_fill", "ts_resample_ohlc",
+    "text_dedup_span", "text_bm25_rank", "embed_quantize_int8",
     # -- rows-only, no driver evidence yet --
     "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
     "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
