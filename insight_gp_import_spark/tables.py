@@ -75,14 +75,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _load_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ns→µs MUST be integer division (``div``): ``ts/1000`` would
-    promote to double, whose 53-bit mantissa cannot represent ~1.7e18 ns
-    exactly — the rounding error shows up as ±1µs on raw timestamps
-    (caught by stream_session parity). ``div`` truncates exactly like
-    DuckDB."""
+    """Normalize ``ts`` to TIMESTAMP(µs) whatever the file stores.
+
+    Two generations of the corpus exist: TIMESTAMP(NANOS) (read as long
+    via nanosAsLong, truncated ns→µs) and native TIMESTAMP(µs) (read as
+    TIMESTAMP_NTZ when not UTC-adjusted; cast is value-preserving under
+    the session's UTC zone). ns→µs MUST be integer division (``div``):
+    ``ts/1000`` would promote to double, whose 53-bit mantissa cannot
+    represent ~1.7e18 ns exactly — the rounding error shows up as ±1µs
+    on raw timestamps (caught by stream_session parity). ``div``
+    truncates exactly like DuckDB."""
     ensure_nanos_as_long(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
