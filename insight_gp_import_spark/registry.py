@@ -43,19 +43,52 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 
 
 # Explicit declaration order for the driver contract. The driver evaluates
-# queries() in dict-insertion order with a bounded per-round budget
-# (CORRECTNESS_r01.json covered exactly the first 50 registry entries), so
-# ops that still lack driver-side correctness evidence are listed first.
-# Round 1 verified entries 1-50 of the old import order (aggregation, joins,
-# llm, multimodal, projection[:5]); round 2 leads with the 50 oracled ops the
-# driver has never hashed (old entries 51-111 minus rows-only minus
-# sink_jdbc_gp, which is deferred to slot 51: JDBC/Derby is the op most
-# likely to behave differently under the driver's environment, so it should
-# not consume a hash-check slot ahead of pure-DataFrame ops). Rows-only ops
-# follow, then the round-1-verified set. Ops registered but not listed here
-# (new this round) are appended in registration order.
+# queries() in dict-insertion order with a bounded per-round budget of 50
+# entries per round (CORRECTNESS_r01/r02.json each cover exactly the first
+# 50 registry entries), so ops that still lack driver-side correctness
+# evidence are listed first.
+#
+# Evidence ledger by round:
+#   round 1 hashed old-order entries 1-50 (aggregation, joins, llm,
+#     multimodal, projection[:5]) — all green except agg_funnel_conversion
+#     (fixed since; needs a driver re-run).
+#   round 2 hashed the 50 oracled ops promoted that round — all green.
+#   round 3 (this order) promotes the 35 oracled ops the driver has never
+#     hashed (sink_jdbc_gp .. embed_quantize_int8: the corpus_ops /
+#     quality_ops / timeseries blocks and round-2 additions) PLUS
+#     agg_funnel_conversion (slot 1: its only driver row is r1's FAIL and a
+#     green re-hash is the round's top obligation) = 36 hash slots, then
+#     fills the remaining 14 slots with rows-only ops so the driver at
+#     least records them executing. stream_checkpoint_restart spills to
+#     slot 51 (the op's invariant is runtime-tested in pytest and it is the
+#     slowest rows-only op — least marginal value from a driver "ran" row).
+# ROUND-4 TODO: rotate again — promote stream_checkpoint_restart plus any
+# op whose round-3 row is missing/red, then new-this-round ops, then cycle
+# the oldest-evidence blocks (round-1 set) ahead of the round-2 set.
 DRIVER_ORDER: list[str] = [
-    # -- oracled, no driver evidence yet (target: slots 1-50) --
+    # -- round-3 hash slots: oracled, no green driver row yet --
+    "agg_funnel_conversion",
+    "sink_jdbc_gp", "pipeline_file_lifecycle", "dedup_cluster",
+    "sample_stratified", "text_ngram_counts", "embed_outlier_centroid",
+    "stream_stream_join", "pipeline_training_corpus", "win_ntile",
+    "corpus_split_hash", "corpus_shard_shuffle", "corpus_pack_sequences",
+    "corpus_decontaminate", "corpus_mix_weights", "text_pii_mask",
+    "corpus_apply_mix", "win_quantile_bin_global",
+    "dq_profile", "dq_referential", "merge_cdc_apply",
+    "snapshot_diff", "agg_incremental_merge", "join_point_in_time",
+    "text_repetition", "text_score_batch", "pipeline_corpus_assembly",
+    "observe_metrics", "join_asof_tolerance", "scan_orc_roundtrip",
+    "sessionize_gap", "ts_gap_fill", "ts_resample_ohlc",
+    "text_dedup_span", "text_bm25_rank", "embed_quantize_int8",
+    # -- round-3 run slots: rows-only, never executed by the driver --
+    "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
+    "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
+    "stream_watermark_late", "dedup_simhash", "ann_ivf_topk", "ann_lsh_topk",
+    "dedup_embed_lsh", "sink_parquet_range_sorted",
+    "sink_partition_overwrite_dynamic", "sink_parquet_zorder",
+    # -- slot 51+: rows-only spillover (see ROUND-4 TODO above) --
+    "stream_checkpoint_restart",
+    # -- round-2 driver-verified, all green (CORRECTNESS_r02.json) --
     "sample_deterministic",
     "scan_parquet", "scan_events_ns", "ingest_manifest_dedup",
     "schema_evolution_union", "full_snapshot_latest", "full_snapshot_scd2",
@@ -72,35 +105,12 @@ DRIVER_ORDER: list[str] = [
     "udtf_python_tokenize",
     "win_ranking", "win_topn_per_group", "win_lag_lead", "win_running",
     "win_moving", "win_range_interval", "win_first_last", "win_distribution",
-    # -- slot 51+: oracled but past this round's 50-slot window --
-    # ROUND-3 TODO: rotate — move the round-2-verified block (slots 1-50
-    # above) to the back and promote everything below this line into
-    # slots 1-50 so the driver hashes the round-2 additions next.
-    "sink_jdbc_gp", "pipeline_file_lifecycle", "dedup_cluster",
-    "sample_stratified", "text_ngram_counts", "embed_outlier_centroid",
-    "stream_stream_join", "pipeline_training_corpus", "win_ntile",
-    "corpus_split_hash", "corpus_shard_shuffle", "corpus_pack_sequences",
-    "corpus_decontaminate", "corpus_mix_weights", "text_pii_mask",
-    "corpus_apply_mix", "win_quantile_bin_global",
-    "dq_profile", "dq_referential", "merge_cdc_apply",
-    "snapshot_diff", "agg_incremental_merge", "join_point_in_time",
-    "text_repetition", "text_score_batch", "pipeline_corpus_assembly",
-    "observe_metrics", "join_asof_tolerance", "scan_orc_roundtrip",
-    "sessionize_gap", "ts_gap_fill", "ts_resample_ohlc",
-    "text_dedup_span", "text_bm25_rank", "embed_quantize_int8",
-    # -- rows-only, no driver evidence yet --
-    "scan_csv_tolerant", "scan_jsonl", "sink_parquet_partitioned",
-    "sink_parquet_bucketed", "maintenance_compact", "stream_source_dir",
-    "stream_watermark_late", "dedup_simhash", "ann_ivf_topk", "ann_lsh_topk",
-    "dedup_embed_lsh", "sink_parquet_range_sorted",
-    "sink_partition_overwrite_dynamic", "sink_parquet_zorder",
-    "stream_checkpoint_restart",
     # -- round-1 driver-verified (CORRECTNESS_r01.json) --
     "agg_global", "agg_hash_groupby", "agg_count_distinct",
     "agg_approx_distinct", "agg_grouping_sets", "agg_rollup", "agg_cube",
     "agg_having", "agg_collect_sorted", "agg_stats", "agg_pivot",
     "agg_unpivot", "agg_salted_skew", "agg_approx_quantile",
-    "agg_funnel_conversion", "agg_histogram", "agg_retention_cohort",
+    "agg_histogram", "agg_retention_cohort",
     "agg_mode_per_group",
     "join_inner_equi", "join_left_outer", "join_right_outer",
     "join_full_outer", "join_left_semi", "join_left_anti", "join_broadcast",
