@@ -61,3 +61,18 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
     Runtime-settable (verified); required before every ``events`` scan.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def ensure_events_read_confs(spark: SparkSession) -> None:
+    """All confs a foreign session needs to read ``events`` parity-safely.
+
+    Beyond ``nanosAsLong``, pins ``spark.sql.session.timeZone=UTC``: the
+    µs-generation corpus stores ``ts`` as TIMESTAMP_NTZ, and the
+    NTZ→TIMESTAMP cast reinterprets the wall-clock in the *session* zone —
+    value-preserving only under UTC (DuckDB reads the same bytes as
+    zone-less). Without this pin, a foreign session in any other zone
+    silently shifts every ts by its offset and breaks oracle parity.
+    Both confs are runtime-settable SQL confs (verified).
+    """
+    ensure_nanos_as_long(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

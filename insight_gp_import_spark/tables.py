@@ -23,7 +23,7 @@ import weakref
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from insight_gp_import_spark.session import ensure_nanos_as_long
+from insight_gp_import_spark.session import ensure_events_read_confs
 
 TABLES = (
     "region",
@@ -85,11 +85,13 @@ def _load_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     represent ~1.7e18 ns exactly — the rounding error shows up as ±1µs
     on raw timestamps (caught by stream_session parity). ``div``
     truncates exactly like DuckDB."""
-    ensure_nanos_as_long(spark)
+    ensure_events_read_confs(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = raw.schema["ts"].dataType.typeName()
     if ts_type == "long":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ→TIMESTAMP reinterprets wall-clock in the session zone; only
+    # value-preserving because ensure_events_read_confs pinned UTC above.
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

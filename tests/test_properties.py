@@ -76,3 +76,28 @@ def test_dedup_idempotent(spark, data):
     once = df.dropDuplicates(["k"])
     twice = once.dropDuplicates(["k"])
     assert sorted(r.k for r in once.collect()) == sorted(r.k for r in twice.collect())
+
+
+def test_events_load_zone_independent(spark):
+    """A foreign session in a non-UTC zone must still read events with
+    UTC-parity values: ensure_events_read_confs pins timeZone=UTC before
+    the NTZ cast (ADVICE r2 — without the pin every ts shifts by the
+    session zone offset and oracle parity breaks)."""
+    import duckdb
+
+    from insight_gp_import_spark import tables
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        tables._SCAN_CACHE.pop(spark, None)  # drop plans built under UTC
+        ev = tables.load_events(spark, _c.SF01)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+        exp = duckdb.sql(
+            f"SELECT min(ts), max(ts) FROM read_parquet('{_c.SF01}/events.parquet')"
+        ).fetchone()
+        assert (str(got["mn"]), str(got["mx"])) == (str(exp[0]), str(exp[1]))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+        tables._SCAN_CACHE.pop(spark, None)
