@@ -239,15 +239,21 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stoks = gs.select("kh", "n", F.explode("arr").alias("tok"))
     freq = stoks.groupBy("tok").agg(F.count("*").alias("dfreq"))
-    ranked = freq.select(
-        "tok", F.row_number().over(Window.orderBy("dfreq", "tok")).alias("trank")
-    )
-    td = stoks.join(F.broadcast(ranked), "tok")
+    # AllPairs needs each set's tokens ordered rarest-first; any total
+    # order works, so order the per-set window by the (dfreq, tok) tuple
+    # directly instead of materializing a global integer rank — a global
+    # rank is an un-partitioned Window.orderBy, i.e. a single-task sort
+    # of the whole vocabulary (billions of rows at 100 TB). The dfreq
+    # join reuses the groupBy's tok-partitioning (no broadcast hint:
+    # a 100 TB vocab can't broadcast; AQE converts when it is small).
+    td = stoks.join(freq, "tok")
     pos = td.select(
         "kh",
         "tok",
         "n",
-        F.row_number().over(Window.partitionBy("kh").orderBy("trank")).alias("pos"),
+        F.row_number()
+        .over(Window.partitionBy("kh").orderBy("dfreq", "tok"))
+        .alias("pos"),
     )
     prefix_len = (
         F.col("n")

@@ -313,16 +313,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     ).distinct()
     freq = grams.groupBy("g").agg(F.count("*").alias("dfreq"))
-    ranked = freq.select(
-        "g", F.row_number().over(Window.orderBy("dfreq", "g")).alias("grank")
-    )
-    gd = grams.join(F.broadcast(ranked), "g")
+    # Rarest-first order per doc comes straight from the (dfreq, g)
+    # tuple inside the per-doc window — never a global rank, which
+    # would be an un-partitioned Window.orderBy: a single-task sort of
+    # the whole gram-frequency table (billions of rows at 100 TB). The
+    # dfreq join reuses the groupBy's g-partitioning (no broadcast
+    # hint: AQE converts when the vocab is actually small).
+    gd = grams.join(freq, "g")
     sized = gd.groupBy("doc_id").agg(F.count("*").alias("n"))
     pos = gd.select(
         "doc_id",
         "g",
         F.row_number()
-        .over(Window.partitionBy("doc_id").orderBy("grank"))
+        .over(Window.partitionBy("doc_id").orderBy("dfreq", "g"))
         .alias("pos"),
     )
     prefix_len = F.col("n") - F.expr(

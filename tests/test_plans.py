@@ -271,3 +271,14 @@ def test_point_in_time_join_is_keyed_not_nl(spark):
     plan = plan_of(spark, "join_point_in_time")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_allpairs_dedup_has_no_single_partition_window(spark):
+    # AllPairs prefix ranking must come from the per-set window ordered
+    # by (dfreq, key) — a global vocabulary rank would plan as
+    # Exchange SinglePartition + un-partitioned Window: a one-task sort
+    # of the whole vocab table (billions of rows at 100 TB).
+    for name in ("dedup_near_jaccard", "dedup_ngram_jaccard"):
+        plan = plan_of(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "Window" in plan, name  # per-set ranking still windowed
