@@ -522,12 +522,16 @@ def pipeline_file_lifecycle(
     i.e. the oracle checks that load accounting matches the data that
     was actually staged, end-to-end through CSV parse and manifest.
 
-    Scale shape: the per-batch loop is DRIVER-SIDE METADATA work (it
-    iterates over batch directories, like any manifest/metastore
-    operation — cost ∝ #batches, never #rows); the row-bearing paths
-    (CSV parse, parquet append) stay distributed per batch. Moves are
-    directory renames, O(1) per batch on a real filesystem; on object
-    stores the same step is a manifest pointer swap.
+    Scale shape — O(1) Spark jobs per pass, never one per batch (a
+    per-batch loop serializes the driver at 10⁴-10⁵ staged batches):
+    manifest-listed batches are pruned at the PATH level (zero I/O,
+    the partition-pruning analog for staged files), every remaining
+    batch is parsed in ONE tagged read (`input_file_name()` → batch
+    id) landed to a bronze staging parquet, the per-batch good-row
+    accounting is ONE aggregation over that staging whose result is
+    O(#batches) rows, and all good rows append in ONE write job. Archive/error/manifest updates are bulk driver-side metadata
+    ops driven by the collected accounting — directory renames on a
+    real filesystem, manifest pointer swaps on object stores.
     """
     root = root or tempfile.mkdtemp(prefix="igis-lifecycle-")
     incoming, archive, errdir = (os.path.join(root, d) for d in
@@ -566,27 +570,56 @@ def pipeline_file_lifecycle(
     def run_once(run_no: int) -> list[tuple[int, str, str, int]]:
         with open(manifest_path) as fh:
             loaded = {ln.strip() for ln in fh if ln.strip()}
-        out = []
-        for batch in sorted(os.listdir(incoming)):
-            src = os.path.join(incoming, batch)
-            if batch in loaded:
-                out.append((run_no, batch, "skipped", 0))
-                continue
-            raw = spark.read.option("header", True).schema(schema).csv(
-                src, mode="PERMISSIVE", columnNameOfCorruptRecord="_bad"
-            ).cache()
-            good = raw.filter(F.col("_bad").isNull()).drop("_bad")
-            n_good = good.count()
+        batches = sorted(os.listdir(incoming))
+        out = [(run_no, b, "skipped", 0) for b in batches if b in loaded]
+        cand = [b for b in batches if b not in loaded]
+        if not cand:
+            return out
+        # ONE read over every candidate batch dir, rows tagged by source
+        # dir, landed to a bronze staging parquet (CSV parsed exactly
+        # once; also sidesteps Spark's corrupt-column-only query ban
+        # the way its own docs prescribe — persist the parsed result).
+        bronze = os.path.join(root, "bronze", f"run_{run_no}")
+        (
+            spark.read.option("header", True)
+            .schema(schema)
+            .csv(
+                [os.path.join(incoming, b) for b in cand],
+                mode="PERMISSIVE", columnNameOfCorruptRecord="_bad",
+            )
+            .withColumn(
+                "batch_id",
+                F.regexp_extract(F.input_file_name(), r"(batch_\w+)", 1),
+            )
+            .withColumn("is_bad", F.col("_bad").isNotNull())
+            .drop("_bad")
+            .write.parquet(bronze)
+        )
+        parsed = spark.read.parquet(bronze)
+        # good-row counts per batch in ONE aggregation over the columnar
+        # staging (O(#batches) result — the only collect in the op)
+        counts = {
+            r["batch_id"]: r["n_good"]
+            for r in parsed.groupBy("batch_id").agg(
+                F.count(F.when(~F.col("is_bad"), 1)).alias("n_good")
+            ).collect()
+        }
+        # ONE append of every good row (error batches contribute none).
+        parsed.filter(~F.col("is_bad")).drop("is_bad", "batch_id").write.mode(
+            "append"
+        ).parquet(processed)
+        newly_loaded = []
+        for b in cand:
+            n_good = counts.get(b, 0)  # dir parsed to zero rows ⇒ error
             if n_good == 0:
-                shutil.move(src, os.path.join(errdir, batch))
-                out.append((run_no, batch, "error", 0))
-                continue
-            good.write.mode("append").parquet(processed)
-            shutil.move(src, os.path.join(archive, batch))
-            loaded.add(batch)
-            with open(manifest_path, "a") as fh:
-                fh.write(batch + "\n")
-            out.append((run_no, batch, "loaded", n_good))
+                shutil.move(os.path.join(incoming, b), os.path.join(errdir, b))
+                out.append((run_no, b, "error", 0))
+            else:
+                shutil.move(os.path.join(incoming, b), os.path.join(archive, b))
+                newly_loaded.append(b)
+                out.append((run_no, b, "loaded", n_good))
+        with open(manifest_path, "a") as fh:
+            fh.writelines(b + "\n" for b in newly_loaded)
         return out
 
     rows = run_once(1)
