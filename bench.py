@@ -34,7 +34,7 @@ BENCH_QUERIES = {
     "q10": "agg_grouping_sets",
 }
 
-RUNS = 3
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
