@@ -10,11 +10,45 @@ shuffle on.
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession) -> Iterator[None]:
+    """Run streaming queries with the RocksDB state store provider.
+
+    The default HDFS-backed provider keeps every partition's state in
+    JVM heap between batches — fine for test-scale state, an OOM at
+    100 TB where session/dedup/join state reaches hundreds of GB per
+    executor. RocksDB keeps state off-heap on local disk (ships with
+    Spark, no extra jars) and snapshots/changelogs into the checkpoint,
+    so state size is bounded by disk, not heap. The provider is a
+    per-query conf read at stream start; restored on exit so batch
+    tests are unaffected.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [

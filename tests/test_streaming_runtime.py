@@ -11,6 +11,7 @@ from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_gp_import_spark.streaming import (
     read_events_stream,
@@ -231,3 +232,55 @@ def test_checkpoint_restart_exactly_once(spark):
     r = ops["stream_checkpoint_restart"].fn(spark, SF).collect()[0]
     assert 0 < r.rows_phase1 < r.rows_source
     assert r.rows_total == r.rows_source == r.distinct_ids
+
+
+def test_stateful_totals_rocksdb_state_store(spark, events_dir):
+    """The 100 TB state-store configuration, demonstrated at runtime:
+    the same applyInPandasWithState query runs with the RocksDB
+    provider (state off-heap on local disk, snapshot+changelog in the
+    checkpoint) and its final per-user state equals the batch groupBy.
+    The provider actually engaging is asserted from the checkpoint
+    layout: RocksDB maintenance uploads versioned .zip archives under
+    state/, which the default HDFS provider never writes."""
+    import os
+
+    from insight_gp_import_spark.streaming import running_user_totals
+    from insight_gp_import_spark.streaming.runtime import rocksdb_state_store
+
+    ckpt = tempfile.mkdtemp(prefix="igis-rocksdb-ckpt-")
+    with rocksdb_state_store(spark):
+        totals = running_user_totals(
+            read_events_stream(spark, events_dir, max_files=1)
+        )
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("rocksdb_totals")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    state_files = [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(os.path.join(ckpt, "state"))
+        for f in fns
+    ]
+    assert any(f.endswith(".zip") for f in state_files), state_files
+
+    emitted = spark.table("rocksdb_totals")
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"))
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "cnt", F.round("total_value", 2).alias("tv"))
+    )
+    ev = load_events(spark, SF)
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("tv")
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
