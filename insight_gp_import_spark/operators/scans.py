@@ -932,3 +932,183 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@op(
+    "schema_evolution_catalog",
+    oracle="""
+    SELECT doc_id, lang, n_chars, NULL AS source
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars, source
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    category=CAT,
+)
+def schema_evolution_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-only schema evolution on a REAL catalog table — the
+    reference loader's actual DDL path (diff incoming column metadata
+    against the catalog, `ALTER TABLE .. ADD COLUMN`, then load), where
+    schema_evolution_union shows only the logical-plan equivalent.
+
+    Old-schema batch → saveAsTable; `ALTER TABLE ADD COLUMNS (source)`
+    evolves the catalog schema in place (metadata-only — zero data
+    rewritten, exactly like Greenplum's add-column on append tables);
+    new-schema batch appends by name; reading the table back shows old
+    rows with NULL for the new column. At 100 TB the ALTER costs O(1):
+    only the metastore entry changes, and the parquet reader treats the
+    column as missing-=>-null in every pre-evolution file.
+    """
+    import hashlib as _h
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"igis_docs_evolve_{tag}"
+    path = os.path.join(tempfile.mkdtemp(prefix="igis-evolve-"), "t")
+    docs = load_table(spark, sf_dir, "documents")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.option("path", path)
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (source STRING)")
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars", "source")
+        .write.mode("append")
+        .saveAsTable(tbl)
+    )
+    return spark.table(tbl).select("doc_id", "lang", "n_chars", "source")
+
+
+SCD2_CUTOFF = "1996-12-31 00:00:00"
+
+
+@op(
+    "merge_scd2_incremental",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS snapshot_id,
+           CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                AS TIMESTAMP) AS valid_to,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+            IS NULL) AS is_current,
+           o_totalprice AS snapshot_value
+    FROM orders
+    """,
+    category=CAT,
+)
+def merge_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a NEW batch of snapshots into
+    an existing materialized history without rebuilding it — close the
+    open interval of every key the delta touches, version the delta
+    rows among themselves, pass untouched history through. The oracle
+    is the FULL recompute over all snapshots (full_snapshot_scd2's
+    exact SQL), so the hash-match proves merged-incremental ≡ rebuilt —
+    the invariant that lets a 100 TB warehouse maintain dimension
+    history by scanning only the day's delta plus the open rows, never
+    the whole history.
+
+    Scale shape: history is read from its materialized parquet (here:
+    staged to a temp dir by this op); the delta groupBy/windows shuffle
+    O(delta); the close-out join touches history rows only for keys in
+    the delta (broadcast — a day's key set is small next to history).
+    """
+    hist_dir = tempfile.mkdtemp(prefix="igis-scd2-hist-")
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(SCD2_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+    def scd2(df: DataFrame) -> DataFrame:
+        nxt = F.lead("o_orderdate").over(w)
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("snapshot_id"),
+            F.col("o_orderdate").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            F.col("o_totalprice").alias("snapshot_value"),
+        )
+
+    # the pre-existing materialized history (snapshots <= cutoff)
+    scd2(orders.filter(F.col("o_orderdate") <= cutoff)).write.mode(
+        "overwrite"
+    ).parquet(hist_dir)
+    history = spark.read.parquet(hist_dir)
+    delta = orders.filter(F.col("o_orderdate") > cutoff)
+
+    new_versions = scd2(delta)
+    # first delta snapshot per key closes that key's open history row
+    first_delta = delta.groupBy("o_custkey").agg(
+        F.min(F.struct("o_orderdate", "o_orderkey")).alias("f")
+    ).select("o_custkey", F.col("f.o_orderdate").alias("close_at"))
+    closed = (
+        history.join(F.broadcast(first_delta), "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "snapshot_id",
+            "valid_from",
+            F.when(
+                F.col("is_current") & F.col("close_at").isNotNull(),
+                F.col("close_at"),
+            )
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            (F.col("is_current") & F.col("close_at").isNull()).alias(
+                "is_current"
+            ),
+            "snapshot_value",
+        )
+    )
+    return closed.unionByName(new_versions)
+
+
+@op(
+    "sink_csv_gz_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def sink_csv_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's staging format as a SINK: gzipped CSV batches
+    (insight-server stages .csv.gz; scan_csv_tolerant reads them —
+    this op closes the loop by producing them). events → csv.gz →
+    schema-explicit read-back → aggregate, hash-matched against the
+    parquet source, so any row or value the text round trip altered
+    fails the oracle (doubles survive via shortest-repr round-trip
+    guarantee; gzip is splittable per FILE, so parallelism = #files —
+    which is why the writer keeps the source partitioning instead of
+    coalescing to one giant unsplittable .gz).
+    """
+    out = tempfile.mkdtemp(prefix="igis-csvgz-")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv.gz")]
+    if not files:
+        raise RuntimeError(f"no .csv.gz parts written under {out}")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.option("header", True).schema(schema).csv(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

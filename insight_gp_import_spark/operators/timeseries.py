@@ -220,3 +220,141 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close_v"),
         F.count("*").alias("n_events"),
     )
+
+
+@op(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               sum(CAST(floor(value * 10000) AS BIGINT))
+                   // count(*) AS mc
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(h) AS lo, max(h) AS hi FROM hourly
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ), grid AS (
+        SELECT t.event_type, s.h, hh.mc
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN spine s
+        LEFT JOIN hourly hh ON hh.event_type = t.event_type AND hh.h = s.h
+    ), ctx AS (
+        SELECT event_type, h, mc,
+               last_value(mc IGNORE NULLS) OVER wb AS prev_mc,
+               max(CASE WHEN mc IS NOT NULL THEN h END) OVER wb AS prev_h,
+               first_value(mc IGNORE NULLS) OVER wf AS next_mc,
+               min(CASE WHEN mc IS NOT NULL THEN h END) OVER wf AS next_h
+        FROM grid
+        WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h AS bucket,
+           CAST(CASE
+               WHEN mc IS NOT NULL THEN mc
+               WHEN prev_mc IS NULL THEN next_mc
+               WHEN next_mc IS NULL THEN prev_mc
+               ELSE prev_mc + ((next_mc - prev_mc)
+                    * ((CAST(epoch(h) AS BIGINT)
+                        - CAST(epoch(prev_h) AS BIGINT)) // 3600))
+                    // ((CAST(epoch(next_h) AS BIGINT)
+                         - CAST(epoch(prev_h) AS BIGINT)) // 3600)
+           END AS DOUBLE) / 10000.0 AS value_interp,
+           (mc IS NULL) AS was_filled
+    FROM ctx
+    """,
+    category=CAT,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly spine: silent hours
+    get the time-weighted blend of the nearest observed neighbors
+    (edges clamp to the nearest observation) — the gap-fill rule for
+    continuous metrics, where ts_gap_fill's zero-fill is the rule for
+    counts.
+
+    Same spine/broadcast shape as ts_gap_fill (the sparse hourly agg is
+    the only wide op; spine and types broadcast), plus two frame
+    windows per event_type for the previous/next observed values —
+    partitioned by event_type, never global. DuckDB's IGNORE NULLS
+    frames match Spark's last/first(ignorenulls) (probed).
+
+    Determinism: the whole computation is EXACT INTEGER arithmetic in
+    1e-4 units — value floor-quantized pre-agg, truncated integer mean,
+    and the blend uses integer hour offsets with truncating integer
+    division (Spark ``div`` ≡ DuckDB ``//`` toward zero, probed). A
+    float formulation failed parity twice: engine-order avg() drift at
+    a 4dp round boundary, then systematic half-unit ties (mean of cents
+    over an even count) resolved differently by Spark (HALF_UP on the
+    shortest decimal repr) and DuckDB (round on the raw binary double).
+    Integer blend → exact same BIGINT both sides; /10000.0 of equal
+    integers is the identical double.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.expr(
+                "sum(cast(floor(value * 10000) as bigint)) div count(*)"
+            ).alias("mc")
+        )
+        .cache()
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            hourly.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("event_type")) & (hourly["h"] == spine["h"]),
+            "left",
+        )
+        .select("event_type", spine["h"].alias("h"), "mc")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("mc").isNotNull(), F.col("h"))
+    ctx = grid.select(
+        "event_type",
+        "h",
+        "mc",
+        F.last("mc", ignorenulls=True).over(wb).alias("prev_mc"),
+        F.max(obs_h).over(wb).alias("prev_h"),
+        F.first("mc", ignorenulls=True).over(wf).alias("next_mc"),
+        F.min(obs_h).over(wf).alias("next_h"),
+    )
+    blend = F.expr(
+        "prev_mc + ((next_mc - prev_mc)"
+        " * ((unix_timestamp(h) - unix_timestamp(prev_h)) div 3600))"
+        " div ((unix_timestamp(next_h) - unix_timestamp(prev_h)) div 3600)"
+    )
+    ic = (
+        F.when(F.col("mc").isNotNull(), F.col("mc"))
+        .when(F.col("prev_mc").isNull(), F.col("next_mc"))
+        .when(F.col("next_mc").isNull(), F.col("prev_mc"))
+        .otherwise(blend)
+    )
+    return ctx.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        (ic.cast("double") / 10000.0).alias("value_interp"),
+        F.col("mc").isNull().alias("was_filled"),
+    )

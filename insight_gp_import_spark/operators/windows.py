@@ -334,3 +334,61 @@ def win_quantile_bin_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.avg("bal_c") / 100.0, 4).alias("avg_bal"),
     )
+
+
+@op(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1
+               THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WHERE user_id < 100
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_distinct_types
+    FROM flagged
+    """,
+    category=CAT,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — how many distinct event types
+    has each user touched as of each event (feature-engineering staple:
+    breadth-of-activity as-of features).
+
+    Engine-portable formulation: a distinct count over a growing frame
+    is the running SUM of first-occurrence flags (row_number()=1 per
+    (user, type)), which both engines express identically — native
+    `count(DISTINCT) OVER` support differs across engines and Spark
+    does not allow it in a window at all. Scale shape: both windows
+    partition on user_id, so ONE user_id exchange serves the
+    first-occurrence flag (its (user_id, event_type) partition is a
+    refinement — no second shuffle needed beyond the in-partition
+    sort) and the running sum; never a global window.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_new"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new").over(w_run).cast("bigint").alias("n_distinct_types"),
+    )
