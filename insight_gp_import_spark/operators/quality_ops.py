@@ -257,3 +257,54 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], float(m["sum_price"]), m["null_custkey"], n_statuses)],
         "n_rows long, sum_price double, null_custkey long, n_statuses long",
     )
+
+
+@op(
+    "dq_freshness",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               max(CAST(ts AS TIMESTAMP)) AS latest,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ), global_max AS (
+        SELECT max(latest) AS g FROM per_type
+    )
+    SELECT event_type, latest, n_events,
+           CAST(floor(epoch(g)) AS BIGINT)
+               - CAST(floor(epoch(latest)) AS BIGINT) AS staleness_sec,
+           (CAST(floor(epoch(g)) AS BIGINT)
+               - CAST(floor(epoch(latest)) AS BIGINT) > 3600) AS is_stale
+    FROM per_type CROSS JOIN global_max
+    """,
+    category=CAT,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: how far behind the newest data is
+    each event stream (the 'did the agent on host X stop uploading'
+    check a monitoring warehouse runs after every load — staleness
+    beyond an SLA flags the stream).
+
+    One map-side-combined agg to |streams| rows, then a 1-row global
+    max broadcast back — the corpus never reshuffles, same shape as
+    corpus_mix_weights. Staleness in integer epoch seconds (DuckDB
+    epoch() is fractional DOUBLE and CAST rounds while Spark's
+    unix_timestamp floors — floor() in the oracle; §2.X: never emit raw double
+    arithmetic when integers express the semantics exactly)."""
+    per_type = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("latest"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    gmax = per_type.agg(F.max("latest").alias("g"))
+    stale = F.unix_timestamp("g") - F.unix_timestamp("latest")
+    return per_type.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        "latest",
+        "n_events",
+        stale.alias("staleness_sec"),
+        (stale > 3600).alias("is_stale"),
+    )

@@ -319,3 +319,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("event_id", 2).alias("b_shr"),
         F.bit_count("event_id").alias("b_pop"),
     )
+
+
+@op(
+    "fn_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(text, '[a-z]{4,}'), ',') AS words,
+           CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS INT) AS n_words
+    FROM documents
+    WHERE doc_id % 97 = 0
+    """,
+    category=CAT,
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction — regexp_extract_all pulls EVERY
+    match as an array (the scalar fn_string family covers only
+    first-match extract). Pattern stays in the Java∩RE2 common dialect
+    (§2.G rule); match order is left-to-right in both engines, so the
+    serialized join is deterministic without a sort. Array serialized
+    via array_join before hashing (§2.X rule 3)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    words = F.expr("regexp_extract_all(text, '[a-z]{4,}', 0)")
+    return docs.select(
+        "doc_id",
+        F.array_join(words, ",").alias("words"),
+        F.size(words).alias("n_words"),
+    )
