@@ -653,3 +653,76 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (facts["fact_ts"] >= scd["valid_from"])
         & (scd["valid_to"].isNull() | (facts["fact_ts"] < scd["valid_to"])),
     ).select("o_orderkey", "o_custkey", "fact_ts", "state_value", "valid_from")
+
+
+INTERVAL_BUCKET_US = 300_000_000  # 5-minute buckets, µs
+
+
+@op(
+    "join_interval_bucketed",
+    oracle=f"""
+    SELECT a.event_id AS error_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_purchases
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'error') a
+    LEFT JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               WHERE event_type = 'purchase') b
+      ON epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + {INTERVAL_BUCKET_US}
+    GROUP BY a.event_id
+    """,
+    category=CAT,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key, made scalable by time bucketing:
+    platform-wide purchases within 5 minutes after each error event.
+
+    The naive plan for a pure time-range theta join is a nested loop
+    (every error × every purchase — quadratic, the BNLJ that kills a
+    100 TB correlation query; join_range_theta dodges it only because
+    it has a user_id equi key). Bucketing recovers an equi key from
+    the predicate itself: purchases land in floor(µs/W) buckets, each
+    error probes its own bucket and the next (a (t, t+W] window spans
+    at most two W-wide buckets), and the exact interval predicate runs
+    as a residual filter on the equi-matched pairs. Join input is
+    2 rows per error (the explode) vs |errors|×|purchases| — the plan
+    is a plain shuffle/broadcast HASH join on bucket (asserted: no
+    BroadcastNestedLoopJoin), and candidate pairs scale with true
+    temporal co-occurrence, not corpus². The oracle is the naive theta
+    formulation — an independent plan computing the same relation.
+    All comparisons in integer µs (unix_micros ≡ epoch_us, probed by
+    the sessionize_gap family)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("a_us"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("b_us"),
+        F.expr(f"unix_micros(ts) div {INTERVAL_BUCKET_US}").alias("bucket"),
+    )
+    probes = a.select(
+        "error_id",
+        "a_us",
+        F.explode(
+            F.array(
+                F.expr(f"a_us div {INTERVAL_BUCKET_US}"),
+                F.expr(f"a_us div {INTERVAL_BUCKET_US} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    # left join keeps zero-match errors (both probe rows null-padded
+    # -> count 0); a real (error, purchase) pair appears exactly once
+    # (the purchase has one bucket; the error's two probe buckets are
+    # distinct), so a plain count of residual-true hits is exact
+    hit = F.when(
+        (F.col("b_us") > F.col("a_us"))
+        & (F.col("b_us") <= F.col("a_us") + INTERVAL_BUCKET_US),
+        F.col("purchase_id"),
+    )
+    return (
+        probes.join(b, "bucket", "left")
+        .groupBy("error_id")
+        .agg(F.count(hit).alias("n_purchases"))
+    )

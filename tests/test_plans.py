@@ -282,3 +282,12 @@ def test_allpairs_dedup_has_no_single_partition_window(spark):
         plan = plan_of(spark, name)
         assert "SinglePartition" not in plan, name
         assert "Window" in plan, name  # per-set ranking still windowed
+
+
+def test_interval_bucketed_join_is_hash_not_nl(spark):
+    # the whole point of the op: a no-equi-key interval join must plan
+    # as a HASH join on the derived time bucket, never a nested loop
+    plan = plan_of(spark, "join_interval_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
