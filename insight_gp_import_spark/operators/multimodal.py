@@ -169,3 +169,77 @@ def resize_images(
     return payloads.select("doc_id", "payload").mapInPandas(
         resize_batches, "doc_id long, payload binary"
     )
+
+
+SAMPLE_RATE = 16_000  # fake PCM: 16 kHz, 16-bit mono
+BYTES_PER_SAMPLE = 2
+CHUNK_SAMPLES = 4_000  # 250 ms windows
+CHUNK_STRIDE = 2_000  # 50% overlap
+
+
+@op(
+    "mm_audio_chunks",
+    oracle=f"""
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {CHUNK_STRIDE} AS start_sample,
+           CAST(least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SAMPLES},
+                      n_samples) AS BIGINT) AS end_sample,
+           round((chunk_idx * {CHUNK_STRIDE}) / {SAMPLE_RATE}.0, 4)
+               AS start_sec
+    FROM (
+        SELECT doc_id,
+               n_chars // {BYTES_PER_SAMPLE} AS n_samples,
+               CAST(unnest(generate_series(
+                   0,
+                   (n_chars // {BYTES_PER_SAMPLE} - 1) // {CHUNK_STRIDE},
+                   1)) AS BIGINT) AS chunk_idx
+        FROM documents
+        WHERE n_chars // {BYTES_PER_SAMPLE} >= 1
+    )
+    """,
+    category=CAT,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing over "PCM" payloads — the audio-modality member
+    of the multimodal family (image: mm_decode_features, video:
+    mm_frame_sample): split each payload into overlapping fixed-length
+    sample windows, the unit every ASR/audio-embedding stage consumes.
+
+    Sample count = n_bytes/{BYTES_PER_SAMPLE} (16-bit mono PCM
+    convention); windows of {CHUNK_SAMPLES} samples every
+    {CHUNK_STRIDE} (50 % overlap); the tail window clamps to the
+    payload end. Row expansion is JVM-side sequence+explode exactly
+    like frame sampling — Python (the real decoder's slot) would only
+    ever see the already-chunked byte ranges via mapInPandas. All
+    window arithmetic is exact integer math; start_sec is the only
+    derived double (rounded 4dp both sides).
+    """
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+    n_samples = F.expr(f"length(payload) div {BYTES_PER_SAMPLE}")
+    return (
+        payloads.withColumn("n_samples", n_samples)
+        .filter(F.col("n_samples") >= 1)
+        .select(
+            "doc_id",
+            "n_samples",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(n_samples - 1) div {CHUNK_STRIDE}"),
+                    F.lit(1).cast("long"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_STRIDE).alias("start_sample"),
+            F.least(
+                F.col("chunk_idx") * CHUNK_STRIDE + CHUNK_SAMPLES,
+                F.col("n_samples"),
+            ).alias("end_sample"),
+            F.round(
+                (F.col("chunk_idx") * CHUNK_STRIDE) / float(SAMPLE_RATE), 4
+            ).alias("start_sec"),
+        )
+    )
