@@ -291,3 +291,19 @@ def test_interval_bucketed_join_is_hash_not_nl(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_scd2_incremental_broadcasts_closeout(spark):
+    # the close-out join must broadcast the first-delta-per-key set —
+    # a day's keys are tiny next to materialized history; a shuffle of
+    # history here would defeat the incremental-maintenance point
+    plan = plan_of(spark, "merge_scd2_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_freshness_broadcasts_global_max(spark):
+    # per-stream agg then a 1-row global-max broadcast back; the
+    # events table itself must never reshuffle after its agg
+    plan = plan_of(spark, "dq_freshness")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
