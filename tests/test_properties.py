@@ -101,3 +101,105 @@ def test_events_load_zone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
         tables._SCAN_CACHE.pop(spark, None)
+
+
+ts_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 2000)),  # (kind, t_us)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=ts_rows)
+@SETTINGS
+def test_bucketed_interval_join_equals_naive(spark, data):
+    """The equi-key-recovery technique behind join_interval_bucketed:
+    for ANY point set, bucket-join + residual filter must produce
+    exactly the naive theta-join pairs (window (t, t+W], W = bucket
+    width — a window spans at most buckets k and k+1)."""
+    W = 100
+    df = spark.createDataFrame(
+        [(i, int(k), int(t)) for i, (k, t) in enumerate(data)],
+        "rid int, kind int, t long",
+    )
+    a = df.filter(F.col("kind") == 0).select(
+        F.col("rid").alias("a_id"), F.col("t").alias("a_t")
+    )
+    b = df.filter(F.col("kind") == 1).select(
+        F.col("rid").alias("b_id"),
+        F.col("t").alias("b_t"),
+        F.expr(f"t div {W}").alias("bucket"),
+    )
+    naive = a.join(
+        b.drop("bucket"),
+        (F.col("b_t") > F.col("a_t")) & (F.col("b_t") <= F.col("a_t") + W),
+    ).select("a_id", "b_id")
+    probes = a.select(
+        "a_id",
+        "a_t",
+        F.explode(
+            F.array(F.expr(f"a_t div {W}"), F.expr(f"a_t div {W} + 1"))
+        ).alias("bucket"),
+    )
+    bucketed = (
+        probes.join(b, "bucket")
+        .filter(
+            (F.col("b_t") > F.col("a_t")) & (F.col("b_t") <= F.col("a_t") + W)
+        )
+        .select("a_id", "b_id")
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
+
+
+snap_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-9, 9)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),  # one snapshot per (key, time)
+)
+
+
+@given(data=snap_rows, cut=st.integers(10, 40))
+@SETTINGS
+def test_scd2_incremental_equals_rebuild(spark, data, cut):
+    """The merged-incremental ≡ rebuilt invariant behind
+    merge_scd2_incremental, on ARBITRARY snapshot streams and an
+    arbitrary history/delta cutoff."""
+    from pyspark.sql.window import Window as W_
+
+    df = spark.createDataFrame(
+        [(int(k), int(t), int(v)) for k, t, v in data], "k int, t int, v int"
+    )
+    w = W_.partitionBy("k").orderBy("t")
+
+    def scd2(d):
+        nxt = F.lead("t").over(w)
+        return d.select(
+            "k",
+            F.col("t").alias("vf"),
+            nxt.alias("vt"),
+            nxt.isNull().alias("cur"),
+            "v",
+        )
+
+    full = scd2(df)
+    hist = scd2(df.filter(F.col("t") <= cut))
+    delta = df.filter(F.col("t") > cut)
+    first_delta = delta.groupBy("k").agg(F.min("t").alias("close_at"))
+    closed = hist.join(first_delta, "k", "left").select(
+        "k",
+        "vf",
+        F.when(
+            F.col("cur") & F.col("close_at").isNotNull(), F.col("close_at")
+        )
+        .otherwise(F.col("vt"))
+        .alias("vt"),
+        (F.col("cur") & F.col("close_at").isNull()).alias("cur"),
+        "v",
+    )
+    merged = closed.unionByName(scd2(delta))
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
