@@ -307,3 +307,46 @@ def test_freshness_broadcasts_global_max(spark):
     # events table itself must never reshuffle after its agg
     plan = plan_of(spark, "dq_freshness")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """SURVEY §4: DPP matters once sink_parquet_partitioned outputs are
+    re-read — prove it fires. A date-partitioned fact joined to a
+    selectively-filtered dim must show a dynamicpruning expression in
+    the scan's partition filters (at 100 TB this is the difference
+    between scanning 2 days and scanning all of history)."""
+    import tempfile
+
+    from insight_gp_import_spark.tables import load_events
+
+    out = tempfile.mkdtemp(prefix="igis-dpp-")
+    ev = load_events(spark, SF).withColumn(
+        "d", F.to_date("ts")
+    )
+    ev.write.partitionBy("d").parquet(out, mode="overwrite")
+    fact = spark.read.parquet(out)
+    two_days = [r["d"] for r in ev.select("d").distinct().limit(2).collect()]
+    # DPP requires a SELECTIVE PREDICATE on the dim side (a bare limit
+    # doesn't qualify) — filter to two literal days like a real
+    # dim-driven reload would
+    dim = (
+        ev.select("d").distinct()
+        .filter(F.col("d").isin(two_days))
+        .withColumn("tag", F.lit("keep"))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: broadcast joins get cheap
+        # runtime subquery reuse anyway; DPP must also survive a
+        # shuffle join plan
+        joined = fact.join(dim.hint("merge"), "d").groupBy("tag").count()
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
