@@ -612,3 +612,45 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_raw", 2).alias("sum_total"),
         F.round(F.col("sum_raw") / F.col("n_orders"), 4).alias("avg_total"),
     )
+
+
+@op(
+    "agg_median_exact",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(quantile_cont(price_c, 0.5), 1) AS median_c,
+           round(quantile_cont(price_c, 0.9), 1) AS p90_c
+    FROM cents GROUP BY o_orderpriority
+    """,
+    category=CAT,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median / p90 — the no-sketch percentile path
+    (agg_approx_quantile is the sketch twin). Exact percentiles need
+    the full sorted group; Spark's `percentile` aggregates a per-group
+    value buffer instead of a global sort, so the shuffle key stays
+    o_orderpriority and groups parallelize — viable while a single
+    group's distinct-value footprint fits an executor (true here;
+    at 100 TB prefer the sketch twin or pre-aggregate to (group,
+    value, freq) counts first, which `percentile` accepts natively).
+
+    Determinism: quantiles over integer cents land interpolation on
+    exact .0/.5 doubles (win_quantile_bin_global's probe), so Spark
+    `percentile` == DuckDB `quantile_cont` bit-for-bit; round(…, 1)
+    is belt-and-braces, not load-bearing.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    return cents.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.expr("percentile(price_c, 0.5)"), 1).alias("median_c"),
+        F.round(F.expr("percentile(price_c, 0.9)"), 1).alias("p90_c"),
+    )

@@ -308,3 +308,75 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale.alias("staleness_sec"),
         (stale > 3600).alias("is_stale"),
     )
+
+
+@op(
+    "dq_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ), stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cnt) AS BIGINT) AS s,
+               CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.d, d.cnt,
+           round((CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                        / (n - 1)), 4) AS z,
+           (abs((CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                       / (n - 1))) > 2.0) AS is_anomaly
+    FROM daily d JOIN stats USING (event_type)
+    WHERE n > 1
+    """,
+    category=CAT,
+)
+def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily load-volume anomaly audit: z-score of each (stream, day)
+    event count against that stream's own distribution — the 'agent
+    uploaded half the usual volume on Tuesday' check a monitoring
+    warehouse runs after every load (complements dq_freshness, which
+    only catches streams that stop entirely).
+
+    Determinism: mean/std are DERIVED in the final projection from
+    exact integer partial states (n, sum, sum-of-squares as BIGINTs),
+    so both engines evaluate the identical double expression in the
+    same order — no aggregation-order float drift can enter before
+    rounding (same protocol as agg_incremental_merge). Scale shape:
+    raw events collapse to |streams × days| rows in one map-side-
+    combined agg; the per-stream stats row set (|streams|) is
+    broadcast back — the corpus never reshuffles. At petabyte daily
+    volumes sum(cnt*cnt) can exceed BIGINT; swap the partial states
+    to DECIMAL(38,0) and re-verify (the derivation is unchanged).
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            "d",
+            "cnt",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )

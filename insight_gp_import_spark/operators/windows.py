@@ -392,3 +392,79 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("is_new").over(w_run).cast("bigint").alias("n_distinct_types"),
     )
+
+
+@op(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events WHERE user_id < 60
+    ), isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+        FROM days
+    ), streaks AS (
+        SELECT user_id, anchor,
+               CAST(count(*) AS BIGINT) AS len,
+               min(d) AS streak_start
+        FROM isl GROUP BY user_id, anchor
+    ), ranked AS (
+        SELECT user_id, len, streak_start,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY len DESC, streak_start) AS rn,
+               CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_active_days,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_streaks
+        FROM streaks
+    )
+    SELECT user_id, n_active_days, n_streaks,
+           len AS longest_streak, streak_start AS longest_start
+    FROM ranked WHERE rn = 1
+    """,
+    category=CAT,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user
+    (engagement streaks / uptime islands — the canonical 'how many
+    days in a row' warehouse question).
+
+    Technique: a run of consecutive dates has a constant
+    ``date - row_number()`` anchor, so islands fall out of one window
+    plus one groupBy — no self-join, no iteration. Scale shape: the
+    distinct-day collapse shuffles (user_id, day) once, then the
+    window, the island groupBy, and the per-user summary windows all
+    share the user_id-prefixed key — AQE coalesces these into
+    hash-compatible exchanges, and no window is global (§2.X rule 2:
+    the longest-streak pick is tie-broken by earliest start). At 100
+    TB the distinct collapse is the only wide stage over raw events;
+    everything after operates on |user × active-day| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w_rn = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w_rn))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    w_all = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_pick))
+        .withColumn("n_active_days", F.sum("len").over(w_all))
+        .withColumn("n_streaks", F.count("*").over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            "n_streaks",
+            F.col("len").alias("longest_streak"),
+            F.col("streak_start").alias("longest_start"),
+        )
+    )
