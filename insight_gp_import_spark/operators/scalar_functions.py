@@ -348,3 +348,38 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(words, ",").alias("words"),
         F.size(words).alias("n_words"),
     )
+
+
+@op(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS k_missing,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k
+    FROM events WHERE event_id < 2000
+    """,
+    category=CAT,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion: `parse_json` once into a binary
+    semi-structured VARIANT column, then typed `variant_get` path
+    extraction — the modern replacement for per-path get_json_object
+    re-parsing (fn_json is the classic twin). One parse serves N path
+    reads; at 100 TB the parse cost dominates, so VARIANT's
+    parse-once/read-many is the schema-on-read hot path. Missing paths
+    yield NULL via try_variant_get (never an error), mirroring the
+    loader's tolerant-parse posture.
+
+    The VARIANT value itself never reaches the hashed output (§2.X
+    rule 3 — it's an engine-internal binary); only typed scalar
+    extractions do, which DuckDB twins with json_extract."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    withv = ev.select("event_id", v.alias("v"))
+    return withv.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.k", "int").alias("k_int"),
+        F.try_variant_get(F.col("v"), "$.missing", "int").alias("k_missing"),
+        F.try_variant_get(F.col("v"), "$.k", "int").isNotNull().alias("has_k"),
+    )

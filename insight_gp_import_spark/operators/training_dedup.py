@@ -751,3 +751,265 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+BIGSTAR_MAX_ROUNDS = 30
+
+
+@op(
+    "dedup_cluster_bigstar",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({JACCARD_PAIRS_SQL}) jp),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION
+        SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id,
+           node = min(label) AS is_survivor
+    FROM walk GROUP BY node
+    """,
+    category=CAT,
+)
+def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log² n)-round upgrade path dedup_cluster's
+    docstring promises, implemented as a first-class op and
+    hash-checked against the SAME independent DuckDB recursive-CTE
+    oracle (so both algorithms are proven to produce identical
+    clusters).
+
+    Why this wins at 100 TB: min-label propagation needs rounds ~
+    graph DIAMETER (a 10⁶-node chain needs 10⁶ rounds); large-star
+    hangs every larger neighbor off the neighborhood minimum and
+    small-star flattens the remaining chains, contracting any
+    component in O(log²) rounds regardless of diameter. Each round is
+    two keyed aggregations over the edge set — no driver-side data,
+    lineage truncated per round with localCheckpoint. Convergence =
+    edge set reaches a fixpoint (stars pointing at component minima);
+    the per-round driver check is O(1) counts, like dedup_cluster's.
+    """
+    pairs = dedup_near_jaccard(spark, sf_dir).select("d1", "d2")
+    # Undirected edge set, deduplicated, self-loops impossible (d1<d2).
+    edges = pairs.toDF("u", "v").distinct().localCheckpoint()
+
+    for _ in range(BIGSTAR_MAX_ROUNDS):
+        # Large-star: per node u (over BOTH directions), every neighbor
+        # v > u re-attaches to m = min(N(u) ∪ {u}).
+        bidir = edges.union(edges.select("v", "u")).toDF("u", "v")
+        mins = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        after_large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: direct edges high→low; per hi, all smaller
+        # neighbors AND hi itself attach to m = min of the smaller set.
+        hilo = after_large.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        ).distinct()
+        smins = hilo.groupBy("hi").agg(F.min("lo").alias("m"))
+        after_small = (
+            hilo.join(smins, "hi")
+            .select(F.col("lo").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("hi").alias("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Fixpoint when the (canonicalized) edge set is unchanged.
+        if (
+            after_small.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(after_small).limit(1).count() == 0
+        ):
+            edges = after_small
+            break
+        edges = after_small
+
+    # Converged: every non-min node carries exactly one edge to its
+    # component min (star). groupBy(min) is belt-and-braces.
+    roots = edges.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("root")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(roots, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("root", "doc_id").alias("cluster_id"),
+        (F.coalesce("root", "doc_id") == F.col("doc_id")).alias("is_survivor"),
+    )
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 5
+
+
+def kmeans_lloyd_iterations(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[DataFrame, list[float]]:
+    """Library core for embed_kmeans_lloyd: returns (assignments df,
+    per-iteration inertia history). Deterministic throughout: init
+    centroids are the k lowest vec_ids' vectors, assignment tie-break
+    is the lowest cluster id (array_position returns the FIRST match).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [[float(x) for x in r.embedding] for r in init]
+
+    def dist_to(c: list[float]):
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with("embedding", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+
+    inertias: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        dists = F.array(*[dist_to(c) for c in centroids])
+        assigned = emb.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster_id"),
+            F.array_min(dists).alias("d2"),
+        )
+        stats = assigned.groupBy("cluster_id").agg(
+            F.count("*").alias("n"),
+            F.sum("d2").alias("inertia"),
+            *[
+                F.sum(F.col("embedding").getItem(i)).alias(f"s{i}")
+                for i in range(EMBED_DIM)
+            ],
+        ).collect()
+        inertias.append(sum(r.inertia for r in stats))
+        centroids = [
+            [r[f"s{i}"] / r.n for i in range(EMBED_DIM)]
+            for r in sorted(stats, key=lambda r: r.cluster_id)
+        ]
+    return assigned, inertias
+
+
+@op("embed_kmeans_lloyd", category=CAT)
+def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    clustering primitive behind semantic-dedup bucketing, corpus
+    curation (topic balance), and IVF coarse quantizers (ann_ivf_topk
+    consumes exactly such centroids). k=4, 5 iterations, deterministic
+    init (k lowest vec_ids) and tie-break (lowest cluster id), so the
+    output is stable run-to-run on identical data.
+
+    Scale shape: one pass per iteration — assignment is a JVM
+    expression against BROADCAST centroid literals (k×dim doubles,
+    never a join), and the update is one map-side-combined groupBy
+    producing k×(dim+2) numbers; the only driver-side object is that
+    k-row stats result (same bounded-collect class as ann_ivf_topk's
+    probe ids). Embeddings never reshuffle. Rows-only: per-cluster
+    float sums are order-dependent (§2.X rule 1 bounds this below
+    round(4); the unit test pins sizes, monotone inertia, and the
+    k=1 centroid ≡ global mean identity instead)."""
+    assigned, _ = kmeans_lloyd_iterations(spark, sf_dir)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+PCA_ITERS = 12
+
+
+def pca_power_top_component(
+    spark: SparkSession, sf_dir: str, iters: int = PCA_ITERS
+) -> tuple[list[float], float, int]:
+    """embed_pca_power's corpus entry point (see _pca_power)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return _pca_power(emb, iters)
+
+
+def _pca_power(emb: DataFrame, iters: int = PCA_ITERS) -> tuple[list[float], float, int]:
+    """Library core: top principal component of an `embedding`
+    array column by distributed power iteration. Returns (unit
+    eigenvector, Rayleigh quotient vᵀCv of the covariance
+    C=(X-µ)ᵀ(X-µ)/n, n_vectors). Deterministic: fixed all-ones init,
+    fixed iteration count — no RNG (§2.X rule 5). Convergence rate is
+    (λ₂/λ₁)ᵗ: on spectra with a dominant direction it locks on in a
+    handful of rounds (unit-tested on a planted spike); on
+    near-isotropic data the Rayleigh quotient still climbs
+    monotonically into the top of the spectrum (unit-tested on the
+    corpus, whose top eigenvalues sit within 1.3% of each other)."""
+    import math
+
+    n = emb.count()
+    mean_row = emb.agg(
+        *[F.avg(F.col("embedding").getItem(i)).alias(f"m{i}") for i in range(EMBED_DIM)]
+    ).collect()[0]
+    mu = [mean_row[f"m{i}"] for i in range(EMBED_DIM)]
+
+    v = [1.0 / math.sqrt(EMBED_DIM)] * EMBED_DIM
+    eigval = 0.0
+    for _ in range(iters):
+        # s = (x-µ)·v per row, then per-dim Σ s·(x-µ): one map-combined
+        # agg of EMBED_DIM+1 sums — the only driver object is 65 numbers.
+        mu_lit = F.array(*[F.lit(m) for m in mu])
+        v_lit = F.array(*[F.lit(x) for x in v])
+        centered = F.zip_with("embedding", mu_lit, lambda a, b: a.cast("double") - b)
+        s = F.aggregate(
+            F.zip_with(centered, v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        row = emb.select(s.alias("s"), centered.alias("c")).agg(
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            *[
+                F.sum(F.col("s") * F.col("c").getItem(i)).alias(f"w{i}")
+                for i in range(EMBED_DIM)
+            ],
+        ).collect()[0]
+        w = [row[f"w{i}"] / n for i in range(EMBED_DIM)]
+        eigval = row["ss"] / n
+        norm = math.sqrt(sum(x * x for x in w)) or 1.0
+        v = [x / norm for x in w]
+    return v, eigval, n
+
+
+@op("embed_pca_power", category=CAT)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via distributed
+    POWER ITERATION — the dimensionality probe behind whitening,
+    anisotropy correction (all-but-the-top, Mu & Viswanath ICLR'18),
+    and drift monitoring of embedding spaces. No library solver: each
+    iteration is one Spark aggregation computing (X-µ)ᵀ(X-µ)v as
+    Σ sᵢ·(xᵢ-µ) with sᵢ = (xᵢ-µ)·v — the matrix is never
+    materialized, the driver only ever holds dim+1 numbers per round.
+
+    At 100 TB the per-iteration cost is one corpus pass (map-combined
+    partial sums per partition); iterations are bounded (spectral-gap
+    convergence, 12 fixed here). Rows-only: per-dim float sums are
+    order-dependent. Correctness is pinned against numpy two ways:
+    on planted-spike data (clear gap) the component must match the
+    exact eigenvector (cosine > 0.999); on this corpus — whose top
+    eigenvalues are within 1.3% of each other, so NO power method
+    separates them in few rounds — the Rayleigh quotient must land
+    in [λ₃, λ₁] (any unit vector scores ≤ λ₁; 12 rounds at gap ratio
+    0.987 cannot cross λ₂, but clearing λ₃ puts the iterate in the
+    top 5% of the 64-value spectrum)."""
+    v, eigval, n = pca_power_top_component(spark, sf_dir)
+    head = ", ".join(f"{x:.4f}" for x in v[:4])
+    return spark.createDataFrame(
+        [(n, float(round(eigval, 4)), head)],
+        "n_vectors long, top_eigenvalue double, component_head string",
+    )

@@ -576,3 +576,149 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+CONT_N = 8  # token-shingle width (matches corpus_decontaminate)
+CONT_SOURCE = "src0"  # the stand-in benchmark slice
+CONT_THRESHOLD = 0.5
+
+
+@op(
+    "text_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               md5(unnest(list_transform(
+                   generate_series(1, len(arr) - {CONT_N - 1}),
+                   i -> array_to_string(arr[i:i + {CONT_N - 1}], ' ')))) AS gh
+        FROM toks WHERE len(arr) >= {CONT_N}
+    ), bench AS (
+        SELECT DISTINCT doc_id AS bench_id, gh
+        FROM grams WHERE source = '{CONT_SOURCE}'
+    ), bsize AS (
+        SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench
+        FROM bench GROUP BY bench_id
+    ), cand AS (
+        SELECT DISTINCT doc_id, gh FROM grams WHERE source <> '{CONT_SOURCE}'
+    ), shared AS (
+        SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM cand c JOIN bench b USING (gh) GROUP BY c.doc_id, b.bench_id
+    )
+    SELECT s.doc_id, s.bench_id, s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE) / z.n_bench, 4) AS containment,
+           (round(CAST(s.n_shared AS DOUBLE) / z.n_bench, 4)
+               >= {CONT_THRESHOLD}) AS is_contaminated
+    FROM shared s JOIN bsize z USING (bench_id)
+    """,
+    category=CAT,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE containment (asymmetric Jaccard): what fraction of a
+    benchmark document's {CONT_N}-gram shingles appear in each corpus
+    document — quote-level contamination attribution. Complements
+    corpus_decontaminate: that op flags corpus docs sharing ANY gram
+    with the whole eval set; this one says WHICH eval item leaked and
+    HOW MUCH of it (containment ≈ 1 → the eval item is quoted nearly
+    verbatim; Jaccard would miss it when the host doc is much longer
+    — that asymmetry is the point of containment, Broder '97).
+
+    Scale shape: identical to corpus_decontaminate's — grams are md5'd
+    JVM-side in the scan stage, the bench gram set (eval sets are
+    small) broadcasts, and the only wide stage is the distinct +
+    pair-group over fixed-width keys; the flag compares the ROUNDED
+    ratio so flag parity follows from ratio parity (§2.X rule 1).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("arr"))
+    grams = toks.filter(F.size("arr") >= CONT_N).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(arr) - {CONT_N - 1}),"
+                f" i -> md5(array_join(slice(arr, i, {CONT_N}), ' ')))"
+            )
+        ).alias("gh"),
+    )
+    bench = (
+        grams.filter(F.col("source") == CONT_SOURCE)
+        .select(F.col("doc_id").alias("bench_id"), "gh")
+        .distinct()
+    )
+    bsize = bench.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    cand = (
+        grams.filter(F.col("source") != CONT_SOURCE)
+        .select("doc_id", "gh")
+        .distinct()
+    )
+    shared = (
+        cand.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    containment = F.round(
+        F.col("n_shared").cast("double") / F.col("n_bench"), 4
+    )
+    return shared.join(F.broadcast(bsize), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        containment.alias("containment"),
+        (containment >= CONT_THRESHOLD).alias("is_contaminated"),
+    )
+
+
+@op(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS total FROM freq
+    ), scored AS (
+        SELECT t.doc_id,
+               ln(CAST(f.n AS DOUBLE) / z.total) AS lp
+        FROM toks t JOIN freq f USING (tok) CROSS JOIN tot z
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS avg_logprob,
+           (round(avg(lp), 4) < -9.0) AS is_surprising
+    FROM scored GROUP BY doc_id
+    """,
+    category=CAT,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal (CCNet-style): per-document mean
+    unigram log-probability under the corpus's own unigram model —
+    documents of rare/garbled tokens score low and get flagged, the
+    language-model-free stand-in for the KenLM perplexity filter
+    (Wenzek et al., CCNet, LREC'20).
+
+    Scale shape: the token-frequency model is ONE map-combined agg;
+    the per-doc scoring join keys on the token. At test scale the
+    vocabulary is small; at 100 TB the freq table is still ≪ corpus
+    (Heaps' law) and Zipf makes the head tiny — broadcast the top-K
+    head and shuffle only tail tokens, or pre-bucket both sides by
+    token. avg(lp) sums doubles in engine order — drift lives below
+    the 4th decimal at these magnitudes (§2.X rule 1, same bound as
+    every avg op here); the flag compares the ROUNDED score.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    lp = F.log(F.col("n").cast("double") / F.col("total"))
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(tot))
+    avg_lp = F.round(F.avg(lp), 4)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        avg_lp.alias("avg_logprob"),
+        (avg_lp < -9.0).alias("is_surprising"),
+    )

@@ -63,12 +63,17 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 #     slot 51 (the op's invariant is runtime-tested in pytest and it is the
 #     slowest rows-only op — least marginal value from a driver "ran" row).
 # ROUND-4 TODO: rotate again — promote stream_checkpoint_restart plus any
-# op whose round-3 row is missing/red, then the nine round-3 additions
+# op whose round-3 row is missing/red, then ALL round-3 additions
 # (schema_evolution_catalog, merge_scd2_incremental, ts_interpolate_linear,
 # win_cumulative_distinct, sink_csv_gz_roundtrip, fn_regexp_extract_all,
-# dq_freshness, join_interval_bucketed, mm_audio_chunks — currently
-# appended after this list, i.e. registry tail), then cycle the
-# oldest-evidence blocks (round-1 set) ahead of the round-2 set.
+# dq_freshness, join_interval_bucketed, mm_audio_chunks, win_gaps_islands,
+# dq_anomaly_zscore, agg_median_exact, dedup_cluster_bigstar,
+# agg_hll_partial_merge, embed_kmeans_lloyd, scan_binary_files,
+# sql_multi_cte, fn_variant, agg_bitmap_distinct, scan_python_datasource,
+# text_containment, stream_transform_state, text_unigram_logprob,
+# embed_pca_power — currently appended after this list, i.e. registry
+# tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
+# the round-2 set.
 DRIVER_ORDER: list[str] = [
     # -- round-3 hash slots: oracled, no green driver row yet --
     "agg_funnel_conversion",

@@ -19,4 +19,5 @@ from insight_gp_import_spark.streaming.runtime import (  # noqa: F401
 )
 from insight_gp_import_spark.streaming.stateful import (  # noqa: F401
     running_user_totals,
+    running_user_totals_tws,
 )

@@ -51,3 +51,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+# transformWithState's state-server wire protocol is protobuf-based;
+# without the package the driver-side schema worker crashes at import.
+try:  # pragma: no cover - environment probe
+    import google.protobuf  # noqa: F401
+
+    HAS_PROTOBUF = True
+except ImportError:
+    HAS_PROTOBUF = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """transformWithState processor: same cumulative per-user totals as
+    ``_update_totals``, on the NEW typed-state API (one named
+    ValueState here; the handle also offers List/Map state and timers
+    — the surface applyInPandasWithState lacks)."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
+        )
+
+        self._state = handle.getValueState(
+            "totals",
+            StructType([
+                StructField("cnt", LongType()),
+                StructField("total_value", DoubleType()),
+            ]),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        prior = self._state.get()
+        cnt, total = (prior[0], prior[1]) if prior is not None else (0, 0.0)
+        for pdf in rows:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "cnt": [cnt], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` on transformWithStateInPandas (Spark 4's
+    arbitrary-state API, SPARK-49121): typed named state slots in the
+    state store, timer support, and the same update semantics."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        OUTPUT_SCHEMA,
+        "Update",
+        "None",
+    )

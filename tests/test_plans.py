@@ -350,3 +350,55 @@ def test_dynamic_partition_pruning_fires(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_sql_multi_cte_shares_window_exchange(spark):
+    """Both windows (rank + nation total) must run off ONE n_name
+    exchange, and both dims must broadcast — the SQL surface produces
+    the same physical shape as the DataFrame API would."""
+    plan = plan_of(spark, "sql_multi_cte")
+    assert plan.count("hashpartitioning(n_name") == 1, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    """The per-stream stats side must come back as a broadcast, not a
+    shuffle join — the corpus never reshuffles after the daily agg."""
+    plan = plan_of(spark, "dq_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gaps_islands_no_global_window(spark):
+    """Every window in the streak plan is user_id-partitioned — no
+    partition-less (single-task) window may appear."""
+    plan = plan_of(spark, "win_gaps_islands")
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "user_id" in line.split("windowspecdefinition(")[1].split(",")[0], line
+
+
+def test_median_exact_groups_parallel(spark):
+    """Exact percentile must aggregate per group key (no global sort
+    node feeding a single task)."""
+    plan = plan_of(spark, "agg_median_exact")
+    assert "percentile" in plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_containment_broadcasts_bench_grams(spark):
+    """The bench gram set and size table must broadcast — the corpus
+    side never shuffles for the join itself."""
+    plan = plan_of(spark, "text_containment")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bitmap_distinct_is_exact_and_staged(spark):
+    """Bitmap distinct must show the two-stage merge (construct →
+    or_agg) with partial aggregation, and no expand-based distinct."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "bitmap_construct_agg" in plan and "bitmap_or_agg" in plan, plan
+    assert "Expand" not in plan, plan

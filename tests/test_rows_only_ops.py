@@ -131,3 +131,33 @@ def test_zorder_sink_clusters_both_dims(spark):
     assert r.zorder_width_partkey < 0.6
     assert r.zorder_width_suppkey < 0.6
     assert r.linear_width_suppkey > 0.9  # the contrast z-order removes
+
+
+def test_hll_partial_merge_invariants(spark):
+    """Merged-sketch estimate within 2% of the direct-build estimate
+    (union drops the HIP estimator, so they differ slightly), and both
+    within 5% of the exact distinct count."""
+    rows = OPS["agg_hll_partial_merge"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_vs_direct_rel < 0.02, (
+            r.o_orderpriority, r.est_direct, r.est_merged)
+        assert abs(r.est_direct - r.n_exact) / r.n_exact < 0.05, r
+        assert abs(r.est_merged - r.n_exact) / r.n_exact < 0.05, r
+
+
+def test_python_datasource_split_planning(spark):
+    """The Python data source must plan one input partition per
+    requested split, and rows must round-trip the declared schema."""
+    from insight_gp_import_spark.sources.pyds import register_manifest_source
+
+    register_manifest_source(spark)
+    df = (
+        spark.read.format("igis_manifest")
+        .option("n", "100")
+        .option("splits", "7")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 100
+    assert df.schema.simpleString() == "struct<file_id:bigint,shard:int,size_bytes:bigint>"

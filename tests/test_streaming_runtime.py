@@ -284,3 +284,23 @@ def test_stateful_totals_rocksdb_state_store(spark, events_dir):
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_transform_with_state_gate():
+    """The tws path must exist and be chosen iff protobuf is present;
+    the fallback twin shares semantics + oracle, so the declared
+    relation is verified either way."""
+    from insight_gp_import_spark.streaming import running_user_totals_tws
+    from insight_gp_import_spark.streaming.stateful import (
+        HAS_PROTOBUF,
+        RunningTotalsProcessor,
+    )
+
+    assert callable(running_user_totals_tws)
+    p = RunningTotalsProcessor()
+    assert hasattr(p, "handleInputRows") and hasattr(p, "init")
+    try:
+        import google.protobuf  # noqa: F401
+        assert HAS_PROTOBUF
+    except ImportError:
+        assert not HAS_PROTOBUF

@@ -208,3 +208,74 @@ def test_dedup_cluster_consistent_with_pairs(spark):
         members[c].append(doc)
     for c, docs in members.items():
         assert c == min(docs), (c, min(docs))
+
+
+def test_kmeans_lloyd_invariants(spark):
+    """Lloyd's must cover all vectors, keep k clusters, and its
+    objective (inertia) must be non-increasing across iterations."""
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    assigned, inertias = td.kmeans_lloyd_iterations(spark, SF)
+    sizes = {r.cluster_id: r.n_members
+             for r in OPS["embed_kmeans_lloyd"].fn(spark, SF).collect()}
+    assert sum(sizes.values()) == n_vecs
+    assert set(sizes) <= set(range(td.KMEANS_K))
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])), inertias
+
+
+def test_kmeans_k1_centroid_is_global_mean(spark):
+    """With k=1 the first update step lands on the global mean: the
+    final inertia equals the total squared deviation from the mean
+    (numpy-checked), a closed-form correctness anchor."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    expect = float(((X - X.mean(axis=0)) ** 2).sum())
+    _, inertias = td.kmeans_lloyd_iterations(spark, SF, k=1, iters=2)
+    assert abs(inertias[-1] - expect) / expect < 1e-9, (inertias, expect)
+
+
+def test_bigstar_equals_label_propagation(spark):
+    """Large-star/small-star and min-label propagation must produce
+    identical clusterings (same survivors, same components)."""
+    a = {r.doc_id: r.cluster_id
+         for r in OPS["dedup_cluster"].fn(spark, SF).collect()}
+    b = {r.doc_id: r.cluster_id
+         for r in OPS["dedup_cluster_bigstar"].fn(spark, SF).collect()}
+    assert a == b
+
+
+def test_pca_power_matches_numpy(spark):
+    """Two numpy anchors: (a) planted dominant direction -> the
+    distributed power iteration must recover the exact eigenvector;
+    (b) real corpus (near-degenerate spectrum) -> the Rayleigh
+    quotient must land in [lambda_3, lambda_1], the top of the
+    spectrum."""
+    import numpy as np
+
+    # (a) planted spike: base noise + strong rank-1 direction
+    rng = np.random.RandomState(7)
+    d = td.EMBED_DIM
+    u = np.zeros(d); u[3] = 1.0
+    X = rng.normal(0, 0.05, (300, d)) + rng.normal(0, 1.0, (300, 1)) * u
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "embedding array<double>"
+    )
+    v, eigval, n = td._pca_power(df, iters=8)
+    Xc = X - X.mean(axis=0)
+    vals, vecs = np.linalg.eigh(Xc.T @ Xc / len(X))
+    assert n == 300
+    assert abs(float(np.dot(v, vecs[:, -1]))) > 0.999
+    assert abs(eigval - vals[-1]) / vals[-1] < 0.01, (eigval, vals[-1])
+
+    # (b) real corpus: quotient inside the top of the spectrum
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+    Xr = np.array([r.embedding for r in emb], dtype=np.float64)
+    Xrc = Xr - Xr.mean(axis=0)
+    rvals = np.linalg.eigvalsh(Xrc.T @ Xrc / len(Xr))
+    _, req, rn = td.pca_power_top_component(spark, SF)
+    assert rn == len(Xr)
+    # 12 rounds at gap ratio 0.987 cannot cross lambda_2; landing
+    # above lambda_3 (top ~5% of the 64-value spectrum) shows the
+    # iterate concentrated in the top subspace.
+    assert rvals[-3] - 1e-9 <= req <= rvals[-1] + 1e-9, (req, rvals[-3:])
