@@ -745,3 +745,37 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct")
     )
+
+
+@op(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    category=CAT,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers on ROLLUP — the only robust way to tell a
+    subtotal row from a data row whose grouping column is genuinely
+    NULL (agg_rollup leans on NULL markers, which is ambiguous the
+    moment real NULLs appear in the key; GROUPING() disambiguates,
+    which is why BI tools emit it). Cast to BIGINT: Spark types
+    grouping() as TINYINT/INT where DuckDB says... both normalized
+    explicitly (§2.X rule 6: types are part of the contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "cnt"
+        )
+    )

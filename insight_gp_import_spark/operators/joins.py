@@ -726,3 +726,48 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("error_id")
         .agg(F.count(hit).alias("n_purchases"))
     )
+
+
+NAAJ_PRICE_BAR = 400000.0
+
+
+@op(
+    "join_null_aware_anti",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > {NAAJ_PRICE_BAR}
+    )
+    """,
+    category=CAT,
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) — the tri-valued-logic trap of SQL: one NULL
+    in the subquery empties the whole result (x NOT IN (…, NULL) is
+    never TRUE), so a plain anti join is WRONG unless the key is
+    provably non-null. Spark compiles this to a NULL-AWARE anti join
+    (isnull-disjunct condition on the anti join, plan-tested) because
+    the parquet column is nullable-typed; engines that silently
+    rewrite to a plain anti join corrupt results the day the feed
+    first delivers a NULL key — exactly the kind of load this tool's
+    class exists to survive. Customers with no jumbo order; both
+    engines evaluate identical NOT IN semantics.
+
+    Scale: the subquery side (jumbo orders) is small and broadcasts;
+    the null-aware variant needs the build side complete on every
+    task (it must know whether ANY null exists), which broadcast
+    provides for free — null-aware + shuffle would be the expensive
+    shape to avoid."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("igis_naaj_customer")
+    o.createOrReplaceTempView("igis_naaj_orders")
+    return spark.sql(f"""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM igis_naaj_customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM igis_naaj_orders
+            WHERE o_totalprice > {NAAJ_PRICE_BAR}
+        )
+    """)

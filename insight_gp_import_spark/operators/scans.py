@@ -1217,3 +1217,54 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_bytes").alias("total_bytes"),
         F.max("size_bytes").alias("max_bytes"),
     )
+
+
+@op(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_value_e4,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events WHERE event_id < 4000
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: native XML (Spark 4 absorbed spark-xml,
+    SPARK-44265) — the interchange format monitoring agents and
+    enterprise feeds still emit. events slice → per-partition XML
+    files (rowTag records) → schema-explicit distributed read-back →
+    aggregate hash-matched against the parquet source, proving the
+    round trip alters nothing (same gate as scan_orc_roundtrip /
+    sink_csv_gz_roundtrip).
+
+    Values survive as integer 1e-4 units (floats through a TEXT
+    format re-parse are the classic corruption point — integers make
+    the hash prove exactness). The read declares an explicit schema:
+    XML inference is a full extra pass at 100 TB and type-drifts on
+    partial data (§2.X rule 6)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 4000)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 10000).cast("bigint").alias("value_e4"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="igis-xml-") + "/events_xml"
+    ev.write.format("xml").option("rowTag", "event").mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id bigint, event_type string, value_e4 bigint")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("value_e4").alias("sum_value_e4"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -227,3 +227,49 @@ def sql_multi_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(100.0D * rev_c / nat_c, 4) AS pct_of_nation
         FROM ranked WHERE rn <= {SQL_TOPK_PER_NATION}
     """)
+
+
+SQL_PARAM_SEGMENT = "BUILDING"
+SQL_PARAM_MIN_ORDERS = 10
+
+
+@op(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS rev_c
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = '{SQL_PARAM_SEGMENT}'
+    GROUP BY c.c_custkey, c.c_name
+    HAVING count(*) >= {SQL_PARAM_MIN_ORDERS}
+    """,
+    category=CAT,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4, SPARK-41271): named `:param`
+    markers bound server-side plus `{{df}}` DataFrame templating — the
+    injection-safe way a loader runs user-configured queries (the
+    reference class of tool takes segment/threshold settings from a
+    config file; string-concatenating them into SQL is the classic
+    injection and cache-miss bug). Parameters bind as literals AFTER
+    parsing, so the plan shape is identical to the inlined query
+    (Catalyst constant-folds the markers) and one parse serves every
+    binding. The oracle inlines the same values — result equality
+    proves binding fidelity."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               count(*) AS n_orders,
+               CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM {c} c JOIN {o} o ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = :segment
+        GROUP BY c.c_custkey, c.c_name
+        HAVING count(*) >= :min_orders
+        """,
+        args={"segment": SQL_PARAM_SEGMENT, "min_orders": SQL_PARAM_MIN_ORDERS},
+        c=c,
+        o=o,
+    )

@@ -71,7 +71,8 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # agg_hll_partial_merge, embed_kmeans_lloyd, scan_binary_files,
 # sql_multi_cte, fn_variant, agg_bitmap_distinct, scan_python_datasource,
 # text_containment, stream_transform_state, text_unigram_logprob,
-# embed_pca_power — currently appended after this list, i.e. registry
+# embed_pca_power, scan_xml_roundtrip, sql_parameterized,
+# join_null_aware_anti, agg_grouping_id — currently appended after this list, i.e. registry
 # tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [

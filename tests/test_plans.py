@@ -402,3 +402,12 @@ def test_bitmap_distinct_is_exact_and_staged(spark):
     plan = plan_of(spark, "agg_bitmap_distinct")
     assert "bitmap_construct_agg" in plan and "bitmap_or_agg" in plan, plan
     assert "Expand" not in plan, plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """NOT IN must compile to the NULL-AWARE anti join (the trailing
+    `true` flag on the broadcast LeftAnti), not a plain anti join —
+    tri-valued NOT IN semantics depend on it."""
+    df = OPS["join_null_aware_anti"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan, plan
