@@ -771,3 +771,47 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE o_totalprice > {NAAJ_PRICE_BAR}
         )
     """)
+
+
+LATERAL_TOPK = 2
+
+
+@op(
+    "join_lateral_topk",
+    oracle=f"""
+    SELECT n.n_name, l.c_name, l.bal_c
+    FROM nation n, LATERAL (
+        SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY round(c_acctbal * 100) DESC, c_custkey
+        LIMIT {LATERAL_TOPK}
+    ) l
+    """,
+    category=CAT,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY … LIMIT — the
+    'top-k rows OF THE OTHER TABLE per outer row' idiom (SQL:1999
+    lateral derived tables; Spark support landed with SPARK-34382).
+    Catalyst DECORRELATES it into the same window-rank plan
+    win_topn_per_group writes by hand — declaring the intent
+    lateral-style costs nothing physically (rank + filter over one
+    c_nationkey exchange, dim side broadcast), which is the point:
+    users migrating correlated SQL keep their query shape and get
+    the distributed plan. Integer-cents ordering with c_custkey
+    tie-break (§2.X rule 2)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    n.createOrReplaceTempView("igis_lat_nation")
+    c.createOrReplaceTempView("igis_lat_customer")
+    return spark.sql(f"""
+        SELECT n.n_name, l.c_name, l.bal_c
+        FROM igis_lat_nation n, LATERAL (
+            SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+            FROM igis_lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY round(c_acctbal * 100) DESC, c_custkey
+            LIMIT {LATERAL_TOPK}
+        ) l
+    """)

@@ -380,3 +380,62 @@ def dq_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+# (table, key expression) pairs audited for primary-key uniqueness.
+_PK_AUDITS = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("events", "event_id"),
+    ("lineitem", "l_orderkey * 10 + l_linenumber"),  # composite PK packed
+]
+
+
+@op(
+    "dq_uniqueness",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+        FROM orders
+        UNION ALL
+        SELECT 'customer', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        UNION ALL
+        SELECT 'events', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT event_id) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'lineitem', CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT)
+        FROM lineitem
+    ) t
+    """,
+    category=CAT,
+)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the load's tables — the
+    pre-load check a warehouse loader runs before a MERGE (a dup key
+    turns an upsert into a cross-join row explosion; catching it at
+    the staging edge is the cheap place). One count + count(DISTINCT)
+    per table, unioned into a single audit relation; the composite
+    lineitem key is packed arithmetically so the audit shape stays
+    one column per table.
+
+    Scale: each branch is an independent scan→agg (parallel stages,
+    map-combined); count(DISTINCT key) at 100 TB swaps to the
+    bitmap/HLL states of agg_bitmap_distinct / agg_hll_partial_merge
+    per the accuracy the gate needs (exact vs screening)."""
+    parts = []
+    for tbl, key in _PK_AUDITS:
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.count("*").alias("n_rows"),
+                F.countDistinct(F.expr(key)).alias("n_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

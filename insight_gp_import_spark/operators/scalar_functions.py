@@ -383,3 +383,48 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(F.col("v"), "$.missing", "int").alias("k_missing"),
         F.try_variant_get(F.col("v"), "$.k", "int").isNotNull().alias("has_k"),
     )
+
+
+@op(
+    "fn_array_hof",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_transform(string_split(text, ' '), x -> length(x)) AS lens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_filter(lens, x -> x > 5)), 0) AS BIGINT)
+               AS long_len_sum,
+           (len(list_filter(lens, x -> x > 15)) > 0) AS has_very_long,
+           (len(list_filter(lens, x -> x >= 1)) = len(lens)) AS all_nonempty,
+           CAST(list_max(lens) AS BIGINT) AS max_len
+    FROM t
+    """,
+    category=CAT,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order functions — transform / filter / exists /
+    forall / aggregate as the CONTRACT surface (they power half the
+    corpus ops internally; this op pins their semantics directly).
+    HOFs run inside whole-stage codegen on the JVM — the idiom that
+    keeps per-token logic out of Python UDFs entirely (§ UDFs are the
+    slow path). DuckDB twins via list_transform/list_filter/list_sum;
+    exists/forall phrased as filter-length identities (engine-neutral
+    formulation of the same predicate calculus). Two dialect traps
+    pinned by this op: DuckDB list_sum([]) is NULL where Spark's
+    aggregate(…, 0, +) yields its init (coalesce in the oracle), and
+    DuckDB strlen is BYTES where Spark length() is CHARS (use
+    length() both sides — the corpus is not pure ASCII)."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = F.transform(F.split("text", " "), lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.filter(lens, lambda x: x > 5),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("long_len_sum"),
+        F.exists(lens, lambda x: x > 15).alias("has_very_long"),
+        F.forall(lens, lambda x: x >= 1).alias("all_nonempty"),
+        F.array_max(lens).cast("bigint").alias("max_len"),
+    )

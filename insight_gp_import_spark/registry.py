@@ -72,7 +72,8 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # sql_multi_cte, fn_variant, agg_bitmap_distinct, scan_python_datasource,
 # text_containment, stream_transform_state, text_unigram_logprob,
 # embed_pca_power, scan_xml_roundtrip, sql_parameterized,
-# join_null_aware_anti, agg_grouping_id — currently appended after this list, i.e. registry
+# join_null_aware_anti, agg_grouping_id, join_lateral_topk, fn_array_hof,
+# dq_uniqueness — currently appended after this list, i.e. registry
 # tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [

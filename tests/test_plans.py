@@ -411,3 +411,12 @@ def test_not_in_plans_null_aware_anti_join(spark):
     df = OPS["join_null_aware_anti"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti, BuildRight, true" in plan, plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The correlated LATERAL LIMIT subquery must decorrelate into a
+    window-rank plan — no nested-loop per-outer-row execution."""
+    df = OPS["join_lateral_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "NestedLoop" not in plan, plan
