@@ -428,3 +428,45 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(lens, lambda x: x >= 1).alias("all_nonempty"),
         F.array_max(lens).cast("bigint").alias("max_len"),
     )
+
+
+@op(
+    "fn_collation",
+    oracle="""
+    WITH cased AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer
+    )
+    SELECT lower(seg) AS seg_ci, CAST(count(*) AS BIGINT) AS n
+    FROM cased GROUP BY lower(seg)
+    """,
+    category=CAT,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation (Spark 4, SPARK-46830): UTF8_LCASE makes
+    comparisons, GROUP BY, and joins case-insensitive AT THE TYPE
+    LEVEL — no lower() wrapped around every predicate, and (unlike
+    the lower() rewrite) the collation survives into pushed filters
+    and join keys. The op manufactures case variance (even keys
+    upper, odd lower), groups under UTF8_LCASE, and the counts must
+    equal the explicit lower() grouping (the oracle). The projected
+    group key is normalized with lower() because a collated GROUP BY
+    keeps an arbitrary representative casing per group — the one
+    nondeterminism collation introduces (§2.X rule 2) — and is cast
+    back to UTF8_BINARY because collation PROPAGATES through
+    functions into the result schema (a schema-contract effect the
+    declared-type gate catches)."""
+    c = load_table(spark, sf_dir, "customer")
+    cased = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    cased.createOrReplaceTempView("igis_collate_cased")
+    return spark.sql("""
+        SELECT CAST(lower(sc) AS STRING COLLATE UTF8_BINARY) AS seg_ci,
+               count(*) AS n
+        FROM (SELECT seg COLLATE UTF8_LCASE AS sc FROM igis_collate_cased)
+        GROUP BY sc
+    """)

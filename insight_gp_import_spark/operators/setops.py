@@ -273,3 +273,37 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         c=c,
         o=o,
     )
+
+
+@op(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SPARK-49555 — the FROM … |> operator
+    chain from Google's 'SQL Has Problems' pipe-SQL paper, VLDB'24):
+    the same relational program written as a linear dataflow instead
+    of inside-out SELECT nesting. Semantically identical to the
+    classic form — the parser lowers each |> stage onto the same
+    logical plan, so Catalyst output is byte-for-byte the standard
+    query's plan; the oracle is the classic formulation, proving the
+    lowering faithful. Matters here because pipe syntax is the SQL
+    shape closest to this engine's DataFrame chains — the two
+    surfaces converge."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("igis_pipe_orders")
+    return spark.sql("""
+        FROM igis_pipe_orders
+        |> WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, n_orders, rev_c
+    """)

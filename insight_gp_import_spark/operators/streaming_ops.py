@@ -490,3 +490,47 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "cnt", F.round("total_value", 2).alias("total_value"))
     )
+
+
+@op(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    category=CAT,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production
+    streaming shape (events in flight ⋈ a dimension snapshot; here
+    user → segment) and the third join mode next to stream_stream_join
+    and the batch family. The static side needs NO watermark and no
+    state: Spark re-plans it per micro-batch (picking up dim updates
+    between batches) and broadcasts it when small — at 100 TB of
+    stream and GB-class dims this is exactly the broadcast-enrich
+    pattern. The op replays staged event files through a real
+    readStream, joins the static customer table in-stream, lands the
+    enriched append stream, and aggregates the sink — which must equal
+    the batch join+agg (the oracle)."""
+    from insight_gp_import_spark.streaming import read_events_stream, run_to_memory
+
+    staged = _stage_events_files(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    name = _qname("static_join", sf_dir)
+    enriched = read_events_stream(spark, staged, max_files=1).join(
+        F.broadcast(cust), "user_id"
+    )
+    run_to_memory(enriched, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
