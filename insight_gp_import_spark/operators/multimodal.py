@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -242,4 +243,99 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("chunk_idx") * CHUNK_STRIDE) / float(SAMPLE_RATE), 4
             ).alias("start_sec"),
         )
+    )
+
+
+SCENE_DELTA = 40000  # |16-bit feature delta| above this = scene cut
+
+_HEX16 = "0123456789abcdef"
+
+
+def _feat16_col(key: F.Column) -> F.Column:
+    """Deterministic 16-bit 'frame feature' from md5(key) — the
+    engine-portable stand-in for a real frame-difference metric (the
+    strpos/instr hex trick shared with corpus_ops._u16_col)."""
+    h = F.md5(key)
+    digs = [F.instr(F.lit(_HEX16), F.substring(h, i + 1, 1)) - 1 for i in range(4)]
+    return digs[0] * 4096 + digs[1] * 256 + digs[2] * 16 + digs[3]
+
+
+def _feat16_sql(key: str) -> str:
+    digs = [
+        f"(strpos('{_HEX16}', substr(md5({key}), {i + 1}, 1)) - 1)"
+        for i in range(4)
+    ]
+    return f"({digs[0]} * 4096 + {digs[1]} * 256 + {digs[2]} * 16 + {digs[3]})"
+
+
+@op(
+    "mm_video_scene_cuts",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               CAST(unnest(generate_series(0, (n_chars // {FRAME_BYTES}) - 1))
+                   AS BIGINT) AS frame_idx
+        FROM documents WHERE n_chars >= {FRAME_BYTES}
+    ), feat AS (
+        SELECT doc_id, frame_idx,
+               {_feat16_sql("doc_id || ':' || frame_idx")} AS f
+        FROM frames
+    ), delta AS (
+        SELECT doc_id, frame_idx,
+               abs(f - lag(f) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+                   AS d
+        FROM feat
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (WHERE d > {SCENE_DELTA}) AS BIGINT) AS n_cuts,
+           min(CASE WHEN d > {SCENE_DELTA} THEN frame_idx END) AS first_cut
+    FROM delta GROUP BY doc_id
+    """,
+    category=CAT,
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video payloads: split each payload
+    into frames, compute a per-frame feature, and cut where the
+    frame-to-frame delta exceeds a threshold — the shot-boundary
+    pass that decides which frames a video-training pipeline keeps
+    (sample per scene, not per second). The FEATURE is a
+    deterministic md5-derived 16-bit stand-in (no video codec in
+    this environment — same honesty contract as mm_decode_features);
+    everything around it is the real pipeline: JVM sequence+explode
+    frame expansion, a lag window per video for the temporal delta,
+    and the per-video cut summary.
+
+    Scale shape: frame expansion multiplies rows in the scan stage
+    (no Python, no shuffle to expand); the lag window partitions on
+    doc_id — high-cardinality, no global window — and the summary
+    groupBy shares the same key, so AQE folds both onto one exchange.
+    A real deployment swaps _feat16 for a decoded frame-difference
+    via the resize_images mapInPandas slot; the plan shape is
+    unchanged."""
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+    n_frames = F.expr(f"length(payload) div {FRAME_BYTES}")
+    frames = (
+        payloads.withColumn("nf", n_frames)
+        .filter(F.col("nf") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("nf") - 1)
+            ).alias("frame_idx"),
+        )
+    )
+    feat = frames.withColumn(
+        "f", _feat16_col(F.concat_ws(":", "doc_id", "frame_idx"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = feat.withColumn(
+        "d", F.abs(F.col("f") - F.lag("f").over(w))
+    )
+    return delta.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.count(F.when(F.col("d") > SCENE_DELTA, 1)).alias("n_cuts"),
+        F.min(F.when(F.col("d") > SCENE_DELTA, F.col("frame_idx"))).alias(
+            "first_cut"
+        ),
     )

@@ -722,3 +722,59 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_lp.alias("avg_logprob"),
         (avg_lp < -9.0).alias("is_surprising"),
     )
+
+
+SENT_SPLIT_RE = r"[.!?]+[ ]+"
+
+
+@op(
+    "text_sentence_split",
+    oracle=f"""
+    WITH parts AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(text, '{SENT_SPLIT_RE}'),
+                                  x -> trim(x)),
+                   x -> length(x) > 0) AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
+               AS BIGINT) AS max_sent_chars,
+           round(CAST(coalesce(list_sum(list_transform(sents, x -> length(x))), 0)
+                      AS DOUBLE)
+                 / greatest(len(sents), 1), 4) AS avg_sent_chars
+    FROM parts
+    """,
+    category=CAT,
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (regex boundary split) + per-doc sentence
+    stats — the preprocessing unit under sentence-level dedup, quality
+    rules ('too few sentences', 'one giant sentence'), and
+    sentence-window chunking for embedding models. Pure JVM: split +
+    HOF trim/filter/length in the scan stage, zero shuffles, zero
+    Python. The boundary regex lives in the Java∩RE2 dialect (same
+    constraint as text_pii_mask); avg derives from exact integer
+    char sums in the final projection (no agg-order drift), and
+    empty-part filtering is explicit on both sides because trailing-
+    empty behavior is the classic split() divergence across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", SENT_SPLIT_RE), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    lens = F.transform(sents, lambda x: F.length(x))
+    total = F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    n = F.size(sents)
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_sentences"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("bigint").alias(
+            "max_sent_chars"
+        ),
+        F.round(
+            total.cast("double") / F.greatest(n, F.lit(1)), 4
+        ).alias("avg_sent_chars"),
+    )

@@ -468,3 +468,87 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("streak_start").alias("longest_start"),
         )
     )
+
+
+@op(
+    "win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sv
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, d, cnt,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(cnt) OVER w AS BIGINT) AS sx,
+               CAST(sum(sv) OVER w AS BIGINT) AS sy,
+               CAST(sum(cnt * cnt) OVER w AS BIGINT) AS sxx,
+               CAST(sum(sv * sv) OVER w AS BIGINT) AS syy,
+               CAST(sum(cnt * sv) OVER w AS BIGINT) AS sxy
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d, cnt,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+                ELSE NULL END AS corr7
+    FROM m
+    """,
+    category=CAT,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between a stream's event count and
+    its value volume — the co-movement drift signal next to
+    dq_anomaly_zscore's level signal (count and value decoupling
+    flags payload-mix change even when volumes look normal).
+
+    Formulated from EXACT integer moment sums over the trailing ROWS
+    frame (n, Σx, Σy, Σx², Σy², Σxy — six window sums sharing ONE
+    event_type exchange) with the Pearson ratio derived in the final
+    projection: identical double expression both engines, no
+    aggregation-order drift (same protocol as dq_anomaly_zscore), and
+    degenerate frames (n<2 or zero variance) yield NULL explicitly —
+    native corr() under ANSI mode raises DIVIDE_BY_ZERO on them, the
+    dialect trap this formulation sidesteps. At petabyte daily volumes
+    the Σ(x·y) products need DECIMAL(38) states (docstring contract,
+    as in dq_anomaly_zscore)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("sv"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    m = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.count("*").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("sx"),
+        F.sum("sv").over(w).alias("sy"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("sxx"),
+        F.sum(F.col("sv") * F.col("sv")).over(w).alias("syy"),
+        F.sum(F.col("cnt") * F.col("sv")).over(w).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = F.sqrt(
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.when((vx > 0) & (vy > 0), F.round(num / den, 4)).alias("corr7"),
+    )
