@@ -668,3 +668,74 @@ def pipeline_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_offset") / float(PACK_BUDGET)).alias("pack_id"),
         (F.col("start_offset") % PACK_BUDGET).alias("pack_offset"),
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@op(
+    "corpus_rag_chunk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), chunks AS (
+        SELECT doc_id, len(arr) AS n_toks,
+               CAST(unnest(generate_series(
+                   0, greatest((len(arr) - 1) // {CHUNK_STRIDE}, 0)))
+                   AS BIGINT) AS chunk_id
+        FROM toks
+    )
+    SELECT c.doc_id, c.chunk_id,
+           CAST(least({CHUNK_TOKENS},
+                      t.n_arr - c.chunk_id * {CHUNK_STRIDE}) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(
+               t.arr[c.chunk_id * {CHUNK_STRIDE} + 1 :
+                     c.chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+               AS chunk_md5
+    FROM chunks c JOIN (
+        SELECT doc_id, arr, len(arr) AS n_arr FROM toks
+    ) t USING (doc_id)
+    WHERE c.chunk_id * {CHUNK_STRIDE} < t.n_arr
+    """,
+    category=CAT,
+)
+def corpus_rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding
+    pipeline's input unit (mm_audio_chunks' text twin; distinct from
+    corpus_pack_sequences, which packs docs INTO fixed budgets rather
+    than splitting docs into overlapping windows). {CHUNK_TOKENS}-token
+    chunks at stride {CHUNK_STRIDE} (16-token overlap so no boundary
+    sentence is lost to both neighbors), tail chunks clamp.
+
+    Scale shape: chunk expansion is sequence+explode in the scan
+    stage; the chunk text never leaves the executor — only its md5
+    content address (what a vector store keys on) and exact token
+    counts enter the output, so the op shuffles nothing and hashes
+    fixed-width columns (same discipline as corpus_split_hash).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("arr"))
+    n = F.size("arr")
+    n_chunks = F.floor((n - 1) / CHUNK_STRIDE) + 1
+    chunks = toks.select(
+        "doc_id",
+        "arr",
+        n.alias("n_arr"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+        ).alias("chunk_id"),
+    ).filter(F.col("chunk_id") * CHUNK_STRIDE < F.col("n_arr"))
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.lit(CHUNK_TOKENS).cast("bigint"),
+                (F.col("n_arr") - start).cast("bigint")).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.slice(F.col("arr"), (start + 1).cast("int"), CHUNK_TOKENS), " "
+            )
+        ).alias("chunk_md5"),
+    )

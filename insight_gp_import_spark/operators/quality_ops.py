@@ -439,3 +439,98 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@op(
+    "pipeline_monitoring_health",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               max(CAST(ts AS TIMESTAMP)) AS latest,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+    ), g AS (
+        SELECT max(latest) AS gmax FROM per_type
+    ), daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), vol AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cnt) AS BIGINT) AS s,
+               CAST(sum(cnt * cnt) AS BIGINT) AS ss,
+               CAST(max(cnt) AS BIGINT) AS peak
+        FROM daily GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_events, p.n_users,
+           (p.n_events = p.n_ids) AS ids_unique,
+           CAST(floor(epoch(g.gmax)) AS BIGINT)
+               - CAST(floor(epoch(p.latest)) AS BIGINT) AS staleness_sec,
+           v.n_days, v.peak,
+           round(CAST(v.s AS DOUBLE) / v.n_days, 4) AS avg_daily,
+           round(sqrt((CAST(v.ss AS DOUBLE) - CAST(v.s AS DOUBLE) * v.s / v.n_days)
+                      / (v.n_days - 1)), 4) AS std_daily
+    FROM per_type p CROSS JOIN g JOIN vol v USING (event_type)
+    WHERE v.n_days > 1
+    """,
+    category=CAT,
+)
+def pipeline_monitoring_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOURTH capstone, the reference's own domain: the post-load
+    health report a monitoring warehouse emits per stream after every
+    ingest — freshness (dq_freshness's staleness), volume profile
+    (dq_anomaly_zscore's integer-moment mean/std + peak), and
+    exactly-once integrity (dq_uniqueness's id check) composed as ONE
+    declarative plan over one fact table.
+
+    Scale shape: two map-combined aggregations over events (the
+    per-stream rollup and the daily collapse), each reduced to
+    |streams|-sized relations BEFORE any join; the global-max row and
+    the joins are broadcast-class. The corpus is scanned twice and
+    shuffled never — at 100 TB the two scans merge into one with the
+    daily collapse as a grouping-sets pass if the scan dominates
+    (documented tradeoff; grouping-sets inflates the map-side state
+    |days|-fold, worth it only when I/O outweighs memory)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    g = per_type.agg(F.max("latest").alias("gmax"))
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    vol = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        F.max("cnt").alias("peak"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    std = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+    )
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .join(F.broadcast(vol), "event_type")
+        .filter(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            (F.col("n_events") == F.col("n_ids")).alias("ids_unique"),
+            (F.unix_timestamp("gmax") - F.unix_timestamp("latest")).alias(
+                "staleness_sec"
+            ),
+            "n_days",
+            "peak",
+            F.round(mean, 4).alias("avg_daily"),
+            F.round(std, 4).alias("std_daily"),
+        )
+    )
