@@ -307,3 +307,51 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderstatus
         |> SELECT o_orderstatus, n_orders, rev_c
     """)
+
+
+@op(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE up(key, anc, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        UNION ALL
+        SELECT key, anc // 10, depth + 1 FROM up WHERE anc >= 10
+    )
+    SELECT anc AS root, depth,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(key) AS BIGINT) AS min_key,
+           CAST(max(key) AS BIGINT) AS max_key
+    FROM up WHERE anc < 10
+    GROUP BY anc, depth
+    """,
+    category=CAT,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4, SPARK-24497 — the long-missing SQL
+    iteration construct): transitive closure over a key hierarchy
+    (parent = key/10, a 10-ary tree over customer keys), each key
+    walked to its single-digit root with the hop count. This is the
+    declarative twin of the driver-side iterate-to-fixpoint loops
+    (dedup_cluster's label propagation): the ENGINE owns the loop —
+    each recursion step is a distributed self-join, termination is
+    the empty-delta fixpoint, no collect() anywhere. DuckDB runs the
+    near-identical statement; hash-match proves step semantics AND
+    termination agree. Only the integer-division spelling differs by
+    dialect (Spark SQL `div`, DuckDB `//`) — both are exact integer
+    division, so the walk is bit-identical."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "igis_rec_customer"
+    )
+    return spark.sql("""
+        WITH RECURSIVE up(key, anc, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM igis_rec_customer
+            UNION ALL
+            SELECT key, anc div 10, depth + 1 FROM up WHERE anc >= 10
+        )
+        SELECT anc AS root, depth,
+               count(*) AS n_keys,
+               min(key) AS min_key,
+               max(key) AS max_key
+        FROM up WHERE anc < 10
+        GROUP BY anc, depth
+    """)
