@@ -470,3 +470,44 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT seg COLLATE UTF8_LCASE AS sc FROM igis_collate_cased)
         GROUP BY sc
     """)
+
+
+@op(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST(o_custkey AS DOUBLE) / (o_orderkey % 7) END AS safe_div,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_custkey // (o_orderkey % 7) END AS safe_int_div,
+           try_cast(o_orderstatus AS INTEGER) AS bad_num,
+           try_cast('  42 ' AS INTEGER) AS spaced_num
+    FROM orders
+    """,
+    category=CAT,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* arithmetic family under ANSI mode (Spark 4 default):
+    division by zero, overflow, and bad parses yield NULL instead of
+    killing the job — the row-level tolerance a loader needs so one
+    poisoned record quarantines itself rather than failing a 100 TB
+    batch (the same posture as scan_csv_tolerant, at expression
+    granularity). Non-try arithmetic under ANSI THROWS on these
+    inputs (win_rolling_corr hit exactly that with corr()); try_*
+    is the sanctioned escape hatch.
+
+    Oracle dialect note: DuckDB has no try_divide and its division
+    semantics differ at the poles, so the oracle states the intended
+    relation with explicit CASE guards — which is precisely the
+    semantics try_divide implements."""
+    o = load_table(spark, sf_dir, "orders")
+    divisor = F.col("o_orderkey") % 7
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_custkey").cast("double"), divisor).alias("safe_div"),
+        F.when(
+            divisor != 0, F.expr("o_custkey div (o_orderkey % 7)")
+        ).alias("safe_int_div"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_num"),
+        F.lit("  42 ").try_cast("int").alias("spaced_num"),
+    )

@@ -75,7 +75,7 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # join_null_aware_anti, agg_grouping_id, join_lateral_topk, fn_array_hof,
 # dq_uniqueness, sql_pipe_syntax, fn_collation, stream_static_join,
 # win_rolling_corr, mm_video_scene_cuts, text_sentence_split,
-# corpus_rag_chunk, pipeline_monitoring_health, sql_recursive_cte —
+# corpus_rag_chunk, pipeline_monitoring_health, sql_recursive_cte, fn_try_arithmetic —
 # currently appended after this list, i.e. registry
 # tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
