@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -778,4 +779,170 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "cnt"
         )
+    )
+
+
+@op(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over DIFFERENT columns in one
+    aggregate — the classic warehouse cardinality dashboard query.
+
+    Catalyst plans N distinct aggregates via the Expand operator: each
+    input row is replicated once per distinct-column with a gid, then
+    a two-phase aggregate dedups per (group, gid, value) and counts.
+    That keeps the whole thing in two shuffles regardless of how many
+    distinct columns are requested — the naive alternative (one job
+    per distinct column + join) would be N scans and N shuffles. At
+    100 TB the Expand multiplies scan output ×3 here, which is the
+    accepted cost of exactness; the sketch alternative for dashboards
+    that tolerate error is agg_approx_distinct / agg_hll_partial_merge.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@op(
+    "agg_regression",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                        * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                        * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+           round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS intercept,
+           round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+    FROM m
+    """,
+    category=CAT,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS regression (slope / intercept / R²) of extended
+    price on quantity — the JVM-native twin of udaf_grouped_pandas'
+    applyInPandas OLS: same statistic, but computed from six exact
+    integer moment sums in ONE map-combined hash aggregate instead of
+    collecting each group into a Python worker.
+
+    Same determinism protocol as win_rolling_corr / dq_anomaly_zscore:
+    the moments (n, Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs (values
+    rounded to whole units first — dollar-scale y keeps Σy² < 2⁶³ at
+    sf0.1 and far beyond; cent-scale would overflow at ~10⁵ rows/group
+    because Spark's non-ANSI bigint sum wraps silently while DuckDB
+    widens to HUGEINT), and the closed-form ratios are derived in the
+    final projection with identical double expressions both engines.
+    At 100 TB this is the canonical scale shape for regression: state
+    is 6 numbers per group (DECIMAL(38) states at petabyte volumes per
+    the dq_anomaly_zscore contract), fully map-side combinable —
+    applyInPandas would ship every row of every group to Python.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_extendedprice")).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = nd * F.col("sxx") - sxd * F.col("sx")
+    vy = nd * F.col("syy") - syd * F.col("sy")
+    cov = nd * F.col("sxy") - sxd * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov / vx, 6).alias("slope"),
+        F.round(
+            (syd * F.col("sxx") - sxd * F.col("sxy")) / vx, 6
+        ).alias("intercept"),
+        F.round((cov * cov) / (vx * vy), 6).alias("r2"),
+    )
+
+
+@op(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS prev_type
+        FROM events
+    ), cnt AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM cnt
+    """,
+    category=CAT,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type) — the
+    behavioral-model aggregate behind funnel and churn analyses
+    (agg_funnel_conversion asks "did A→B→C happen"; this asks "how
+    does the whole event language flow").
+
+    One user_id exchange for the lag window (deterministic (ts µs,
+    event_id) ordering per §2.X), then the 5×5 transition-count
+    aggregate collapses everything map-side — the final matrix is
+    |event_types|² rows no matter the input scale, and the probability
+    normalization runs over that tiny relation. At 100 TB the only
+    real cost is the per-user sort, which sessionize_gap already pays
+    and AQE coalesces; no state beyond the window buffer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
     )

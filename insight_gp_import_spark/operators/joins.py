@@ -815,3 +815,52 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT {LATERAL_TOPK}
         ) l
     """)
+
+
+@op(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'P')
+    """,
+    category=CAT,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS predicates in pure SQL —
+    customers with at least one big-ticket order and no pending
+    order. The third correlated-subquery shape next to
+    subquery_scalar_correlated (scalar) and join_null_aware_anti
+    (NOT IN): users migrating warehouse SQL keep the EXISTS spelling.
+
+    Catalyst decorrelates both predicates — EXISTS rewrites to a
+    LeftSemi join and NOT EXISTS to a LeftAnti join on o_custkey, so
+    the plan is two hash joins on the same key (no per-row subquery
+    re-execution, which is how a naive engine dies on this query).
+    The orders-side predicates are pushed below the joins, shrinking
+    the semi/anti build inputs at the scan. At 100 TB both joins
+    shuffle on the same customer key and AQE can chain them in one
+    exchange reuse; the filtered build sides are small enough to
+    broadcast under the default thresholds.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "igis_ex_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "igis_ex_orders"
+    )
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM igis_ex_customer c
+        WHERE EXISTS (SELECT 1 FROM igis_ex_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM igis_ex_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+    """)

@@ -355,3 +355,42 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM up WHERE anc < 10
         GROUP BY anc, depth
     """)
+
+
+@op(
+    "setop_intersect_all",
+    oracle="""
+    SELECT nationkey, 'intersect_all' AS setop FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'except_all' AS setop FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier)
+    """,
+    category=CAT,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL / EXCEPT ALL — the bag-semantics twins of
+    setop_intersect / setop_except, exercised in one relation (rows
+    tagged by which operator produced them).
+
+    ``intersectAll`` keeps min(multiplicity_A, multiplicity_B) copies
+    per value; ``exceptAll`` keeps max(0, m_A − m_B). Catalyst plans
+    both as a hash aggregate counting per-side multiplicities followed
+    by a generate — one shuffle on the value key, map-side partial
+    counts, no row-by-row matching. At 100 TB both sides partial-
+    aggregate down to (value, count) pairs before the exchange, so the
+    shuffle is bounded by distinct values, not input rows.
+    """
+    a = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    inter = a.intersectAll(b).withColumn("setop", F.lit("intersect_all"))
+    exc = a.exceptAll(b).withColumn("setop", F.lit("except_all"))
+    return inter.unionAll(exc)

@@ -358,3 +358,119 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ic.cast("double") / 10000.0).alias("value_interp"),
         F.col("mc").isNull().alias("was_filled"),
     )
+
+
+@op(
+    "ts_ewma_7",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, d, cnt,
+               lag(cnt, 1) OVER w AS x1, lag(cnt, 2) OVER w AS x2,
+               lag(cnt, 3) OVER w AS x3, lag(cnt, 4) OVER w AS x4,
+               lag(cnt, 5) OVER w AS x5, lag(cnt, 6) OVER w AS x6
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, d, cnt,
+           round((CAST(cnt AS DOUBLE)
+                  + 0.5 * coalesce(x1, 0) + 0.25 * coalesce(x2, 0)
+                  + 0.125 * coalesce(x3, 0) + 0.0625 * coalesce(x4, 0)
+                  + 0.03125 * coalesce(x5, 0) + 0.015625 * coalesce(x6, 0))
+                 / (1.0
+                    + CASE WHEN x1 IS NULL THEN 0 ELSE 0.5 END
+                    + CASE WHEN x2 IS NULL THEN 0 ELSE 0.25 END
+                    + CASE WHEN x3 IS NULL THEN 0 ELSE 0.125 END
+                    + CASE WHEN x4 IS NULL THEN 0 ELSE 0.0625 END
+                    + CASE WHEN x5 IS NULL THEN 0 ELSE 0.03125 END
+                    + CASE WHEN x6 IS NULL THEN 0 ELSE 0.015625 END),
+                 4) AS ewma7
+    FROM lagged
+    """,
+    category=CAT,
+)
+def ts_ewma_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.5) of daily event
+    volume over a bounded 7-row trailing horizon — the smoothed-trend
+    twin of win_moving's uniform window (recent days dominate, spikes
+    decay geometrically instead of falling off a cliff at the frame
+    edge).
+
+    The textbook EWMA recursion s_i = αx_i + (1−α)s_{i−1} is
+    inherently sequential; the distributed formulation truncates the
+    geometric tail at 7 terms (weight < 2 % beyond, renormalized over
+    the terms actually present) so it becomes SEVEN lag() columns over
+    ONE (event_type, d) window — embarrassingly parallel, zero state.
+    Determinism is exact, not approximate-float: the weights are
+    negative powers of two (exactly representable doubles), the inputs
+    are integer counts, so every product and the numerator sum are
+    computed without representation error in BOTH engines before the
+    single rounded division. At 100 TB the daily pre-aggregate
+    collapses the stream to |event_types|×|days| rows first; the
+    window is a no-op cost after that.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lags = daily.select(
+        "event_type", "d", "cnt",
+        *[F.lag("cnt", k).over(w).alias(f"x{k}") for k in range(1, 7)],
+    )
+    weights = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625]
+    num = F.col("cnt").cast("double")
+    den = F.lit(1.0)
+    for k, wt in enumerate(weights, start=1):
+        num = num + wt * F.coalesce(F.col(f"x{k}"), F.lit(0))
+        den = den + F.when(F.col(f"x{k}").isNull(), 0.0).otherwise(wt)
+    return lags.select(
+        "event_type", "d", "cnt", F.round(num / den, 4).alias("ewma7")
+    )
+
+
+@op(
+    "ts_seasonality_profile",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hr, cnt,
+           round(CAST(cnt AS DOUBLE)
+                 / sum(cnt) OVER (PARTITION BY event_type), 6) AS share,
+           CASE WHEN cnt = max(cnt) OVER (PARTITION BY event_type)
+                THEN TRUE ELSE FALSE END AS is_peak
+    FROM hourly
+    """,
+    category=CAT,
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per stream: each hour's share
+    of the stream's total volume plus a peak-hour flag — the diurnal
+    shape monitoring dashboards overlay on dq_anomaly_zscore's level
+    alarms (an "anomaly" at 09:00 may just be the morning peak).
+
+    Two-level shape: the raw stream collapses to ≤ |event_types|×24
+    rows in one map-combined hash aggregate (the only pass over the
+    data), then share/peak are windows over that tiny relation —
+    essentially free, no second scan. UTC hours are pinned by the
+    loader's session conf (ensure_events_read_confs) so the bucketing
+    is zone-stable vs DuckDB's naive timestamps. At 100 TB this is the
+    model profile query: reduce first, analyze the reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    return hourly.select(
+        "event_type", "hr", "cnt",
+        F.round(F.col("cnt").cast("double") / F.sum("cnt").over(wt), 6).alias("share"),
+        (F.col("cnt") == F.max("cnt").over(wt)).alias("is_peak"),
+    )
