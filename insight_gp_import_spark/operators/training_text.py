@@ -778,3 +778,195 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             total.cast("double") / F.greatest(n, F.lit(1)), 4
         ).alias("avg_sent_chars"),
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+@op(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT string_split(text, ' ') AS arr FROM documents
+    ), toks AS (
+        SELECT unnest(arr) AS tok FROM arrs
+    ), uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), n_tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni
+    ), pairs AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(arr) - 1),
+                   i -> struct_pack(x := arr[i], y := arr[i + 1]))) AS p
+        FROM arrs
+    ), big AS (
+        SELECT p.x AS x, p.y AS y, CAST(count(*) AS BIGINT) AS c_xy
+        FROM pairs GROUP BY 1, 2
+    ), b_tot AS (
+        SELECT CAST(sum(c_xy) AS BIGINT) AS bb FROM big
+    )
+    SELECT x, y, c_xy,
+           round(ln((CAST(c_xy AS DOUBLE) * nn * nn)
+                    / (CAST(bb AS DOUBLE) * ux.n * uy.n)), 4) AS pmi
+    FROM big
+    JOIN uni ux ON big.x = ux.tok
+    JOIN uni uy ON big.y = uy.tok
+    CROSS JOIN n_tot CROSS JOIN b_tot
+    WHERE c_xy >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, x, y
+    LIMIT {PMI_TOP_K}
+    """,
+    category=CAT,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over corpus token bigrams — the
+    collocation detector (Church & Hanks, CL'90): phrases whose parts
+    co-occur far above chance ("New York"-class units) surface with
+    high PMI; text_ngram_counts' raw counts surface only frequency.
+    Feeds tokenizer-vocabulary and boilerplate analysis.
+
+    PMI = ln(P(x,y) / (P(x)P(y))) computed as one double expression
+    ln(c_xy·N² / (B·c_x·c_y)) from exact BIGINT counts — both engines
+    evaluate the identical argument before the single ln, so drift
+    lives below the 4th decimal (§2.X rule 1, same bound as
+    text_unigram_logprob). Scale shape: unigram and bigram models are
+    each ONE map-combined agg over the scan; the scoring joins key on
+    the token with a Zipf-head broadcast upgrade path (vocabulary ≪
+    corpus by Heaps' law); min-count {PMI_MIN_COUNT} prunes the long
+    tail BEFORE the joins; final top-{PMI_TOP_K} is TakeOrdered on the
+    (rounded pmi, x, y) tuple — deterministic K-boundary, never a
+    global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(F.split("text", " ").alias("arr"))
+    uni = (
+        arrs.select(F.explode("arr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    n_tot = uni.agg(F.sum("n").alias("nn"))
+    big_all = (
+        arrs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1),"
+                    " i -> struct(element_at(arr, i) AS x,"
+                    "             element_at(arr, i + 1) AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    # B normalizes over ALL bigram occurrences; the min-count prune only
+    # gates which pairs get scored/joined.
+    b_tot = big_all.agg(F.sum("c_xy").alias("bb"))
+    big = big_all.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    ux = uni.select(F.col("tok").alias("x"), F.col("n").alias("nx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("n").alias("ny"))
+    scored = (
+        big.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(b_tot))
+        .select(
+            "x", "y", "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("nn") * F.col("nn"))
+                    / (F.col("bb").cast("double") * F.col("nx") * F.col("ny"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(PMI_TOP_K)
+
+
+@op(
+    "text_readability",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+                   AS sentences,
+               CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                   AS BIGINT) AS syllables
+        FROM documents
+    )
+    , exact AS (
+        SELECT doc_id, lang, words, sentences, syllables,
+               206835 * sentences * words - 1015 * words * words
+                   - 84600 * syllables * sentences AS num,
+               1000 * sentences * words AS den
+        FROM feats
+    )
+    SELECT doc_id, lang, words, sentences, syllables,
+           CAST(CASE WHEN num >= 0
+                     THEN (200 * num + den) // (2 * den)
+                     ELSE -((200 * (-num) + den) // (2 * den))
+                END AS BIGINT) AS flesch_c,
+           CASE
+             WHEN num >= 0 AND (200 * num + den) // (2 * den) >= 7000 THEN 'easy'
+             WHEN num >= 0 AND (200 * num + den) // (2 * den) >= 4000 THEN 'standard'
+             ELSE 'hard'
+           END AS band
+    FROM exact
+    """,
+    category=CAT,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document (Flesch '48, the
+    classic readability metric): words/sentence and vowel-group
+    syllable approximation → 206.835 − 1.015·W/S − 84.6·Syl/W, banded
+    for corpus-mix dashboards. Complements text_quality's surface
+    ratios with a linguistic-difficulty axis (quality filters often
+    keep "hard" academic text but drop "hard" garbled text — the two
+    gates disagree exactly where a corpus curator should look).
+
+    Pure scan-stage arithmetic: three regexp/split counts per row
+    (JVM regexp engines; identical patterns both engines), exact
+    BIGINT counts, banding on the ROUNDED score so the label can
+    never disagree with the published number (§2.X). Zero shuffles,
+    zero UDFs — at 100 TB this runs at scan speed alongside the other
+    per-doc feature ops in one fused codegen stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        F.greatest(
+            F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))
+        ).cast("bigint").alias("sentences"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
+        ).cast("bigint").alias("syllables"),
+    )
+    # Exact rational arithmetic: flesch = num/den with integer num/den,
+    # emitted as half-up-rounded centi-points — no double ever exists, so
+    # there is no round-half boundary for the engines to disagree on
+    # (the double formulation lost parity at a true-value .xx5 at sf0.1).
+    num = (
+        F.lit(206835) * F.col("sentences") * F.col("words")
+        - F.lit(1015) * F.col("words") * F.col("words")
+        - F.lit(84600) * F.col("syllables") * F.col("sentences")
+    )
+    den = F.lit(1000) * F.col("sentences") * F.col("words")
+    pos_c = F.expr(
+        "(200 * num + den) div (2 * den)"
+    )
+    neg_c = -F.expr("(200 * (-num) + den) div (2 * den)")
+    exact = feats.withColumn("num", num).withColumn("den", den)
+    flesch_c = F.when(F.col("num") >= 0, pos_c).otherwise(neg_c).cast("bigint")
+    return exact.select(
+        "doc_id", "lang", "words", "sentences", "syllables",
+        flesch_c.alias("flesch_c"),
+        F.when((F.col("num") >= 0) & (flesch_c >= 7000), "easy")
+        .when((F.col("num") >= 0) & (flesch_c >= 4000), "standard")
+        .otherwise("hard")
+        .alias("band"),
+    )
