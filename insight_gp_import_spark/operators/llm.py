@@ -730,3 +730,114 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" x -> abs(x - {qexpr} / scale))) * 1e6 + 0.5) AS BIGINT)"
         ).alias("max_err_e6"),
     )
+
+
+RANGE_SIM_THRESHOLD = 0.30
+TRUNC_DIMS = 16
+
+
+@op(
+    "sim_search_range",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           round(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                      AS DOUBLE), 4) AS sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings
+                WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+      AND round(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                     AS DOUBLE), 4) >= {RANGE_SIM_THRESHOLD}
+    """,
+    category=CAT,
+)
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search: EVERY vector within cosine
+    ≥ {RANGE_SIM_THRESHOLD} of the query — the other half of the
+    retrieval API next to sim_search_topk's fixed-K cut. Top-k answers
+    "give me the best K no matter how bad"; range answers "give me
+    everything actually similar" (dedup candidate pull, recall-bounded
+    retrieval, near-dup audit).
+
+    Same single-scan shape as sim_search_topk: the query vector is
+    inlined as a literal array (driver-side pyarrow row fetch, no
+    second Spark job), the dot/norm math is one codegen'd zip_with
+    pass, and because there is no global K there is NO ordering step
+    at all — a pure filtered scan, strictly cheaper than top-k at any
+    scale. The threshold compares the ROUNDED similarity (both
+    engines), so inclusion at the boundary is decided on the same
+    4-dp value the row publishes (§2.X). At 100 TB: embarrassingly
+    parallel; the LSH/IVF bucketed paths (ann_*) prune candidates
+    when the corpus no longer fits a full scan budget.
+    """
+    qvec = _fetch_query_vector(sf_dir, QUERY_VEC_ID)
+    qn = sum(x * x for x in qvec) ** 0.5
+    sim = F.round(
+        F.expr(
+            f"{_dot_sql('embedding', _lit_vec_sql(qvec))}"
+            f" / (sqrt({_dot_sql('embedding', 'embedding')}) * {qn!r}D)"
+        ),
+        4,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= RANGE_SIM_THRESHOLD)
+        .select("vec_id", "label", "sim")
+    )
+
+
+@op(
+    "embed_truncate_renorm",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(pn, 4) AS prefix_norm,
+           round(pn / fn, 4) AS retention,
+           round(CAST(embedding[1] AS DOUBLE) / pn, 4) AS r0
+    FROM (
+        SELECT vec_id, label, embedding,
+               sqrt(list_aggregate(
+                   list_transform(embedding[1:{TRUNC_DIMS}],
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum')) AS pn,
+               sqrt(list_aggregate(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum')) AS fn
+        FROM embeddings
+    )
+    """,
+    category=CAT,
+)
+def embed_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation (Kusupati et al.,
+    NeurIPS'22): keep the first {TRUNC_DIMS} of 64 dims and L2-renorm —
+    the 4× cheaper index the MRL training regime is built for. Emits
+    per-vector quality telemetry: the truncated norm, the retention
+    ratio ‖prefix‖/‖full‖ (exactly the cosine between the full vector
+    and its zero-padded truncation — how much signal the cut keeps),
+    and the first renormed component as the §2.X scalar witness that
+    the renorm plumbing is right (no raw arrays in hashed output).
+
+    Scan-stage only: slice + one fused zip_with/aggregate pass per
+    norm, no shuffle, no UDF. At 100 TB this is the projection you run
+    BEFORE building the ANN index (ann_ivf_topk / ann_lsh_topk probe
+    the 16-dim space 4× faster with retention-weighted confidence);
+    pairing it with embed_quantize_int8 compounds to ~16× smaller
+    index bytes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    prefix = f"slice(embedding, 1, {TRUNC_DIMS})"
+    pn = F.expr(f"sqrt({_dot_sql(prefix, prefix)})")
+    fn = _norm("embedding")
+    out = emb.withColumn("pn", pn).withColumn("fn", fn)
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("pn", 4).alias("prefix_norm"),
+        F.round(F.col("pn") / F.col("fn"), 4).alias("retention"),
+        F.round(
+            F.element_at("embedding", 1).cast("double") / F.col("pn"), 4
+        ).alias("r0"),
+    )
