@@ -7,6 +7,7 @@ One module per SURVEY.md §2 category. Each operator is a pure function
 from insight_gp_import_spark.operators import (  # noqa: F401
     aggregation,
     corpus_ops,
+    graph_ops,
     joins,
     llm,
     multimodal,

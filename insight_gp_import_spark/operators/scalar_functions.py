@@ -511,3 +511,55 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").try_cast("int").alias("bad_num"),
         F.lit("  42 ").try_cast("int").alias("spaced_num"),
     )
+
+
+@op(
+    "fn_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || lang || '/'
+                   || doc_id || '?ref=' || source || '&v=' || (doc_id % 10)
+                   AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref,
+           regexp_extract(url, '[?&]v=([^&]*)', 1) AS v
+    FROM urls
+    """,
+    category=CAT,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via the built-in ``parse_url`` — HOST, PATH,
+    and per-parameter QUERY extraction, the log-analytics staple (the
+    reference's domain ships Tableau http_requests logs whose URI
+    column gets exactly this treatment downstream).
+
+    URLs are synthesized deterministically from document attributes
+    (the corpus has no URL column), then parsed back with Spark's
+    parse_url — a JVM expression, codegen'd, zero UDFs. The oracle
+    decomposes the same strings with anchored regexps, so the
+    hash-match proves parse_url's HOST/PATH/QUERY(key) semantics
+    against an independent spelling rather than mirroring the same
+    builtin. Scan-stage only; at 100 TB this fuses into the scan like
+    every fn_* family op.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("source"),
+        F.lit("&v="), (F.col("doc_id") % 10).cast("string"),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return urls.select(
+        "doc_id",
+        "url",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY', 'ref')").alias("ref"),
+        F.expr("parse_url(url, 'QUERY', 'v')").alias("v"),
+    )
