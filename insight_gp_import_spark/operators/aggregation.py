@@ -946,3 +946,55 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+HH_THETA_NUM, HH_THETA_DEN = 1, 200  # heavy hitter = > 0.5 % of the stream
+
+
+@op(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts
+    )
+    SELECT user_id, cnt,
+           round(CAST(cnt AS DOUBLE) / total, 6) AS share
+    FROM counts CROSS JOIN tot
+    WHERE cnt * {HH_THETA_DEN} > total * {HH_THETA_NUM}
+    """,
+    category=CAT,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency heavy hitters: every user above θ = 0.5 % of total
+    stream volume — the THRESHOLD cut (all items above a share),
+    complementing win_topn_per_group's fixed-K cut (top K regardless
+    of share). The hot-entity detector feeding join_skew_salted's
+    skew handling and abuse/bot triage.
+
+    The threshold test is EXACT integer cross-multiplication
+    (cnt·DEN > total·NUM) — no float enters the filter, so boundary
+    membership can't drift between engines; the published share is a
+    derived display column only. Scale shape: one map-combined count
+    per key, a 1-row broadcast total, filter at the aggregate — the
+    exact two-phase version of Misra-Gries; swap in a space-saving
+    sketch only when the distinct-key table itself is too big, which
+    at 100 TB it rarely is after map-side combine (keys ≪ rows by
+    definition for heavy-hitter workloads).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * HH_THETA_DEN > F.col("total") * HH_THETA_NUM)
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )

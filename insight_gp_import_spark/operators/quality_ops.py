@@ -534,3 +534,121 @@ def pipeline_monitoring_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(std, 4).alias("std_daily"),
         )
     )
+
+
+@op(
+    "dq_checksum_columns",
+    oracle="""
+    WITH rowhash AS (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                   || '|'
+                   || CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS VARCHAR)
+               ), 1, 9)) AS BIGINT) AS h,
+               o_orderkey % 2 AS half
+        FROM orders
+    ), direct AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(sum(h) AS BIGINT) AS checksum
+        FROM rowhash GROUP BY o_orderstatus
+    ), reloaded AS (
+        SELECT o_orderstatus,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(sum(s) AS BIGINT) AS sum_cents,
+               CAST(sum(c) AS BIGINT) AS checksum
+        FROM (
+            SELECT o_orderstatus, count(*) AS n, sum(cents) AS s, sum(h) AS c
+            FROM rowhash WHERE half = 0 GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderstatus, count(*), sum(cents), sum(h)
+            FROM rowhash WHERE half = 1 GROUP BY o_orderstatus
+        ) GROUP BY o_orderstatus
+    )
+    SELECT d.o_orderstatus, d.n_rows, d.sum_cents, d.checksum,
+           (d.n_rows = r.n_rows) AS rows_match,
+           (d.sum_cents = r.sum_cents) AS sums_match,
+           (d.checksum = r.checksum) AS checksums_match
+    FROM direct d JOIN reloaded r ON d.o_orderstatus = r.o_orderstatus
+    """,
+    category=CAT,
+)
+def dq_checksum_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load reconciliation by content checksum — the reference
+    domain's "did the batch land intact" audit: after a Greenplum
+    load you compare the staged relation against the loaded table
+    without re-shipping either. Per partition (order status) we emit
+    row count, an exact money total, and an ORDER-INDEPENDENT content
+    checksum (sum of a 36-bit integer derived from each row's md5 over
+    its key fields), then prove a two-slice reload reproduces all
+    three — any dropped, duplicated, or bit-flipped row flips the
+    checksum with probability 1−2⁻³⁶.
+
+    Design for scale: the checksum is a commutative SUM, so it
+    map-side combines and never needs sorted input (an order-dependent
+    digest like a rolling hash would force a global sort); 9 hex chars
+    (2³⁶) keep the per-group sum far below 2⁶³ at any realistic row
+    count while Spark's non-ANSI bigint sum stays exact (the
+    agg_regression overflow lesson). md5 is the only hash both engines
+    share bit-for-bit (xxhash64 has no DuckDB twin — the dedup_simhash
+    lesson), and the hashed key string serializes the NTZ order
+    date as zone-independent epoch DAYS (NTZ→date never consults the
+    session zone; epoch-µs via unix_micros would reject NTZ input).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        cents.cast("string"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 9), 16, 10).cast("bigint")
+    rowhash = o.select(
+        "o_orderstatus",
+        cents.alias("cents"),
+        h.alias("h"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    direct = rowhash.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("h").alias("checksum"),
+    )
+    halves = (
+        rowhash.filter(F.col("half") == 0)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"), F.sum("h").alias("c"))
+        .unionAll(
+            rowhash.filter(F.col("half") == 1)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").alias("s"),
+                F.sum("h").alias("c"),
+            )
+        )
+    )
+    reloaded = halves.groupBy("o_orderstatus").agg(
+        F.sum("n").alias("rn_rows"),
+        F.sum("s").alias("rsum_cents"),
+        F.sum("c").alias("rchecksum"),
+    )
+    return (
+        direct.join(reloaded, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            "sum_cents",
+            "checksum",
+            (F.col("n_rows") == F.col("rn_rows")).alias("rows_match"),
+            (F.col("sum_cents") == F.col("rsum_cents")).alias("sums_match"),
+            (F.col("checksum") == F.col("rchecksum")).alias("checksums_match"),
+        )
+    )
