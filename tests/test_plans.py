@@ -420,3 +420,44 @@ def test_lateral_topk_decorrelates_to_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_exists_subqueries_decorrelate_to_semi_anti(spark):
+    plan = plan_of(spark, "sql_exists_subquery")
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; never a per-row
+    # subquery re-execution or a nested loop over orders
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multi_distinct_plans_one_expand(spark):
+    plan = plan_of(spark, "agg_multi_distinct")
+    # N distinct columns -> ONE Expand + staged aggregates, not N scans
+    # (formatted explain names each node twice: tree + details section)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_interleave_has_no_global_window_over_docs(spark):
+    plan = plan_of(spark, "corpus_interleave_sources")
+    # the per-source rank (the only window over the full documents
+    # relation) must be hash-partitioned on source; the unpartitioned
+    # source-index window runs over the 20-row distinct-sources side
+    assert "hashpartitioning(source" in plan
+
+
+def test_heavy_hitters_broadcasts_total(spark):
+    plan = plan_of(spark, "agg_heavy_hitters")
+    # the 1-row total joins via BroadcastNestedLoopJoin/at-most-broadcast,
+    # never a shuffled join
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_pagerank_supersteps_have_no_cartesian(spark):
+    plan = plan_of(spark, "graph_pagerank_unrolled")
+    # every superstep joins edges⋈ranks on src (hash join); N and the
+    # teleport term arrive via broadcast — no cartesian blowup anywhere
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-K, not a global sort
