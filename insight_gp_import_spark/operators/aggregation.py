@@ -998,3 +998,80 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "agg_pareto_cut",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ), by_level AS (
+        SELECT cnt AS c,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cnt) AS BIGINT) AS s_events
+        FROM per_user GROUP BY cnt
+    ), cum AS (
+        SELECT c, n_users, s_events,
+               CAST(sum(n_users) OVER w AS BIGINT) AS users_ge,
+               CAST(sum(s_events) OVER w AS BIGINT) AS events_ge,
+               CAST(sum(s_events) OVER () AS BIGINT) AS total
+        FROM by_level
+        WINDOW w AS (ORDER BY c DESC)
+    )
+    SELECT c, n_users, users_ge, events_ge,
+           round(CAST(events_ge AS DOUBLE) / total, 6) AS share_ge,
+           (events_ge * 5 >= total * 4
+            AND (events_ge - s_events) * 5 < total * 4) AS is_pareto_cut
+    FROM cum
+    """,
+    category=CAT,
+)
+def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration profile: for each activity level c, how
+    many users produce ≥ c events and what share of ALL events they
+    carry — with the exact 80 % crossing flagged ("how few users make
+    80 % of the load"). The concentration dashboard behind capacity
+    planning and the quantitative cousin of agg_heavy_hitters'
+    single-threshold cut.
+
+    Scale-safe cumulative: the naive formulation windows over USERS
+    ordered by count — an unpartitioned running sum over a
+    billions-row relation (single task). This formulation groups to
+    DISTINCT ACTIVITY LEVELS first (bounded by max events/user — a
+    few hundred rows at ANY corpus size), so the ordered window runs
+    over a broadcast-scale relation. Both cumulative sums and the 80 %
+    test are exact integers (cross-multiplication, no float
+    boundary); the crossing flag is TRUE exactly where coverage first
+    reaches 4/5 (prev level strictly below).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    by_level = per_user.groupBy(F.col("cnt").alias("c")).agg(
+        F.count("*").alias("n_users"), F.sum("cnt").alias("s_events")
+    )
+    w = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = by_level.select(
+        "c",
+        "n_users",
+        "s_events",
+        F.sum("n_users").over(w).alias("users_ge"),
+        F.sum("s_events").over(w).alias("events_ge"),
+        F.sum("s_events").over(wt).alias("total"),
+    )
+    return cum.select(
+        "c",
+        "n_users",
+        "users_ge",
+        "events_ge",
+        F.round(F.col("events_ge").cast("double") / F.col("total"), 6).alias(
+            "share_ge"
+        ),
+        (
+            (F.col("events_ge") * 5 >= F.col("total") * 4)
+            & ((F.col("events_ge") - F.col("s_events")) * 5 < F.col("total") * 4)
+        ).alias("is_pareto_cut"),
+    )

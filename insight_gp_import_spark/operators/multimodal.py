@@ -339,3 +339,84 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_cut"
         ),
     )
+
+
+PHASH_HEX = "0123456789abcdef"
+
+
+def _phash_bits_sql(text_col: str, n_col: str) -> str:
+    """64 fake-pixel aHash bits as a Spark SQL array expression.
+
+    Pixel i samples the byte at position ⌊i·n/64⌋ (DETERMINISTIC FAKE
+    of an 8×8 grayscale downsample — no image lib in env; the corpus
+    payload is ASCII text, so ascii(substring(...)) IS the byte). The
+    bit test pixel·64 > Σpixels is exact integer cross-multiplication
+    (no float mean)."""
+    pix = (
+        f"transform(sequence(0, 63), i -> "
+        f"ascii(substring({text_col}, 1 + ((i * {n_col}) div 64), 1)))"
+    )
+    return (
+        f"transform({pix}, p -> IF(p * 64 > "
+        f"aggregate({pix}, 0, (a, x) -> a + x), 1, 0))"
+    )
+
+
+@op(
+    "mm_image_phash",
+    oracle=f"""
+    WITH pix AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              i -> ascii(substr(text, CAST(1 + ((i * n_chars) // 64) AS BIGINT), 1)))
+                   AS p
+        FROM documents
+    ), bits AS (
+        SELECT doc_id,
+               list_transform(p, x -> CASE WHEN x * 64 > list_aggregate(p, 'sum')
+                                           THEN 1 ELSE 0 END) AS b
+        FROM pix
+    )
+    SELECT doc_id,
+           CAST(list_aggregate(b, 'sum') AS BIGINT) AS ones,
+           array_to_string(
+               list_transform(generate_series(0, 15),
+                   j -> substr('{PHASH_HEX}',
+                               1 + b[4*j + 1] * 8 + b[4*j + 2] * 4
+                                 + b[4*j + 3] * 2 + b[4*j + 4], 1)),
+               '') AS phash
+    FROM bits
+    """,
+    category=CAT,
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) over the fake-decoded 8×8 pixel
+    grid — the near-duplicate IMAGE fingerprint (the visual twin of
+    dedup_simhash's 64-bit text sketch; downstream banding/hamming
+    join is identical machinery). Real decode would resize to 8×8
+    grayscale; the fake samples 64 payload bytes deterministically so
+    the whole hash pipeline — sampling, exact integer mean test,
+    bit→nibble→hex packing — is real and ORACLED, not rows-only.
+
+    All arithmetic is integer (the mean test is pixel·64 > Σ, exact
+    cross-multiplication — a float mean would reopen the round-half
+    trap text_readability hit). One fused scan-stage expression per
+    row: zero shuffles, zero UDFs, zero Python — at 100 TB this is a
+    pure map over the image table, and the 16-hex phash feeds the
+    same banded-bucket join the SimHash path uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bits = _phash_bits_sql("text", "n_chars")
+    nib = (
+        f"transform(sequence(0, 15), j -> substring('{PHASH_HEX}', "
+        f"1 + element_at(bs, 4*j + 1) * 8 + element_at(bs, 4*j + 2) * 4"
+        f" + element_at(bs, 4*j + 3) * 2 + element_at(bs, 4*j + 4), 1))"
+    )
+    return (
+        docs.withColumn("bs", F.expr(bits))
+        .select(
+            "doc_id",
+            F.expr("aggregate(bs, 0, (a, x) -> a + x)").cast("bigint").alias("ones"),
+            F.expr(f"concat_ws('', {nib})").alias("phash"),
+        )
+    )

@@ -474,3 +474,56 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cnt").cast("double") / F.sum("cnt").over(wt), 6).alias("share"),
         (F.col("cnt") == F.max("cnt").over(wt)).alias("is_peak"),
     )
+
+
+@op(
+    "ts_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    )
+    SELECT m, rev_c,
+           lag(rev_c, 12) OVER (ORDER BY m) AS prev_year_c,
+           round(100.0 * (rev_c - lag(rev_c, 12) OVER (ORDER BY m))
+                 / lag(rev_c, 12) OVER (ORDER BY m), 4) AS yoy_pct
+    FROM monthly
+    """,
+    category=CAT,
+)
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the BI staple (lag 12
+    over the monthly rollup). Joins the trend family: win_moving
+    smooths, ts_ewma_7 weights recency, this compares seasonally
+    aligned periods.
+
+    The lag-12 window is ordered but UNPARTITIONED — legitimate here
+    because it runs over the monthly rollup (≤ |years|·12 rows — 80
+    at this corpus, still thousands at a century of data), not the
+    fact table; the orders scan collapses in ONE map-combined agg
+    first. A per-stream variant would partition by the stream key
+    exactly like ts_ewma_7. Revenue is exact integer cents; the
+    growth ratio is the only double, derived in the final projection
+    (§2.X). NTZ order dates truncate zone-independently (NTZ→DATE
+    never consults the session zone — the dq_checksum_columns rule).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        # trunc() is date-native (no timestamp round-trip through the
+        # session zone, unlike date_trunc)
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+    )
+    w = Window.orderBy("m")
+    prev = F.lag("rev_c", 12).over(w)
+    return monthly.select(
+        "m",
+        "rev_c",
+        prev.alias("prev_year_c"),
+        F.round(
+            F.lit(100.0) * (F.col("rev_c") - prev) / prev, 4
+        ).alias("yoy_pct"),
+    )
