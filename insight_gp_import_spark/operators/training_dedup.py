@@ -1013,3 +1013,136 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, float(round(eigval, 4)), head)],
         "n_vectors long, top_eigenvalue double, component_head string",
     )
+
+
+# ---- pipeline_ann_index_build: capstone #5 (embedding family) ----
+
+IDX_DIMS = 16   # Matryoshka prefix (embed_truncate_renorm's cut)
+IDX_BITS = 8    # one 8-bit SRP code -> <=256 buckets
+
+
+def _idx_plane_signs() -> list[list[int]]:
+    """IDX_BITS deterministic ±1 hyperplanes over the truncated prefix,
+    md5-derived (no RNG, §2.X rule 5) — same scheme as _lsh_planes but
+    over IDX_DIMS."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"idx:{b}:{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(IDX_DIMS)
+        ]
+        for b in range(IDX_BITS)
+    ]
+
+
+def _signed_sum(signs: list[int], elem: str) -> str:
+    """Σ sᵢ·eᵢ as an EXPLICIT left-to-right ± chain (e₁ − e₂ + e₃ …).
+
+    The parse tree fixes the double-addition order identically in any
+    SQL engine, so the sign test that follows is bit-deterministic —
+    the property that lets an LSH bucket assignment be ORACLED (the
+    ann_* ops are rows-only because their recall is approximate, not
+    because the code arithmetic had to be)."""
+    terms = []
+    for i, s in enumerate(signs, start=1):
+        e = elem.format(i=i)
+        terms.append(("+ " if s > 0 else "- ") + e if terms else ("" if s > 0 else "- ") + e)
+    return " ".join(terms)
+
+
+def _idx_code_sql(elem: str) -> str:
+    """The 8-bit bucket code as one integer expression (engine-neutral
+    given an element accessor template like 'CAST(embedding[{i}] AS DOUBLE)')."""
+    bits = [
+        f"(CASE WHEN {_signed_sum(signs, elem)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b, signs in enumerate(_idx_plane_signs())
+    ]
+    return " + ".join(bits)
+
+
+@op(
+    "pipeline_ann_index_build",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, label,
+               {_idx_code_sql("CAST(embedding[{i}] AS DOUBLE)")} AS bucket,
+               sqrt(list_aggregate(
+                   list_transform(embedding[1:{IDX_DIMS}],
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum'))
+               / sqrt(list_aggregate(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum')) AS retention
+        FROM embeddings
+    ), by_label AS (
+        SELECT bucket, label, CAST(count(*) AS BIGINT) AS n
+        FROM coded GROUP BY bucket, label
+    ), mode_l AS (
+        SELECT bucket, label AS mode_label
+        FROM (SELECT bucket, label, n,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY n DESC, label) AS rn
+              FROM by_label)
+        WHERE rn = 1
+    ), stats AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(avg(retention), 4) AS avg_retention
+        FROM coded GROUP BY bucket
+    )
+    SELECT s.bucket, s.n_vecs, m.mode_label, s.avg_retention
+    FROM stats s JOIN mode_l m ON s.bucket = m.bucket
+    """,
+    category=CAT,
+)
+def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFTH capstone (embedding family): build the ANN index manifest
+    in ONE declarative plan — Matryoshka-truncate to {IDX_DIMS} dims
+    (embed_truncate_renorm), assign every vector an {IDX_BITS}-bit
+    signed-random-projection bucket over the truncated prefix
+    (ann_lsh_topk's machinery), and emit the per-bucket index manifest:
+    population, dominant label, and mean retention (how much signal
+    the truncation kept for the vectors routed there). This is the
+    build side whose probe side is ann_lsh_topk/ann_ivf_topk.
+
+    Why this is ORACLED when the ann_* ops are rows-only: approximate
+    RECALL can't have a SQL twin, but the index CONSTRUCTION is exact —
+    each hash bit is an explicit left-to-right ± chain over the
+    prefix components, so the double-addition parse order (and hence
+    every sign test) is bit-identical in both engines. No RNG: planes
+    are md5-derived constants inlined into both spellings.
+
+    Scale shape: coding + retention are scan-stage expressions (zero
+    Python); the manifest reduces to ≤2^{IDX_BITS} buckets via
+    map-combined aggregates; the mode-label window runs per bucket
+    over a |buckets|×|labels| relation. At 100 TB the coded relation
+    is what you'd range-partition by bucket and sink via
+    sink_parquet_partitioned — the manifest itself stays tiny forever.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    code = _idx_code_sql("CAST(element_at(embedding, {i}) AS DOUBLE)")
+    prefix = f"slice(embedding, 1, {IDX_DIMS})"
+    retention = F.expr(
+        f"sqrt({_dot_sql(prefix, prefix)}) / sqrt({_dot_sql('embedding', 'embedding')})"
+    )
+    coded = emb.select(
+        "vec_id",
+        "label",
+        F.expr(code).alias("bucket"),
+        retention.alias("retention"),
+    )
+    by_label = coded.groupBy("bucket", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), "label")
+    mode_l = (
+        by_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", F.col("label").alias("mode_label"))
+    )
+    stats = coded.groupBy("bucket").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("retention"), 4).alias("avg_retention"),
+    )
+    return stats.join(mode_l, "bucket").select(
+        "bucket", "n_vecs", "mode_label", "avg_retention"
+    )
