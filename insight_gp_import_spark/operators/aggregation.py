@@ -1075,3 +1075,55 @@ def agg_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("events_ge") - F.col("s_events")) * 5 < F.col("total") * 4)
         ).alias("is_pareto_cut"),
     )
+
+
+@op(
+    "agg_argmax",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(round(value * 100) AS BIGINT) * 100000000 + event_id
+                   AS rank_key
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(cents) AS BIGINT) AS peak_cents,
+           CAST(arg_max(event_id, rank_key) AS BIGINT) AS peak_event_id,
+           CAST(arg_max(user_id, rank_key) AS BIGINT) AS peak_user,
+           CAST(arg_min(event_id, rank_key) AS BIGINT) AS min_event_id
+    FROM keyed GROUP BY event_type
+    """,
+    category=CAT,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX aggregation (max_by / min_by): the row attribute AT the
+    extremum, in one aggregate — "which event was the peak", not just
+    "what was the peak". The single-pass replacement for the
+    join-back-on-max anti-pattern (self-join fact to its own max) and
+    the aggregate-shaped cousin of win_topn_per_group's K=1 window.
+
+    Determinism: max_by ties are engine-arbitrary, so the ranking key
+    is the EXACT integer composite cents·10⁸ + event_id — unique per
+    row (event_id is unique), so no tie can exist for either engine
+    to break differently (§2.X rule 2 applied to argmax; the composite
+    stays < 2⁶³ for cents < 9·10¹⁰). Map-side combinable single-value
+    state per group — at 100 TB this is one scan, no join, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    keyed = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        (cents * F.lit(100000000) + F.col("event_id")).alias("rank_key"),
+    )
+    return keyed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("cents").alias("peak_cents"),
+        F.expr("max_by(event_id, rank_key)").alias("peak_event_id"),
+        F.expr("max_by(user_id, rank_key)").alias("peak_user"),
+        F.expr("min_by(event_id, rank_key)").alias("min_event_id"),
+    )

@@ -864,3 +864,99 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o2.o_custkey = c.c_custkey
                             AND o2.o_orderstatus = 'P')
     """)
+
+
+GRID_SIZE = 256   # world is GRID_SIZE x GRID_SIZE integer cells
+GRID_CELL = 8     # bucket width == the match radius
+GRID_RADIUS = 8   # Chebyshev match distance
+
+
+def _coord_sql(axis: str, prefix: str, key: str, dialect: str) -> str:
+    """Deterministic synthetic integer coordinate in [0, GRID_SIZE):
+    4 md5 hex chars of a salted key (the corpus has no geo columns;
+    md5 is the shared-bit-exact hash). The hex→int spelling is the
+    only dialect split: DuckDB casts a '0x…' literal, Spark uses
+    conv(…, 16, 10)."""
+    if dialect == "duckdb":
+        return (
+            f"CAST(('0x' || substr(md5('{prefix}{axis}:' || CAST({key} AS VARCHAR)), 1, 4)) "
+            f"AS INTEGER) % {GRID_SIZE}"
+        )
+    return (
+        f"CAST(CAST(conv(substring(md5('{prefix}{axis}:' || CAST({key} AS STRING)), 1, 4), "
+        f"16, 10) AS INT) % {GRID_SIZE} AS INT)"
+    )
+
+
+@op(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               {_coord_sql('x', 'pt', 'c_custkey', 'duckdb')} AS cx,
+               {_coord_sql('y', 'pt', 'c_custkey', 'duckdb')} AS cy
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               {_coord_sql('x', 'pt', 's_suppkey * 7919', 'duckdb')} AS sx,
+               {_coord_sql('y', 'pt', 's_suppkey * 7919', 'duckdb')} AS sy
+        FROM supplier
+    )
+    SELECT c_custkey, s_suppkey, cx, cy, sx, sy,
+           CAST(greatest(abs(cx - sx), abs(cy - sy)) AS INTEGER) AS cheb
+    FROM c JOIN s
+      ON greatest(abs(cx - sx), abs(cy - sy)) <= {GRID_RADIUS}
+    """,
+    category=CAT,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial neighbor join: all (customer, supplier)
+    point pairs within Chebyshev distance {GRID_RADIUS} on a synthetic
+    {GRID_SIZE}×{GRID_SIZE} plane — the geo-join pattern (store/courier
+    matching, geo dedup) as an EQUI-join: bucket each point into
+    {GRID_CELL}-wide grid cells, explode ONE side to its 3×3 cell
+    neighborhood, hash-join on the cell id, then apply the exact
+    distance predicate. The same bucket-derived-equi-key trick as
+    join_interval_bucketed, in two dimensions.
+
+    The ORACLE is deliberately the naive quadratic cross join — an
+    independent formulation, so the hash-match PROVES the 9-cell
+    neighborhood loses no pair (cell width ≥ radius ⇒ any pair within
+    r spans ≤ 1 cell boundary per axis). Coordinates are md5-derived
+    integers (no geo data in corpus); distance math is pure integer.
+    Scale: pair expansion is 9× one side's rows BEFORE the join — at
+    100 TB density decides which side explodes (explode the smaller);
+    vs the cross join's |C|·|S| this is the difference between
+    feasible and not.
+    """
+    c = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"{_coord_sql('x', 'pt', 'c_custkey', 'spark')} AS cx",
+        f"{_coord_sql('y', 'pt', 'c_custkey', 'spark')} AS cy",
+    )
+    s = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        f"{_coord_sql('x', 'pt', 's_suppkey * 7919', 'spark')} AS sx",
+        f"{_coord_sql('y', 'pt', 's_suppkey * 7919', 'spark')} AS sy",
+    )
+    # suppliers (small side) explode to their 3x3 cell neighborhood
+    s9 = s.selectExpr(
+        "s_suppkey", "sx", "sy",
+        f"explode(transform(sequence(0, 8), i -> "
+        f"struct((sx div {GRID_CELL}) + (i div 3) - 1 AS gx, "
+        f"       (sy div {GRID_CELL}) + (i % 3) - 1 AS gy))) AS g",
+    ).select("s_suppkey", "sx", "sy", "g.gx", "g.gy")
+    cg = c.withColumn("gx", F.expr(f"cx div {GRID_CELL}")).withColumn(
+        "gy", F.expr(f"cy div {GRID_CELL}")
+    )
+    cheb = F.greatest(
+        F.abs(F.col("cx") - F.col("sx")), F.abs(F.col("cy") - F.col("sy"))
+    )
+    return (
+        cg.join(s9, ["gx", "gy"])
+        .filter(cheb <= GRID_RADIUS)
+        .select(
+            "c_custkey", "s_suppkey", "cx", "cy", "sx", "sy",
+            cheb.cast("int").alias("cheb"),
+        )
+    )

@@ -394,3 +394,36 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = a.intersectAll(b).withColumn("setop", F.lit("intersect_all"))
     exc = a.exceptAll(b).withColumn("setop", F.lit("except_all"))
     return inter.unionAll(exc)
+
+
+@op(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders
+    GROUP BY ALL
+    """,
+    category=CAT,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ / DuckDB-originated SQL sugar): every
+    non-aggregated select item becomes a grouping key — the
+    migration-friendly spelling analysts actually write. Both engines
+    run the LITERAL same statement; the hash-match proves Spark's
+    resolution picks exactly the keys DuckDB's does (same plan as an
+    explicit GROUP BY 1,2 afterwards — pure analyzer sugar, zero
+    physical cost)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "igis_gba_orders"
+    )
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM igis_gba_orders
+        GROUP BY ALL
+    """)
