@@ -1127,3 +1127,78 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(user_id, rank_key)").alias("peak_user"),
         F.expr("min_by(event_id, rank_key)").alias("min_event_id"),
     )
+
+
+@op(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)
+                        * CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS s2,
+               CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)
+                        * CAST(round(l_discount * 1000) AS BIGINT)
+                        * CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS s3,
+               CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)
+                        * CAST(round(l_discount * 1000) AS BIGINT)
+                        * CAST(round(l_discount * 1000) AS BIGINT)
+                        * CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * n * s3
+                  - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
+                 / (CAST(n AS DOUBLE) * n * n)
+                 / pow(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                            / (CAST(n AS DOUBLE) * n)), 3), 6) AS skew,
+           round(((CAST(n AS DOUBLE) * n * n * s4
+                   - 4.0 * n * n * s1 * s3 + 6.0 * n * s1 * s1 * s2
+                   - 3.0 * s1 * s1 * s1 * s1)
+                  / (CAST(n AS DOUBLE) * n * n * n))
+                 / pow((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                       / (CAST(n AS DOUBLE) * n), 2) - 3.0, 6) AS kurt
+    FROM m
+    """,
+    category=CAT,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group — the 3rd/4th
+    distribution moments (is the discount distribution lopsided /
+    heavy-tailed), extending agg_stats' mean/stddev tier. Deliberately
+    NOT Spark's skewness()/kurtosis() vs DuckDB's: the two engines
+    implement different bias corrections (sample g1/G1 vs population),
+    a dialect trap the moment protocol sidesteps entirely.
+
+    Same exact-integer-moment protocol as agg_regression taken to 4th
+    order: per-mille discounts (0..100) keep Σx⁴ ≤ 10⁸·rows — exact in
+    BIGINT to ~10¹⁰ rows/group (DECIMAL(38) states beyond, per the
+    dq_anomaly_zscore contract); the central-moment ratios are derived
+    in the final projection with the identical double expression on
+    both engines. One map-combined aggregate, 6 numbers of state per
+    group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_discount") * 1000).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2, s3, s4 = (F.col(c) for c in ("s1", "s2", "s3", "s4"))
+    var = (nd * s2 - s1.cast("double") * s1) / (nd * F.col("n"))
+    m3 = (nd * F.col("n") * s3 - 3.0 * F.col("n") * s1 * s2
+          + 2.0 * s1 * s1 * s1) / (nd * F.col("n") * F.col("n"))
+    m4 = (nd * F.col("n") * F.col("n") * s4
+          - 4.0 * F.col("n") * F.col("n") * s1 * s3
+          + 6.0 * F.col("n") * s1 * s1 * s2
+          - 3.0 * s1 * s1 * s1 * s1) / (nd * F.col("n") * F.col("n") * F.col("n"))
+    return m.select(
+        "l_returnflag", "n",
+        F.round(m3 / F.pow(F.sqrt(var), 3), 6).alias("skew"),
+        F.round(m4 / F.pow(var, 2) - 3.0, 6).alias("kurt"),
+    )

@@ -527,3 +527,65 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * (F.col("rev_c") - prev) / prev, 4
         ).alias("yoy_pct"),
     )
+
+
+@op(
+    "ts_cusum_change",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type,
+               CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ), dev AS (
+        SELECT daily.event_type, d, cnt,
+               cnt * n_days - total AS sdev,
+               total, n_days
+        FROM daily JOIN base ON daily.event_type = base.event_type
+    )
+    SELECT event_type, d, cnt,
+           CAST(sum(sdev) OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS cusum_scaled,
+           (abs(sum(sdev) OVER (PARTITION BY event_type ORDER BY d)) * 10
+            > total) AS drifted
+    FROM dev
+    """,
+    category=CAT,
+)
+def ts_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point signal (Page '54, simplified): the running
+    sum of deviations from the stream's own mean — a level SHIFT
+    accumulates monotonically while noise cancels, so a drifting
+    stream crosses the alarm band long before any single day trips
+    dq_anomaly_zscore. The drift detector of the monitoring family.
+
+    Exact integers throughout: deviation is scaled by n_days
+    (cnt·N − total, avoiding the fractional mean entirely) and the
+    alarm compares |CUSUM|·10 > total — integer cross-multiplication,
+    no float boundary anywhere (the agg_heavy_hitters protocol applied
+    to a window). Shape: daily pre-agg, a per-type broadcast of (total,
+    n_days), then ONE partitioned running-sum window. CUSUM is
+    inherently sequential but the partition is the stream key, so
+    streams parallelize; within a stream the state is one number.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    base = daily.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_days")
+    )
+    dev = daily.join(F.broadcast(base), "event_type").withColumn(
+        "sdev", F.col("cnt") * F.col("n_days") - F.col("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cusum = F.sum("sdev").over(w)
+    return dev.select(
+        "event_type", "d", "cnt",
+        cusum.alias("cusum_scaled"),
+        (F.abs(cusum) * 10 > F.col("total")).alias("drifted"),
+    )

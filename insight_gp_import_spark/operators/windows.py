@@ -552,3 +552,61 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.when((vx > 0) & (vy > 0), F.round(num / den, 4)).alias("corr7"),
     )
+
+
+@op(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), framed AS (
+        SELECT event_type, d, cnt,
+               list_sort(list(cnt) OVER w) AS frame
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT event_type, d, cnt,
+           CAST(frame[(len(frame) + 1) // 2] AS BIGINT) AS med7
+    FROM framed
+    """,
+    category=CAT,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of daily volume — the robust-trend twin of
+    win_moving's mean (one flash-crowd day shifts a mean for a week;
+    the median shrugs). The outlier-resistant smoother monitoring
+    dashboards pair with dq_anomaly_zscore.
+
+    Exactness: the frame is bounded (7 rows), so the median is
+    computed by materializing the SORTED frame (collect over the
+    window + sort) and indexing the LOWER median at (n+1)÷2 — an
+    exact integer pick with no even-count averaging, identical for
+    partial edge frames in both engines. This is the bounded-frame
+    pattern: frame-collect is O(frame) state per row, fine for small
+    frames; an unbounded-frame median would instead use
+    percentile_approx (the agg_approx_quantile tier) or the
+    agg_median_exact cents protocol. One event_type exchange, daily
+    pre-aggregate first — window state never sees the raw stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    framed = daily.select(
+        "event_type", "d", "cnt",
+        F.sort_array(F.collect_list("cnt").over(w)).alias("frame"),
+    )
+    return framed.select(
+        "event_type", "d", "cnt",
+        F.expr("element_at(frame, CAST((size(frame) + 1) div 2 AS INT))")
+        .cast("bigint")
+        .alias("med7"),
+    )
