@@ -800,3 +800,115 @@ def corpus_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos"),
         )
     )
+
+
+@op(
+    "corpus_curriculum_order",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+                   AS sentences,
+               CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                   AS BIGINT) AS syllables
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, lang,
+               206835 * sentences * words - 1015 * words * words
+                   - 84600 * syllables * sentences AS num,
+               1000 * sentences * words AS den
+        FROM feats
+        WHERE n_chars >= 100 AND n_tokens >= 20
+          AND CAST(alpha_chars AS DOUBLE) / n_chars > 0.7
+    ), scored AS (
+        SELECT doc_id, lang,
+               CAST(CASE WHEN num >= 0
+                         THEN (200 * num + den) // (2 * den)
+                         ELSE -((200 * (-num) + den) // (2 * den))
+                    END AS BIGINT) AS flesch_c
+        FROM kept
+    ), phased AS (
+        SELECT doc_id, lang, flesch_c,
+               CASE WHEN flesch_c >= 7000 THEN 1
+                    WHEN flesch_c >= 4000 THEN 2
+                    ELSE 3 END AS phase
+        FROM scored
+    )
+    SELECT doc_id, lang, flesch_c, phase,
+           CAST(row_number() OVER (PARTITION BY lang, phase
+                                   ORDER BY flesch_c DESC, doc_id)
+                AS BIGINT) AS rank_in_phase
+    FROM phased
+    """,
+    category=CAT,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule (Bengio et al., ICML'09): quality-
+    gated documents, phased easiest-first by integer Flesch score
+    (text_readability's bands become training phases 1→3) and ranked
+    within (lang, phase) — the ORDER a curriculum data-loader feeds
+    batches in, composing the quality gate (pipeline_training_corpus's
+    keep rules) with the difficulty axis (text_readability) and the
+    schedule idea of corpus_interleave_sources.
+
+    All difficulty arithmetic is the exact integer centi-point
+    formulation (no double anywhere — text_readability's round-half
+    lesson), so phase boundaries are bit-stable. One scan computes
+    every per-doc feature; the only exchange is the (lang, phase) rank
+    window — bounded partitions, deterministic (flesch_c, doc_id)
+    order. At 100 TB the schedule would sink via
+    sink_parquet_partitioned on (phase) for phase-sequential reads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("alpha_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        F.greatest(
+            F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))
+        ).cast("bigint").alias("sentences"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
+        ).cast("bigint").alias("syllables"),
+    )
+    kept = feats.filter(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("alpha_chars").cast("double") / F.col("n_chars") > 0.7)
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.lit(206835) * F.col("sentences") * F.col("words")
+            - F.lit(1015) * F.col("words") * F.col("words")
+            - F.lit(84600) * F.col("syllables") * F.col("sentences")
+        ).alias("num"),
+        (F.lit(1000) * F.col("sentences") * F.col("words")).alias("den"),
+    )
+    flesch_c = (
+        F.when(F.col("num") >= 0, F.expr("(200 * num + den) div (2 * den)"))
+        .otherwise(-F.expr("(200 * (-num) + den) div (2 * den)"))
+        .cast("bigint")
+    )
+    phased = kept.select(
+        "doc_id",
+        "lang",
+        flesch_c.alias("flesch_c"),
+    ).withColumn(
+        "phase",
+        F.when(F.col("flesch_c") >= 7000, 1)
+        .when(F.col("flesch_c") >= 4000, 2)
+        .otherwise(3),
+    )
+    w = Window.partitionBy("lang", "phase").orderBy(
+        F.desc("flesch_c"), "doc_id"
+    )
+    return phased.withColumn(
+        "rank_in_phase", F.row_number().over(w).cast("bigint")
+    )

@@ -563,3 +563,54 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("parse_url(url, 'QUERY', 'ref')").alias("ref"),
         F.expr("parse_url(url, 'QUERY', 'v')").alias("v"),
     )
+
+
+@op(
+    "fn_luhn_check",
+    oracle="""
+    WITH nums AS (
+        SELECT o_orderkey,
+               lpad(CAST((o_orderkey * 37) % 1000000000 AS VARCHAR), 10, '0')
+                   || CAST(o_orderkey % 10 AS VARCHAR) AS numstr
+        FROM orders
+    ), digits AS (
+        SELECT o_orderkey, numstr,
+               list_transform(generate_series(1, len(numstr)), i ->
+                   CASE WHEN (len(numstr) - i) % 2 = 1
+                        THEN CASE WHEN 2 * CAST(substr(numstr, i, 1) AS INTEGER) > 9
+                                  THEN 2 * CAST(substr(numstr, i, 1) AS INTEGER) - 9
+                                  ELSE 2 * CAST(substr(numstr, i, 1) AS INTEGER) END
+                        ELSE CAST(substr(numstr, i, 1) AS INTEGER) END) AS contrib
+        FROM nums
+    )
+    SELECT o_orderkey, numstr,
+           (list_aggregate(contrib, 'sum') % 10 = 0) AS is_valid
+    FROM digits
+    """,
+    category=CAT,
+)
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 validation via the builtin ``luhn_check`` (Spark
+    3.5+) over deterministically synthesized 11-digit account-number
+    strings — the checksum gate every ingest pipeline runs on card/
+    account-shaped columns before loading (the validation sibling of
+    text_pii_mask's detection).
+
+    The oracle does NOT mirror the builtin (DuckDB has none): it
+    implements Luhn from the definition — right-aligned positions,
+    every second digit doubled with 9-subtraction, sum divisible by
+    10 — so the hash-match proves Spark's builtin AGAINST the
+    published algorithm, the fn_url_parse independence pattern. Pure
+    scan-stage integer/string work, zero UDFs; the mix of valid and
+    invalid inputs comes free from the key-derived last digit.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    numstr = F.concat(
+        F.lpad(((F.col("o_orderkey") * 37) % 1000000000).cast("string"), 10, "0"),
+        (F.col("o_orderkey") % 10).cast("string"),
+    )
+    return o.select(
+        "o_orderkey",
+        numstr.alias("numstr"),
+        F.expr("luhn_check(numstr)").alias("is_valid"),
+    ).select("o_orderkey", "numstr", "is_valid")

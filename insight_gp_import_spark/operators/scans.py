@@ -1268,3 +1268,62 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_e4").alias("sum_value_e4"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@op(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           min(md5(text)) AS min_md5
+    FROM documents
+    GROUP BY lang
+    """,
+    category=CAT,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text as a source/sink pair (``spark.read.text`` /
+    ``df.write.text``) — the rawest ingest format (server logs before
+    any parser, one record per line), completing the format matrix
+    next to csv.gz / jsonl / orc / xml / binaryFile / parquet.
+
+    Each document serializes to ONE tab-framed line
+    (lang\\tdoc_id\\ttext — the corpus has no newlines or tabs inside
+    text, asserted by the round-trip itself), is written as plain
+    .txt parts preserving source parallelism, read back with the
+    schemaless single-`value`-column text reader, and re-parsed with
+    JVM split/substring. The oracle aggregates the ORIGINAL parquet —
+    so any character the text round trip mangled (encoding, trailing
+    whitespace, line splitting) flips a doc's md5 and fails the
+    min_md5 hash-match. At 100 TB: .txt is line-splittable, so this
+    path scales like CSV without the quoting machinery — which is
+    exactly why raw-log ingest uses it.
+    """
+    out = tempfile.mkdtemp(prefix="igis-text-")
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        "\t",
+        F.col("lang"),
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parsed = back.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).alias("lang"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2))
+        .cast("bigint")
+        .alias("doc_id"),
+        # text may itself contain no tabs (corpus invariant) but use
+        # substring-after-second-tab to be structurally exact anyway
+        F.expr(
+            "substring(value, length(split_part(value, '\t', 1))"
+            " + length(split_part(value, '\t', 2)) + 3)"
+        ).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+        F.min(F.md5(F.col("text"))).alias("min_md5"),
+    )
