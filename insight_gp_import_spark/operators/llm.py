@@ -841,3 +841,62 @@ def embed_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("embedding", 1).cast("double") / F.col("pn"), 4
         ).alias("r0"),
     )
+
+
+SIMHIST_OFFSET = 101
+
+
+@op(
+    "embed_sim_histogram",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                          AS DOUBLE), 4) AS sim
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id = a.vec_id + {SIMHIST_OFFSET}
+    )
+    SELECT CAST(floor(sim * 10) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(sim), 4) AS lo_sim,
+           round(max(sim), 4) AS hi_sim
+    FROM pairs GROUP BY 1
+    """,
+    category=CAT,
+)
+def embed_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity histogram over a deterministic linear-probe
+    pair sample (vec i ⋈ vec i+{SIMHIST_OFFSET}) — the geometry
+    diagnostic run BEFORE choosing dedup/ANN thresholds: a healthy
+    embedding space shows a unimodal bulk well below the near-dup
+    band; a spike near 1.0 means duplicates, a shifted bulk means the
+    threshold in dedup_embed_cosine is wrong for this corpus.
+
+    The pair sample is a JOIN ON an ARITHMETIC KEY (no RNG, no
+    quadratic blowup — exactly N−{SIMHIST_OFFSET} pairs at any scale;
+    §2.X rule 5), so the whole diagnostic is one equi-join + one tiny
+    histogram aggregate. Bucketing floors the ROUNDED sim — the same
+    double in both engines. At 100 TB stride-sampling keeps this an
+    O(N) probe where all-pairs would be O(N²).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - SIMHIST_OFFSET).alias("vec_id"),
+        F.col("embedding").alias("eb"),
+    )
+    sim = F.round(
+        F.expr(
+            f"{_dot_sql('ea', 'eb')}"
+            f" / (sqrt({_dot_sql('ea', 'ea')}) * sqrt({_dot_sql('eb', 'eb')}))"
+        ),
+        4,
+    )
+    pairs = a.join(b, "vec_id").select(sim.alias("sim"))
+    return pairs.groupBy(
+        F.floor(F.col("sim") * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.min("sim"), 4).alias("lo_sim"),
+        F.round(F.max("sim"), 4).alias("hi_sim"),
+    )

@@ -652,3 +652,73 @@ def dq_checksum_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("checksum") == F.col("rchecksum")).alias("checksums_match"),
         )
     )
+
+
+@op(
+    "dq_psi_drift",
+    oracle="""
+    WITH stamped AS (
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), bounds AS (
+        SELECT min(us) AS lo, max(us) AS hi FROM stamped
+    ), halves AS (
+        SELECT event_type,
+               CASE WHEN us * 2 < lo + hi THEN 'a' ELSE 'b' END AS half
+        FROM stamped CROSS JOIN bounds
+    ), counts AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (half = 'a') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (half = 'b') AS BIGINT) AS n_b
+        FROM halves GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        FROM counts
+    )
+    SELECT event_type, n_a, n_b,
+           round((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                 * ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)),
+                 6) AS psi_term,
+           (round((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+                  * ln((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)),
+                  6) > 0.1) AS term_alert
+    FROM counts CROSS JOIN tot
+    """,
+    category=CAT,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the stream's time span — the standard drift score for categorical
+    mix shift (credit-scoring lineage): per-category term
+    (p−q)·ln(p/q), with PSI = Σ terms and the conventional 0.1/0.25
+    alert bands applied per term. Complements dq_anomaly_zscore
+    (level) and ts_cusum_change (trend) with a MIX-shift axis.
+
+    The time split is exact integer µs arithmetic (us·2 < lo+hi — no
+    float midpoint); category shares come from one FILTER-aggregated
+    pass (two exact counts per row group, map-combined); the only
+    doubles are the identical share/ln expressions rounded at 6
+    (text_collocation_pmi's single-ln bound). At 100 TB: one scan,
+    one |categories|-row reduction, a 1-row broadcast of totals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stamped = ev.select("event_type", F.unix_micros("ts").alias("us"))
+    bounds = stamped.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    halves = stamped.crossJoin(F.broadcast(bounds)).withColumn(
+        "half",
+        F.when(F.col("us") * 2 < F.col("lo") + F.col("hi"), "a").otherwise("b"),
+    )
+    counts = halves.groupBy("event_type").agg(
+        F.count(F.when(F.col("half") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("half") == "b", 1)).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    p = F.col("n_a").cast("double") / F.col("ta")
+    q = F.col("n_b").cast("double") / F.col("tb")
+    term = F.round((p - q) * F.log(p / q), 6)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        term.alias("psi_term"),
+        (term > 0.1).alias("term_alert"),
+    )

@@ -614,3 +614,59 @@ def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         numstr.alias("numstr"),
         F.expr("luhn_check(numstr)").alias("is_valid"),
     ).select("o_orderkey", "numstr", "is_valid")
+
+
+@op(
+    "fn_mask",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               'ACC-' || lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 8, '0')
+                      || '-' || o_orderstatus,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS masked_full,
+           'ACC-****' || substr(lpad(CAST(o_orderkey % 100000000 AS VARCHAR),
+                                     8, '0'), 5, 4)
+               || '-' || o_orderstatus AS masked_last4
+    FROM orders
+    """,
+    category=CAT,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking via the ``mask`` builtin (Spark 3.4+): full
+    char-class masking (upper→X, lower→x, digit→n) plus the
+    show-last-4 display pattern — the redaction step a warehouse
+    applies before handing account-shaped columns to analysts
+    (fn_luhn_check validates them, this hides them; text_pii_mask is
+    the regex-detection cousin for free text).
+
+    The account string is key-derived (corpus has no PII — by
+    construction, which is the point of the synthetic fixture). The
+    oracle spells masking as chained char-class regexp_replace —
+    independent of the builtin, the fn_url_parse pattern. Scan-stage,
+    zero UDFs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    acc = F.concat(
+        F.lit("ACC-"),
+        F.lpad((F.col("o_orderkey") % 100000000).cast("string"), 8, "0"),
+        F.lit("-"),
+        F.col("o_orderstatus"),
+    )
+    last4 = F.concat(
+        F.lit("ACC-****"),
+        F.substring(
+            F.lpad((F.col("o_orderkey") % 100000000).cast("string"), 8, "0"),
+            5, 4,
+        ),
+        F.lit("-"),
+        F.col("o_orderstatus"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "mask(concat('ACC-', lpad(CAST(o_orderkey % 100000000 AS STRING), 8, '0'),"
+            " '-', o_orderstatus))"
+        ).alias("masked_full"),
+        last4.alias("masked_last4"),
+    )
