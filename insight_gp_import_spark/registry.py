@@ -75,8 +75,19 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # join_null_aware_anti, agg_grouping_id, join_lateral_topk, fn_array_hof,
 # dq_uniqueness, sql_pipe_syntax, fn_collation, stream_static_join,
 # win_rolling_corr, mm_video_scene_cuts, text_sentence_split,
-# corpus_rag_chunk, pipeline_monitoring_health, sql_recursive_cte, fn_try_arithmetic —
-# currently appended after this list, i.e. registry
+# corpus_rag_chunk, pipeline_monitoring_health, sql_recursive_cte, fn_try_arithmetic,
+# plus the third-session additions: setop_intersect_all,
+# agg_multi_distinct, sql_exists_subquery, agg_regression,
+# agg_markov_transitions, ts_ewma_7, ts_seasonality_profile,
+# text_collocation_pmi, text_readability, sim_search_range,
+# embed_truncate_renorm, graph_pagerank_unrolled, fn_url_parse,
+# corpus_interleave_sources, agg_heavy_hitters, dq_checksum_columns,
+# mm_image_phash, ts_yoy_growth, agg_pareto_cut,
+# pipeline_ann_index_build, agg_argmax, sql_group_by_all,
+# join_spatial_grid, win_rolling_median, ts_cusum_change,
+# agg_skew_kurtosis, fn_luhn_check, scan_text_roundtrip,
+# corpus_curriculum_order, fn_mask, dq_psi_drift, embed_sim_histogram —
+# all currently appended after this list, i.e. registry
 # tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [
