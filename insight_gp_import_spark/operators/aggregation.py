@@ -1202,3 +1202,65 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(F.sqrt(var), 3), 6).alias("skew"),
         F.round(m4 / F.pow(var, 2) - 3.0, 6).alias("kurt"),
     )
+
+
+# event_type -> bit position (fixed vocabulary, §1.3)
+EVENT_BITS = {"click": 1, "error": 2, "purchase": 4, "signup": 8, "view": 16}
+
+
+def _event_bit_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{t}' THEN {b}" for t, b in sorted(EVENT_BITS.items())
+    )
+    return f"CASE event_type {cases} ELSE 0 END"
+
+
+@op(
+    "agg_bitmask_profile",
+    oracle=f"""
+    WITH bits AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               {_event_bit_sql()} AS b
+        FROM events
+    ), profiles AS (
+        SELECT user_id, d, CAST(bit_or(b) AS BIGINT) AS type_mask
+        FROM bits GROUP BY user_id, d
+    )
+    SELECT type_mask,
+           CAST(count(*) AS BIGINT) AS n_user_days,
+           CAST(bit_count(type_mask) AS BIGINT) AS n_types,
+           ((type_mask & 4) != 0) AS has_purchase
+    FROM profiles GROUP BY type_mask
+    """,
+    category=CAT,
+)
+def agg_bitmask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bitmask profile: OR-aggregate each (user, day)'s
+    event types into one integer flag set, then histogram the distinct
+    behavior profiles ("how many user-days did {{view,click}} but
+    never purchased") — the flags pattern every feature store uses
+    for bounded categorical sets, and the exact-set cousin of
+    agg_bitmap_distinct's id bitmaps.
+
+    BIT_OR is commutative/associative/idempotent — the ideal
+    distributed aggregate: map-side partials are just ORs, re-delivery
+    is harmless (the same property stream_upsert_sink leans on), and
+    state is ONE integer per user regardless of event count. The
+    profile histogram then collapses ≤2^{len(EVENT_BITS)} rows.
+    Fixed vocabulary → fixed bit positions (§1.3); set membership
+    tests are integer AND, no string work after the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bits = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.expr(_event_bit_sql()).alias("b"),
+    )
+    profiles = bits.groupBy("user_id", "d").agg(
+        F.expr("bit_or(b)").cast("bigint").alias("type_mask")
+    )
+    return profiles.groupBy("type_mask").agg(
+        F.count("*").alias("n_user_days"),
+        F.expr("bit_count(type_mask)").cast("bigint").alias("n_types"),
+        ((F.col("type_mask").bitwiseAND(4)) != 0).alias("has_purchase"),
+    )

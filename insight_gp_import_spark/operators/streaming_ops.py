@@ -422,8 +422,13 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finished = q.awaitTermination(300)
         q.stop()
+        if not finished:
+            # fail loud: a timed-out availableNow run leaves a partial
+            # sink that would read as a plausible-but-wrong relation
+            # (the run_to_memory lesson)
+            raise TimeoutError("checkpoint-restart phase did not finish")
 
     for p in files[:-1]:  # phase 1: all but the last staged file
         shutil.copy2(p, Path(src) / p.name)

@@ -589,3 +589,60 @@ def ts_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum_scaled"),
         (F.abs(cusum) * 10 > F.col("total")).alias("drifted"),
     )
+
+
+@op(
+    "ts_forward_fill",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) END AS purchase_c
+        FROM events
+    )
+    SELECT user_id, event_id, ts,
+           last_value(purchase_c IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_purchase_c
+    FROM marked
+    """,
+    category=CAT,
+)
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): every
+    event row carries the user's most recent purchase amount, NULL
+    until the first purchase. The third gap semantics next to
+    ts_gap_fill's explicit zeros (no data ≠ zero ≠ last-known) and
+    the per-row join-free alternative to join_point_in_time when the
+    observation and the spine are the SAME stream.
+
+    The whole op is one window: last_value(… IGNORE NULLS) over an
+    unbounded-preceding frame — the null-skipping frame semantics
+    that separate real SQL engines from almost-SQL ones, exercised
+    against DuckDB's reading of the same clause. Deterministic
+    (ts µs, event_id) order, exact cents payload. One user_id
+    exchange; the running state is one value per partition — LOCF at
+    100 TB costs exactly what sessionize_gap costs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("purchase_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.last("purchase_c", ignorenulls=True).over(w).alias("last_purchase_c"),
+    )

@@ -79,11 +79,21 @@ def run_to_memory(
     df: DataFrame,
     query_name: str,
     output_mode: str = "append",
-    timeout_sec: int = 120,
+    timeout_sec: int = 300,
 ) -> None:
     """Run a streaming DataFrame to completion (availableNow) into an
     in-memory table named ``query_name``; read back with
-    ``spark.table(query_name)``."""
+    ``spark.table(query_name)``.
+
+    FAIL-LOUD contract: ``awaitTermination(timeout)`` returns False on
+    timeout without raising — silently stopping there leaves a
+    PARTIAL (or empty) memory table that downstream code would read as
+    a wrong-but-plausible result. Observed in practice: a loaded host
+    pushed the 200-state-partition stateful queries past a 120 s
+    budget and two ops "returned" bad relations instead of erroring.
+    A wrong answer is worse than no answer, so an unfinished query now
+    raises.
+    """
     with tempfile.TemporaryDirectory(prefix="igis-ckpt-") as ckpt:
         q = (
             df.writeStream.format("memory")
@@ -93,8 +103,14 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
         q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {query_name!r} did not finish within "
+                f"{timeout_sec}s (availableNow); refusing to expose a "
+                f"partial memory table"
+            )
 
 
 def upsert_merge(
