@@ -1264,3 +1264,86 @@ def agg_bitmask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_count(type_mask)").cast("bigint").alias("n_types"),
         ((F.col("type_mask").bitwiseAND(4)) != 0).alias("has_purchase"),
     )
+
+
+@op(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id,
+               date_trunc('week', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS m,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), cohorts AS (
+        SELECT user_id, min(m) AS cohort FROM purchases GROUP BY user_id
+    ), aged AS (
+        SELECT c.cohort,
+               CAST(date_diff('day', c.cohort, p.m) // 7 AS BIGINT) AS age,
+               p.cents
+        FROM purchases p JOIN cohorts c ON p.user_id = c.user_id
+    ), cohort_rev AS (
+        SELECT cohort, age, CAST(sum(cents) AS BIGINT) AS rev_c
+        FROM aged GROUP BY cohort, age
+    ), sized AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        FROM cohorts GROUP BY cohort
+    )
+    SELECT r.cohort, r.age, r.rev_c, s.n_users,
+           CAST(sum(r.rev_c) OVER (PARTITION BY r.cohort ORDER BY r.age)
+                AS BIGINT) AS cum_rev_c,
+           CAST(sum(r.rev_c) OVER (PARTITION BY r.cohort ORDER BY r.age)
+                // s.n_users AS BIGINT) AS ltv_c_per_user
+    FROM cohort_rev r JOIN sized s ON r.cohort = s.cohort
+    """,
+    category=CAT,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first purchase
+    WEEK, revenue accumulated by cohort age (weeks), per-user
+    normalized —
+    the LTV dashboard behind every retention decision
+    (agg_retention_cohort counts who CAME BACK; this measures what
+    they were WORTH). Weekly cohorts because the fixture spans one
+    month; a production run flips one truncation unit. Exact integer
+    cents end-to-end; even the per-user normalization stays integer
+    (floor division — a display layer can choose decimals, the
+    engine result is exact).
+
+    Shape: purchases reduce to per-user first-month (one agg), the
+    age join is keyed on user_id, the curve relation is
+    |cohorts|×|ages| (tiny at any corpus scale) so its running-sum
+    window is broadcast-class. The week arithmetic is integer
+    day-diff div 7 on week-truncated NTZ dates — zone-independent
+    (the ts_yoy_growth rule) and free of months_between's fractional
+    semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.trunc(F.col("ts").cast("date"), "week").alias("m"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cohorts = purchases.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    aged = purchases.join(cohorts, "user_id").select(
+        "cohort",
+        F.expr("CAST(datediff(m, cohort) div 7 AS BIGINT)").alias("age"),
+        "cents",
+    )
+    cohort_rev = aged.groupBy("cohort", "age").agg(
+        F.sum("cents").alias("rev_c")
+    )
+    sized = cohorts.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy("cohort").orderBy("age")
+    cum = F.sum("rev_c").over(w)
+    return (
+        cohort_rev.join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "rev_c",
+            "n_users",
+            cum.alias("cum_rev_c"),
+            F.expr("CAST(sum(rev_c) OVER (PARTITION BY cohort ORDER BY age)"
+                   " div n_users AS BIGINT)").alias("ltv_c_per_user"),
+        )
+    )

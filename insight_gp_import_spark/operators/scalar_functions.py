@@ -670,3 +670,54 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("masked_full"),
         last4.alias("masked_last4"),
     )
+
+
+@op(
+    "fn_array_sort_comparator",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ')[1:8] AS toks FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_transform(
+                   list_sort(list_transform(
+                       toks, x -> lpad(CAST(length(x) AS VARCHAR), 3, '0') || x)),
+                   k -> substr(k, 4)),
+               ' ') AS by_len_then_alpha,
+           array_to_string(list_reverse_sort(toks), ' ') AS desc_alpha
+    FROM arrs
+    """,
+    category=CAT,
+)
+def fn_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_sort with a CUSTOM COMPARATOR lambda (length first, then
+    lexicographic) plus a descending sort — the HOF surface beyond
+    fn_array_hof's map/filter/reduce: user-defined orderings without
+    leaving the JVM.
+
+    Dialect note worth the op: DuckDB has no comparator lambdas, so
+    the oracle expresses the same ordering as a SCHWARTZIAN TRANSFORM
+    (decorate with a zero-padded sortable key → sort → strip). The
+    hash-match therefore proves Spark's comparator semantics against
+    the decorate-sort-undecorate spelling — two genuinely different
+    formulations of one ordering, the strongest oracle form this
+    family has. Results serialize via array_to_string (§2.X rule 3:
+    no raw arrays in hashed output). Scan-stage, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id", F.expr("slice(split(text, ' '), 1, 8)").alias("toks")
+    )
+    return arrs.select(
+        "doc_id",
+        F.expr(
+            "array_join(array_sort(toks, (l, r) -> "
+            "CASE WHEN length(l) < length(r) THEN -1 "
+            "     WHEN length(l) > length(r) THEN 1 "
+            "     WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END), ' ')"
+        ).alias("by_len_then_alpha"),
+        F.expr(
+            "array_join(reverse(array_sort(toks)), ' ')"
+        ).alias("desc_alpha"),
+    )
