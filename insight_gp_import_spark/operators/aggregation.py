@@ -1347,3 +1347,75 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " div n_users AS BIGINT)").alias("ltv_c_per_user"),
         )
     )
+
+
+@op(
+    "agg_gini_activity",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ), by_level AS (
+        SELECT cnt AS c, CAST(count(*) AS BIGINT) AS k
+        FROM per_user GROUP BY cnt
+    ), cum AS (
+        SELECT c, k,
+               CAST(coalesce(sum(k) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS p
+        FROM by_level
+    ), moments AS (
+        SELECT CAST(sum(k) AS BIGINT) AS n,
+               CAST(sum(c * k) AS BIGINT) AS t,
+               CAST(sum(c * (k * p + (k * (k + 1)) // 2)) AS BIGINT) AS s
+        FROM cum
+    )
+    SELECT n AS n_users, t AS total_events,
+           CAST((2000 * s - 1000 * (n + 1) * t) // (n * t) AS BIGINT)
+               AS gini_milli
+    FROM moments
+    """,
+    category=CAT,
+)
+def agg_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of user activity concentration, EXACT — the
+    single-number inequality summary whose full curve is
+    agg_pareto_cut ("how unequal is the load" vs "where is the 80 %
+    point"). 0 = uniform, →1 = one user is the whole stream; ops
+    teams trend it to catch bot takeover and key-skew formation
+    before joins start spilling.
+
+    The textbook formulation sorts ALL users and sums rank·activity —
+    an unpartitioned window over a billions-row relation at 100 TB.
+    This op groups to DISTINCT ACTIVITY LEVELS first (the
+    agg_pareto_cut move) and reconstructs the rank sum per level in
+    closed form (ranks are contiguous: Σi = k·P + k(k+1)/2), so the
+    ordered window touches only the bounded level relation and every
+    quantity — including the published per-mille Gini — is exact
+    integer arithmetic (overflow bound: 2000·S needs Σc·rank² < 2⁶³
+    ⇒ fine to ~10⁸ users × 10⁴ events; DECIMAL(38) states beyond).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    by_level = per_user.groupBy(F.col("cnt").alias("c")).agg(
+        F.count("*").alias("k")
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_level.withColumn(
+        "p", F.coalesce(F.sum("k").over(w), F.lit(0)).cast("bigint")
+    )
+    moments = cum.agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("c") * F.col("k")).alias("t"),
+        F.sum(
+            F.col("c")
+            * (F.col("k") * F.col("p") + F.expr("(k * (k + 1)) div 2"))
+        ).alias("s"),
+    )
+    return moments.select(
+        F.col("n").alias("n_users"),
+        F.col("t").alias("total_events"),
+        F.expr(
+            "CAST((2000 * s - 1000 * (n + 1) * t) div (n * t) AS BIGINT)"
+        ).alias("gini_milli"),
+    )

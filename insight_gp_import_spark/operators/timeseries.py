@@ -646,3 +646,54 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last("purchase_c", ignorenulls=True).over(w).alias("last_purchase_c"),
     )
+
+
+@op(
+    "ts_seasonal_naive_forecast",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), f AS (
+        SELECT event_type, d, cnt,
+               lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d)
+                   AS forecast
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(forecast) AS BIGINT) AS n_scored,
+           CAST(sum(abs(cnt - forecast)) AS BIGINT) AS total_abs_err,
+           CAST(sum(abs(cnt - forecast)) * 1000 // sum(cnt)
+                FILTER (forecast IS NOT NULL) AS BIGINT) AS wape_milli
+    FROM f GROUP BY event_type
+    """,
+    category=CAT,
+)
+def ts_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast benchmark (forecast = same weekday last
+    week) with WAPE error — the baseline every real forecasting model
+    must beat, and the capacity-planning sanity report next to
+    ts_seasonality_profile's shape. M-competition lineage: seasonal
+    naive is the standard yardstick, not a strawman.
+
+    All-integer scoring: the forecast is lag-7 (exact), the error is
+    an integer absolute difference, and WAPE = Σ|err|/Σactual is
+    published in exact per-mille via integer floor division — no
+    float enters the op (same discipline as ts_cusum_change). One
+    daily pre-agg + one partitioned lag + a per-type reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    f = daily.withColumn("forecast", F.lag("cnt", 7).over(w))
+    return f.groupBy("event_type").agg(
+        F.count("forecast").alias("n_scored"),
+        F.sum(F.abs(F.col("cnt") - F.col("forecast"))).alias("total_abs_err"),
+        F.expr(
+            "CAST(sum(abs(cnt - forecast)) * 1000"
+            " div sum(CASE WHEN forecast IS NOT NULL THEN cnt END) AS BIGINT)"
+        ).alias("wape_milli"),
+    )
