@@ -1419,3 +1419,39 @@ def agg_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2000 * s - 1000 * (n + 1) * t) div (n * t) AS BIGINT)"
         ).alias("gini_milli"),
     )
+
+
+@op(
+    "agg_boolean_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT)
+               AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(count(*) FILTER (o_orderpriority LIKE '%LOW')
+                AS BIGINT) AS n_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
+def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean-aggregate family — count_if / every / any (SQL
+    standard BOOL_AND/BOOL_OR) — the predicate-summary layer of every
+    audit query ("did ALL rows pass", "did ANY row trip the flag",
+    "how many matched"), spelled with the dedicated aggregates
+    instead of the sum(CASE…) workarounds migrating users bring.
+
+    Semantics parity is the point: Spark's every/any vs DuckDB's
+    bool_and/bool_or must agree on NULL handling (NULL predicate rows
+    are ignored, not falsy) — the hash-match pins that. All
+    map-combinable single-value states; count_if is exactly
+    count FILTER.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("count_if(o_totalprice > 200000)").alias("n_big"),
+        F.expr("every(o_totalprice > 1000)").alias("all_over_1k"),
+        F.expr("any(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+        F.expr("count_if(o_orderpriority LIKE '%LOW')").alias("n_low"),
+    )

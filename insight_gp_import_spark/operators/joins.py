@@ -960,3 +960,90 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             cheb.cast("int").alias("cheb"),
         )
     )
+
+
+# fixed "maintenance window" schedule for overlap accounting (UTC days
+# inside the fixture's event span, §1.3)
+MAINT_WINDOWS = [
+    ("mw1", "2024-01-05 02:00:00", "2024-01-05 06:00:00"),
+    ("mw2", "2024-01-12 00:00:00", "2024-01-12 12:00:00"),
+    ("mw3", "2024-01-20 08:00:00", "2024-01-21 08:00:00"),
+]
+
+
+def _mw_values_sql() -> str:
+    return ", ".join(
+        f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in MAINT_WINDOWS
+    )
+
+
+@op(
+    "join_overlap_accounting",
+    oracle=f"""
+    WITH sessions AS (
+        SELECT user_id,
+               min(CAST(ts AS TIMESTAMP)) AS s_start,
+               max(CAST(ts AS TIMESTAMP)) AS s_end
+        FROM events
+        GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ), windows AS (
+        SELECT * FROM (VALUES {_mw_values_sql()}) w(win_id, w_start, w_end)
+    ), ovl AS (
+        SELECT w.win_id,
+               greatest(0, epoch_us(least(s.s_end, w.w_end))
+                           - epoch_us(greatest(s.s_start, w.w_start)))
+                   AS ov_us
+        FROM sessions s JOIN windows w
+          ON s.s_start < w.w_end AND s.s_end > w.w_start
+    )
+    SELECT win_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+    FROM ovl GROUP BY win_id
+    """,
+    category=CAT,
+)
+def join_overlap_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap ACCOUNTING: how much user-session time fell
+    inside each maintenance window — the SLA/billing computation
+    (downtime exposure, metered overlap), one step past
+    join_interval_bucketed's "which intervals touch" into "how MUCH
+    they touch". Sessions here are per-(user, day) activity spans;
+    the window schedule is a literal dimension (VALUES — the inline-
+    table surface, also exercised nowhere else).
+
+    Overlap math is exact integer µs: ov = max(0, min(ends) −
+    max(starts)) via epoch_us/unix_micros (bit-equal, §2.X); the
+    overlap predicate (s_start < w_end AND s_end > w_start) is the
+    canonical half-open interval intersection test. Scale: the window
+    side is tiny and broadcasts, so the session side never shuffles
+    for the join; with BOTH sides large this becomes
+    join_interval_bucketed's bucket-key equi-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    windows = spark.createDataFrame(
+        [(n, s, e) for n, s, e in MAINT_WINDOWS],
+        "win_id string, w_start string, w_end string",
+    ).select(
+        "win_id",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    joined = sessions.join(
+        F.broadcast(windows),
+        (F.col("s_start") < F.col("w_end")) & (F.col("s_end") > F.col("w_start")),
+    )
+    ov = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.unix_micros(F.least("s_end", "w_end"))
+        - F.unix_micros(F.greatest("s_start", "w_start")),
+    )
+    return joined.groupBy("win_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(ov).alias("total_overlap_us"),
+    )
