@@ -1047,3 +1047,57 @@ def join_overlap_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum(ov).alias("total_overlap_us"),
     )
+
+
+@op(
+    "join_or_decomposed",
+    oracle="""
+    WITH pairs AS (
+        SELECT c.c_custkey, s.s_suppkey
+        FROM customer c JOIN supplier s
+          ON c.c_nationkey = s.s_nationkey
+          OR CAST(round(c.c_acctbal) AS BIGINT) // 500
+             = CAST(round(s.s_acctbal) AS BIGINT) // 500
+    )
+    SELECT s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM pairs GROUP BY s_suppkey
+    """,
+    category=CAT,
+)
+def join_or_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-join rewrite: match on (same nation OR same balance
+    band). A disjunctive join predicate has NO single equi-key, so a
+    naive engine — and the DuckDB oracle, deliberately — evaluates it
+    as a nested-loop over the cross product. The engine-grade rewrite
+    this op implements: decompose into TWO hash equi-joins (one per
+    disjunct) and de-duplicate pairs that satisfy both (UNION-distinct
+    on the pair key). The hash-match against the naive spelling
+    proves the decomposition exact — including the double-match
+    dedup, the part hand-rolled rewrites usually get wrong.
+
+    Scale: each disjunct shuffles on its own real key, so cost is
+    Σ|equi-join outputs| instead of |C|·|S| candidate pairs — at 100
+    TB that is the difference between two ordinary joins and an
+    infeasible BNL (the join_spatial_grid crossover logic, but with
+    NO crossover: the decomposition never loses to the naive plan
+    asymptotically because the dedup key is the join output itself).
+    Bands are exact integer floor-division of rounded balances
+    (DuckDB // vs Spark div — the agg_cohort_ltv dialect rule).
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(round(c_acctbal) AS BIGINT) div 500").alias("c_band"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.expr("CAST(round(s_acctbal) AS BIGINT) div 500").alias("s_band"),
+    )
+    by_nation = c.join(
+        s, c.c_nationkey == s.s_nationkey
+    ).select("c_custkey", "s_suppkey")
+    by_band = c.join(s, c.c_band == s.s_band).select("c_custkey", "s_suppkey")
+    pairs = by_nation.union(by_band).distinct()
+    return pairs.groupBy("s_suppkey").agg(F.count("*").alias("n_customers"))

@@ -970,3 +970,76 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("band"),
     )
+
+
+@op(
+    "text_novelty_score",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), doc_grams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(arr) - 1),
+                                     i -> arr[i] || ' ' || arr[i + 1])) AS g
+        FROM arrs
+    ), per_doc AS (
+        SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c_dg
+        FROM doc_grams GROUP BY doc_id, g
+    ), global_g AS (
+        SELECT g, CAST(sum(c_dg) AS BIGINT) AS c_g FROM per_doc GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(sum(c_dg) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN c_g = c_dg THEN c_dg ELSE 0 END) AS BIGINT)
+               AS n_unique_here,
+           round(CAST(sum(CASE WHEN c_g = c_dg THEN c_dg ELSE 0 END)
+                      AS DOUBLE) / sum(c_dg), 4) AS novelty
+    FROM per_doc JOIN global_g USING (g)
+    GROUP BY doc_id
+    """,
+    category=CAT,
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's bigram
+    occurrences that exist NOWHERE else in the corpus (corpus count ==
+    own count) — high novelty marks genuinely original text, near-zero
+    novelty marks boilerplate/template families BEFORE pairwise dedup
+    even runs (the cheap corpus-level prefilter for
+    dedup_near_jaccard's candidate generation; text_containment
+    answers the same question against an external benchmark, this
+    answers it against the corpus itself).
+
+    Shape: per-(doc, bigram) counts → global bigram counts (two
+    map-combined aggs over one explode), then a token-keyed join back
+    — the text_unigram_logprob scale pattern with the same Zipf-head
+    broadcast upgrade path. The uniqueness test (c_g == c_dg) is
+    exact integer equality; only the published ratio is a rounded
+    double.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                "             element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("g"),
+    )
+    per_doc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c_dg"))
+    global_g = per_doc.groupBy("g").agg(F.sum("c_dg").alias("c_g"))
+    unique_here = F.when(F.col("c_g") == F.col("c_dg"), F.col("c_dg")).otherwise(
+        F.lit(0)
+    )
+    return (
+        per_doc.join(global_g, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dg").alias("n_bigrams"),
+            F.sum(unique_here).alias("n_unique_here"),
+            F.round(
+                F.sum(unique_here).cast("double") / F.sum("c_dg"), 4
+            ).alias("novelty"),
+        )
+    )
