@@ -461,3 +461,28 @@ def test_pagerank_supersteps_have_no_cartesian(spark):
     # teleport term arrive via broadcast — no cartesian blowup anywhere
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-K, not a global sort
+
+
+def test_or_decomposed_join_has_no_nested_loop(spark):
+    plan = plan_of(spark, "join_or_decomposed")
+    # the whole point of the rewrite: two hash equi-joins, never a
+    # BroadcastNestedLoopJoin/CartesianProduct over the OR predicate
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_accounting_broadcasts_windows(spark):
+    plan = plan_of(spark, "join_overlap_accounting")
+    # the 3-row window dimension must broadcast; sessions never
+    # reshuffle for the join
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_has_no_per_user_global_window(spark):
+    plan = plan_of(spark, "agg_gini_activity")
+    # the ordered window may only run over the distinct-level relation
+    # (post-aggregation); the per-user relation is only hash-aggregated
+    assert "Window" in plan
+    # level window comes after two aggregations of the events scan
+    assert plan.count("HashAggregate") >= 4
