@@ -1455,3 +1455,118 @@ def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("any(o_orderpriority = '1-URGENT')").alias("any_urgent"),
         F.expr("count_if(o_orderpriority LIKE '%LOW')").alias("n_low"),
     )
+
+
+@op(
+    "agg_rfm_segments",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), horizon AS (
+        SELECT max(d) AS maxd FROM purchases
+    ), rfm AS (
+        SELECT user_id,
+               CAST(date_diff('day', max(d), (SELECT maxd FROM horizon))
+                    AS BIGINT) AS r_days,
+               CAST(count(*) AS BIGINT) AS f_cnt,
+               CAST(sum(cents) AS BIGINT) AS m_c
+        FROM purchases GROUP BY user_id
+    ), cuts AS (
+        SELECT quantile_cont(r_days, 0.25) AS r1, quantile_cont(r_days, 0.50) AS r2,
+               quantile_cont(r_days, 0.75) AS r3,
+               quantile_cont(f_cnt, 0.25) AS f1, quantile_cont(f_cnt, 0.50) AS f2,
+               quantile_cont(f_cnt, 0.75) AS f3,
+               quantile_cont(m_c, 0.25) AS m1, quantile_cont(m_c, 0.50) AS m2,
+               quantile_cont(m_c, 0.75) AS m3
+        FROM rfm
+    ), coded AS (
+        SELECT user_id, m_c,
+               (CASE WHEN r_days <= r1 THEN 4 WHEN r_days <= r2 THEN 3
+                     WHEN r_days <= r3 THEN 2 ELSE 1 END) * 100
+               + (CASE WHEN f_cnt <= f1 THEN 1 WHEN f_cnt <= f2 THEN 2
+                       WHEN f_cnt <= f3 THEN 3 ELSE 4 END) * 10
+               + (CASE WHEN m_c <= m1 THEN 1 WHEN m_c <= m2 THEN 2
+                       WHEN m_c <= m3 THEN 3 ELSE 4 END) AS segment
+        FROM rfm CROSS JOIN cuts
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(m_c) AS BIGINT) AS total_cents,
+           (segment = 444) AS is_champion
+    FROM coded GROUP BY segment
+    """,
+    category=CAT,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Recency/Frequency/Monetary quartile codes,
+    the direct-marketing classic): each purchasing user gets a 3-digit
+    segment (recency inverted so 4 = most recent — '444' is the
+    champion cell), then segments are profiled. The behavioral
+    segmentation every CRM export runs, composing naturally with
+    agg_cohort_ltv (segments explain WHO, LTV explains WORTH).
+
+    Scale shape is win_quantile_bin_global's, tripled: nine exact
+    quartile cuts over integer R/F/M values computed in ONE aggregate,
+    broadcast as one row, banding by CASE in the projection — no
+    ntile, no global sort anywhere (ntile over users is a single-task
+    window at 100 TB; cut-based banding is the scale-safe equivalent
+    up to cut-tie placement, which integer inputs pin exactly:
+    percentile ≡ quantile_cont bit-for-bit on ints, §2.X rule 6).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    horizon = purchases.agg(F.max("d").alias("maxd"))
+    rfm = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("*").alias("f_cnt"),
+            F.sum("cents").alias("m_c"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff("maxd", "last_d").cast("bigint").alias("r_days"),
+            "f_cnt",
+            "m_c",
+        )
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{i}")
+            for c in ("r_days", "f_cnt", "m_c")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    r_code = (
+        F.when(F.col("r_days") <= F.col("r1"), 4)
+        .when(F.col("r_days") <= F.col("r2"), 3)
+        .when(F.col("r_days") <= F.col("r3"), 2)
+        .otherwise(1)
+    )
+    f_code = (
+        F.when(F.col("f_cnt") <= F.col("f1"), 1)
+        .when(F.col("f_cnt") <= F.col("f2"), 2)
+        .when(F.col("f_cnt") <= F.col("f3"), 3)
+        .otherwise(4)
+    )
+    m_code = (
+        F.when(F.col("m_c") <= F.col("m1"), 1)
+        .when(F.col("m_c") <= F.col("m2"), 2)
+        .when(F.col("m_c") <= F.col("m3"), 3)
+        .otherwise(4)
+    )
+    coded = rfm.crossJoin(F.broadcast(cuts)).select(
+        "m_c", (r_code * 100 + f_code * 10 + m_code).alias("segment")
+    )
+    return coded.groupBy("segment").agg(
+        F.count("*").alias("n_users"),
+        F.sum("m_c").alias("total_cents"),
+        (F.col("segment") == 444).alias("is_champion"),
+    )

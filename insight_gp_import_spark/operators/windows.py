@@ -610,3 +610,45 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("med7"),
     )
+
+
+@op(
+    "sql_named_window",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(count(*) OVER w AS BIGINT) AS running_n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS running_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    category=CAT,
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL WINDOW clause: one named spec shared by several window
+    functions — the spelling analysts use for running dashboards, and
+    a PLANNER contract: every function over ``w`` must reuse ONE
+    exchange+sort, not re-shuffle per function (the same guarantee
+    sql_multi_cte plan-tests via the API; here it's the literal SQL
+    surface, run verbatim on both engines).
+
+    Spark's parser supports named windows since 2.0 but migrating
+    users routinely doubt it — this op is the executable proof. One
+    user_id exchange, exact-cents running sum, (ts µs, event_id)
+    deterministic frame order (§2.X).
+    """
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).createOrReplaceTempView("igis_nw_purchases")
+    return spark.sql("""
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(count(*) OVER w AS BIGINT) AS running_n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS running_cents
+        FROM igis_nw_purchases
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """)
