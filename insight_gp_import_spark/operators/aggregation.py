@@ -1570,3 +1570,49 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m_c").alias("total_cents"),
         (F.col("segment") == 444).alias("is_champion"),
     )
+
+
+@op(
+    "agg_decimal_money",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR)
+               AS gross,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST('0.93' AS DECIMAL(8, 4))) AS VARCHAR) AS gross_eur,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * (CAST(1 AS DECIMAL(8, 4))
+                       - CAST(l_discount AS DECIMAL(8, 4)))) AS VARCHAR)
+               AS net
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in DECIMAL — the type a warehouse actually
+    stores currency in. Everywhere else this repo proves exactness by
+    dropping to integer cents (§2.X); this op proves the ENGINE's
+    decimal path directly: DECIMAL(18,2) sums, a decimal FX
+    conversion, and a decimal net-of-discount product, all exact and
+    all agreeing with DuckDB's independent decimal implementation
+    digit-for-digit (results serialized to strings so the hash sees
+    the full scale, not a double approximation).
+
+    Why it matters at 100 TB: decimal aggregation runs in Tungsten on
+    unscaled longs until precision 18, so the exactness is
+    — like the cents protocol — free until values exceed 10¹⁶; the
+    documented escalation is DECIMAL(38) (128-bit state, ~2× cost)
+    exactly when Σ row count × max value demands it. Spark's
+    precision-propagation rules (p1+p2+1 for ×) are part of what the
+    hash-match pins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    rate = F.lit("0.93").cast("decimal(8,4)")
+    one = F.lit(1).cast("decimal(8,4)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("string").alias("gross"),
+        F.sum(price * rate).cast("string").alias("gross_eur"),
+        F.sum(price * (one - disc)).cast("string").alias("net"),
+    )
