@@ -1616,3 +1616,117 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * rate).cast("string").alias("gross_eur"),
         F.sum(price * (one - disc)).cast("string").alias("net"),
     )
+
+
+@op(
+    "agg_new_returning_users",
+    oracle="""
+    WITH seen AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ), first_seen AS (
+        SELECT user_id, min(d) AS first_d FROM seen GROUP BY user_id
+    )
+    SELECT s.d,
+           CAST(count(*) FILTER (s.d = f.first_d) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (s.d > f.first_d) AS BIGINT)
+               AS returning_users,
+           round(CAST(count(*) FILTER (s.d > f.first_d) AS DOUBLE)
+                 / count(*), 4) AS returning_share
+    FROM seen s JOIN first_seen f ON s.user_id = f.user_id
+    GROUP BY s.d
+    """,
+    category=CAT,
+)
+def agg_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning daily actives — the growth-accounting split
+    every product dashboard leads with (agg_retention_cohort tracks a
+    cohort forward; this reads each DAY's composition). A user is
+    "new" on their first-seen day, "returning" on any later active
+    day.
+
+    Shape: activity collapses to distinct (user, day) once; first-seen
+    is one more agg over it; the classifying join keys on user_id and
+    reuses the same partitioning (AQE exchange reuse — zero extra
+    shuffles). Counts are exact FILTER aggregates; only the published
+    share is a rounded double. At 100 TB first_seen is the
+    incremental-merge candidate (agg_incremental_merge's pattern:
+    min() is mergeable), so the daily job never rescans history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seen = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first_seen = seen.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    joined = seen.join(first_seen, "user_id")
+    new_u = F.count(F.when(F.col("d") == F.col("first_d"), 1))
+    ret_u = F.count(F.when(F.col("d") > F.col("first_d"), 1))
+    return joined.groupBy("d").agg(
+        new_u.alias("new_users"),
+        ret_u.alias("returning_users"),
+        F.round(ret_u.cast("double") / F.count("*"), 4).alias(
+            "returning_share"
+        ),
+    )
+
+
+@op(
+    "agg_conversion_latency",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_view,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ), lat AS (
+        SELECT user_id, first_purchase - first_view AS lat_us
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    )
+    SELECT CAST(lat_us // 3600000000 AS BIGINT) AS hours_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(lat_us) AS BIGINT) AS min_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us
+    FROM lat GROUP BY 1
+    """,
+    category=CAT,
+)
+def agg_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first view → first purchase per
+    user, histogrammed by whole hours — the funnel-LATENCY metric
+    (agg_funnel_conversion counts WHO converted; this measures HOW
+    LONG conversion took, the number growth teams optimize).
+
+    Both firsts come from ONE conditional-min aggregate over a single
+    scan (no self-join of the events table against itself — the
+    min(CASE) trick collapses the classic two-pass formulation);
+    latency is exact integer µs and the histogram bucket is integer
+    floor-division. Users who purchased before ever viewing (seeded
+    accounts) are excluded explicitly rather than producing negative
+    buckets. Map-combined, one shuffle on user_id, histogram ≤
+    span-in-hours rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("lat_us"))
+    return lat.groupBy(
+        F.expr("CAST(lat_us div 3600000000 AS BIGINT)").alias("hours_bucket")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.min("lat_us").alias("min_us"),
+        F.max("lat_us").alias("max_us"),
+    )

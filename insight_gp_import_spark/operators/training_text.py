@@ -1043,3 +1043,112 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+LANGID_PROFILE_K = 20
+
+
+@op(
+    "text_langid_ngram",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, length(text) - 2),
+                   i -> substr(text, i, 3)))) AS g
+        FROM documents
+    ), lang_counts AS (
+        SELECT lang AS plang, g, CAST(count(*) AS BIGINT) AS n
+        FROM grams GROUP BY lang, g
+    ), profile AS (
+        SELECT plang, g FROM (
+            SELECT plang, g,
+                   row_number() OVER (PARTITION BY plang
+                                      ORDER BY n DESC, g) AS rn
+            FROM lang_counts
+        ) WHERE rn <= {LANGID_PROFILE_K}
+    ), scores AS (
+        SELECT gr.doc_id, p.plang, CAST(count(*) AS BIGINT) AS score
+        FROM grams gr JOIN profile p ON gr.g = p.g
+        GROUP BY gr.doc_id, p.plang
+    ), best AS (
+        SELECT doc_id, plang AS predicted, score FROM (
+            SELECT doc_id, plang, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, plang) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(b.predicted, 'und') AS predicted,
+           coalesce(b.score, 0) AS score,
+           (coalesce(b.predicted, 'und') = d.lang) AS is_correct
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+    category=CAT,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID, SELF-TRAINED — the upgrade
+    text_langid's docstring promises (Cavnar & Trenkle '94 n-gram
+    profiles instead of stopword lists): top-{LANGID_PROFILE_K}
+    trigrams per labeled language become the profile, every document
+    is scored by distinct-trigram overlap, argmax with a fixed
+    tie-break. Train and apply are ONE declarative plan — the
+    feature-pipeline pattern (fit on the corpus, transform the
+    corpus) with no collect between the stages.
+
+    Scale shape: the profile relation is |langs|×K rows → broadcast
+    to the scoring join, so the trigram stream shuffles only for the
+    per-(doc, lang) count; distinct-per-doc trigrams bound the
+    explode. Scores are exact integer counts; tie-breaks are total
+    ((score, plang) and (n, g)) so the argmax can't flap between
+    engines (§2.X rule 2). The synthetic corpus shares one
+    vocabulary, so ACCURACY is degenerate — semantics, not accuracy,
+    is what the oracle grades (module docstring contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    lang_counts = grams.groupBy(
+        F.col("lang").alias("plang"), "g"
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("plang").orderBy(F.desc("n"), "g")
+    profile = (
+        lang_counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= LANGID_PROFILE_K)
+        .select("plang", "g")
+    )
+    scores = (
+        grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("score"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("score"), "plang")
+    best = (
+        scores.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"), "score")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("predicted", F.lit("und")).alias("predicted"),
+            F.coalesce("score", F.lit(0)).alias("score"),
+            (F.coalesce("predicted", F.lit("und")) == F.col("lang")).alias(
+                "is_correct"
+            ),
+        )
+    )
