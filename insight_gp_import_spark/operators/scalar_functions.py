@@ -721,3 +721,40 @@ def fn_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(reverse(array_sort(toks)), ' ')"
         ).alias("desc_alpha"),
     )
+
+
+@op(
+    "fn_date_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS iso_day,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y/%m') AS slash_month,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%j') AS day_of_year,
+           strftime(CAST(o_orderdate AS TIMESTAMP), '%H:%M:%S') AS clock
+    FROM orders
+    """,
+    category=CAT,
+)
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-to-string formatting parity: Spark's Java-style
+    ``date_format`` patterns (yyyy-MM-dd, DDD, HH:mm:ss) vs DuckDB's
+    C-style strftime (%Y-%m-%d, %j, %H:%M:%S) — the report/filename
+    rendering layer of every export job (the reference's archive
+    paths are exactly such formatted-date strings).
+
+    The two engines use DIFFERENT pattern languages for the same
+    rendering, so the hash-match proves the OUTPUT conventions line
+    up — zero-padded day-of-year is the classic mismatch (Java 'D'
+    pads to nothing, '%j' pads to 3; this op pins the padded 'DDD'
+    spelling). NTZ input keeps every field zone-independent. Pure
+    scan-stage string work.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+        F.date_format(d, "yyyy/MM").alias("slash_month"),
+        F.date_format(d, "DDD").alias("day_of_year"),
+        F.date_format(d, "HH:mm:ss").alias("clock"),
+    )

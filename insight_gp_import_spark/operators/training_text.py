@@ -1152,3 +1152,131 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ZIPF_TOP_R = 200
+
+
+@op(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    ), ranked AS (
+        SELECT tok, n,
+               row_number() OVER (ORDER BY n DESC, tok) AS r
+        FROM freq
+        ORDER BY n DESC, tok
+        LIMIT {ZIPF_TOP_R}
+    ), logs AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        FROM ranked
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM logs
+    )
+    SELECT k AS n_ranks,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+           ((k * sxy - sx * sy) / (k * sxx - sx * sx) < -0.5) AS looks_zipfian
+    FROM m
+    """,
+    category=CAT,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law check: OLS slope of log-frequency on log-rank over the
+    top-{ZIPF_TOP_R} vocabulary — natural corpora slope ≈ −1;
+    machine-generated/templated corpora flatten toward 0. The
+    corpus-health diagnostic curators run before trusting any
+    token-level statistic (a broken slope means the tokenizer or the
+    source is wrong, not the model).
+
+    Ranking note: the global rank window runs AFTER a top-R cut
+    (TakeOrdered on (n DESC, tok)), so the single-ordered-window
+    relation is {ZIPF_TOP_R} rows — never the full vocabulary (the
+    AllPairs global-window lesson, applied). Doubles appear only in
+    the log-moment regression, computed with the identical expression
+    both engines (text_collocation_pmi's single-ln bound); the slope
+    itself is the agg_regression closed form on logs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    top = freq.orderBy(F.desc("n"), "tok").limit(ZIPF_TOP_R)
+    w = Window.orderBy(F.desc("n"), "tok")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    logs = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    m = logs.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("k").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        (slope < -0.5).alias("looks_zipfian"),
+    )
+
+
+# OCR-lookalike folding: digit-for-letter confusables → canonical letter
+CONFUSABLE_FROM = "0135"
+CONFUSABLE_TO = "oles"
+
+
+@op(
+    "text_confusable_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           md5(translate(lower(text), '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}'))
+               AS canon_md5,
+           CAST(length(text)
+                - length(regexp_replace(text, '[{CONFUSABLE_FROM}]', '', 'g'))
+                AS BIGINT) AS n_confusables,
+           (length(text)
+            - length(regexp_replace(text, '[{CONFUSABLE_FROM}]', '', 'g')) > 0)
+               AS was_folded
+    FROM documents
+    """,
+    category=CAT,
+)
+def text_confusable_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-confusable canonicalization: fold digit-for-letter
+    lookalikes (0→o, 1→l, 3→e, 5→s) before hashing — the
+    normalization pass that lets exact dedup catch OCR'd and
+    leet-obfuscated duplicates that byte-level md5 misses
+    (text_normalize handles case/whitespace; this handles glyph
+    confusion — both feed dedup_exact's content key).
+
+    ``translate`` is the right tool (single-pass char map, not N
+    regexp passes) and exists in both engines with identical
+    semantics — the hash-match pins that, plus the §2.X rule that
+    only the md5 of the canonical text ships (raw normalized text
+    never reaches the output). The confusable COUNT comes from
+    strip-and-measure (text_quality's pattern). Scan-stage, zero
+    shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    folded = F.translate(F.lower("text"), CONFUSABLE_FROM, CONFUSABLE_TO)
+    n_conf = F.length("text") - F.length(
+        F.regexp_replace("text", f"[{CONFUSABLE_FROM}]", "")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(folded).alias("canon_md5"),
+        n_conf.cast("bigint").alias("n_confusables"),
+        (n_conf > 0).alias("was_folded"),
+    )
