@@ -912,3 +912,68 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phased.withColumn(
         "rank_in_phase", F.row_number().over(w).cast("bigint")
     )
+
+
+@op(
+    "corpus_mix_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn FROM counts
+    ), src AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS sn FROM counts GROUP BY source
+    ), h AS (
+        SELECT round(-sum((CAST(sn AS DOUBLE) / tn)
+                          * ln(CAST(sn AS DOUBLE) / tn)), 6) AS h_source,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM src CROSS JOIN tot
+    )
+    SELECT c.source, c.lang, c.n, c.chars,
+           round(CAST(c.n AS DOUBLE) / t.tn, 6) AS share,
+           h.h_source, h.n_sources,
+           (h.h_source > 0.9 * ln(h.n_sources)) AS is_balanced
+    FROM counts c CROSS JOIN tot t CROSS JOIN h
+    """,
+    category=CAT,
+)
+def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture diversity report: the per-(source, lang) composition
+    plus the Shannon entropy of the source mix with a balance verdict
+    (H > 0.9·ln K ⇒ no source dominates) — the one-number diversity
+    guardrail reviewed before corpus_mix_weights changes anything (a
+    collapsed mix trains a narrow model long before any quality
+    metric notices).
+
+    Entropy terms are the identical −p·ln p doubles both engines
+    (exact integer counts underneath, text_collocation_pmi's
+    single-ln bound, rounded at 6); the balance verdict compares
+    against ln K with the same expression. One |sources|×|langs|
+    reduction; every derived relation is broadcast-class.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("chars"),
+    )
+    tot = counts.agg(F.sum("n").alias("tn"))
+    src = counts.groupBy("source").agg(F.sum("n").alias("sn"))
+    p = F.col("sn").cast("double") / F.col("tn")
+    h = src.crossJoin(F.broadcast(tot)).agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("h_source"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "source", "lang", "n", "chars",
+            F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("share"),
+            "h_source",
+            "n_sources",
+            (F.col("h_source") > 0.9 * F.log(F.col("n_sources").cast("double")))
+            .alias("is_balanced"),
+        )
+    )

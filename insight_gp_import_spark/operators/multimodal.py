@@ -420,3 +420,106 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"concat_ws('', {nib})").alias("phash"),
         )
     )
+
+
+PHASH_HAM_MAX = 3
+
+
+def _phash_quarters_sql(text_col: str, n_col: str, engine: str) -> list[str]:
+    """The 64 aHash bits packed into four 16-bit integer quarters —
+    engine-specific element access, identical arithmetic. Quarter q =
+    Σ_{{k=0..15}} bit[16q+k]·2^k, built from the same exact integer
+    pixel test as mm_image_phash."""
+    if engine == "spark":
+        bit = "element_at(bs, {i})"
+    else:
+        bit = "b[{i}]"
+    quarters = []
+    for q in range(4):
+        terms = " + ".join(
+            f"{bit.format(i=16 * q + k + 1)} * {1 << k}" for k in range(16)
+        )
+        quarters.append(f"({terms})")
+    return quarters
+
+
+@op(
+    "dedup_phash_hamming",
+    oracle=f"""
+    WITH pix AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              i -> ascii(substr(text, CAST(1 + ((i * n_chars) // 64) AS BIGINT), 1)))
+                   AS p
+        FROM documents
+    ), bits AS (
+        SELECT doc_id,
+               list_transform(p, x -> CASE WHEN x * 64 > list_aggregate(p, 'sum')
+                                           THEN 1 ELSE 0 END) AS b
+        FROM pix
+    ), quarters AS (
+        SELECT doc_id,
+               {", ".join(f"{expr} AS q{i}" for i, expr in enumerate(_phash_quarters_sql('text', 'n_chars', 'duckdb')))}
+        FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+                + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3))
+                AS BIGINT) AS hamming
+    FROM quarters a JOIN quarters b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+          + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3))
+          <= {PHASH_HAM_MAX}
+    """,
+    category=CAT,
+)
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection: perceptual-hash pairs within
+    Hamming distance {PHASH_HAM_MAX}, found via 16-bit-quarter
+    banding — mm_image_phash's fingerprint driven to its pairing
+    conclusion, completing the image-dedup pipeline the way
+    dedup_near_minhash completes text_fingerprint's.
+
+    This is dedup_simhash's banding (pigeonhole: ≤{PHASH_HAM_MAX}
+    flipped bits leave ≥1 of 4 quarters intact, so an equi-join per
+    quarter finds every qualifying pair) — but where simhash is
+    rows-only (xxhash64 has no DuckDB twin), the pixel aHash is pure
+    deterministic arithmetic, so THIS banded dedup is fully ORACLED:
+    the oracle is the naive all-pairs O(N²) hamming scan, and the
+    hash-match proves the banding recall-lossless at threshold
+    {PHASH_HAM_MAX} (the join_spatial_grid proof pattern, applied to
+    hamming space). Scale: 4 equi-joins on 16-bit bucket keys +
+    pair-dedup vs N²/2 comparisons; quarter packing is exact integer
+    work in the scan stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bits = _phash_bits_sql("text", "n_chars")
+    qexprs = _phash_quarters_sql("text", "n_chars", "spark")
+    quarters = docs.withColumn("bs", F.expr(bits)).select(
+        "doc_id",
+        *[F.expr(e).alias(f"q{i}") for i, e in enumerate(qexprs)],
+    )
+    a = quarters.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"q{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = quarters.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"q{i}").alias(f"b{i}") for i in range(4)],
+    )
+    cands = None
+    for i in range(4):
+        c = a.join(
+            b,
+            (F.col(f"a{i}") == F.col(f"b{i}"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        ).select("doc_a", "doc_b", *[f"a{k}" for k in range(4)],
+                 *[f"b{k}" for k in range(4)])
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.dropDuplicates(["doc_a", "doc_b"])
+    ham = sum(
+        F.expr(f"bit_count(a{i} ^ b{i})") for i in range(4)
+    )
+    return cands.filter(ham <= PHASH_HAM_MAX).select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )
