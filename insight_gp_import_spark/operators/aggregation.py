@@ -1730,3 +1730,65 @@ def agg_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lat_us").alias("min_us"),
         F.max("lat_us").alias("max_us"),
     )
+
+
+@op(
+    "agg_weighted_median",
+    oracle="""
+    WITH levels AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, price_c, wt,
+               CAST(sum(wt) OVER (PARTITION BY l_returnflag
+                                  ORDER BY price_c) AS BIGINT) AS cw,
+               CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        FROM levels
+    )
+    SELECT l_returnflag,
+           CAST(min(price_c) AS BIGINT) AS weighted_median_c,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per group — the robust price
+    point ("half the UNITS moved at or below this price"), which the
+    plain median (agg_median_exact) gets wrong whenever quantity and
+    price correlate. The inventory/pricing staple no builtin covers
+    in either engine.
+
+    Exact lower-weighted-median: collapse to (group, price level,
+    Σweight) first — bounded by distinct prices, the agg_pareto_cut
+    move — then one cumulative window over the level relation and the
+    crossing test cw·2 ≥ tw in integer cross-multiplication. min()
+    over qualifying levels picks the crossing point without a second
+    window pass. No float anywhere; weights are whole units, prices
+    exact cents.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    levels = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("wt"))
+    wc = Window.partitionBy("l_returnflag").orderBy("price_c")
+    wt_all = Window.partitionBy("l_returnflag")
+    cum = levels.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt_all).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_c").alias("weighted_median_c"),
+            F.min("tw").alias("total_weight"),
+        )
+    )

@@ -1101,3 +1101,81 @@ def join_or_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_band = c.join(s, c.c_band == s.s_band).select("c_custkey", "s_suppkey")
     pairs = by_nation.union(by_band).distinct()
     return pairs.groupBy("s_suppkey").agg(F.count("*").alias("n_customers"))
+
+
+ASOF_NEAREST_TOL_US = 3600 * 1000000  # ±1 hour
+
+
+@op(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, event_id AS view_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+        FROM events WHERE event_type = 'view'
+    ), cand AS (
+        SELECT p.user_id, p.purchase_id, v.view_id,
+               abs(p.p_us - v.v_us) AS dist_us,
+               CASE WHEN v.v_us <= p.p_us THEN 0 ELSE 1 END AS fwd
+        FROM p JOIN v ON p.user_id = v.user_id
+           AND abs(p.p_us - v.v_us) <= {ASOF_NEAREST_TOL_US}
+    )
+    SELECT user_id, purchase_id, view_id,
+           CAST(dist_us AS BIGINT) AS dist_us
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY purchase_id
+            ORDER BY dist_us, fwd, view_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+    category=CAT,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join: each purchase paired with the
+    temporally CLOSEST view by the same user within ±1 h — either
+    direction, the sensor-fusion/attribution variant that completes
+    the asof family (join_asof = backward, join_asof_tolerance =
+    backward+bound, this = bidirectional minimum). Ties break
+    deterministically: equal distance prefers the BACKWARD match,
+    then the lower view_id (§2.X rule 2 — without the direction
+    tie-break, a view exactly 1 s before and another 1 s after would
+    flap between engines).
+
+    Shape: the tolerance turns the candidate join into a bounded
+    range join (the join_range_theta machinery; at 100 TB the
+    time-bucket trick of join_interval_bucketed makes it an
+    equi-join), then one per-purchase argmin window. Exact integer
+    µs distances end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), us.alias("p_us")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        us.alias("v_us"),
+    )
+    cand = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (F.abs(F.col("p_us") - F.col("v_us")) <= ASOF_NEAREST_TOL_US),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.abs(F.col("p_us") - F.col("v_us")).alias("dist_us"),
+        F.when(F.col("v_us") <= F.col("p_us"), 0).otherwise(1).alias("fwd"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("dist_us", "fwd", "view_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "purchase_id", "view_id", "dist_us")
+    )
