@@ -1792,3 +1792,91 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").alias("total_weight"),
         )
     )
+
+
+BASKET_MIN_CO = 3
+
+
+@op(
+    "agg_basket_lift",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_baskets AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM baskets
+    ), item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        FROM baskets GROUP BY l_partkey
+    ), pair AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_CO}
+    )
+    SELECT p1, p2, n_pair,
+           round(CAST(n_pair AS DOUBLE) / nb, 6) AS support,
+           round(CAST(n_pair AS DOUBLE) / i1.n_item, 6) AS confidence,
+           round((CAST(n_pair AS DOUBLE) * nb)
+                 / (CAST(i1.n_item AS DOUBLE) * i2.n_item), 4) AS lift
+    FROM pair
+    JOIN item i1 ON pair.p1 = i1.l_partkey
+    JOIN item i2 ON pair.p2 = i2.l_partkey
+    CROSS JOIN n_baskets
+    """,
+    category=CAT,
+)
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule scoring — support / confidence / lift for
+    co-purchased part pairs (the Apriori metric layer over
+    join_copurchase_pairs' raw counts): lift > 1 marks genuinely
+    associated items, confidence feeds "customers also bought".
+
+    Exact counts everywhere (pair counts via the order-key self-join
+    whose expansion is bounded by basket size, min-support prune
+    BEFORE the metric joins); the three ratios are identical double
+    expressions rounded in the final projection. Scale: the item
+    table is ≪ pairs and broadcasts to the scoring joins; the basket
+    count is a 1-row broadcast — the only wide ops are the two
+    aggregations the raw counts already need.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    nb = baskets.agg(
+        F.countDistinct("l_orderkey").alias("nb")
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_CO)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1", "p2", "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("nb"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("n1"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("nb"))
+                / (F.col("n1").cast("double") * F.col("n2")),
+                4,
+            ).alias("lift"),
+        )
+    )

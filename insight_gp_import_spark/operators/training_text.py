@@ -1280,3 +1280,60 @@ def text_confusable_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_conf.cast("bigint").alias("n_confusables"),
         (n_conf > 0).alias("was_folded"),
     )
+
+
+BOILER_MIN_DOCS = 2
+
+
+@op(
+    "text_boilerplate_sentences",
+    oracle=f"""
+    WITH sents AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   list_filter(string_split_regex(text, '[.!?]+[ ]+'),
+                               s -> trim(s) != ''),
+                   s -> md5(trim(s))))) AS sh
+        FROM documents
+    )
+    SELECT sh AS sentence_md5,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM sents
+    GROUP BY sh
+    HAVING count(*) >= {BOILER_MIN_DOCS}
+    """,
+    category=CAT,
+)
+def text_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: sentences appearing (as exact content) in
+    ≥{BOILER_MIN_DOCS} distinct documents — headers, footers, license
+    blurbs, template chrome. The output IS the removal list
+    text_dedup_span consumes, produced corpus-wide instead of
+    per-pair; C4-style pipelines run exactly this pass
+    (Raffel et al., JMLR'20 §2.2 de-boilerplating lineage).
+
+    Sentence segmentation reuses text_sentence_split's regex contract
+    (punctuation-run + space, explicit empty-part filtering — the
+    trailing-empty divergence documented there); per-doc DISTINCT
+    before counting so one doc repeating its own footer can't fake
+    corpus-wide boilerplate. Only md5s of sentences ship or shuffle
+    (§2.X rule 3 — raw text stays in the scan stage). One explode +
+    one map-combined count at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(filter(split(text, '[.!?]+[ ]+'),"
+                    " s -> trim(s) != ''), s -> md5(trim(s)))"
+                )
+            )
+        ).alias("sh"),
+    )
+    return (
+        sents.groupBy(F.col("sh").alias("sentence_md5"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )

@@ -709,3 +709,68 @@ def win_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.flatten(F.collect_list("users").over(w)))
         ).cast("bigint").alias("wau7"),
     )
+
+
+@op(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM events GROUP BY 1, 2
+    ), eq AS (
+        SELECT event_type, d,
+               CAST(sum(rev_c) OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS equity_c
+        FROM daily
+    ), cum AS (
+        SELECT event_type, d, equity_c,
+               CAST(max(equity_c) OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS peak_c
+        FROM eq
+    )
+    SELECT event_type, d, equity_c, peak_c,
+           CAST(peak_c - equity_c AS BIGINT) AS drawdown_c,
+           CAST(max(peak_c - equity_c) OVER (PARTITION BY event_type
+                                             ORDER BY d) AS BIGINT)
+               AS max_drawdown_c
+    FROM cum
+    """,
+    category=CAT,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running maximum drawdown of the cumulative value curve — the
+    finance-lineage risk metric reread for operations: the deepest
+    "how far below our best cumulative point are we" dip, per stream.
+    Catches sustained value decay that level (zscore), trend (CUSUM)
+    and mix (PSI) detectors each miss.
+
+    Three nested running windows (cumulative sum → running peak →
+    running max-gap) sharing ONE (event_type, d) sort — Catalyst
+    plans them over a single exchange, which IS the point: drawdown
+    needs no iteration, it is pure window algebra. Exact integer
+    cents end to end; value curves use the daily pre-aggregate so the
+    window state never sees raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("rev_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("rev_c").over(w).alias("equity_c"),
+    ).withColumn("peak_c", F.max("equity_c").over(w))
+    return cum.select(
+        "event_type",
+        "d",
+        "equity_c",
+        "peak_c",
+        (F.col("peak_c") - F.col("equity_c")).alias("drawdown_c"),
+        F.max(F.col("peak_c") - F.col("equity_c")).over(w).alias(
+            "max_drawdown_c"
+        ),
+    )
