@@ -1179,3 +1179,46 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "purchase_id", "view_id", "dist_us")
     )
+
+
+@op(
+    "sql_join_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_c
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    category=CAT,
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL optimizer hints (`/*+ BROADCAST(n) */`) — the surface users
+    reach for when statistics mislead the planner: the hint pins the
+    physical strategy, the SEMANTICS must not move. The oracle is the
+    plain unhinted join, so the hash-match proves exactly that
+    hint-invariance; the plan assertion (tests/test_plans.py) proves
+    the hint actually fired (a hint that silently no-ops is the worse
+    failure mode — users believe they fixed the plan).
+
+    At 100 TB this is the escape hatch when a filtered-but-large dim
+    defeats the size estimator (join_bloom_prune models the opposite
+    case); Spark also honors MERGE / SHUFFLE_HASH / SHUFFLE_REPLICATE_NL
+    hints through the same syntax.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "igis_hint_customer"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "igis_hint_nation"
+    )
+    return spark.sql("""
+        SELECT /*+ BROADCAST(n) */ n.n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_c
+        FROM igis_hint_customer c
+        JOIN igis_hint_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)

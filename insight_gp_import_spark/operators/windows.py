@@ -774,3 +774,59 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown_c"
         ),
     )
+
+
+@op(
+    "win_running_vwap",
+    oracle="""
+    WITH priced AS (
+        SELECT l_suppkey,
+               CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS seq,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c,
+               CAST(round(l_quantity) AS BIGINT) AS q
+        FROM lineitem
+    )
+    SELECT l_suppkey, seq,
+           CAST(sum(p_c * q) OVER w AS BIGINT) AS cum_pq,
+           CAST(sum(q) OVER w AS BIGINT) AS cum_q,
+           CAST(sum(p_c * q) OVER w // sum(q) OVER w AS BIGINT) AS vwap_c
+    FROM priced
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY seq)
+    """,
+    category=CAT,
+)
+def win_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running volume-weighted average price per supplier — VWAP, the
+    execution-quality benchmark (finance lineage, equally the
+    commerce "average realized unit price so far"). Plain running
+    AVG weights every fill equally; VWAP weights by quantity, which
+    is the economically meaningful curve.
+
+    Two running integer sums (Σp·q, Σq) over ONE partition sort and a
+    floor-divided cents ratio — exact at every row (the DuckDB //
+    dialect rule from agg_cohort_ltv). The order key is the
+    deterministic line sequence (orderkey·10+linenumber — unique,
+    §2.X rule 2). Both cumulative states are map-free window sums:
+    one exchange on l_suppkey, no iteration, no float.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    priced = li.select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint").alias("seq"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p_c"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("seq")
+    cum_pq = F.sum(F.col("p_c") * F.col("q")).over(w)
+    cum_q = F.sum("q").over(w)
+    return priced.select(
+        "l_suppkey",
+        "seq",
+        cum_pq.alias("cum_pq"),
+        cum_q.alias("cum_q"),
+        F.expr(
+            "CAST(sum(p_c * q) OVER (PARTITION BY l_suppkey ORDER BY seq)"
+            " div sum(q) OVER (PARTITION BY l_suppkey ORDER BY seq)"
+            " AS BIGINT)"
+        ).alias("vwap_c"),
+    )

@@ -486,3 +486,11 @@ def test_gini_has_no_per_user_global_window(spark):
     assert "Window" in plan
     # level window comes after two aggregations of the events scan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_sql_hint_forces_broadcast(spark):
+    plan = plan_of(spark, "sql_join_hints")
+    # the BROADCAST(n) hint must fire (a silently-ignored hint is the
+    # failure mode this guards); semantics-invariance is the oracle's job
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
