@@ -977,3 +977,67 @@ def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_balanced"),
         )
     )
+
+
+@op(
+    "corpus_dedup_report",
+    oracle="""
+    WITH hashed AS (
+        SELECT source, md5(text) AS h, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    ), per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM hashed GROUP BY source
+    )
+    SELECT source, n_docs, n_distinct,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_exact_dups,
+           round(CAST(n_docs - n_distinct AS DOUBLE) / n_docs, 6)
+               AS dup_share,
+           total_chars,
+           (CAST(n_docs - n_distinct AS DOUBLE) / n_docs > 0.01)
+               AS needs_review
+    FROM per_source
+    """,
+    category=CAT,
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: the ops summary a curator reads
+    BEFORE running the dedup pipeline — which sources are polluting
+    the corpus (a crawler stuck in a loop shows up here as one
+    source's dup_share spiking, long before global dedup stats move).
+    The monitoring twin of the dedup family: dedup_exact removes,
+    this ATTRIBUTES.
+
+    One scan, md5-only shuffles, per-source exact distinct (at 100 TB
+    per-source cardinalities make exact distinct affordable after
+    map-side combine; the sketch tier is agg_hll_partial_merge when
+    not). The review flag compares the rounded-free exact ratio
+    against the 1 % threshold on the identical double expression both
+    engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    per_source = hashed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    dup_share = (
+        (F.col("n_docs") - F.col("n_distinct")).cast("double") / F.col("n_docs")
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).alias("n_exact_dups"),
+        F.round(dup_share, 6).alias("dup_share"),
+        "total_chars",
+        (dup_share > 0.01).alias("needs_review"),
+    )

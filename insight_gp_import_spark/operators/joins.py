@@ -1222,3 +1222,65 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN igis_hint_nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """)
+
+
+@op(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_nationkey % 5 = 0 THEN NULL
+                    ELSE c_nationkey END AS k
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               CASE WHEN s_nationkey % 5 = 0 THEN NULL
+                    ELSE s_nationkey END AS k
+        FROM supplier
+    )
+    SELECT (c.k IS NULL) AS null_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY 1
+    """,
+    category=CAT,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH EACH OTHER instead of silently dropping — the
+    semantics dirty dimension keys actually need (a plain equi-join
+    on a nullable key discards every unknown-key row; sometimes
+    "unknown joins unknown" is the business rule, e.g. un-geocoded
+    records pooling into one bucket).
+
+    Spark plans `<=>` as a HASH join (null-safe equality is still an
+    equi-key — nulls hash to one bucket); a plain `=` with an
+    OR-IS-NULL workaround degenerates to a nested loop, which is the
+    trap this operator exists to replace. The NULL bucket is by
+    construction a SKEW key at scale (every unknown row collides) —
+    the docstring contract is to salt it (join_skew_salted) when the
+    unknown fraction is large. Output aggregates per null-bucket so
+    the hash pins both the matching and non-matching populations.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") % 5 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("ck"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_nationkey") % 5 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("sk"),
+    )
+    joined = c.join(s, c.ck.eqNullSafe(s.sk))
+    return joined.groupBy(
+        F.col("ck").isNull().alias("null_bucket")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+    )

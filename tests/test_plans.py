@@ -494,3 +494,11 @@ def test_sql_hint_forces_broadcast(spark):
     # failure mode this guards); semantics-invariance is the oracle's job
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    plan = plan_of(spark, "join_null_safe_eq")
+    # <=> must plan as a hash join (null-safe equality is an equi-key);
+    # the =-with-OR-IS-NULL workaround this replaces degenerates to BNL
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
