@@ -1337,3 +1337,59 @@ def text_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
     )
+
+
+@op(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, n_chars,
+               unnest(string_split_regex(text, '')) AS ch
+        FROM documents
+    ), freq AS (
+        SELECT doc_id, CAST(max(n_chars) AS BIGINT) AS n,
+               ch, CAST(count(*) AS BIGINT) AS k
+        FROM chars WHERE ch != '' GROUP BY doc_id, ch
+    )
+    SELECT doc_id, n,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum((CAST(k AS DOUBLE) / n)
+                      * ln(CAST(k AS DOUBLE) / n)), 4) AS char_entropy,
+           (round(-sum((CAST(k AS DOUBLE) / n)
+                       * ln(CAST(k AS DOUBLE) / n)), 4) < 2.0) AS is_repetitive
+    FROM freq GROUP BY doc_id, n
+    """,
+    category=CAT,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    compressibility proxy quality filters use where no compressor is
+    available in-engine: natural prose sits near ~4 bits/char
+    (ln ≈ 2.8 nats), keyboard-mash and repeated-char padding collapse
+    toward 0, and the flag catches them (Gopher-rules lineage:
+    repetition signals, Rae et al. '21). Complements text_repetition
+    (token-level) at the finest granularity there is.
+
+    Shape: explode to single characters (the only per-char op in the
+    repo — bounded by total corpus BYTES, the same cost class as any
+    full-text regexp), one (doc, char) count, one per-doc reduction.
+    Counts exact; the −p·ln p terms are the corpus_mix_entropy
+    protocol (identical doubles, single ln, rounded at 4; the flag
+    compares the ROUNDED value per §2.X).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(
+        F.max("n_chars").alias("n"), F.count("*").alias("k")
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    ent = F.round(-F.sum(p * F.log(p)), 4)
+    return freq.groupBy("doc_id", "n").agg(
+        F.count("*").alias("n_distinct_chars"),
+        ent.alias("char_entropy"),
+        (ent < 2.0).alias("is_repetitive"),
+    )
