@@ -427,3 +427,89 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM igis_gba_orders
         GROUP BY ALL
     """)
+
+
+@op(
+    "sql_pivot_keyword",
+    oracle="""
+    SELECT d,
+           CAST(click AS BIGINT) AS click, CAST(error AS BIGINT) AS error,
+           CAST(purchase AS BIGINT) AS purchase,
+           CAST(signup AS BIGINT) AS signup, CAST("view" AS BIGINT) AS view
+    FROM (
+        SELECT * FROM (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ) PIVOT (sum(cents) FOR event_type
+                 IN ('click', 'error', 'purchase', 'signup', 'view'))
+    )
+    """,
+    category=CAT,
+)
+def sql_pivot_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT keyword (long→wide in the FROM clause) — the
+    spelling BI users write, run as a near-identical statement on
+    both engines (Spark requires aliases in the IN list to control
+    output column names; DuckDB derives the same names — the
+    hash-match proves the derived wide schemas coincide). The API
+    twin is agg_pivot; the keyword form is the migration surface.
+
+    Physical plan is the same as groupBy().pivot(): one hash
+    aggregate with 5 conditional sums — the IN list makes the output
+    schema STATIC at plan time, which is what distinguishes PIVOT
+    from a dynamic transpose (and what makes it scale: no second
+    pass to discover columns). Exact cents; the oracle re-casts each
+    pivoted column because DuckDB's sum(BIGINT) widens to HUGEINT
+    (the agg_funnel_conversion type lesson, inside PIVOT).
+    """
+    load_table(spark, sf_dir, "events").selectExpr(
+        "CAST(ts AS DATE) AS d",
+        "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    ).createOrReplaceTempView("igis_piv_events")
+    return spark.sql("""
+        SELECT * FROM igis_piv_events
+        PIVOT (sum(cents) FOR event_type
+               IN ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+                   'signup' AS signup, 'view' AS view))
+    """)
+
+
+@op(
+    "sql_unpivot_keyword",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT * FROM (UNPIVOT wide ON qty, n_rows, n_orders
+                   INTO NAME metric VALUE val)
+    """,
+    category=CAT,
+)
+def sql_unpivot_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT keyword (wide→long): a metrics row becomes
+    (metric, value) pairs — the export shape monitoring sinks want
+    (observe_metrics' relation, produced by syntax instead of unions).
+    Spark and DuckDB spell UNPIVOT differently (Spark:
+    `UNPIVOT (val FOR metric IN (...))`; DuckDB:
+    `UNPIVOT t ON ... INTO NAME ... VALUE ...`) — the op pins that
+    the two dialects produce the IDENTICAL long relation, which is
+    precisely what a user migrating warehouse SQL needs to know.
+    Generate-based (row expansion in the scan stage), no shuffle
+    beyond the feeding aggregate; the API twin is agg_unpivot.
+    """
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("qty"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    ).createOrReplaceTempView("igis_unpiv_wide")
+    return spark.sql("""
+        SELECT l_returnflag, metric, val
+        FROM igis_unpiv_wide
+        UNPIVOT (val FOR metric IN (qty, n_rows, n_orders))
+    """)

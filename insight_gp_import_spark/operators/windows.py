@@ -830,3 +830,64 @@ def win_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("vwap_c"),
     )
+
+
+@op(
+    "win_group_standardize",
+    oracle="""
+    WITH cents AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), m AS (
+        SELECT event_id, event_type, v,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(v) OVER w AS BIGINT) AS s1,
+               CAST(sum(v * v) OVER w AS BIGINT) AS s2
+        FROM cents
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type, v,
+           round((CAST(v AS DOUBLE) * n - s1)
+                 / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1), 4)
+               AS z
+    FROM m
+    """,
+    category=CAT,
+)
+def win_group_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group z-standardization as a WINDOW (no join-back): each
+    event's value standardized against ITS OWN stream's mean/std —
+    the feature-engineering transform every per-entity model input
+    needs, expressed with an unordered full-partition window instead
+    of the aggregate+join round trip (one exchange, no second scan —
+    udf_pandas computes the same z-scores for ONE filtered type via
+    Arrow; this is the whole-table JVM form).
+
+    Integer moment sums over the partition window (n, Σv, Σv²) with
+    the z-ratio derived as the identical double expression
+    z = (v·n − Σv) / √(n·Σv² − (Σv)²) — the win_rolling_corr moment
+    protocol on an UNORDERED frame (no ordering ⇒ no frame ⇒ whole
+    partition, and no tie-break needed by §2.X because the window is
+    order-insensitive).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("event_type")
+    m = cents.select(
+        "event_id", "event_type", "v",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    )
+    z = (F.col("v").cast("double") * F.col("n") - F.col("s1")) / F.sqrt(
+        F.col("n").cast("double") * F.col("s2")
+        - F.col("s1").cast("double") * F.col("s1")
+    )
+    return m.select(
+        "event_id", "event_type", "v", F.round(z, 4).alias("z")
+    )
