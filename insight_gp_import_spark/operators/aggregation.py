@@ -1880,3 +1880,64 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@op(
+    "agg_weekend_lift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), split AS (
+        SELECT event_type,
+               CAST(sum(cnt) FILTER (isodow(d) >= 6) AS BIGINT) AS we_events,
+               CAST(count(*) FILTER (isodow(d) >= 6) AS BIGINT) AS we_days,
+               CAST(sum(cnt) FILTER (isodow(d) < 6) AS BIGINT) AS wd_events,
+               CAST(count(*) FILTER (isodow(d) < 6) AS BIGINT) AS wd_days
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, we_events, we_days, wd_events, wd_days,
+           round((CAST(we_events AS DOUBLE) * wd_days)
+                 / (CAST(wd_events AS DOUBLE) * we_days), 4) AS weekend_lift,
+           ((we_events * wd_days) * 10 > (wd_events * we_days) * 11)
+               AS weekend_heavy
+    FROM split
+    """,
+    category=CAT,
+)
+def agg_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend lift: mean weekend-day volume over mean weekday volume
+    per stream — the simplest calendar-effect read (is this stream
+    consumer-shaped or office-shaped), feeding the same dashboards as
+    ts_seasonality_profile's hourly shape but at the week grain.
+
+    The lift ratio of two averages is computed CROSS-MULTIPLIED
+    ((Σwe·Dwd)/(Σwd·Dwe)) so no intermediate fractional average
+    exists, and the >10 % verdict is pure integer cross-multiplication
+    (the agg_heavy_hitters rule). ISO weekday on DATE is
+    zone-independent. One daily pre-agg + one FILTER-aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    is_we = F.expr("((dayofweek(d) + 5) % 7) + 1 >= 6")
+    split = daily.groupBy("event_type").agg(
+        F.sum(F.when(is_we, F.col("cnt"))).alias("we_events"),
+        F.count(F.when(is_we, 1)).alias("we_days"),
+        F.sum(F.when(~is_we, F.col("cnt"))).alias("wd_events"),
+        F.count(F.when(~is_we, 1)).alias("wd_days"),
+    )
+    return split.select(
+        "event_type", "we_events", "we_days", "wd_events", "wd_days",
+        F.round(
+            (F.col("we_events").cast("double") * F.col("wd_days"))
+            / (F.col("wd_events").cast("double") * F.col("we_days")),
+            4,
+        ).alias("weekend_lift"),
+        (
+            (F.col("we_events") * F.col("wd_days")) * 10
+            > (F.col("wd_events") * F.col("we_days")) * 11
+        ).alias("weekend_heavy"),
+    )

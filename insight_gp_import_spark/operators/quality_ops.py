@@ -14,6 +14,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -721,4 +722,132 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         term.alias("psi_term"),
         (term > 0.1).alias("term_alert"),
+    )
+
+
+@op(
+    "pipeline_growth_dashboard",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM events GROUP BY 1, 2
+    ), vol AS (
+        SELECT event_type,
+               CAST(sum(cnt) AS BIGINT) AS total_events,
+               CAST(count(*) AS BIGINT) AS n_days,
+               max(d) AS latest_d
+        FROM daily GROUP BY event_type
+    ), wau AS (
+        SELECT e.event_type,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau_latest
+        FROM (SELECT event_type, user_id,
+                     CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+              FROM events) e
+        JOIN vol v ON e.event_type = v.event_type
+        WHERE e.d > v.latest_d - 7
+        GROUP BY e.event_type
+    ), eq AS (
+        SELECT event_type, d,
+               CAST(sum(rev_c) OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS equity_c
+        FROM daily
+    ), dd AS (
+        SELECT event_type,
+               CAST(max(peak_c - equity_c) AS BIGINT) AS max_drawdown_c
+        FROM (SELECT event_type, equity_c,
+                     CAST(max(equity_c) OVER (PARTITION BY event_type
+                                              ORDER BY d) AS BIGINT) AS peak_c
+              FROM eq)
+        GROUP BY event_type
+    ), wape AS (
+        SELECT event_type,
+               CAST(sum(abs(cnt - f)) * 1000
+                    // sum(cnt) FILTER (f IS NOT NULL) AS BIGINT) AS wape_milli
+        FROM (SELECT event_type, cnt,
+                     lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS f
+              FROM daily)
+        GROUP BY event_type
+    )
+    SELECT v.event_type, v.total_events, v.n_days, v.latest_d,
+           w.wau_latest, d.max_drawdown_c, p.wape_milli,
+           (d.max_drawdown_c * 10 > (SELECT max(equity_c) FROM eq e2
+                                     WHERE e2.event_type = v.event_type))
+               AS drawdown_alert
+    FROM vol v
+    JOIN wau w ON v.event_type = w.event_type
+    JOIN dd d ON v.event_type = d.event_type
+    JOIN wape p ON v.event_type = p.event_type
+    """,
+    category=CAT,
+)
+def pipeline_growth_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIXTH capstone (the analytics family): the per-stream executive
+    dashboard row — volume summary, latest 7-day active users,
+    maximum revenue drawdown with a 10 %-of-peak alert, and
+    seasonal-naive forecast error — composed from four derived
+    relations over ONE daily base aggregate in a single declarative
+    plan. The growth twin of pipeline_monitoring_health (which reads
+    pipeline integrity; this reads business trajectory).
+
+    Every number is exact integer arithmetic (counts, cents, per-mille
+    WAPE, cross-multiplied alert) — a fully-integer capstone, no
+    float anywhere. Shape: the events scan collapses ONCE to the
+    daily relation; every component (vol/wau/drawdown/wape) derives
+    from it or from a latest-window filtered pass, and the final join
+    fans |streams| rows — broadcast-class throughout. At 100 TB this
+    is the daily incremental dashboard: the daily base is the only
+    thing recomputed, everything above it is seconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("rev_c"),
+    )
+    vol = daily.groupBy("event_type").agg(
+        F.sum("cnt").alias("total_events"),
+        F.count("*").alias("n_days"),
+        F.max("d").alias("latest_d"),
+    )
+    wau = (
+        ev.select("event_type", "user_id", F.to_date("ts").alias("d"))
+        .join(F.broadcast(vol.select("event_type", "latest_d")), "event_type")
+        .filter(F.col("d") > F.date_sub(F.col("latest_d"), 7))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("wau_latest"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    eq = daily.select(
+        "event_type", "d", F.sum("rev_c").over(w).alias("equity_c")
+    )
+    peaks = eq.withColumn("peak_c", F.max("equity_c").over(w))
+    dd = peaks.groupBy("event_type").agg(
+        F.max(F.col("peak_c") - F.col("equity_c")).alias("max_drawdown_c"),
+        F.max("equity_c").alias("final_equity_c"),
+    )
+    f = F.lag("cnt", 7).over(w)
+    wape = (
+        daily.withColumn("f", f)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(sum(abs(cnt - f)) * 1000"
+                " div sum(CASE WHEN f IS NOT NULL THEN cnt END) AS BIGINT)"
+            ).alias("wape_milli")
+        )
+    )
+    return (
+        vol.join(wau, "event_type")
+        .join(dd, "event_type")
+        .join(wape, "event_type")
+        .select(
+            "event_type", "total_events", "n_days", "latest_d",
+            "wau_latest", "max_drawdown_c", "wape_milli",
+            (F.col("max_drawdown_c") * 10 > F.col("final_equity_c")).alias(
+                "drawdown_alert"
+            ),
+        )
     )
