@@ -1941,3 +1941,55 @@ def agg_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > (F.col("wd_events") * F.col("we_days")) * 11
         ).alias("weekend_heavy"),
     )
+
+
+@op(
+    "agg_interarrival_percentiles",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                     PARTITION BY event_type
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.50), 1) AS p50_us,
+           round(quantile_cont(gap_us, 0.95), 1) AS p95_us,
+           round(quantile_cont(gap_us, 0.99), 1) AS p99_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def agg_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time tail percentiles per stream (p50/p95/p99 of
+    the gap between consecutive events) — the burstiness profile that
+    sizes streaming state stores and alert debounce windows (a stream
+    with p50=1 s, p99=10 min needs very different watermarks than a
+    metronome; mean gap alone hides exactly this).
+
+    Gaps are exact integer µs from ONE (type-partitioned, (ts µs,
+    event_id)-ordered) lag window; the exact percentiles follow the
+    win_quantile_bin_global determinism argument — interpolation over
+    INTEGER inputs lands on .0/.5 doubles where Spark `percentile` ≡
+    DuckDB `quantile_cont` bit-for-bit (rounded at 1 as belt and
+    braces). At 100 TB swap `percentile` for `approx_percentile`
+    (tolerance-verified, not hash) — the agg_approx_quantile tier.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.50)"), 1).alias("p50_us"),
+        F.round(F.expr("percentile(gap_us, 0.95)"), 1).alias("p95_us"),
+        F.round(F.expr("percentile(gap_us, 0.99)"), 1).alias("p99_us"),
+        F.max("gap_us").alias("max_us"),
+    )

@@ -1393,3 +1393,58 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("char_entropy"),
         (ent < 2.0).alias("is_repetitive"),
     )
+
+
+PREFIX_LEN = 120
+
+
+@op(
+    "text_prefix_dup_groups",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, md5(substr(text, 1, {PREFIX_LEN})) AS pk,
+               md5(text) AS full_h
+        FROM documents
+    )
+    SELECT pk AS prefix_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT full_h) AS BIGINT) AS n_distinct_bodies,
+           CAST(min(doc_id) AS BIGINT) AS exemplar_doc,
+           (count(DISTINCT full_h) > 1) AS diverging_tails
+    FROM keyed
+    GROUP BY pk
+    HAVING count(*) >= 2
+    """,
+    category=CAT,
+)
+def text_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups: documents identical in their
+    first {PREFIX_LEN} chars — the truncation/continuation dup class
+    (same article cut at different lengths, re-crawls with appended
+    chrome) that EXACT dedup misses whenever tails diverge, caught
+    here before the expensive near-dup machinery runs. The
+    `diverging_tails` flag separates true truncation families
+    (different bodies) from plain exact dups (same body, also caught
+    by dedup_exact — the overlap is the cross-check).
+
+    One scan; only two md5s per row ever shuffle (§2.X rule 3); the
+    group-by collapses map-side. The prefix length is the only knob —
+    production pipelines sweep it (60/120/240) exactly like shingle
+    size in MinHash; each sweep is this same one-agg plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, PREFIX_LEN)).alias("pk"),
+        F.md5("text").alias("full_h"),
+    )
+    return (
+        keyed.groupBy(F.col("pk").alias("prefix_md5"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("full_h").alias("n_distinct_bodies"),
+            F.min("doc_id").alias("exemplar_doc"),
+            (F.countDistinct("full_h") > 1).alias("diverging_tails"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
