@@ -1993,3 +1993,69 @@ def agg_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.99)"), 1).alias("p99_us"),
         F.max("gap_us").alias("max_us"),
     )
+
+
+@op(
+    "agg_peak_concurrency",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) AS e_us
+        FROM events
+        GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ), bounds AS (
+        SELECT d, s_us AS t, 1 AS delta, user_id FROM spans
+        UNION ALL
+        SELECT d, e_us + 1 AS t, -1 AS delta, user_id FROM spans
+    ), swept AS (
+        SELECT d,
+               CAST(sum(delta) OVER (PARTITION BY d
+                                     ORDER BY t, delta, user_id) AS BIGINT)
+                   AS live
+        FROM bounds
+    )
+    SELECT d,
+           CAST(max(live) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) // 2 AS BIGINT) AS n_sessions
+    FROM swept GROUP BY d
+    """,
+    category=CAT,
+)
+def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity number
+    (licenses, connection pools, executor sizing) that NO aggregate
+    of session counts gives you: computed with the classic +1/−1
+    boundary sweep (each session span emits a start and an end event;
+    the running sum of deltas IS the live-session curve; its max is
+    the peak). The reference's domain is literally Tableau-server
+    monitoring — this is ITS headline chart.
+
+    Scale correctness of the sweep: the running sum is PARTITIONED BY
+    DAY, so each ordered window handles one day's boundaries — never
+    a global single-task sort (cross-midnight sessions would need
+    day-spanning carry-in, deliberately out of scope for daily spans
+    which end at the day's last event by construction). End
+    boundaries sort at e+1 with (t, delta, user_id) total order so a
+    session ending exactly when another starts counts both live at
+    that instant and ties can't flap engines (§2.X rule 2). All
+    exact integer µs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    spans = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.min(us).alias("s_us"), F.max(us).alias("e_us"))
+    starts = spans.select(
+        "d", F.col("s_us").alias("t"), F.lit(1).alias("delta"), "user_id"
+    )
+    ends = spans.select(
+        "d", (F.col("e_us") + 1).alias("t"), F.lit(-1).alias("delta"), "user_id"
+    )
+    bounds = starts.unionAll(ends)
+    w = Window.partitionBy("d").orderBy("t", "delta", "user_id")
+    swept = bounds.select("d", F.sum("delta").over(w).alias("live"))
+    return swept.groupBy("d").agg(
+        F.max("live").alias("peak_concurrent"),
+        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+    )

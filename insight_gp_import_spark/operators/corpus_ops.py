@@ -1041,3 +1041,53 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         (dup_share > 0.01).alias("needs_review"),
     )
+
+
+@op(
+    "corpus_length_histogram",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(floor(ln(CAST(n_chars AS DOUBLE)) / ln(2.0)) AS BIGINT)
+                   AS log2_bin,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT log2_bin,
+           CAST(power(2, log2_bin) AS BIGINT) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS char_mass,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM binned GROUP BY log2_bin
+    """,
+    category=CAT,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂ document-length histogram with per-bin character mass —
+    the first chart of any corpus audit (a healthy crawl is roughly
+    log-normal; a spike in one bin is a template family, a fat short
+    tail is extraction failure). Char MASS per bin matters more than
+    doc count for token budgeting — one 2²⁰-char bin outweighs
+    thousands of short docs.
+
+    The bin is ⌊log₂ n⌋ computed as ln(n)/ln(2) floored — n ≤ 10⁶
+    keeps the double quotient far from integer boundaries except at
+    EXACT powers of two, where IEEE division of ln values is still
+    identical in both engines (same doubles in, same operation);
+    min/max per bin double-check the boundaries landed identically.
+    One map-combined aggregate; ≤ ~30 bins at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.filter(F.col("n_chars") > 0).select(
+        F.floor(
+            F.log(F.col("n_chars").cast("double")) / F.log(F.lit(2.0))
+        ).cast("bigint").alias("log2_bin"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return binned.groupBy("log2_bin").agg(
+        F.pow(F.lit(2), F.col("log2_bin").cast("double")).cast("bigint").alias("bin_lo"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("char_mass"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

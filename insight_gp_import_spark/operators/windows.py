@@ -891,3 +891,60 @@ def win_group_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_id", "event_type", "v", F.round(z, 4).alias("z")
     )
+
+
+@op(
+    "win_reorder_gap",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS od,
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_od,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS order_seq
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, order_seq,
+           CAST(date_diff('day', prev_od, od) AS BIGINT) AS gap_days,
+           (date_diff('day', prev_od, od) <= 30) AS within_30d
+    FROM ordered
+    WHERE prev_od IS NOT NULL
+    """,
+    category=CAT,
+)
+def win_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder gap: days between a customer's consecutive orders, with
+    the 30-day repeat flag — the raw material of repeat-rate and
+    replenishment-cycle analyses (agg_cohort_ltv prices the cohort;
+    this times the habit). First orders drop out (no predecessor) —
+    they are agg_new_returning_users' population, not a zero-gap.
+
+    One (custkey-partitioned, (date, orderkey)-ordered) window
+    producing both the lag and the sequence number — Catalyst plans
+    them over a single sort. Integer day arithmetic on
+    zone-independent DATE casts of the NTZ order dates; the flag
+    compares the exact integer (§2.X).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    od = F.col("o_orderdate").cast("date")
+    ordered = o.select(
+        "o_custkey",
+        "o_orderkey",
+        od.alias("od"),
+        F.lag(od).over(w).alias("prev_od"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+    gap = F.datediff("od", "prev_od").cast("bigint")
+    return ordered.filter(F.col("prev_od").isNotNull()).select(
+        "o_custkey",
+        "o_orderkey",
+        "order_seq",
+        gap.alias("gap_days"),
+        (gap <= 30).alias("within_30d"),
+    )
