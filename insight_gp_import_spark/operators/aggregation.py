@@ -2059,3 +2059,90 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").alias("peak_concurrent"),
         (F.count("*") / 2).cast("bigint").alias("n_sessions"),
     )
+
+
+@op(
+    "agg_survival_km",
+    oracle="""
+    WITH user_span AS (
+        SELECT user_id,
+               min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_d,
+               max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_d
+        FROM events GROUP BY user_id
+    ), horizon AS (
+        SELECT max(last_d) AS hmax FROM user_span
+    ), obs AS (
+        SELECT user_id,
+               CAST(date_diff('day', first_d, last_d) AS BIGINT) AS dur,
+               (last_d < (SELECT hmax FROM horizon) - 3) AS churned
+        FROM user_span
+    ), at_age AS (
+        SELECT dur AS age,
+               CAST(count(*) FILTER (churned) AS BIGINT) AS d_events,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM obs GROUP BY dur
+    ), risk AS (
+        SELECT age, d_events,
+               CAST(sum(leaving) OVER (ORDER BY age DESC) AS BIGINT) AS n_risk
+        FROM at_age
+    )
+    SELECT age, d_events, n_risk,
+           round(exp(sum(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk))
+                     OVER (ORDER BY age)), 4) AS survival
+    FROM risk
+    WHERE d_events < n_risk
+    """,
+    category=CAT,
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (Kaplan & Meier
+    '58) WITH CENSORING: users still active near the horizon are
+    censored, not counted as churned — the statistical correction
+    naive retention curves omit (they systematically overstate churn
+    for recent cohorts; agg_retention_cohort reads activity, this
+    estimates the underlying survival function).
+
+    Distributed formulation: per-user durations reduce to an
+    AGE-LEVEL relation (the pareto/gini bounded trick), the at-risk
+    count is a reverse cumulative sum over ages, and the KM product
+    Π(1−dᵢ/nᵢ) becomes exp(Σ ln(...)) — a running LOG-sum window over
+    the bounded age relation (a product window exists in neither
+    engine; the log identity makes it window algebra). Counts exact;
+    the log-sum is the only double chain, rounded at 4 over ≤
+    span-in-days terms (ln bound of text_collocation_pmi, summed —
+    magnitudes ≤ ln(1) keep absolute drift ~1e-15·terms).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    horizon = span.agg(F.max("last_d").alias("hmax"))
+    obs = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("dur"),
+        (F.col("last_d") < F.date_sub(F.col("hmax"), 3)).alias("churned"),
+    )
+    at_age = obs.groupBy(F.col("dur").alias("age")).agg(
+        F.count(F.when(F.col("churned"), 1)).alias("d_events"),
+        F.count("*").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("age")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = at_age.select(
+        "age", "d_events", F.sum("leaving").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("d_events").cast("double") / F.col("n_risk"))
+            ).over(w_asc)
+        ),
+        4,
+    )
+    return risk.filter(F.col("d_events") < F.col("n_risk")).select(
+        "age", "d_events", "n_risk", surv.alias("survival")
+    )

@@ -1327,3 +1327,66 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text").cast("bigint")).alias("total_chars"),
         F.min(F.md5(F.col("text"))).alias("min_md5"),
     )
+
+
+@op(
+    "scan_csv_multiline_quoted",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           min(md5(replace(text, ' ', chr(10)))) AS min_md5
+    FROM documents
+    GROUP BY lang
+    """,
+    category=CAT,
+)
+def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with EMBEDDED NEWLINES in quoted fields — the nastiest
+    mainstream CSV nuance (default line-split readers shred such
+    rows into garbage; the reference's staging format is CSV, so a
+    loader that can't do this corrupts real uploads silently). The op
+    derives a multiline text column (spaces → newlines), writes
+    quoted CSV, reads it back with ``multiLine=true``, and aggregates
+    — the oracle computes the SAME md5s from the parquet source, so
+    one shredded row fails the min_md5 match.
+
+    The cost model is the honest part: multiLine CSV is NOT
+    line-splittable (a parser can't know mid-file whether it's inside
+    quotes), so Spark reads each FILE whole — parallelism = #files,
+    exactly like gzip (sink_csv_gz_roundtrip note). The writer keeps
+    source partitioning for that reason. This is why staging formats
+    that need splittability escape newlines instead (scan_text_
+    roundtrip's tab-framing) — both conventions now exist in-repo
+    with their trade-offs stated.
+    """
+    out = tempfile.mkdtemp(prefix="igis-mlcsv-")
+    docs = load_table(spark, sf_dir, "documents")
+    ml = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.regexp_replace("text", " ", "\n").alias("mltext"),
+    )
+    ml.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("mltext", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema(schema)
+        .csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(F.md5("mltext")).alias("min_md5"),
+    )
