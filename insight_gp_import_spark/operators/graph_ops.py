@@ -139,3 +139,130 @@ def graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.orderBy(F.desc("rank"), "node").limit(PR_TOP_K)
+
+
+@op(
+    "graph_triangle_count",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), wedges AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges
+    FROM wedges w
+    WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = w.a AND e3.v = w.c)
+    """,
+    category=CAT,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph — the clustering
+    primitive (community density, spam-graph detection) completing
+    the graph module's third pillar next to ranking
+    (graph_pagerank_unrolled) and components (dedup_cluster).
+
+    The scalable formulation is the ORDERED-edge join (Suri & Vassilvitskii,
+    WWW'11 lineage): with every edge stored u<v exactly once, each
+    triangle a<b<c is found exactly once as wedge (a→b→c) closed by
+    edge (a,c) — no per-triangle deduplication, no 6× overcount. Plan:
+    two hash equi-joins (wedge build + closure semi-join) over the
+    deduplicated edge relation; wedge count ∝ Σ deg², the known
+    hot-node hazard, mitigated at scale by degree-ordering the edges
+    (orient from low-degree to high-degree endpoint — same relation,
+    provably fewer wedges) — documented upgrade, same plan shape.
+    Exact integer counts; the wedge/edge counts published alongside
+    make the clustering ratio auditable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    closure = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedges.join(closure, ["a", "c"], "left_semi")
+    n_tri = tri.count()
+    n_edges = e.count()
+    n_wedges = wedges.count()
+    return spark.createDataFrame(
+        [(n_tri, n_edges, n_wedges)],
+        "n_triangles long, n_edges long, n_wedges long",
+    )
+
+
+@op(
+    "graph_degree_stats",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM e GROUP BY u
+    )
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(count(*)) OVER (ORDER BY degree DESC) AS BIGINT)
+               AS nodes_with_ge_degree
+    FROM deg GROUP BY degree
+    """,
+    category=CAT,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with the
+    complementary-cumulative column (how many nodes have degree ≥ d —
+    the log-log CCDF curve power-law checks read, text_zipf_slope's
+    graph sibling). The first thing to look at before ANY graph
+    algorithm: the max-degree tail predicts wedge blowup in
+    triangle counting and hot keys in every neighbor join.
+
+    Symmetric distinct edges → per-node degree (one agg) → degree
+    LEVELS (bounded — the pareto/gini trick again) with the reverse
+    cumulative over levels. All exact integers, no global per-node
+    window anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    from pyspark.sql.window import Window as W
+
+    lv = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    wd = W.orderBy(F.desc("degree")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return lv.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(wd).alias("nodes_with_ge_degree"),
+    )
