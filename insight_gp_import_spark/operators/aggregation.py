@@ -2146,3 +2146,76 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risk.filter(F.col("d_events") < F.col("n_risk")).select(
         "age", "d_events", "n_risk", surv.alias("survival")
     )
+
+
+@op(
+    "agg_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(isodow(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT)
+                   AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), margins AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n FROM obs GROUP BY 1
+    ), cols AS (
+        SELECT dow, CAST(sum(o) AS BIGINT) AS col_n FROM obs GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n FROM obs
+    ), cells AS (
+        SELECT o.event_type, o.dow, o.o,
+               CAST(m.row_n AS DOUBLE) * c.col_n / t.n AS e
+        FROM obs o
+        JOIN margins m ON o.event_type = m.event_type
+        JOIN cols c ON o.dow = c.dow
+        CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2,
+           (sum((o - e) * (o - e) / e)
+            > 2.0 * count(*)) AS strongly_dependent
+    FROM cells
+    """,
+    category=CAT,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for (event_type × weekday)
+    independence — "does the mix of events depend on the day of the
+    week", the categorical-association test behind every contingency
+    dashboard (dq_psi_drift compares ONE margin across time; chi²
+    tests the full two-way table at once).
+
+    Exact integer observed counts and margins; expected counts and
+    the (O−E)²/E terms are the only doubles, computed with the
+    identical expression on both engines and summed over a bounded
+    |types|×7 cell relation (≤ 35 terms — no aggregation-order drift
+    at 4 dp). The dependence verdict uses a χ²-per-cell heuristic
+    threshold on the raw statistic — a df-indexed critical-value
+    lookup is a broadcast join away, same plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.expr("CAST(((dayofweek(CAST(ts AS DATE)) + 5) % 7) + 1 AS BIGINT)")
+    obs = ev.groupBy("event_type", dow.alias("dow")).agg(
+        F.count("*").alias("o")
+    )
+    margins = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (
+                F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+            ).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        F.round(F.sum(term), 4).alias("chi2"),
+        (F.sum(term) > 2.0 * F.count("*")).alias("strongly_dependent"),
+    )

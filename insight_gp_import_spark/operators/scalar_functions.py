@@ -758,3 +758,49 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "DDD").alias("day_of_year"),
         F.date_format(d, "HH:mm:ss").alias("clock"),
     )
+
+
+WB_LO, WB_HI, WB_N = 0, 500000, 20
+
+
+@op(
+    "fn_width_bucket",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(CASE
+             WHEN round(o_totalprice * 100) < {WB_LO} THEN 0
+             WHEN round(o_totalprice * 100) >= {WB_HI} THEN {WB_N} + 1
+             ELSE 1 + CAST(round(o_totalprice * 100) - {WB_LO} AS BIGINT)
+                      * {WB_N} // ({WB_HI} - {WB_LO})
+           END AS BIGINT) AS bucket
+    FROM orders
+    """,
+    category=CAT,
+)
+def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width bucketing via the ``width_bucket`` builtin (SQL
+    standard, Spark 3.1+): order totals into {WB_N} fixed price bands
+    with the standard under/overflow buckets 0 and {WB_N}+1 — the
+    histogramming primitive dashboards and partition-strategy
+    analyses share (agg_histogram derives its buckets from the data;
+    width_bucket pins them a priori, which is what makes results
+    comparable ACROSS runs and datasets).
+
+    The oracle implements the bucket function from its DEFINITION in
+    pure integer arithmetic (DuckDB lacks the builtin) — the
+    fn_luhn_check independence pattern: Spark's builtin is proven
+    against the spec, not mirrored. Integer-cents input keeps every
+    boundary exact (width_bucket on doubles has the usual edge
+    hazards — the reason the op feeds it cents).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.expr(
+            f"CAST(width_bucket(CAST(round(o_totalprice * 100) AS BIGINT),"
+            f" {WB_LO}, {WB_HI}, {WB_N}) AS BIGINT)"
+        ).alias("bucket"),
+    )
