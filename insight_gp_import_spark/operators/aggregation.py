@@ -2219,3 +2219,49 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 4).alias("chi2"),
         (F.sum(term) > 2.0 * F.count("*")).alias("strongly_dependent"),
     )
+
+
+@op(
+    "agg_geometric_mean",
+    oracle="""
+    WITH cents AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem WHERE l_extendedprice > 0
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(avg(ln(CAST(c AS DOUBLE)))), 2) AS geo_mean_c,
+           CAST(round(avg(CAST(c AS DOUBLE))) AS BIGINT) AS arith_mean_c
+    FROM cents GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of prices per group — the CORRECT average for
+    multiplicative/ratio quantities (price indices, growth factors,
+    lift): the arithmetic mean published next to it systematically
+    overshoots on right-skewed money data (AM ≥ GM; the gap is itself
+    a skew signal, cross-checkable against agg_skew_kurtosis).
+
+    exp(avg(ln x)) over exact positive cents: the ln/exp pair is the
+    only double path (text_collocation_pmi's single-transcendental
+    bound, ±avg's engine-order drift below the 2nd decimal at these
+    magnitudes — the same §2.X rule-1 slack every avg op here
+    carries). Zero rows are excluded explicitly (ln domain), stated
+    rather than silently NULLed. One map-combined aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.filter(F.col("l_extendedprice") > 0).select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    return cents.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.exp(F.avg(F.log(F.col("c").cast("double")))), 2).alias(
+            "geo_mean_c"
+        ),
+        F.round(F.avg(F.col("c").cast("double"))).cast("bigint").alias(
+            "arith_mean_c"
+        ),
+    )
