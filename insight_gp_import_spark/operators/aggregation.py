@@ -2265,3 +2265,77 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arith_mean_c"
         ),
     )
+
+
+PATH_LEN = 3
+PATH_TOP_K = 25
+
+
+@op(
+    "agg_top_paths",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events
+    ), paths AS (
+        SELECT user_id, d,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {PATH_LEN}
+        GROUP BY user_id, d
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP_K}
+    """,
+    category=CAT,
+)
+def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first {PATH_LEN} event types of
+    each (user, day) session serialized as a path string, ranked by
+    frequency — "how do sessions start", the navigation-flow report
+    product analytics leads with (agg_markov_transitions models
+    step-to-step flow; this reads whole openings).
+
+    Shape: one (user, day)-partitioned rank window cut at
+    {PATH_LEN} (WindowGroupLimit pushes the rn≤k filter into the
+    sort at scale — the win_topn machinery), ordered string_agg
+    serializes the path deterministically ((ts µs, event_id) total
+    order), and the final top-{PATH_TOP_K} is TakeOrdered on
+    (count DESC, path). Paths are tiny fixed-alphabet strings — the
+    shuffle carries ≤ {PATH_LEN} short tokens per session.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= PATH_LEN)
+    paths = ranked.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP_K)
+    )

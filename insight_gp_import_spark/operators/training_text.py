@@ -1448,3 +1448,103 @@ def text_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@op(
+    "text_langid_eval",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, length(text) - 2),
+                   i -> substr(text, i, 3)))) AS g
+        FROM documents
+    ), lang_counts AS (
+        SELECT lang AS plang, g, CAST(count(*) AS BIGINT) AS n
+        FROM grams GROUP BY lang, g
+    ), profile AS (
+        SELECT plang, g FROM (
+            SELECT plang, g,
+                   row_number() OVER (PARTITION BY plang
+                                      ORDER BY n DESC, g) AS rn
+            FROM lang_counts
+        ) WHERE rn <= {LANGID_PROFILE_K}
+    ), scores AS (
+        SELECT gr.doc_id, p.plang, CAST(count(*) AS BIGINT) AS score
+        FROM grams gr JOIN profile p ON gr.g = p.g
+        GROUP BY gr.doc_id, p.plang
+    ), best AS (
+        SELECT doc_id, plang AS predicted FROM (
+            SELECT doc_id, plang, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, plang) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    ), labelled AS (
+        SELECT d.lang, coalesce(b.predicted, 'und') AS predicted
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    )
+    SELECT lang, predicted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (lang = predicted) AS on_diagonal
+    FROM labelled GROUP BY lang, predicted
+    """,
+    category=CAT,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the trigram language-ID model — the
+    EVALUATION surface (actual × predicted counts, diagonal flagged):
+    classifier quality reported as a relation, the way a data
+    engine should evaluate models it hosts (accuracy is one
+    SUM(on_diagonal·n)/SUM(n) away, but the off-diagonal CELLS are
+    what tells you WHICH languages confuse — the actionable part).
+
+    Reuses text_langid_ngram's exact fit+predict plan verbatim and
+    adds the label join + two-key aggregate — model and evaluation in
+    ONE declarative statement, no collect, no second pass over the
+    corpus (the grams CTE is shared). The synthetic shared-vocabulary
+    corpus makes the matrix nearly uniform — the oracle grades the
+    evaluation MACHINERY exactly (module-docstring contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("g"),
+    )
+    lang_counts = grams.groupBy(
+        F.col("lang").alias("plang"), "g"
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("plang").orderBy(F.desc("n"), "g")
+    profile = (
+        lang_counts.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= LANGID_PROFILE_K)
+        .select("plang", "g")
+    )
+    scores = (
+        grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("score"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("score"), "plang")
+    best = (
+        scores.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"))
+    )
+    labelled = docs.select("doc_id", "lang").join(
+        best, "doc_id", "left"
+    ).select(
+        "lang", F.coalesce("predicted", F.lit("und")).alias("predicted")
+    )
+    return labelled.groupBy("lang", "predicted").agg(
+        F.count("*").alias("n_docs"),
+        (F.col("lang") == F.col("predicted")).alias("on_diagonal"),
+    )
