@@ -76,7 +76,10 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # dq_uniqueness, sql_pipe_syntax, fn_collation, stream_static_join,
 # win_rolling_corr, mm_video_scene_cuts, text_sentence_split,
 # corpus_rag_chunk, pipeline_monitoring_health, sql_recursive_cte, fn_try_arithmetic,
-# plus the third-session additions: setop_intersect_all,
+# plus the third-session additions (84 new ops, all registry tail;
+# the list below names the first wave — everything after
+# embed_sim_histogram in REGISTRY insertion order is likewise a
+# third-session addition awaiting a driver slot): setop_intersect_all,
 # agg_multi_distinct, sql_exists_subquery, agg_regression,
 # agg_markov_transitions, ts_ewma_7, ts_seasonality_profile,
 # text_collocation_pmi, text_readability, sim_search_range,
