@@ -2339,3 +2339,84 @@ def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOP_K)
     )
+
+
+ABC_BAND_C = 100000  # $1000 revenue bands
+
+
+@op(
+    "agg_abc_classes",
+    oracle=f"""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY l_partkey
+    ), bands AS (
+        SELECT rev_c // {ABC_BAND_C} AS band,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev_c) AS BIGINT) AS band_rev_c
+        FROM part_rev GROUP BY 1
+    ), cum AS (
+        SELECT band, n_parts, band_rev_c,
+               CAST(sum(band_rev_c) OVER (ORDER BY band DESC) AS BIGINT)
+                   AS rev_ge,
+               CAST(sum(band_rev_c) OVER () AS BIGINT) AS total
+        FROM bands
+    )
+    SELECT band, n_parts, band_rev_c,
+           CASE WHEN (rev_ge - band_rev_c) * 5 < total * 4 THEN 'A'
+                WHEN (rev_ge - band_rev_c) * 20 < total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+    category=CAT,
+)
+def agg_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (A ≈ top 80 % of revenue, B next
+    15 %, C the tail) — the stock-control 80/15/5 policy, assigned at
+    REVENUE-BAND granularity: per-part revenues collapse into $1000
+    bands first, the descending cumulative runs over the bounded band
+    relation, and a band is class A while the revenue ABOVE it hasn't
+    yet covered 80 % (integer cross-multiplication, agg_pareto_cut's
+    crossing rule at two thresholds).
+
+    The banding is the scale move: per-part cumulative shares would
+    order a window over EVERY part (the Gini/Pareto lesson);
+    band-granular ABC answers the same policy question over ≤
+    max-rev/band rows at any corpus size — and band-boundary parts
+    misclassifying by one band is exactly the tolerance the 80/15/5
+    heuristic already implies. All exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("rev_c")
+    )
+    bands = part_rev.groupBy(
+        F.expr(f"rev_c div {ABC_BAND_C}").alias("band")
+    ).agg(
+        F.count("*").alias("n_parts"), F.sum("rev_c").alias("band_rev_c")
+    )
+    w_desc = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = bands.select(
+        "band",
+        "n_parts",
+        "band_rev_c",
+        F.sum("band_rev_c").over(w_desc).alias("rev_ge"),
+        F.sum("band_rev_c").over(w_all).alias("total"),
+    )
+    above = F.col("rev_ge") - F.col("band_rev_c")
+    return cum.select(
+        "band",
+        "n_parts",
+        "band_rev_c",
+        F.when(above * 5 < F.col("total") * 4, "A")
+        .when(above * 20 < F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -948,3 +948,59 @@ def win_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.alias("gap_days"),
         (gap <= 30).alias("within_30d"),
     )
+
+
+@op(
+    "win_ratio_to_report",
+    oracle="""
+    WITH cents AS (
+        SELECT n_name,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, bal_c,
+           round(CAST(bal_c AS DOUBLE)
+                 / sum(bal_c) OVER (), 6) AS share_of_total,
+           CAST(rank() OVER (ORDER BY bal_c DESC, n_name) AS BIGINT)
+               AS revenue_rank
+    FROM cents
+    """,
+    category=CAT,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT — each nation's share of total balance plus its
+    rank, the classic Oracle-warehouse analytic (every BI "percent of
+    total" column) expressed as an empty-frame window over the
+    AGGREGATED relation. Migrating users keep the mental model; the
+    engine keeps the right plan.
+
+    The unpartitioned windows are legitimate here for the
+    ts_yoy_growth reason: they run over the ≤|nations| aggregate (25
+    rows), never the customer table — the aggregation below them is
+    where the data volume dies. Exact integer cents; the share is the
+    only double, rounded at 6; rank carries an n_name tie-break
+    (§2.X rule 2).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("bigint")
+            ).alias("bal_c")
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("bal_c"), "n_name")
+    return cents.select(
+        "n_name",
+        "bal_c",
+        F.round(
+            F.col("bal_c").cast("double") / F.sum("bal_c").over(w_all), 6
+        ).alias("share_of_total"),
+        F.rank().over(w_rank).cast("bigint").alias("revenue_rank"),
+    )
