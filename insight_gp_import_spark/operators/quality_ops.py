@@ -851,3 +851,64 @@ def pipeline_growth_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "dq_benford_check",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS t FROM obs
+    )
+    SELECT d, n,
+           round(CAST(n AS DOUBLE) / t, 6) AS observed_p,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_p,
+           round(abs(CAST(n AS DOUBLE) / t - ln(1.0 + 1.0 / d) / ln(10.0)),
+                 6) AS abs_dev,
+           (abs(CAST(n AS DOUBLE) / t - ln(1.0 + 1.0 / d) / ln(10.0))
+            > 0.05) AS digit_alert
+    FROM obs CROSS JOIN tot
+    """,
+    category=CAT,
+)
+def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the
+    forensic-accounting classic (Benford '38; naturally occurring
+    multi-scale amounts put ~30.1 % of first digits at 1; fabricated
+    or truncated data doesn't). As a DATA-QUALITY gate it catches
+    generator/ingest artifacts: unit mix-ups, clipped ranges, and
+    synthetic fills all bend the digit curve — this fixture's uniform
+    prices deliberately FAIL the law, which the flags exhibit (the
+    op's job is the audit machinery, §2.X module contract).
+
+    First digit via integer→string head (no log10-floor division
+    dance, no float before the ratio); expected p = ln(1+1/d)/ln(10)
+    as the identical expression both engines; deviations rounded at
+    6 with the alert on the raw |dev| (drift ≪ threshold scale).
+    One map-combined digit count — trivially 100 TB-safe.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1, 1,
+        ).cast("bigint").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    p_obs = F.col("n").cast("double") / F.col("t")
+    p_ben = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    dev = F.abs(p_obs - p_ben)
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(p_obs, 6).alias("observed_p"),
+        F.round(p_ben, 6).alias("benford_p"),
+        F.round(dev, 6).alias("abs_dev"),
+        (dev > 0.05).alias("digit_alert"),
+    )
