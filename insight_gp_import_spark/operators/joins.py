@@ -1284,3 +1284,66 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_custkey").alias("n_customers"),
         F.countDistinct("s_suppkey").alias("n_suppliers"),
     )
+
+
+@op(
+    "join_unknown_member",
+    oracle="""
+    WITH fact AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_custkey END AS cust_fk,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), enriched AS (
+        SELECT f.o_orderkey, f.cents,
+               coalesce(c.c_name, 'UNKNOWN') AS customer,
+               coalesce(c.c_mktsegment, 'N/A') AS segment,
+               (c.c_custkey IS NULL) AS is_unknown
+        FROM fact f LEFT JOIN customer c ON f.cust_fk = c.c_custkey
+    )
+    SELECT segment, is_unknown,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS rev_c,
+           CAST(count(DISTINCT customer) AS BIGINT) AS n_customers
+    FROM enriched GROUP BY segment, is_unknown
+    """,
+    category=CAT,
+)
+def join_unknown_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNKNOWN-member pattern: facts whose dimension key is
+    missing (here: a simulated 1-in-7 NULL foreign key) land on an
+    explicit 'UNKNOWN' member via LEFT JOIN + COALESCE instead of
+    leaking NULLs into every downstream group-by — dimensional
+    modeling's standard answer (Kimball's row-zero member) and the
+    OPPOSITE policy to join_null_safe_eq's unknown-pools-with-unknown
+    (both are legitimate; an engine must express both cleanly).
+
+    The revenue of unknown-keyed facts stays VISIBLE and attributed
+    (is_unknown=true rows) — the silent alternative (inner join)
+    drops it, which is how dashboards lose money without an error.
+    Plan: one broadcast-eligible LEFT hash join + COALESCE in the
+    projection; the aggregate sees no NULL group keys at all.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    enriched = fact.join(
+        c, fact.cust_fk == c.c_custkey, "left"
+    ).select(
+        "cents",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("customer"),
+        F.coalesce("c_mktsegment", F.lit("N/A")).alias("segment"),
+        F.col("c_custkey").isNull().alias("is_unknown"),
+    )
+    return enriched.groupBy("segment", "is_unknown").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("rev_c"),
+        F.countDistinct("customer").alias("n_customers"),
+    )
