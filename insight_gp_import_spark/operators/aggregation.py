@@ -2420,3 +2420,94 @@ def agg_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@op(
+    "agg_price_index",
+    oracle="""
+    WITH stamped AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c,
+               CAST(round(l_quantity) AS BIGINT) AS q,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS ed
+        FROM lineitem
+    ), bounds AS (
+        SELECT min(ed) AS lo, max(ed) AS hi FROM stamped
+    ), periods AS (
+        SELECT l_partkey, rev_c, q,
+               CASE WHEN ed * 2 < lo + hi THEN 0 ELSE 1 END AS period
+        FROM stamped CROSS JOIN bounds
+    ), unit AS (
+        SELECT l_partkey, period,
+               CAST(sum(rev_c) // sum(q) AS BIGINT) AS p_c,
+               CAST(sum(q) AS BIGINT) AS q_tot
+        FROM periods GROUP BY l_partkey, period
+    ), both_p AS (
+        SELECT b.l_partkey,
+               b.p_c AS p0, b.q_tot AS q0, c.p_c AS p1
+        FROM (SELECT * FROM unit WHERE period = 0) b
+        JOIN (SELECT * FROM unit WHERE period = 1) c
+          ON b.l_partkey = c.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(p1 * q0) AS BIGINT) AS cur_basket_c,
+           CAST(sum(p0 * q0) AS BIGINT) AS base_basket_c,
+           round(CAST(sum(p1 * q0) AS DOUBLE) / sum(p0 * q0), 6)
+               AS laspeyres_index
+    FROM both_p
+    """,
+    category=CAT,
+)
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index between the first and second half of the
+    shipping span — THE index-number formula (Σp₁q₀ / Σp₀q₀: what
+    would the BASE period's basket cost at CURRENT prices) behind
+    CPI-style reporting and internal price-drift monitors. Only parts
+    traded in both periods enter (the matched-basket rule, stated
+    rather than silently imputed).
+
+    Exactness discipline: per-(part, period) unit prices are FLOOR
+    cents (Σrev_c ÷ Σq integer division — deterministic, the
+    agg_cohort_ltv rule; fractional unit prices would reopen float
+    drift), the basket sums are then exact integer products, and the
+    index is one rounded ratio. The period split is the dq_psi_drift
+    exact-µs midpoint. Shape: two map-combined aggs + one part-keyed
+    join — fully scalable, no window at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ed = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    stamped = li.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev_c"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        ed.alias("ed"),
+    )
+    bounds = stamped.agg(F.min("ed").alias("lo"), F.max("ed").alias("hi"))
+    periods = stamped.crossJoin(F.broadcast(bounds)).withColumn(
+        "period",
+        F.when(F.col("ed") * 2 < F.col("lo") + F.col("hi"), 0).otherwise(1),
+    )
+    unit = periods.groupBy("l_partkey", "period").agg(
+        F.expr("CAST(sum(rev_c) div sum(q) AS BIGINT)").alias("p_c"),
+        F.sum("q").alias("q_tot"),
+    )
+    base = unit.filter(F.col("period") == 0).select(
+        "l_partkey", F.col("p_c").alias("p0"), F.col("q_tot").alias("q0")
+    )
+    cur = unit.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("p_c").alias("p1")
+    )
+    both_p = base.join(cur, "l_partkey")
+    return both_p.agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).alias("cur_basket_c"),
+        F.sum(F.col("p0") * F.col("q0")).alias("base_basket_c"),
+        F.round(
+            F.sum(F.col("p1") * F.col("q0")).cast("double")
+            / F.sum(F.col("p0") * F.col("q0")),
+            6,
+        ).alias("laspeyres_index"),
+    )

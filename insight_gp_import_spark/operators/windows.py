@@ -1004,3 +1004,59 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_total"),
         F.rank().over(w_rank).cast("bigint").alias("revenue_rank"),
     )
+
+
+TOP_MOVERS_K = 15
+
+
+@op(
+    "win_top_movers",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), deltas AS (
+        SELECT event_type, d, cnt,
+               cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY d)
+                   AS delta
+        FROM daily
+    )
+    SELECT event_type, d, cnt, CAST(delta AS BIGINT) AS delta,
+           (delta > 0) AS is_gain
+    FROM deltas
+    WHERE delta IS NOT NULL
+    ORDER BY abs(delta) DESC, event_type, d
+    LIMIT {TOP_MOVERS_K}
+    """,
+    category=CAT,
+)
+def win_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top day-over-day movers: the {TOP_MOVERS_K} largest absolute
+    volume swings across all streams — the "what changed yesterday"
+    triage list every on-call dashboard opens with (dq_anomaly_zscore
+    scores deviations statistically; this just ranks raw swings,
+    which is what a human scans first).
+
+    One lag per stream over the daily rollup, then a global
+    TakeOrdered on (|Δ| DESC, type, d) — deterministic K-boundary
+    (§2.X rule 4), never a global sort. Exact integer deltas; the
+    gain/loss flag is a sign read.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    deltas = daily.withColumn(
+        "delta", F.col("cnt") - F.lag("cnt").over(w)
+    ).filter(F.col("delta").isNotNull())
+    return (
+        deltas.select(
+            "event_type", "d", "cnt",
+            F.col("delta").cast("bigint").alias("delta"),
+            (F.col("delta") > 0).alias("is_gain"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "event_type", "d")
+        .limit(TOP_MOVERS_K)
+    )
