@@ -1347,3 +1347,74 @@ def join_unknown_member(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("rev_c"),
         F.countDistinct("customer").alias("n_customers"),
     )
+
+
+ABANDON_WINDOW_US = 3600 * 1000000  # 1 hour to convert
+
+
+@op(
+    "join_time_anti_abandonment",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS v_us,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(count(*) FILTER (NOT EXISTS (
+               SELECT 1 FROM p
+               WHERE p.user_id = v.user_id
+                 AND p.p_us > v.v_us
+                 AND p.p_us <= v.v_us + {ABANDON_WINDOW_US}
+           )) AS BIGINT) AS n_abandoned
+    FROM v
+    GROUP BY d
+    """,
+    category=CAT,
+)
+def join_time_anti_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment rate: views NOT followed by a same-user purchase
+    within one hour, per day — funnel LOSS, the complement of
+    stream_stream_join's attribution matches (that op counts the
+    conversions; a funnel team needs the non-conversions just as
+    much). The join shape is the missing piece of the anti-join
+    family: LEFT ANTI with a TIME-RANGE predicate, not an equi-key.
+
+    Spark plans the anti join on the user_id equi-part with the range
+    condition evaluated inside the join — state bounded exactly like
+    the stream-stream join's (a purchase can only clear views within
+    one hour behind it; under watermarks the identical query runs
+    incrementally). Exact integer µs bounds; the daily rollup keeps
+    the output relation calendar-small. At 100 TB both sides shuffle
+    once on user_id — the same single exchange sessionize pays.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        us.alias("v_us"),
+        F.to_date("ts").alias("d"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), us.alias("p_us")
+    )
+    converted = v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (F.col("p_us") > F.col("v_us"))
+        & (F.col("p_us") <= F.col("v_us") + ABANDON_WINDOW_US),
+        "left_anti",
+    )
+    n_views = v.groupBy("d").agg(F.count("*").alias("n_views"))
+    n_aband = converted.groupBy("d").agg(F.count("*").alias("n_abandoned"))
+    return n_views.join(n_aband, "d", "left").select(
+        "d",
+        "n_views",
+        F.coalesce("n_abandoned", F.lit(0)).cast("bigint").alias("n_abandoned"),
+    )
