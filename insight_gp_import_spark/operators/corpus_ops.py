@@ -1091,3 +1091,79 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+TOKEN_BUDGET = 1_000_000
+
+
+@op(
+    "corpus_budget_apportion",
+    oracle=f"""
+    WITH mass AS (
+        SELECT lang,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS w
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS k
+        FROM mass
+    ), quota AS (
+        SELECT lang, w,
+               CAST(({TOKEN_BUDGET} * w) // tw AS BIGINT) AS floor_q,
+               CAST(({TOKEN_BUDGET} * w) % tw AS BIGINT) AS rem
+        FROM mass CROSS JOIN tot
+    ), leftover AS (
+        SELECT CAST({TOKEN_BUDGET} - sum(floor_q) AS BIGINT) AS extra
+        FROM quota
+    )
+    SELECT lang, w, floor_q,
+           CAST(floor_q + CASE WHEN rnk <= (SELECT extra FROM leftover)
+                               THEN 1 ELSE 0 END AS BIGINT) AS allocation
+    FROM (
+        SELECT lang, w, floor_q, rem,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rnk
+        FROM quota
+    )
+    """,
+    category=CAT,
+)
+def corpus_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed token
+    budget across languages by character mass — the EXACT allocation
+    step between corpus_mix_weights (what the shares should be) and
+    corpus_apply_mix (drawing the sample): naive per-cell rounding
+    of budget·wᵢ/Σw either over- or under-spends the budget; Hamilton
+    floors every quota and hands the leftover units to the largest
+    fractional remainders, summing to the budget EXACTLY.
+
+    Pure integer arithmetic: floor quotas and remainders via integer
+    div/mod (no double quota ever exists, so no float
+    reapportionment paradox enters), remainder ranking over the
+    |langs| relation with a lang tie-break (§2.X rule 2 — equal
+    remainders are real when weights share divisors). The invariant
+    Σallocation = budget is checkable by the reader from the output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("lang").agg(
+        F.sum(F.col("n_chars").cast("bigint")).alias("w")
+    )
+    tot = mass.agg(F.sum("w").alias("tw"))
+    quota = mass.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "w",
+        F.expr(f"CAST(({TOKEN_BUDGET} * w) div tw AS BIGINT)").alias("floor_q"),
+        F.expr(f"CAST(({TOKEN_BUDGET} * w) % tw AS BIGINT)").alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(TOKEN_BUDGET) - F.sum("floor_q")).alias("extra")
+    )
+    w_rnk = Window.orderBy(F.desc("rem"), "lang")
+    ranked = quota.withColumn("rnk", F.row_number().over(w_rnk))
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "lang",
+        "w",
+        "floor_q",
+        (
+            F.col("floor_q")
+            + F.when(F.col("rnk") <= F.col("extra"), 1).otherwise(0)
+        ).cast("bigint").alias("allocation"),
+    )
