@@ -2511,3 +2511,127 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("laspeyres_index"),
     )
+
+
+@op(
+    "agg_fulfillment_lag",
+    oracle="""
+    WITH lags AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_d
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(lag_d) AS BIGINT) AS min_lag,
+           CAST(max(lag_d) AS BIGINT) AS max_lag,
+           round(CAST(sum(lag_d) AS DOUBLE) / count(*), 4) AS avg_lag,
+           round(CAST(sum(CASE WHEN lag_d <= 30 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS share_30d
+    FROM lags
+    GROUP BY o_orderpriority
+    """,
+    category=CAT,
+)
+def agg_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment lag per order priority: order-date → ship-date day
+    gaps with the 30-day SLA attainment share — the supply-chain
+    cycle-time report (agg_conversion_latency times the CLICKSTREAM
+    funnel; this times the physical pipeline, keyed by the priority
+    the warehouse actually staffs by).
+
+    One orderkey-shuffle join (bucketed away at 100 TB) into one
+    map-combined aggregate over 5 integers of state per priority;
+    day lags are exact integers on zone-independent DATE casts, the
+    avg/share doubles derive from integer sums in the final |prios|-row
+    projection (§2.X rule 1).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag_d = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("bigint")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", lag_d.alias("lag_d"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("lag_d").alias("min_lag"),
+            F.max("lag_d").alias("max_lag"),
+            F.round(F.sum("lag_d").cast("double") / F.count("*"), 4).alias(
+                "avg_lag"
+            ),
+            F.round(
+                F.sum(F.when(F.col("lag_d") <= 30, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("share_30d"),
+        )
+    )
+
+
+@op(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH per_supp AS (
+        SELECT r_name, s_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount))
+                             AS BIGINT)) AS BIGINT) AS rev_d
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, s_suppkey
+    )
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(rev_d) AS BIGINT) AS total_rev_d,
+           round(CAST(sum(rev_d * rev_d) AS DOUBLE)
+                 / (CAST(sum(rev_d) AS DOUBLE) * sum(rev_d)), 6) AS hhi
+    FROM per_supp
+    GROUP BY r_name
+    """,
+    category=CAT,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market concentration per region: Σᵢ shareᵢ²
+    of supplier revenue — the antitrust/marketplace-health metric
+    (agg_gini_activity ranks inequality of USERS; HHI is the
+    regulator's concentration index over FIRMS, and the two are not
+    derivable from each other).
+
+    Two-level rollup: supplier partials first (map-combined, the only
+    fact shuffle), then a |regions|-row combine. HHI = Σrev²/(Σrev)²
+    — derived from INTEGER whole-dollar sums (cents would square past
+    BIGINT; dollars keep Σrev² ≤ ~4·10¹⁴/supplier, exact to ~10⁴
+    suppliers/region — DECIMAL(38) states beyond, per the
+    agg_skew_kurtosis contract), ratio rounded at 6 in the final
+    projection.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev_d = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "bigint"
+    )
+    per_supp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "s_suppkey")
+        .agg(F.sum(rev_d).alias("rev_d"))
+    )
+    return per_supp.groupBy("r_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("rev_d").alias("total_rev_d"),
+        F.round(
+            F.sum(F.col("rev_d") * F.col("rev_d")).cast("double")
+            / (F.sum("rev_d").cast("double") * F.sum("rev_d")),
+            6,
+        ).alias("hhi"),
+    )

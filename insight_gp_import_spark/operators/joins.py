@@ -1418,3 +1418,69 @@ def join_time_anti_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_views",
         F.coalesce("n_abandoned", F.lit(0)).cast("bigint").alias("n_abandoned"),
     )
+
+
+@op(
+    "join_bilateral_trade",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS volume_u
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+    GROUP BY sn.n_name, cn.n_name
+    """,
+    category=CAT,
+)
+def join_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade matrix (TPC-H Q7 shape): discounted volume
+    shipped between every (supplier nation → customer nation) pair —
+    the ROLE-PLAYING dimension pattern, where ONE physical dim
+    (nation) joins the same fact chain twice under two aliases. The
+    other multiway ops each touch a dim once; a migrating warehouse
+    user's "ship-to vs sold-by" report needs exactly this shape.
+
+    Both nation joins and the supplier join broadcast (the fact never
+    shuffles for them); the single real exchange is the
+    lineitem⋈orders orderkey shuffle — at 100 TB both facts are
+    bucketed on orderkey (sink_parquet_bucketed) and even that
+    disappears. Volume is the exact-integer price protocol: cents ×
+    (100−disc-cents) keeps every product a BIGINT (≤ ~3·10⁸/row —
+    Σ exact to ~10¹⁰ rows/pair); no double enters the hash. 25×24
+    output pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(vol).alias("volume_u"),
+        )
+    )
