@@ -266,3 +266,90 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.sum("n_nodes").over(wd).alias("nodes_with_ge_degree"),
     )
+
+
+BFS_MAX_HOPS = 3
+
+
+@op(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), bfs(node, dist) AS (
+        SELECT (SELECT min(src) FROM edges), 0
+        UNION
+        SELECT e.dst, b.dist + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.dist < {BFS_MAX_HOPS}
+    ), hops AS (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
+    )
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM hops GROUP BY dist
+    """,
+    category=CAT,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance rings from the minimum-id node of the
+    co-purchase graph, {BFS_MAX_HOPS} hops, reported as per-ring
+    (count, min, max) — shortest-path reachability, the third leg of
+    the graph family after components (dedup_cluster*) and ranking
+    (pagerank). "How many parts are within k basket hops" is the
+    recommendation-radius question.
+
+    Level-synchronous frontier expansion UNROLLED at plan-build time
+    (the Pregel loop runs in Python; data never leaves the engine):
+    frontier ⋈ edges → new ring = dst ∖ visited via LEFT ANTI,
+    exactly the sql_recursive_cte recursion made explicit — the
+    oracle is an INDEPENDENT formulation (DuckDB recursive CTE with
+    min-dist collapse; hash-match proves the unrolled ∖-chain ≡ the
+    fixpoint semantics). Min-dist is decided by construction (a node
+    enters the earliest ring that reaches it), so no min() aggregate
+    is ever needed Spark-side. Each hop is one src-partitioned join +
+    one anti-join on the ACCUMULATED ring union (≤ reachable set —
+    at 100 TB checkpoint the visited set per ~5 hops, the
+    dedup_cluster pattern; bounded hops keep lineage linear).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    src0 = edges.agg(F.min("src").alias("node"))
+    visited = src0.select("node", F.lit(0).alias("dist"))
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        reached = (
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(
+            visited.select("node"), "node", "left_anti"
+        ).select("node", F.lit(hop).alias("dist"))
+        visited = visited.unionAll(frontier)
+    hops = visited.select("node", F.col("dist").cast("bigint").alias("dist"))
+    return hops.groupBy("dist").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -912,3 +912,105 @@ def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dev, 6).alias("abs_dev"),
         (dev > 0.05).alias("digit_alert"),
     )
+
+
+@op(
+    "dq_ks_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               event_id % 2 AS side
+        FROM events
+    ), counts AS (
+        SELECT v,
+               CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM tagged GROUP BY v
+    ), tot AS (
+        SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1
+        FROM counts
+    ), cdf AS (
+        SELECT v,
+               CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS f0,
+               CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS f1
+        FROM counts
+    ), diffs AS (
+        SELECT v, abs(f0 * (SELECT n1 FROM tot) - f1 * (SELECT n0 FROM tot))
+                      AS d_num
+        FROM cdf
+    )
+    SELECT (SELECT n0 FROM tot) AS n0, (SELECT n1 FROM tot) AS n1,
+           CAST(max(d_num) AS BIGINT) AS d_num,
+           CAST(min(v) FILTER (WHERE d_num = (SELECT max(d_num) FROM diffs))
+                AS BIGINT) AS at_v,
+           round(CAST(max(d_num) AS DOUBLE)
+                 / ((SELECT n0 FROM tot) * CAST((SELECT n1 FROM tot)
+                                                AS DOUBLE)), 6) AS ks
+    FROM diffs
+    """,
+    category=CAT,
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between two event
+    slices (even vs odd event_id — the A/B-bucket hash split):
+    D = max_v |F₀(v) − F₁(v)|, with the cent value where the max is
+    attained. dq_psi_drift bins first and measures aggregate shift;
+    KS is the binning-free supremum distance — the standard "did the
+    distribution move" test a feature-monitoring gate runs per column.
+
+    No CDF double exists: |F₀−F₁| is compared via the integer
+    cross-multiplication |f₀·n₁ − f₁·n₀| and divided by n₀·n₁ ONCE in
+    the 1-row final projection (rounded 6); the argmax-v carries a
+    min-v tie-break (§2.X rule 2). The per-value counts are a
+    map-combined distributed aggregate; the CDF window then runs over
+    the DISTINCT-VALUE relation (≤ |cent domain| rows — bounded by
+    the metric's range, not the table), the ts_yoy_growth
+    aggregated-relation rule. For genuinely unbounded domains the
+    upgrade path is the win_quantile_bin_global two-pass: range
+    bucket boundaries first, per-bucket offsets broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("event_id") % 2).alias("side"),
+    )
+    counts = tagged.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("v")
+    cdf = counts.select(
+        "v",
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c0").over(Window.partitionBy()).alias("n0"),
+        F.sum("c1").over(Window.partitionBy()).alias("n1"),
+    )
+    diffs = cdf.select(
+        "v",
+        "n0",
+        "n1",
+        F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")).alias(
+            "d_num"
+        ),
+    )
+    best = diffs.groupBy().agg(
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+        F.max(
+            F.struct(
+                F.col("d_num").alias("d"), (-F.col("v")).alias("nv")
+            )
+        ).alias("m"),
+    )
+    return best.select(
+        "n0",
+        "n1",
+        F.col("m.d").alias("d_num"),
+        (-F.col("m.nv")).alias("at_v"),
+        F.round(
+            F.col("m.d").cast("double")
+            / (F.col("n0") * F.col("n1").cast("double")),
+            6,
+        ).alias("ks"),
+    )

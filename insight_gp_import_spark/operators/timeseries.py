@@ -769,3 +769,85 @@ def ts_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((d div 7) * 5 + {_busday_sql('dow_a', '(d % 7)')} AS BIGINT)"
         ).alias("business_days"),
     )
+
+
+@op(
+    "ts_sma_crossover",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), sums AS (
+        SELECT d, cnt,
+               CAST(sum(cnt) OVER (ORDER BY d
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS s5,
+               CAST(sum(cnt) OVER (ORDER BY d
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS s10,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM daily
+    ), sig AS (
+        SELECT d, cnt, s5, s10, (s5 * 2 > s10) AS fast_above,
+               lag(s5 * 2 > s10) OVER (ORDER BY d) AS prev_above
+        FROM sums WHERE rn >= 10
+    )
+    SELECT d, cnt, s5, s10,
+           CASE WHEN fast_above AND NOT prev_above THEN 'golden'
+                ELSE 'death' END AS cross_type
+    FROM sig
+    WHERE prev_above IS NOT NULL AND fast_above <> prev_above
+    """,
+    category=CAT,
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection: days where the 5-day volume
+    SMA crosses the 10-day SMA (golden/death cross) — the
+    trend-reversal signal every monitoring and trading dashboard
+    draws, reported as the CROSSING DAYS only (ts_cusum_change finds
+    level shifts via cumulative deviation; this finds them via
+    window-ratio sign flips, and the two fire on different shapes).
+
+    No SMA double is ever formed: sma5 > sma10 ⟺ 2·s5 > s10 by
+    cross-multiplication (windows of 5 and 10 rows), so the whole
+    signal is exact integer arithmetic on moving SUMS. Trading-day
+    convention: ROWS frames over observed days (gaps collapse, like
+    every exchange chart); both frames and the lag share one ordered
+    window over the ≤|days| daily aggregate — the data volume dies in
+    the groupBy below it (ts_yoy_growth rule). Warm-up rows (rn<10)
+    are excluded BEFORE the lag so the first comparable day
+    anchors the flip detection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    sums = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(-4, 0)).alias("s5"),
+        F.sum("cnt").over(w.rowsBetween(-9, 0)).alias("s10"),
+        F.row_number().over(w).alias("rn"),
+    )
+    sig = sums.filter(F.col("rn") >= 10).select(
+        "d",
+        "cnt",
+        "s5",
+        "s10",
+        (F.col("s5") * 2 > F.col("s10")).alias("fast_above"),
+        F.lag(F.col("s5") * 2 > F.col("s10")).over(w).alias("prev_above"),
+    )
+    return sig.filter(
+        F.col("prev_above").isNotNull()
+        & (F.col("fast_above") != F.col("prev_above"))
+    ).select(
+        "d",
+        "cnt",
+        "s5",
+        "s10",
+        F.when(
+            F.col("fast_above") & ~F.col("prev_above"), F.lit("golden")
+        )
+        .otherwise(F.lit("death"))
+        .alias("cross_type"),
+    )
