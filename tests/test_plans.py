@@ -502,3 +502,29 @@ def test_null_safe_join_is_hash_not_nested_loop(spark):
     # the =-with-OR-IS-NULL workaround this replaces degenerates to BNL
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    plan = plan_of(spark, "scan_partitioned_pruned")
+    # the month predicate must land in PartitionFilters on the
+    # read-back scan (directory-level skip), not survive as a
+    # post-scan Filter over om
+    assert "PartitionFilters: [" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "om" in pf.group(1)
+
+
+def test_drill_across_aggregates_before_outer_join(spark):
+    plan = plan_of(spark, "join_drill_across_facts")
+    # both facts must collapse to the conformed grain BEFORE the
+    # full-outer join (fan-out guard): two pre-join HashAggregates
+    # and no fact-to-fact row-level join
+    assert plan.count("HashAggregate") >= 4
+    assert "FullOuter" in plan or "full_outer" in plan
+
+
+def test_bfs_hops_have_no_cartesian(spark):
+    plan = plan_of(spark, "graph_bfs_distances")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
