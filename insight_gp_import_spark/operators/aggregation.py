@@ -2635,3 +2635,78 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+@op(
+    "agg_xyz_variability",
+    oracle="""
+    WITH monthly AS (
+        SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS m,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ), moments AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(q) AS BIGINT) AS s1,
+               CAST(sum(q * q) AS BIGINT) AS s2
+        FROM monthly GROUP BY l_partkey
+    ), scored AS (
+        SELECT l_partkey, n_months,
+               round(sqrt(CAST(n_months AS DOUBLE) * s2
+                          - CAST(s1 AS DOUBLE) * s1) / s1, 4) AS cv
+        FROM moments
+    )
+    SELECT CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(min(cv), 4) AS min_cv,
+           round(max(cv), 4) AS max_cv
+    FROM scored GROUP BY 1
+    """,
+    category=CAT,
+)
+def agg_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the planning twin of
+    agg_abc_classes (ABC ranks parts by revenue MASS; XYZ bands them
+    by demand STABILITY, and inventory policy is set on the ABC×XYZ
+    cross). Per-part monthly demand → coefficient of variation →
+    X (steady, cv<0.5) / Y (fluctuating, <1) / Z (erratic).
+
+    The win_group_standardize integer-moment protocol one level up:
+    monthly quantity sums are exact integers, per-part (n, Σq, Σq²)
+    is a second map-combined aggregate, and the ONLY double is the
+    final cv = √(n·Σq²−(Σq)²)/Σq, formed identically both engines and
+    rounded at 4 BEFORE the class CASE reads it (§2.X: flags compare
+    rounded values — a class boundary on the raw double would be a
+    coin flip at cv≈0.5). Class summary output keeps the hashed
+    relation at 3 rows; the 20k-part scored relation never leaves
+    the engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("m")
+    ).agg(F.sum(F.round("l_quantity").cast("bigint")).alias("q"))
+    moments = monthly.groupBy("l_partkey").agg(
+        F.count("*").alias("n_months"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    cv = F.round(
+        F.sqrt(
+            F.col("n_months").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / F.col("s1"),
+        4,
+    )
+    scored = moments.select("l_partkey", "n_months", cv.alias("cv"))
+    return scored.groupBy(
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.min("cv"), 4).alias("min_cv"),
+        F.round(F.max("cv"), 4).alias("max_cv"),
+    )

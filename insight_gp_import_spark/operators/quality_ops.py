@@ -1014,3 +1014,111 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks"),
     )
+
+
+# Declarative row-level data-quality rules over the lineitem feed —
+# (rule id, violation predicate as SQL text usable by BOTH engines).
+DQ_RULES: list[tuple[str, str]] = [
+    ("quantity_positive", "NOT (l_quantity >= 1)"),
+    ("discount_band", "NOT (l_discount >= 0.0 AND l_discount <= 0.10)"),
+    ("tax_band", "NOT (l_tax >= 0.0 AND l_tax <= 0.08)"),
+    ("price_positive", "NOT (l_extendedprice > 0)"),
+    ("flag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("status_domain", "l_linestatus NOT IN ('O', 'F')"),
+]
+
+
+@op(
+    "dq_rule_checks",
+    oracle="""
+    SELECT 'quantity_positive' AS rule,
+           CAST(sum(CASE WHEN NOT (l_quantity >= 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CASE WHEN NOT (l_quantity >= 1) THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS viol_rate
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_band',
+           CAST(sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.10)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           round(CAST(sum(CASE WHEN NOT (l_discount >= 0.0
+                                         AND l_discount <= 0.10)
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'tax_band',
+           CAST(sum(CASE WHEN NOT (l_tax >= 0.0 AND l_tax <= 0.08)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           round(CAST(sum(CASE WHEN NOT (l_tax >= 0.0 AND l_tax <= 0.08)
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           round(CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'flag_domain',
+           CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           round(CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'status_domain',
+           CAST(sum(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           round(CAST(sum(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    FROM lineitem
+    """,
+    category=CAT,
+)
+def dq_rule_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative rule-based DQ gate (the Deequ/Great-Expectations
+    check surface): a RULE TABLE of row-level violation predicates —
+    domain bands, positivity, enum membership — evaluated over the
+    feed in ONE scan, reporting per-rule violation count and rate.
+    dq_profile describes columns; this PASSES JUDGMENT against a
+    contract, which is what a load gate actually does (the reference
+    loader's reject-row accounting generalized to named rules).
+
+    All 6 rules compile to conditional-sum aggregates in a single
+    map-combined pass (never 6 scans — the unpivot happens on the
+    6-row RESULT, not the data); predicates are shared SQL text
+    between engines (the rule table IS the contract artifact). At
+    100 TB adding a rule costs one more sum column, not a pass; rates
+    derive from integer counts in the 6-row projection (§2.X).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for rule, pred in DQ_RULES:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v_{rule}")
+        )
+    aggs.append(F.count("*").alias("n_rows"))
+    one = li.agg(*aggs)
+    per_rule = []
+    for rule, _ in DQ_RULES:
+        per_rule.append(
+            one.select(
+                F.lit(rule).alias("rule"),
+                F.col(f"v_{rule}").cast("bigint").alias("n_violations"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.round(
+                    F.col(f"v_{rule}").cast("double") / F.col("n_rows"), 6
+                ).alias("viol_rate"),
+            )
+        )
+    out = per_rule[0]
+    for p in per_rule[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1060,3 +1060,81 @@ def win_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), "event_type", "d")
         .limit(TOP_MOVERS_K)
     )
+
+
+ATTRIB_WINDOW_H = 72
+
+
+@op(
+    "win_last_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type, event_id,
+               last_value(CASE WHEN event_type NOT IN ('purchase')
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+               last_value(CASE WHEN event_type NOT IN ('purchase')
+                               THEN ts END IGNORE NULLS) OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_type IS NOT NULL
+                     AND ts - touch_ts <= INTERVAL {ATTRIB_WINDOW_H} HOURS
+                THEN touch_type ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    category=CAT,
+)
+def win_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credited to the
+    user's most recent NON-purchase event within {ATTRIB_WINDOW_H} h,
+    else 'direct' — the default attribution model of every marketing
+    warehouse. join_asof matches against a SECOND table; this is the
+    self-referential form (the touch lives in the same stream as the
+    conversion), which is a window, not a join.
+
+    One user-partitioned ordered window; `last(..., ignorenulls)` over
+    the UNBOUNDED-PRECEDING..1-PRECEDING frame picks the latest prior
+    touch — two last-calls (type and ts) share the frame AND the same
+    null pattern, so they cannot disagree about which row they read.
+    The lookback bound compares exact µs timestamps (ns-recipe §1.3);
+    purchases with a stale or absent touch fall into 'direct', not
+    NULL (§2.X rule 3). State is the window frame itself — at 100 TB
+    this is the same single user exchange as sessionize_gap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    channel = F.when(
+        F.col("touch_type").isNotNull()
+        & (
+            F.unix_micros("ts") - F.unix_micros("touch_ts")
+            <= ATTRIB_WINDOW_H * 3600 * 1_000_000
+        ),
+        F.col("touch_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_buyers"),
+        )
+    )
