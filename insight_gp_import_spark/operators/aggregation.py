@@ -2710,3 +2710,123 @@ def agg_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cv"), 4).alias("min_cv"),
         F.round(F.max("cv"), 4).alias("max_cv"),
     )
+
+
+@op(
+    "agg_contribution_waterfall",
+    oracle="""
+    WITH stamped AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS ed
+        FROM orders
+    ), bounds AS (
+        SELECT min(ed) AS lo, max(ed) AS hi FROM stamped
+    ), seg AS (
+        SELECT c_mktsegment,
+               CAST(sum(CASE WHEN ed * 2 < lo + hi THEN rev_c ELSE 0 END)
+                    AS BIGINT) AS rev0_c,
+               CAST(sum(CASE WHEN ed * 2 < lo + hi THEN 0 ELSE rev_c END)
+                    AS BIGINT) AS rev1_c
+        FROM stamped CROSS JOIN bounds
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    ), steps AS (
+        SELECT 0 AS step_id, 'P0_TOTAL' AS label,
+               CAST(sum(rev0_c) AS BIGINT) AS delta_c
+        FROM seg
+        UNION ALL
+        SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS INTEGER),
+               c_mktsegment, rev1_c - rev0_c
+        FROM seg
+        UNION ALL
+        SELECT (SELECT count(*) FROM seg) + 1, 'P1_TOTAL',
+               CAST(sum(rev1_c) AS BIGINT)
+        FROM seg
+    )
+    SELECT CAST(step_id AS BIGINT) AS step_id, label,
+           CAST(delta_c AS BIGINT) AS delta_c,
+           CAST(CASE WHEN label = 'P1_TOTAL' THEN delta_c
+                     ELSE sum(delta_c) OVER (ORDER BY step_id) END
+                AS BIGINT) AS running_c
+    FROM steps
+    """,
+    category=CAT,
+)
+def agg_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution WATERFALL (the CFO bridge chart): total revenue of
+    the first half-period, one signed delta step per market segment,
+    landing exactly on the second half's total — "which segments
+    drove the change", with the invariant P0 + Σdeltas = P1 holding
+    in EXACT integer cents (a float waterfall never reconciles and
+    finance rejects it). agg_new_returning_users decomposes growth by
+    user status; this decomposes it by dimension attribute, the other
+    axis every QBR deck shows.
+
+    Epoch-day midpoint split (agg_price_index rule), one fact shuffle
+    into the segment rollup (customer dim broadcast), then the bridge
+    assembles over the |segments|+2-row relation — the running
+    cumulative window is aggregated-relation-sized (ts_yoy_growth
+    rule). P1_TOTAL's running value restates the END total rather
+    than doubling it (waterfall convention: the last bar is absolute).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    stamped = o.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("rev_c"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("ed"),
+    )
+    bounds = stamped.agg(
+        F.min("ed").alias("lo"), F.max("ed").alias("hi")
+    )
+    seg = (
+        stamped.crossJoin(F.broadcast(bounds))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ed") * 2 < F.col("lo") + F.col("hi"), F.col("rev_c")
+                ).otherwise(0)
+            ).alias("rev0_c"),
+            F.sum(
+                F.when(
+                    F.col("ed") * 2 < F.col("lo") + F.col("hi"), 0
+                ).otherwise(F.col("rev_c"))
+            ).alias("rev1_c"),
+        )
+    )
+    w_seg = Window.orderBy("c_mktsegment")
+    n_seg = seg.agg(F.count("*").alias("n")).select("n")
+    p0 = seg.agg(
+        F.lit(0).alias("step_id"),
+        F.lit("P0_TOTAL").alias("label"),
+        F.sum("rev0_c").alias("delta_c"),
+    )
+    mids = seg.select(
+        F.row_number().over(w_seg).alias("step_id"),
+        F.col("c_mktsegment").alias("label"),
+        (F.col("rev1_c") - F.col("rev0_c")).alias("delta_c"),
+    )
+    p1 = seg.crossJoin(F.broadcast(n_seg)).groupBy("n").agg(
+        F.sum("rev1_c").alias("delta_c")
+    ).select(
+        (F.col("n") + 1).cast("int").alias("step_id"),
+        F.lit("P1_TOTAL").alias("label"),
+        "delta_c",
+    )
+    steps = p0.unionByName(mids).unionByName(p1)
+    w_run = Window.orderBy("step_id")
+    return steps.select(
+        F.col("step_id").cast("bigint").alias("step_id"),
+        "label",
+        F.col("delta_c").cast("bigint").alias("delta_c"),
+        F.when(F.col("label") == "P1_TOTAL", F.col("delta_c"))
+        .otherwise(F.sum("delta_c").over(w_run))
+        .cast("bigint")
+        .alias("running_c"),
+    )

@@ -1167,3 +1167,115 @@ def corpus_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rnk") <= F.col("extra"), 1).otherwise(0)
         ).cast("bigint").alias("allocation"),
     )
+
+
+SPAN_LEN = 3
+SPAN_STRIDE = 20  # one 3-token span per 20 tokens ≈ T5's 15% corruption
+
+
+def _k16_sql(key: str) -> str:
+    """Exact 16-bit integer from the first 4 hex digits of ``key``."""
+    digs = [
+        f"(strpos('{_HEX}', substr({key}, {i + 1}, 1)) - 1)" for i in range(4)
+    ]
+    return f"({digs[0]} * 4096 + {digs[1]} * 256 + {digs[2]} * 16 + {digs[3]})"
+
+
+def _k16_col(key) -> F.Column:
+    digs = [
+        F.instr(F.lit(_HEX), F.substring(key, i + 1, 1)) - 1 for i in range(4)
+    ]
+    return digs[0] * 4096 + digs[1] * 256 + digs[2] * 16 + digs[3]
+
+
+@op(
+    "corpus_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, n_tokens,
+               n_tokens // {SPAN_STRIDE} AS n_spans,
+               n_tokens // (n_tokens // {SPAN_STRIDE}) AS stride
+        FROM toks WHERE n_tokens >= {SPAN_STRIDE}
+    ), spans AS (
+        SELECT doc_id, n_tokens, stride,
+               unnest(generate_series(0, n_spans - 1)) AS span_id
+        FROM sized
+    ), keyed AS (
+        SELECT doc_id, n_tokens, stride, span_id,
+               md5('span:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(span_id AS VARCHAR)) AS k
+        FROM spans
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id, n_tokens,
+           CAST(span_id * stride
+                + ({_k16_sql('k')} * (stride - {SPAN_LEN} + 1)) // 65536
+                AS BIGINT) AS start_tok,
+           CAST(span_id * stride
+                + ({_k16_sql('k')} * (stride - {SPAN_LEN} + 1)) // 65536
+                + {SPAN_LEN} - 1 AS BIGINT) AS end_tok
+    FROM keyed
+    """,
+    category=CAT,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask generation: one {SPAN_LEN}-token
+    span per {SPAN_STRIDE} tokens (≈15% corruption at mean span 3),
+    with deterministic, NON-OVERLAPPING placement — the denoising-
+    objective preprocessing step between packing
+    (corpus_pack_sequences) and batching. Seedless reproducibility is
+    the whole point: a re-run on a different cluster must corrupt the
+    SAME positions or eval losses aren't comparable.
+
+    Non-overlap by construction: tokens partition into n_spans strides
+    and each span lands inside its own stride, offset by an exact
+    16-bit md5 uniform mapped to [0, stride−span] via integer
+    (k·m)//2¹⁶ — no float, no RNG, no rejection loop. Everything is a
+    scan-stage projection + sequence/explode (zero shuffles, zero
+    Python); docs under {SPAN_STRIDE} tokens are exempt (no full
+    stride to corrupt), matching the short-doc rule real pipelines
+    apply.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    sized = toks.filter(F.col("n_tokens") >= SPAN_STRIDE).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") / SPAN_STRIDE).cast("bigint").alias("n_spans"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        (F.col("n_tokens") / F.col("n_spans")).cast("bigint").alias("stride"),
+    )
+    spans = sized.select(
+        "doc_id",
+        "n_tokens",
+        "stride",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_spans") - 1)
+        ).alias("span_id"),
+    )
+    k = F.md5(
+        F.concat(
+            F.lit("span:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("span_id").cast("string"),
+        )
+    )
+    m = F.col("stride") - SPAN_LEN + 1
+    offset = (_k16_col(k) * m / 65536).cast("bigint")
+    start = F.col("span_id") * F.col("stride") + offset
+    return spans.select(
+        "doc_id",
+        F.col("span_id").cast("bigint").alias("span_id"),
+        "n_tokens",
+        start.cast("bigint").alias("start_tok"),
+        (start + SPAN_LEN - 1).cast("bigint").alias("end_tok"),
+    )

@@ -1122,3 +1122,97 @@ def dq_rule_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_rule[1:]:
         out = out.unionAll(p)
     return out
+
+
+@op(
+    "pipeline_dq_quarantine",
+    oracle="""
+    WITH feed AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey % 31 = 0 THEN -l_quantity
+                    ELSE l_quantity END AS l_quantity,
+               CASE WHEN l_orderkey % 31 = 1 THEN 0.5
+                    ELSE l_discount END AS l_discount,
+               l_tax,
+               CASE WHEN l_orderkey % 31 = 2 THEN 'X'
+                    ELSE l_returnflag END AS l_returnflag,
+               l_linestatus, l_extendedprice
+        FROM lineitem
+    ), judged AS (
+        SELECT *,
+               CASE WHEN NOT (l_quantity >= 1) THEN 'quantity_positive'
+                    WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.10)
+                        THEN 'discount_band'
+                    WHEN NOT (l_tax >= 0.0 AND l_tax <= 0.08) THEN 'tax_band'
+                    WHEN NOT (l_extendedprice > 0) THEN 'price_positive'
+                    WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        THEN 'flag_domain'
+                    WHEN l_linestatus NOT IN ('O', 'F') THEN 'status_domain'
+                    ELSE 'clean' END AS disposition
+        FROM feed
+    )
+    SELECT disposition,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS value_c
+    FROM judged
+    GROUP BY disposition
+    """,
+    category=CAT,
+)
+def pipeline_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEVENTH capstone — the reference loader's reject-row path as one
+    declarative plan: a feed with known defects (deterministically
+    injected: negated quantities ≡0 mod 31, 50% discounts ≡1, unknown
+    return flag ≡2 — the merge_cdc_apply self-derivation trick) runs
+    the dq_rule_checks rule table ROW-LEVEL, each row attributed to
+    its FIRST failing rule (the loader writes one reject reason, not
+    all), clean rows pass through; the hashed relation is the
+    quarantine accounting (rows / distinct orders / value at risk per
+    disposition) every load report prints.
+
+    One scan → one CASE chain (rule order is the attribution
+    contract) → one map-combined aggregate; the quarantined ROWS
+    themselves would fork to an error sink via the same disposition
+    column (sink_partition_overwrite_dynamic shape) with zero extra
+    passes. Value-at-risk in exact cents; rule predicates are the
+    SAME shared SQL text as dq_rule_checks — gate and quarantine
+    cannot disagree.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    feed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 31 == 0, -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(F.col("l_orderkey") % 31 == 1, F.lit(0.5))
+        .otherwise(F.col("l_discount"))
+        .alias("l_discount"),
+        "l_tax",
+        F.when(F.col("l_orderkey") % 31 == 2, F.lit("X"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        "l_linestatus",
+        "l_extendedprice",
+    )
+    first_fail = (
+        F.when(~(F.col("l_quantity") >= 1), "quantity_positive")
+        .when(
+            ~((F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.10)),
+            "discount_band",
+        )
+        .when(~((F.col("l_tax") >= 0.0) & (F.col("l_tax") <= 0.08)), "tax_band")
+        .when(~(F.col("l_extendedprice") > 0), "price_positive")
+        .when(~F.col("l_returnflag").isin("A", "N", "R"), "flag_domain")
+        .when(~F.col("l_linestatus").isin("O", "F"), "status_domain")
+        .otherwise("clean")
+    )
+    return feed.groupBy(first_fail.alias("disposition")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "value_c"
+        ),
+    )
