@@ -2830,3 +2830,102 @@ def agg_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("running_c"),
     )
+
+
+FUNNEL_STEP_H = 72
+
+
+@op(
+    "agg_window_funnel_strict",
+    oracle=f"""
+    WITH t1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS ts1
+        FROM events GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS ts2
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'view' AND t1.ts1 IS NOT NULL
+          AND e.ts > t1.ts1
+          AND e.ts <= t1.ts1 + INTERVAL {FUNNEL_STEP_H} HOURS
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, min(e.ts) AS ts3
+        FROM events e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts > t2.ts2
+          AND e.ts <= t2.ts2 + INTERVAL {FUNNEL_STEP_H} HOURS
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(ts1) FROM t1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_view_w,
+           CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchase_w,
+           round(CAST((SELECT count(*) FROM t2) AS DOUBLE)
+                 / (SELECT count(ts1) FROM t1), 6) AS rate_12,
+           round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
+                 / nullif((SELECT count(*) FROM t2), 0), 6) AS rate_23
+    """,
+    category=CAT,
+)
+def agg_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT windowed funnel (ClickHouse windowFunnel semantics):
+    signup → first view STRICTLY AFTER it within {FUNNEL_STEP_H} h →
+    first purchase strictly after THAT view within {FUNNEL_STEP_H} h.
+    agg_funnel_conversion's loose funnel only requires "later"; the
+    strict per-step deadline chain is what product analytics actually
+    ships, and the two differ exactly on slow converters.
+
+    Each stage anchors on the PREVIOUS stage's earliest qualifying
+    timestamp, so the dependency is sequential — expressed as a
+    3-stage agg→join chain, every stage shuffling only (user_id, one
+    timestamp) on the same key (at 100 TB the three exchanges
+    coalesce onto one bucketed layout; state per user is ONE µs
+    value per stage, the streaming-state bound). Exact µs window
+    arithmetic via unix_micros; rates derive from the three counts
+    in a 1-row projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    step_us = FUNNEL_STEP_H * 3600 * 1_000_000
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "ts1"
+        )
+    )
+    t2 = (
+        ev.join(t1.filter(F.col("ts1").isNotNull()), "user_id")
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.unix_micros("ts") > F.unix_micros("ts1"))
+            & (F.unix_micros("ts") <= F.unix_micros("ts1") + step_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.unix_micros("ts") > F.unix_micros("ts2"))
+            & (F.unix_micros("ts") <= F.unix_micros("ts2") + step_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    counts = (
+        t1.agg(F.count("ts1").alias("n_signup"))
+        .crossJoin(t2.agg(F.count("*").alias("n_view_w")))
+        .crossJoin(t3.agg(F.count("*").alias("n_purchase_w")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_view_w",
+        "n_purchase_w",
+        F.round(
+            F.col("n_view_w").cast("double") / F.col("n_signup"), 6
+        ).alias("rate_12"),
+        F.round(
+            F.col("n_purchase_w").cast("double")
+            / F.nullif(F.col("n_view_w"), F.lit(0)),
+            6,
+        ).alias("rate_23"),
+    )

@@ -900,3 +900,77 @@ def embed_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("sim"), 4).alias("lo_sim"),
         F.round(F.max("sim"), 4).alias("hi_sim"),
     )
+
+
+@op(
+    "embed_binary_sign_pack",
+    oracle="""
+    WITH bits AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> CASE WHEN embedding[i] >= 0
+                              THEN 1::BIGINT << (i - 1) ELSE 0 END))
+                    AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(generate_series(33, 64),
+                    i -> CASE WHEN embedding[i] >= 0
+                              THEN 1::BIGINT << (i - 33) ELSE 0 END))
+                    AS BIGINT) AS hi
+        FROM embeddings
+    ), ref AS (
+        SELECT lo AS lo0, hi AS hi0 FROM bits
+        WHERE vec_id = (SELECT min(vec_id) FROM bits)
+    )
+    SELECT vec_id, lo, hi,
+           CAST(bit_count(lo) + bit_count(hi) AS BIGINT) AS popcnt,
+           CAST(bit_count(xor(lo, lo0)) + bit_count(xor(hi, hi0)) AS BIGINT)
+               AS hamming_ref
+    FROM bits CROSS JOIN ref
+    """,
+    category=CAT,
+)
+def embed_binary_sign_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (binary) embedding quantization: pack the 64 sign bits of
+    each vector into two 32-bit words — the 32×-compression retrieval
+    trick (binary codes + Hamming rerank) one tier below
+    embed_quantize_int8's 4×, with the Hamming distance to a
+    reference vector as the similarity proxy (sign-cosine: for
+    random-projection-like embeddings, cos θ ≈ cos(π·hamming/64)).
+
+    Signs of stored floats are EXACT (no arithmetic precedes the
+    comparison; x ≥ 0 reads the sign bit, identical in any engine),
+    so unlike the int8 path there is no scale double anywhere. Two
+    32-bit halves dodge the 1<<63 BIGINT sign-bit trap. The packing
+    runs in the scan projection (JVM aggregate over sequence —
+    zero shuffles, zero Python); downstream, dedup_phash_hamming's
+    banded blocking consumes exactly these words at 100 TB scale, and
+    the 1-row reference broadcast mirrors sim_search_topk's shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    lo = F.expr(
+        "aggregate(sequence(1, 32), 0L, (acc, i) -> acc + "
+        "IF(element_at(embedding, i) >= 0, shiftleft(1L, i - 1), 0L))"
+    )
+    hi = F.expr(
+        "aggregate(sequence(33, 64), 0L, (acc, i) -> acc + "
+        "IF(element_at(embedding, i) >= 0, shiftleft(1L, i - 33), 0L))"
+    )
+    bits = e.select("vec_id", lo.alias("lo"), hi.alias("hi"))
+    ref = (
+        bits.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("lo").alias("lo0"), F.col("hi").alias("hi0"))
+    )
+    return bits.crossJoin(F.broadcast(ref)).select(
+        "vec_id",
+        "lo",
+        "hi",
+        (F.bit_count("lo") + F.bit_count("hi"))
+        .cast("bigint")
+        .alias("popcnt"),
+        (
+            F.bit_count(F.col("lo").bitwiseXOR(F.col("lo0")))
+            + F.bit_count(F.col("hi").bitwiseXOR(F.col("hi0")))
+        )
+        .cast("bigint")
+        .alias("hamming_ref"),
+    )

@@ -555,3 +555,55 @@ def sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20 OFFSET 40
         """
     )
+
+
+@op(
+    "sql_values_inline_dim",
+    oracle="""
+    WITH sev(o_orderpriority, severity, is_expedited) AS (
+        VALUES ('1-URGENT', 1, TRUE), ('2-HIGH', 2, TRUE),
+               ('3-MEDIUM', 3, FALSE), ('4-NOT SPECIFIED', 4, FALSE),
+               ('5-LOW', 5, FALSE)
+    )
+    SELECT severity, is_expedited,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders JOIN sev USING (o_orderpriority)
+    GROUP BY severity, is_expedited
+    """,
+    category=CAT,
+)
+def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES-clause dimension: a 5-row lookup (priority →
+    numeric severity + expedited flag) declared IN the query and
+    joined to the fact — the "mapping table in the SQL" surface every
+    migration meets when the source system encoded business rules as
+    CASE ladders (a VALUES dim is joinable, testable, and extendable
+    where a CASE ladder is none of the three).
+
+    The literal relation plans as a LocalRelation → broadcast hash
+    join: zero scans for the dim, the fact never shuffles for the
+    join, and constant folding sees through the literals. Executed as
+    literal SQL (VALUES parsing is the surface under test);
+    exact-cents rollup by the derived attributes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("igis_orders_sev")
+    return spark.sql(
+        """
+        WITH sev AS (
+            SELECT * FROM VALUES
+                ('1-URGENT', 1, TRUE), ('2-HIGH', 2, TRUE),
+                ('3-MEDIUM', 3, FALSE), ('4-NOT SPECIFIED', 4, FALSE),
+                ('5-LOW', 5, FALSE)
+                AS sev(o_orderpriority, severity, is_expedited)
+        )
+        SELECT severity, is_expedited,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM igis_orders_sev JOIN sev USING (o_orderpriority)
+        GROUP BY severity, is_expedited
+        """
+    )
