@@ -1551,3 +1551,84 @@ def join_drill_across_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.coalesce("engage_c", F.lit(0)).cast("bigint").alias("engage_c"),
     )
+
+
+@op(
+    "join_calendar_dim_rollup",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+               CAST(max(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ), cal AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM bounds
+    ), dim AS (
+        SELECT d,
+               CAST(strftime(d, '%Y') AS INTEGER) AS yr,
+               CAST((CAST(strftime(d, '%m') AS INTEGER) + 2) // 3
+                    AS INTEGER) AS qtr,
+               dayofweek(d) + 1 IN (1, 7) AS is_weekend
+        FROM cal
+    )
+    SELECT yr, qtr, is_weekend,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(coalesce(CAST(round(o_totalprice * 100) AS BIGINT), 0))
+                AS BIGINT) AS rev_c
+    FROM dim LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+    GROUP BY yr, qtr, is_weekend
+    """,
+    category=CAT,
+)
+def join_calendar_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED calendar dimension: the date dim every warehouse keeps
+    (year / quarter / weekend flag per day), built from the fact's own
+    date bounds via sequence+explode — no physical table, no gaps —
+    then LEFT-joined so zero-order days still report (n_days counts
+    calendar days, not order days; the difference IS the no-sales-day
+    signal a per-fact GROUP BY silently loses; agg_weekend_lift reads
+    activity lift, this produces the conformed rollup frame).
+
+    Shape rule learned from the planner itself: the PRESERVED side of
+    an outer join can never be the broadcast side, so "broadcast the
+    dim, stream the fact" is impossible for dim-LEFT-JOIN-fact — the
+    scale-correct plan aggregates the fact to per-day partials FIRST
+    (one map-combined shuffle on date), then left-joins the |days|-row
+    dim to the |days|-row summary with the SUMMARY broadcast. dayofweek
+    carries the §2.X rule-4 +1 convention; quarter is integer month
+    arithmetic, weekend a set-membership — all zone-independent DATE
+    casts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    dim = cal.select(
+        "d",
+        F.year("d").cast("int").alias("yr"),
+        ((F.month("d") + 2) / 3).cast("int").alias("qtr"),
+        F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("od")
+    ).agg(
+        F.count("*").alias("day_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("day_rev_c"),
+    )
+    return (
+        dim.join(F.broadcast(daily), dim.d == daily.od, "left")
+        .groupBy("yr", "qtr", "is_weekend")
+        .agg(
+            F.countDistinct("d").alias("n_days"),
+            F.sum(F.coalesce("day_orders", F.lit(0))).alias("n_orders"),
+            F.sum(F.coalesce("day_rev_c", F.lit(0))).alias("rev_c"),
+        )
+    )

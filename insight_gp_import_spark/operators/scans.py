@@ -1444,3 +1444,153 @@ def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price_c"),
         )
     )
+
+
+@op(
+    "scan_csv_corrupt_rescue",
+    oracle="""
+    WITH feed AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'corrupt' ELSE 'good' END
+                   AS disposition,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    )
+    SELECT disposition,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN disposition = 'good' THEN price_c ELSE 0 END)
+                AS BIGINT) AS good_value_c,
+           CAST(sum(CASE WHEN disposition = 'good' THEN o_custkey ELSE 0 END)
+                AS BIGINT) AS good_cust_sum
+    FROM feed GROUP BY disposition
+    """,
+    category=CAT,
+)
+def scan_csv_corrupt_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV parse with the rescued-record column: a staged
+    file where every 37th order line is deliberately mangled (too few
+    fields, non-numeric price) is read with an explicit schema +
+    `columnNameOfCorruptRecord` — bad lines land in `_corrupt` with
+    all data columns NULL instead of killing the load (the
+    reference-loader reject path at PARSE time, upstream of
+    pipeline_dq_quarantine's SEMANTIC rules). The oracle recomputes
+    which keys were mangled from the clean relation, so a row
+    mis-classified in EITHER direction, or a good row mis-parsed,
+    fails the hash.
+
+    FAILFAST is the other documented mode (die on first bad line);
+    DROPMALFORMED silently loses accounting, which a loader must
+    never do — hence rescue + explicit disposition. THE PRUNING TRAP
+    (caught by this very oracle): under CSV column pruning the parser
+    only materializes referenced tokens, so a query that skips the
+    mangled column never SEES the malformed value and quietly reports
+    every row good — the accounting must therefore consume every data
+    column (the good_cust_sum output is that guarantee, not
+    decoration). Distributed parse, one small agg; value sums in
+    exact cents over the good rows only.
+    """
+    tmp = tempfile.mkdtemp(prefix="igis-rescue-")
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % 37 == 0,
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(",oops")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.concat(
+                (
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    / F.lit(100)
+                ).cast("bigint"),
+                F.lit("."),
+                F.lpad(
+                    (
+                        F.round(F.col("o_totalprice") * 100).cast("bigint")
+                        % 100
+                    ).cast("string"),
+                    2,
+                    "0",
+                ),
+            ),
+        )
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(tmp)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = spark.read.csv(
+        tmp,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    judged = back.select(
+        F.when(F.col("_corrupt").isNotNull(), "corrupt")
+        .otherwise("good")
+        .alias("disposition"),
+        F.when(
+            F.col("_corrupt").isNull(),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("price_c"),
+        # consumes o_orderkey AND o_custkey: defeats parser column
+        # pruning so malformed tokens are actually parsed (see
+        # docstring), and audits key integrity of the good rows
+        F.when(F.col("_corrupt").isNull(), F.col("o_custkey"))
+        .otherwise(F.lit(0))
+        .alias("ck"),
+        F.coalesce(F.col("o_orderkey"), F.lit(0)).alias("ok"),
+    )
+    return judged.groupBy("disposition").agg(
+        (F.count("*") + F.sum("ok") * 0).alias("n_rows"),
+        F.sum("price_c").alias("good_value_c"),
+        F.sum("ck").alias("good_cust_sum"),
+    )
+
+
+@op(
+    "sink_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(text)) AS BIGINT) AS sum_len
+    FROM documents
+    GROUP BY lang, source
+    """,
+    category=CAT,
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → read → aggregate, hash-matched against the
+    parquet source — completes the format round-trip matrix
+    (parquet/ORC/CSV-gz/XML/text/binary all have oracled round trips;
+    JSONL is THE interchange format for document corpora, so proving
+    the engine's JSON codec doesn't mangle text — quotes, unicode,
+    embedded newlines-as-escapes — matters more here than anywhere).
+    sum(len(text)) after the trip is the mangling detector: any
+    escape-handling asymmetry changes a length.
+
+    Schema-explicit read-back (inference is a second full pass at
+    100 TB — never pay it for a schema you wrote yourself). JSONL is
+    splittable (one object per line) so the read parallelizes like
+    CSV; columnar it is not, which is why this is the EXCHANGE format
+    while parquet remains the processing format (the round trip is
+    exactly that boundary).
+    """
+    out = tempfile.mkdtemp(prefix="igis-jsonl-")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.json(out, schema=docs.schema)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )

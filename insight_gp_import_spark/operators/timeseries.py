@@ -851,3 +851,65 @@ def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("death"))
         .alias("cross_type"),
     )
+
+
+SILENCE_TOP_K = 20
+
+
+@op(
+    "ts_largest_silences",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type, ts, event_id,
+               lag(ts) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+           CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+    FROM seq
+    WHERE prev_ts IS NOT NULL
+    ORDER BY gap_us DESC, event_type, event_id
+    LIMIT {SILENCE_TOP_K}
+    """,
+    category=CAT,
+)
+def ts_largest_silences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident forensics: the {SILENCE_TOP_K} longest SILENCES per
+    stream — exact (start, end, duration) of the largest
+    inter-event gaps across all event types. agg_interarrival_
+    percentiles says how unusual gaps are statistically; an on-call
+    postmortem needs the actual intervals to line up against deploy
+    timestamps, which is this relation (a fixed threshold would go
+    empty or explode depending on stream density — top-K by duration
+    is scale-free).
+
+    One lag per stream (single event_type exchange, same shape as
+    win_top_movers' daily deltas but at raw-event grain), then a
+    global TakeOrdered on (gap DESC, type, event_id) — deterministic
+    K-boundary via the unique event_id (§2.X rule 2), never a global
+    sort. Gaps in exact µs (ns-recipe §1.3); timestamps emitted as
+    typed values (rule 3).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return (
+        seq.filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            gap.cast("bigint").alias("gap_us"),
+            "event_id",
+        )
+        .orderBy(F.desc("gap_us"), "event_type", "event_id")
+        .limit(SILENCE_TOP_K)
+        .drop("event_id")
+    )
