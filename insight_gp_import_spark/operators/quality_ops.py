@@ -1216,3 +1216,109 @@ def pipeline_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_c"
         ),
     )
+
+
+# Join-key columns audited for skew: (table, key column)
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for t, k in _SKEW_KEYS:
+        parts.append(f"""
+        SELECT '{t}.{k}' AS key_col, n_keys, max_rows, med_rows,
+               round(CAST(max_rows AS DOUBLE) / med_rows, 4) AS skew_ratio,
+               hot_key
+        FROM (
+            WITH per_key AS (
+                SELECT {k} AS key, CAST(count(*) AS BIGINT) AS rows_k
+                FROM {t} GROUP BY {k}
+            ), hist AS (
+                SELECT rows_k, CAST(count(*) AS BIGINT) AS n_at
+                FROM per_key GROUP BY rows_k
+            ), tot AS (
+                SELECT CAST(sum(n_at) AS BIGINT) AS n_keys FROM hist
+            ), med AS (
+                SELECT min(rows_k) AS med_rows
+                FROM (SELECT rows_k,
+                             sum(n_at) OVER (ORDER BY rows_k) AS cum
+                      FROM hist) c CROSS JOIN tot
+                WHERE cum >= (n_keys + 1) // 2
+            )
+            SELECT n_keys,
+                   (SELECT max(rows_k) FROM per_key) AS max_rows,
+                   med_rows,
+                   (SELECT min(key) FROM per_key
+                    WHERE rows_k = (SELECT max(rows_k) FROM per_key))
+                       AS hot_key
+            FROM tot CROSS JOIN med
+        )""")
+    return " UNION ALL ".join(parts)
+
+
+@op("dq_join_key_skew", oracle=_skew_oracle(), category=CAT)
+def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW advisor: for each audited fact join key, the
+    per-key row-count distribution summary (key count, max rows,
+    EXACT lower-median rows, max/median skew ratio, the hottest key)
+    — the diagnostic that decides when join_skew_salted /
+    agg_salted_skew / AQE skew splitting is worth its salt,
+    productized instead of ad-hoc'd (the number a perf engineer
+    computes by hand before every big-join fix).
+
+    The exact median costs no global sort: per-key counts collapse to
+    a count-of-counts HISTOGRAM (≤ |distinct row-counts| rows — tiny
+    by construction since counts concentrate), the cumulative window
+    runs over that aggregated relation, and lower-median = smallest
+    count with cum ≥ ⌈n/2⌉ — all integers (§2.X: one rounded double,
+    the ratio). Hot key carries a min-key tie-break. One
+    map-combined agg per audited key, no row data moved.
+    """
+    frames = []
+    for t, k in _SKEW_KEYS:
+        tbl = load_table(spark, sf_dir, t)
+        per_key = tbl.groupBy(F.col(k).alias("key")).agg(
+            F.count("*").alias("rows_k")
+        )
+        hist = per_key.groupBy("rows_k").agg(F.count("*").alias("n_at"))
+        w = Window.orderBy("rows_k")
+        cum = hist.select(
+            "rows_k",
+            F.sum("n_at").over(w).alias("cum"),
+            F.sum("n_at").over(Window.partitionBy()).alias("n_keys"),
+        )
+        med = (
+            cum.filter(F.col("cum") >= (F.col("n_keys") + 1) / 2)
+            .groupBy("n_keys")
+            .agg(F.min("rows_k").alias("med_rows"))
+        )
+        hot = per_key.groupBy().agg(
+            F.max(
+                F.struct(
+                    F.col("rows_k").alias("r"), (-F.col("key")).alias("nk")
+                )
+            ).alias("m")
+        ).select(
+            F.col("m.r").alias("max_rows"),
+            (-F.col("m.nk")).alias("hot_key"),
+        )
+        frames.append(
+            med.crossJoin(hot).select(
+                F.lit(f"{t}.{k}").alias("key_col"),
+                F.col("n_keys").cast("bigint").alias("n_keys"),
+                F.col("max_rows").cast("bigint").alias("max_rows"),
+                F.col("med_rows").cast("bigint").alias("med_rows"),
+                F.round(
+                    F.col("max_rows").cast("double") / F.col("med_rows"), 4
+                ).alias("skew_ratio"),
+                F.col("hot_key").cast("bigint").alias("hot_key"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionAll(fdf)
+    return out

@@ -913,3 +913,53 @@ def ts_largest_silences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SILENCE_TOP_K)
         .drop("event_id")
     )
+
+
+@op(
+    "ts_wow_aligned",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    )
+    SELECT a.d, a.cnt, b.cnt AS prior_cnt,
+           a.cnt - b.cnt AS delta,
+           round(CAST(a.cnt - b.cnt AS DOUBLE) / b.cnt, 6) AS wow_pct
+    FROM daily a JOIN daily b ON b.d = a.d - 7
+    """,
+    category=CAT,
+)
+def ts_wow_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-ALIGNED week-over-week growth: each day compared to the
+    same weekday one week earlier (Mon vs prior Mon) — the alignment
+    that makes the comparison honest where naive day-over-day mixes
+    weekend and weekday baselines (ts_yoy_growth aligns by month;
+    ts_sma_crossover smooths; WoW-aligned is how growth dashboards
+    actually state "up 4% on last week").
+
+    Self-join of the daily rollup on d−7 (equi key after the date
+    shift — a hash join over the ≤|days| aggregate, no window needed
+    and no frame semantics to match across engines). Days without a
+    7-days-prior observation drop out (inner join: no baseline, no
+    claim). Integer deltas; one rounded ratio (§2.X).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    a = daily.alias("a")
+    b = daily.select(
+        F.date_add("d", 7).alias("d7"), F.col("cnt").alias("prior_cnt")
+    ).alias("b")
+    return a.join(b, F.col("a.d") == F.col("b.d7")).select(
+        F.col("a.d").alias("d"),
+        F.col("a.cnt").alias("cnt"),
+        "prior_cnt",
+        (F.col("a.cnt") - F.col("prior_cnt")).alias("delta"),
+        F.round(
+            (F.col("a.cnt") - F.col("prior_cnt")).cast("double")
+            / F.col("prior_cnt"),
+            6,
+        ).alias("wow_pct"),
+    )

@@ -1138,3 +1138,97 @@ def win_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_buyers"),
         )
     )
+
+
+RANK_CHANGE_K = 15
+
+
+@op(
+    "win_rank_change",
+    oracle=f"""
+    WITH stamped AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS ed
+        FROM lineitem
+    ), bounds AS (
+        SELECT min(ed) AS lo, max(ed) AS hi FROM stamped
+    ), halves AS (
+        SELECT l_partkey,
+               CAST(sum(CASE WHEN ed * 2 < lo + hi THEN rev_c ELSE 0 END)
+                    AS BIGINT) AS rev0_c,
+               CAST(sum(CASE WHEN ed * 2 < lo + hi THEN 0 ELSE rev_c END)
+                    AS BIGINT) AS rev1_c
+        FROM stamped CROSS JOIN bounds
+        GROUP BY l_partkey
+        HAVING sum(CASE WHEN ed * 2 < lo + hi THEN rev_c ELSE 0 END) > 0
+           AND sum(CASE WHEN ed * 2 < lo + hi THEN 0 ELSE rev_c END) > 0
+    ), ranked AS (
+        SELECT l_partkey, rev0_c, rev1_c,
+               CAST(row_number() OVER (ORDER BY rev0_c DESC, l_partkey)
+                    AS BIGINT) AS rank0,
+               CAST(row_number() OVER (ORDER BY rev1_c DESC, l_partkey)
+                    AS BIGINT) AS rank1
+        FROM halves
+    )
+    SELECT l_partkey, rank0, rank1, rank0 - rank1 AS rank_gain
+    FROM ranked
+    ORDER BY abs(rank0 - rank1) DESC, l_partkey
+    LIMIT {RANK_CHANGE_K}
+    """,
+    category=CAT,
+)
+def win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard RANK movers: parts whose position in the revenue
+    ranking moved most between the two shipping-span halves —
+    win_top_movers ranks absolute volume swings; rank deltas are the
+    scale-free version (a mid-tail part tripling matters as much as a
+    giant wobbling 2%), which is why merchandising reviews read ranks.
+
+    Epoch-day midpoint split (agg_price_index rule), one fact shuffle
+    into per-part half-revenues, then two row_number windows over the
+    |parts| AGGREGATED relation (not the fact; at catalog scale
+    beyond ~10⁷ parts, band the revenues first — the agg_abc_classes
+    banded-rank path — before a global row_number). Both ranks carry
+    the partkey tie-break, so rank0−rank1 is deterministic
+    (§2.X rule 2); parts absent from either half are excluded (no
+    rank to move from/to — their story is join_unknown_member's).
+    Final TakeOrdered on (|Δrank| DESC, partkey).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stamped = li.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rev_c"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("ed"),
+    )
+    bounds = stamped.agg(F.min("ed").alias("lo"), F.max("ed").alias("hi"))
+    in_h0 = F.col("ed") * 2 < F.col("lo") + F.col("hi")
+    halves = (
+        stamped.crossJoin(F.broadcast(bounds))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(in_h0, F.col("rev_c")).otherwise(0)).alias("rev0_c"),
+            F.sum(F.when(in_h0, 0).otherwise(F.col("rev_c"))).alias("rev1_c"),
+        )
+        .filter((F.col("rev0_c") > 0) & (F.col("rev1_c") > 0))
+    )
+    w0 = Window.orderBy(F.desc("rev0_c"), "l_partkey")
+    w1 = Window.orderBy(F.desc("rev1_c"), "l_partkey")
+    ranked = halves.select(
+        "l_partkey",
+        F.row_number().over(w0).cast("bigint").alias("rank0"),
+        F.row_number().over(w1).cast("bigint").alias("rank1"),
+    )
+    return (
+        ranked.select(
+            "l_partkey",
+            "rank0",
+            "rank1",
+            (F.col("rank0") - F.col("rank1")).alias("rank_gain"),
+        )
+        .orderBy(F.abs(F.col("rank_gain")).desc(), "l_partkey")
+        .limit(RANK_CHANGE_K)
+    )
