@@ -2929,3 +2929,73 @@ def agg_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate_23"),
     )
+
+
+@op(
+    "agg_semi_additive_eom",
+    oracle="""
+    WITH readings AS (
+        SELECT user_id,
+               CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                     - DATE '1970-01-01') // 7 AS BIGINT) AS wk,
+               ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS bal_c
+        FROM events
+    ), last_per AS (
+        SELECT user_id, wk, bal_c
+        FROM (
+            SELECT user_id, wk, bal_c,
+                   row_number() OVER (PARTITION BY user_id, wk
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM readings
+        ) WHERE rn = 1
+    )
+    SELECT wk,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(bal_c) AS BIGINT) AS eow_total_c,
+           CAST(sum(bal_c) // count(*) AS BIGINT) AS eow_avg_c
+    FROM last_per GROUP BY wk
+    """,
+    category=CAT,
+)
+def agg_semi_additive_eom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-ADDITIVE measure handling: treating each user's event value
+    as a balance READING, the end-of-week total is the sum of each
+    user's LAST reading that week — never the sum of all readings
+    (balances add across ACCOUNTS but not across TIME; naive SUM
+    overstates by the reading frequency, the classic snapshot-fact
+    mistake every finance warehouse guards against; win_first_last
+    exercises the window primitive, this is the business semantics
+    that needs it). Periods are ABSOLUTE epoch weeks (epoch-day //
+    7, the agg_retention_cohort rule) — locale week-of-year
+    conventions are §2.X dialect bait.
+
+    One (user, week) window picking the latest reading (DESC with
+    event_id tie-break, WindowGroupLimit prunes below the exchange),
+    then a |months|-row rollup. Exact cents; the per-user average is
+    INTEGER floor division — both engines' `//`-div on BIGINT, no
+    double anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.select(
+        "user_id",
+        F.expr("datediff(cast(ts as date), date'1970-01-01') div 7")
+        .cast("bigint")
+        .alias("wk"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("bal_c"),
+    )
+    w = Window.partitionBy("user_id", "wk").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last_per = (
+        readings.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "wk", "bal_c")
+    )
+    return last_per.groupBy("wk").agg(
+        F.count("*").alias("n_users"),
+        F.sum("bal_c").alias("eow_total_c"),
+        F.expr("sum(bal_c) div count(*)").alias("eow_avg_c"),
+    )

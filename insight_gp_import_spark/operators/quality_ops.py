@@ -1322,3 +1322,81 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionAll(fdf)
     return out
+
+
+@op(
+    "dq_header_detail_reconcile",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS lines_c
+        FROM lineitem GROUP BY l_orderkey
+    ), joined AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS header_c,
+               coalesce(lines_c, 0) AS lines_c
+        FROM orders LEFT JOIN lines ON l_orderkey = o_orderkey
+    ), scored AS (
+        SELECT *,
+               round(abs(CAST(header_c - lines_c AS DOUBLE))
+                     / header_c, 6) AS rel_diff
+        FROM joined
+    )
+    SELECT CASE WHEN lines_c = 0 THEN 'no_lines'
+                WHEN header_c = lines_c THEN 'exact'
+                WHEN rel_diff <= 0.01 THEN 'within_1pct'
+                WHEN rel_diff <= 0.05 THEN 'within_5pct'
+                ELSE 'divergent' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(abs(header_c - lines_c)) AS BIGINT) AS abs_gap_c
+    FROM scored GROUP BY 1
+    """,
+    category=CAT,
+)
+def dq_header_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER↔DETAIL reconciliation: order-header totals vs the sum of
+    their line amounts, bucketed by relative gap (exact / ≤1% / ≤5% /
+    divergent / no-lines) with the absolute cent gap per bucket — the
+    invoice-vs-line-items audit every finance close runs, and the
+    fastest detector of partial loads (a missing line batch shows up
+    as a bucket shift long before anyone reads a row; dq_referential
+    finds orphaned KEYS, this finds orphaned MONEY).
+
+    One lines rollup on orderkey (the only fact shuffle — bucketed
+    away at 100 TB), LEFT join so line-less headers are their own
+    bucket (not silently 'divergent'), exact integer gaps; the ONLY
+    double is the relative-diff ratio, rounded BEFORE the bucket CASE
+    reads it (§2.X flag rule).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("lines_c")
+    )
+    joined = o.join(lines, o.o_orderkey == lines.l_orderkey, "left").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("header_c"),
+        F.coalesce("lines_c", F.lit(0)).alias("lines_c"),
+    )
+    scored = joined.withColumn(
+        "rel_diff",
+        F.round(
+            F.abs((F.col("header_c") - F.col("lines_c")).cast("double"))
+            / F.col("header_c"),
+            6,
+        ),
+    )
+    bucket = (
+        F.when(F.col("lines_c") == 0, "no_lines")
+        .when(F.col("header_c") == F.col("lines_c"), "exact")
+        .when(F.col("rel_diff") <= 0.01, "within_1pct")
+        .when(F.col("rel_diff") <= 0.05, "within_5pct")
+        .otherwise("divergent")
+    )
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.abs(F.col("header_c") - F.col("lines_c"))).alias("abs_gap_c"),
+    )

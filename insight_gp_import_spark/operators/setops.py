@@ -607,3 +607,28 @@ def sql_values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY severity, is_expedited
         """
     )
+
+
+@op(
+    "setop_except_all",
+    oracle=f"{_SLICE_A_SQL} EXCEPT ALL {_SLICE_B_SQL}",
+    category=CAT,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): multiplicity-aware subtraction —
+    a row occurring m times in A and n in B survives max(m−n, 0)
+    times, where setop_except's set semantics collapse it to 0/1.
+    Completes the set-op family (UNION/UNION ALL/INTERSECT/
+    INTERSECT ALL/EXCEPT/EXCEPT ALL): reconciliation jobs ("which
+    fills did we send that the counterparty didn't ack, COUNTING
+    duplicates") need the bag form — set EXCEPT silently forgives
+    double-sends.
+
+    Spark plans this as a single hash aggregation on the row value
+    computing both multiplicities, then a generate of the surplus —
+    one shuffle, no join (the naive row_number-pair-and-anti-join
+    reformulation costs two windows and a join for the same bag).
+    """
+    return _orders_slice_a(spark, sf_dir).exceptAll(
+        _orders_slice_b(spark, sf_dir)
+    )
