@@ -523,3 +523,77 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(ham <= PHASH_HAM_MAX).select(
         "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
     )
+
+
+PATCH_PX = 48  # ViT-style square patch; deliberately does NOT divide the
+               # fake 64-multiple dims, so padding is non-trivial
+
+
+@op(
+    "mm_patch_grid",
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST((ascii(substr(text, 1, 1)) % 8 + 1) * 64 AS INTEGER)
+                   AS width,
+               CAST((ascii(substr(text, 2, 1)) % 8 + 1) * 64 AS INTEGER)
+                   AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST((width + {PATCH_PX} - 1) // {PATCH_PX} AS BIGINT) AS nx,
+           CAST((height + {PATCH_PX} - 1) // {PATCH_PX} AS BIGINT) AS ny,
+           CAST(((width + {PATCH_PX} - 1) // {PATCH_PX})
+                * ((height + {PATCH_PX} - 1) // {PATCH_PX}) AS BIGINT)
+               AS n_patches,
+           CAST(((width + {PATCH_PX} - 1) // {PATCH_PX}) * {PATCH_PX} - width
+                AS BIGINT) AS pad_x,
+           CAST(((height + {PATCH_PX} - 1) // {PATCH_PX}) * {PATCH_PX}
+                - height AS BIGINT) AS pad_y
+    FROM meta
+    """,
+    category=CAT,
+)
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid planning: per image, the {PATCH_PX}px patch grid
+    (nx, ny, patch count) and the right/bottom padding a square-patch
+    tokenizer must add — the sequence-length accounting step between
+    image decode and vision-transformer batching (patch count IS the
+    token count, and token-budget packing of a multimodal corpus —
+    corpus_pack_sequences — needs it BEFORE any pixel is touched).
+
+    Decode runs through the SAME Arrow mapInPandas path as
+    mm_decode_features (model: header parse in Python, geometry in
+    JVM); the grid arithmetic is pure integer ceil-division in the
+    scan-stage projection — zero shuffles, and the patch size
+    deliberately doesn't divide the fake dimensions so the padding
+    path is actually exercised.
+    """
+    payloads = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": meta.map(lambda m: m[1]),
+                    "height": meta.map(lambda m: m[2]),
+                }
+            )
+
+    decoded = payloads.mapInPandas(
+        decode_batches, "doc_id long, width int, height int"
+    )
+    nx = F.expr(f"(width + {PATCH_PX} - 1) div {PATCH_PX}").cast("bigint")
+    ny = F.expr(f"(height + {PATCH_PX} - 1) div {PATCH_PX}").cast("bigint")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        nx.alias("nx"),
+        ny.alias("ny"),
+        (nx * ny).cast("bigint").alias("n_patches"),
+        (nx * PATCH_PX - F.col("width")).cast("bigint").alias("pad_x"),
+        (ny * PATCH_PX - F.col("height")).cast("bigint").alias("pad_y"),
+    )

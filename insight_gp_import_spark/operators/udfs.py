@@ -173,3 +173,63 @@ def udtf_python_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token, t.token_len "
         "FROM igis_udtf_docs d, LATERAL igis_tokenize(d.text) t"
     )
+
+
+from collections.abc import Iterator as _Iterator
+
+
+@op(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                * CASE o_orderpriority
+                      WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+                      WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 2
+                      ELSE 1 END AS BIGINT) AS weighted_c
+    FROM orders
+    """,
+    category=CAT,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form pandas UDF (Iterator[Series] → Iterator[Series]):
+    the per-task amortized-initialization pattern — expensive state
+    (a model, a tokenizer, a reference table; here a priority→weight
+    dict standing in for them) is built ONCE before the batch loop
+    and reused across every Arrow batch the task streams, where the
+    scalar pandas-UDF form (udf_pandas) would re-enter Python with no
+    place to hang state. THE extension point for "load the model once
+    per executor task" scoring at 100 TB.
+
+    The weighting itself is exact integer cents × small-int factor,
+    so the full Arrow round trip — JVM cents → Python int64 batches →
+    JVM — is hash-checked with zero float tolerance. The priority
+    column rides along via a struct-free two-series iterator (tuple
+    of Series per batch).
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    @F.pandas_udf("long")
+    def weight_iter(
+        it: _Iterator[tuple[pd.Series, pd.Series]],
+    ) -> _Iterator[pd.Series]:
+        # init-once section: runs one time per task, NOT per batch
+        factors = {
+            "1-URGENT": 5,
+            "2-HIGH": 4,
+            "3-MEDIUM": 3,
+            "4-NOT SPECIFIED": 2,
+            "5-LOW": 1,
+        }
+        for price_c, prio in it:
+            yield price_c * prio.map(factors).astype("int64")
+
+    cents = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        "o_orderpriority",
+    )
+    return cents.select(
+        "o_orderkey",
+        weight_iter("price_c", "o_orderpriority").alias("weighted_c"),
+    )
