@@ -2999,3 +2999,72 @@ def agg_semi_additive_eom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bal_c").alias("eow_total_c"),
         F.expr("sum(bal_c) div count(*)").alias("eow_avg_c"),
     )
+
+
+@op(
+    "agg_receivables_aging",
+    oracle="""
+    WITH horizon AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ), open_orders AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS amt_c,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              (SELECT maxd FROM horizon)) AS BIGINT) AS age_d
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_d <= 30 THEN 'current'
+                WHEN age_d <= 60 THEN '31-60'
+                WHEN age_d <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(amt_c) AS BIGINT) AS amt_c,
+           CAST(min(age_d) AS BIGINT) AS min_age,
+           CAST(max(age_d) AS BIGINT) AS max_age
+    FROM open_orders GROUP BY 1
+    """,
+    category=CAT,
+)
+def agg_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivables AGING report: open ('O') orders bucketed by days
+    outstanding relative to the book's latest date (current / 31-60 /
+    61-90 / 90+), with count and exact cent exposure per bucket — the
+    collections report every AR close produces, and the complement of
+    dq_freshness (that measures the FEED's staleness; this measures
+    the BUSINESS's). Anchoring on max(o_orderdate) keeps the op
+    deterministic — a wall-clock anchor would violate §2.X rule 5.
+
+    1-row horizon broadcast (same shape as agg_rfm_segments'
+    recency), status filter pushed into the scan, exact integer day
+    ages and cents, bucket CASE on integers only — no double exists
+    anywhere in this op.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd")
+    )
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("amt_c"),
+            F.datediff("maxd", F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("age_d"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") <= 30, "current")
+        .when(F.col("age_d") <= 60, "31-60")
+        .when(F.col("age_d") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return open_orders.groupBy(bucket.alias("age_bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("amt_c").alias("amt_c"),
+        F.min("age_d").alias("min_age"),
+        F.max("age_d").alias("max_age"),
+    )

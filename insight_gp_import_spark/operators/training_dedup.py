@@ -1146,3 +1146,74 @@ def pipeline_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(mode_l, "bucket").select(
         "bucket", "n_vecs", "mode_label", "avg_retention"
     )
+
+
+@op(
+    "embed_centroid_drift",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label, vec_id % 2 AS side, i, sum(embedding[i]) AS c
+        FROM embeddings, generate_series(1, {EMBED_DIM}) AS t(i)
+        GROUP BY label, side, i
+    ), cents AS (
+        SELECT label, side, list(c ORDER BY i) AS cent,
+               CAST(count(DISTINCT i) AS BIGINT) AS nd
+        FROM dims GROUP BY label, side
+    ), sized AS (
+        SELECT label, vec_id % 2 AS side, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label, side
+    )
+    SELECT a.label,
+           s0.n AS n_even, s1.n AS n_odd,
+           round(CAST(list_cosine_similarity(a.cent, b.cent) AS DOUBLE), 4)
+               AS centroid_sim,
+           round(1 - round(CAST(list_cosine_similarity(a.cent, b.cent)
+                                AS DOUBLE), 4), 4) AS drift
+    FROM (SELECT * FROM cents WHERE side = 0) a
+    JOIN (SELECT * FROM cents WHERE side = 1) b USING (label)
+    JOIN (SELECT * FROM sized WHERE side = 0) s0 USING (label)
+    JOIN (SELECT * FROM sized WHERE side = 1) s1 USING (label)
+    """,
+    category=CAT,
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT monitor: per label, the cosine between the
+    even-vec_id and odd-vec_id half-corpus centroids (1−cos = drift)
+    — the retraining tripwire every embedding pipeline watches (a
+    healthy class's split halves point the same way; drift >ε means
+    the label's geometry shifted mid-corpus, an upstream encoder or
+    data change; embed_outlier_centroid flags single bad EXAMPLES,
+    this flags bad CLASSES — the A/B split is the same hash-split
+    discipline as dq_ks_drift, one modality up).
+
+    Same scale shape as the outlier op: one map-combined shuffle of
+    {EMBED_DIM}-dim partial sums per (label, side) — bytes ∝ labels ×
+    2 × dim, never rows — then the cosine runs between SUM vectors
+    (same direction as means; no count division enters the float
+    math) on the |labels|-row join. Drift derives from the ROUNDED
+    sim (§2.X flag rule).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sided = emb.select(
+        "label", (F.col("vec_id") % 2).alias("side"), "embedding"
+    )
+    cents = sided.groupBy("label", "side").agg(
+        F.array(
+            *[F.sum(F.col("embedding").getItem(i)) for i in range(EMBED_DIM)]
+        ).alias("cent"),
+        F.count("*").alias("n"),
+    )
+    a = cents.filter(F.col("side") == 0).select(
+        "label", F.col("cent").alias("cent0"), F.col("n").alias("n_even")
+    )
+    b = cents.filter(F.col("side") == 1).select(
+        "label", F.col("cent").alias("cent1"), F.col("n").alias("n_odd")
+    )
+    sim = F.round(_cosine("cent0", "cent1"), 4)
+    return a.join(b, "label").select(
+        "label",
+        "n_even",
+        "n_odd",
+        sim.alias("centroid_sim"),
+        F.round(1 - sim, 4).alias("drift"),
+    )

@@ -1548,3 +1548,72 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.col("lang") == F.col("predicted")).alias("on_diagonal"),
     )
+
+
+BPE_TOP_K = 10
+
+
+@op(
+    "text_bpe_first_merges",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), pos AS (
+        SELECT lang, tok, unnest(generate_series(1, len(tok) - 1)) AS i
+        FROM toks WHERE len(tok) >= 2
+    ), bi AS (
+        SELECT lang, substr(tok, i, 2) AS bg FROM pos
+    ), cnt AS (
+        SELECT lang, bg, CAST(count(*) AS BIGINT) AS n_occ
+        FROM bi GROUP BY lang, bg
+    ), ranked AS (
+        SELECT lang, bg, n_occ,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY n_occ DESC, bg) AS BIGINT)
+                   AS merge_rank
+        FROM cnt
+    )
+    SELECT lang, bg, n_occ, merge_rank
+    FROM ranked WHERE merge_rank <= {BPE_TOP_K}
+    """,
+    category=CAT,
+)
+def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step one: the top-{BPE_TOP_K} most
+    frequent ADJACENT CHARACTER PAIRS per language — exactly the
+    candidate set the first merge round of byte-pair encoding
+    greedily picks from (text_collocation_pmi mines WORD pairs for
+    phrases; BPE merges operate below the word, and a tokenizer
+    trained on this corpus would literally start here).
+
+    Pairs stay inside whitespace tokens (BPE's pre-tokenization
+    boundary — merges never cross words), via a JVM
+    transform(sequence) over char offsets: char-based substring on
+    both engines keeps multi-byte scripts (zh) correct with no
+    byte/char ambiguity. Count shuffle moves (lang, 2-char gram)
+    pairs only — never text; the top-K window runs per-language over
+    the gram-frequency aggregate with the (count DESC, gram)
+    tie-break (§2.X rule 2), WindowGroupLimit-pruned below the
+    exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    bi = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    cnt = bi.groupBy("lang", "bg").agg(F.count("*").alias("n_occ"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_occ"), "bg")
+    return (
+        cnt.withColumn("merge_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("merge_rank") <= BPE_TOP_K)
+        .select("lang", "bg", "n_occ", "merge_rank")
+    )
