@@ -804,3 +804,52 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {WB_LO}, {WB_HI}, {WB_N}) AS BIGINT)"
         ).alias("bucket"),
     )
+
+
+@op(
+    "fn_explode_outer",
+    oracle="""
+    WITH digs AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z]{8,}') AS ds
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(ds) = 0 THEN NULL ELSE unnest_d END AS long_word,
+           CAST(len(ds) AS BIGINT) AS n_runs
+    FROM (
+        SELECT doc_id, ds, unnest(ds) AS unnest_d FROM digs
+        WHERE len(ds) > 0
+        UNION ALL
+        SELECT doc_id, ds, NULL FROM digs WHERE len(ds) = 0
+    )
+    """,
+    category=CAT,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode semantics: long words (≥8 letters)
+    extracted per document, exploded row-per-run — but documents with
+    NO matches (~1 in 5 docs here) survive as a single
+    NULL row instead of vanishing (plain explode DROPS them,
+    and a corpus audit that loses the no-match population
+    under-reports by exactly the rows it most wanted to count).
+    udtf_explode exercises inner explode; the _outer variant is the
+    LEFT-JOIN-shaped row expansion every "extract and keep everyone"
+    query needs.
+
+    explode_outer is a JVM generator in the scan stage (zero
+    shuffles, no UDF); the oracle spells the same semantics as
+    unnest ∪ the empty-side complement — an independent formulation,
+    so a dropped or duplicated no-match doc fails the hash. n_runs
+    rides along to make the empty/non-empty split self-evident in
+    the output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    digs = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(text, '[a-z]{8,}', 0)").alias("ds"),
+    )
+    return digs.select(
+        "doc_id",
+        F.explode_outer("ds").alias("long_word"),
+        F.size("ds").cast("bigint").alias("n_runs"),
+    )

@@ -1232,3 +1232,64 @@ def win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("rank_gain")).desc(), "l_partkey")
         .limit(RANK_CHANGE_K)
     )
+
+
+@op(
+    "win_event_context_window",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               coalesce(lag(event_type, 1) OVER w, 'none') AS prev1,
+               coalesce(lag(event_type, 2) OVER w, 'none') AS prev2,
+               coalesce(lag(event_type, 3) OVER w, 'none') AS prev3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, prev1, prev2, prev3,
+           prev1 || '>' || prev2 || '>' || prev3 AS context_key
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    category=CAT,
+)
+def win_event_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model CONTEXT extraction: for every purchase, the 3
+    preceding event types in the user's stream as fixed feature
+    columns (prev1..prev3, 'none'-padded at history edges) plus the
+    joined context key — the (context → label) training-example shape
+    behavioral sequence models and next-event predictors consume
+    (agg_top_paths aggregates whole session paths; this emits
+    per-conversion aligned context ROWS, i.e. the training set
+    itself).
+
+    Three lags share one user-partitioned ordered window (one
+    exchange + one sort; Catalyst fuses them into a single Window
+    operator); the purchase filter applies after, so context sees ALL
+    event types. 'none' padding instead of NULL keeps the hash
+    NULL-free (§2.X rule 3) and gives the model an explicit
+    start-of-history token, which is what an embedding layer wants
+    anyway.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.lag("event_type", 1).over(w), F.lit("none")).alias(
+            "prev1"
+        ),
+        F.coalesce(F.lag("event_type", 2).over(w), F.lit("none")).alias(
+            "prev2"
+        ),
+        F.coalesce(F.lag("event_type", 3).over(w), F.lit("none")).alias(
+            "prev3"
+        ),
+    )
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "prev1",
+        "prev2",
+        "prev3",
+        F.concat_ws(">", "prev1", "prev2", "prev3").alias("context_key"),
+    )
