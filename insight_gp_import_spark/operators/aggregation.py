@@ -3163,3 +3163,88 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q1") * F.col("p1") - F.col("q0") * F.col("p0")
         ).alias("delta_c"),
     )
+
+
+@op(
+    "agg_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ), signs AS (
+        SELECT d, cnt,
+               CASE WHEN cnt - lag(cnt) OVER (ORDER BY d) > 0
+                    THEN 1 ELSE 0 END AS up,
+               lag(cnt) OVER (ORDER BY d) AS prev
+        FROM daily
+    ), marked AS (
+        SELECT up,
+               CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                         OR up <> lag(up) OVER (ORDER BY d)
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs WHERE prev IS NOT NULL
+    )
+    SELECT CAST(sum(new_run) AS BIGINT) AS n_runs,
+           CAST(sum(up) AS BIGINT) AS n_up,
+           CAST(count(*) - sum(up) AS BIGINT) AS n_down,
+           round(1 + 2.0 * sum(up) * (count(*) - sum(up)) / count(*), 4)
+               AS expected_runs,
+           (CAST(sum(new_run) AS DOUBLE)
+            < 1 + 2.0 * sum(up) * (count(*) - sum(up)) / count(*) / 2)
+               AS trending_flag
+    FROM marked
+    """,
+    category=CAT,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz RUNS TEST on the daily volume direction sequence:
+    observed up/down runs vs the expected count 1 + 2·n₁·n₀/n under
+    randomness — far fewer runs than expected = trending/autocorrelated
+    load, far more = oscillating (dq_anomaly_zscore judges LEVELS;
+    the runs test judges the ORDERING, which level statistics cannot
+    see: the same histogram of days can be random or a perfect trend).
+
+    Two ordered windows (lag for direction, lag for run boundary)
+    over the ≤|days| daily aggregate (ts_yoy_growth rule); runs are
+    counted as boundary markers summed — no iterative scan. Ties
+    (Δ=0) fold into 'down' by stated convention. Integer counts; the
+    expected-runs double derives in the 1-row projection, and the
+    trend flag compares against HALF the expectation — a crude but
+    stated decision rule (the z-variance form is a documented
+    refinement, not needed for the parity contract).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    signs = daily.select(
+        "d",
+        F.when(F.col("cnt") - F.lag("cnt").over(w) > 0, 1)
+        .otherwise(0)
+        .alias("up"),
+        F.lag("cnt").over(w).alias("prev"),
+    )
+    marked = signs.filter(F.col("prev").isNotNull()).select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull()
+            | (F.col("up") != F.lag("up").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    n = F.count("*")
+    n_up = F.sum("up")
+    expected = 1 + 2.0 * n_up * (n - n_up) / n
+    return marked.groupBy().agg(
+        F.sum("new_run").alias("n_runs"),
+        n_up.alias("n_up"),
+        (n - n_up).alias("n_down"),
+        F.round(expected, 4).alias("expected_runs"),
+        (F.sum("new_run").cast("double") < expected / 2).alias(
+            "trending_flag"
+        ),
+    )

@@ -632,3 +632,53 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_slice_a(spark, sf_dir).exceptAll(
         _orders_slice_b(spark, sf_dir)
     )
+
+
+@op(
+    "sql_distribute_sort_by",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c,
+           min(o_orderstatus) AS first_status
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    category=CAT,
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's partition-control SQL surface: DISTRIBUTE BY (hash
+    repartition on an expression) + SORT BY (intra-partition sort,
+    NOT a global ORDER BY) — the Hive-inherited clauses every
+    migrating ETL script carries, typically to pre-shape data for a
+    downstream per-partition consumer (sorted-run writers, bucketed
+    sinks: sink_parquet_range_sorted is the DataFrame twin of this
+    exact shape). The aggregate on top makes the RESULT
+    partitioning-invariant — which is precisely the semantic point:
+    DISTRIBUTE/SORT BY change layout, never content, and the oracle
+    (a plain GROUP BY) hash-proves it.
+
+    The plan shows RepartitionByExpression(o_custkey) + per-partition
+    Sort(global=false) below the aggregate — layout directives
+    honored, no global sort paid. SORT BY alone emits
+    non-deterministic row order; never hash raw SORT BY output
+    (§2.X), always aggregate or write it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("igis_orders_dist")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c,
+               min(o_orderstatus) AS first_status
+        FROM (
+            SELECT o_custkey, o_totalprice, o_orderstatus
+            FROM igis_orders_dist
+            DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
+        )
+        GROUP BY o_custkey
+        """
+    )

@@ -1293,3 +1293,66 @@ def win_event_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev3",
         F.concat_ws(">", "prev1", "prev2", "prev3").alias("context_key"),
     )
+
+
+@op(
+    "win_twap",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS v_c,
+               CAST(epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id))
+                    - epoch_us(ts) AS BIGINT) AS dur_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           round(CAST(sum(v_c * dur_us) AS DOUBLE) / sum(dur_us) / 100, 6)
+               AS twap
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average price (TWAP): each reading weighted by how
+    long it remained the latest one (step-function integral ÷ span) —
+    the fair-average convention for IRREGULARLY sampled series, where
+    win_running_vwap weights by traded volume and a plain AVG
+    silently weights by SAMPLING RATE (a sensor that reports twice as
+    often would count double; TWAP is immune, which is why billing
+    and risk systems use it).
+
+    One lead per stream gives each reading's holding duration in
+    exact µs (ns-recipe §1.3); the weighted sum Σ(v_c·dur_us) is
+    exact BIGINT arithmetic (≤ 5·10⁴ cents × 2.6·10¹² µs-span ⇒
+    fits to ~70 k-row-second scale per stream — DECIMAL(38) beyond,
+    agg_skew_kurtosis contract); ONE double division in the
+    |streams|-row projection. Last reading of each stream has no
+    successor and drops out (open interval — stated convention).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .cast("bigint")
+        .alias("dur_us"),
+    )
+    return (
+        seq.filter(F.col("dur_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").alias("total_us"),
+            F.round(
+                F.sum(F.col("v_c") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us")
+                / 100,
+                6,
+            ).alias("twap"),
+        )
+    )

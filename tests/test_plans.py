@@ -528,3 +528,11 @@ def test_bfs_hops_have_no_cartesian(spark):
     plan = plan_of(spark, "graph_bfs_distances")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_distribute_sort_by_plans_repartition_not_global_sort(spark):
+    plan = plan_of(spark, "sql_distribute_sort_by")
+    # DISTRIBUTE BY must become a hash repartition; SORT BY must stay
+    # intra-partition (no global sort / range exchange)
+    assert "hashpartitioning(o_custkey" in plan
+    assert "rangepartitioning" not in plan
