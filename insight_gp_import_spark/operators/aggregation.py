@@ -3248,3 +3248,162 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trending_flag"
         ),
     )
+
+
+@op(
+    "agg_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) >= 15
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c1
+        FROM assigned
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6)
+               AS abs_lift,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+    FROM arms
+    """,
+    category=CAT,
+)
+def agg_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into two arms
+    (user_id parity — the deterministic assignment every experiment
+    platform uses), per-arm conversion to HEAVY BUYER (≥15 purchases
+    in the window — a near-universal event converts at ~1.0 and
+    degenerates the pooled z to 0/0, found live by ANSI mode's
+    divide-by-zero; interior rates are a metric-design requirement,
+    not a nicety), absolute lift,
+    and the pooled two-proportion z-score — the experimentation
+    staple (agg_chi_square tests INDEPENDENCE on a contingency table;
+    the two-proportion z is the directional arm-vs-arm readout with
+    effect size, which is what a launch review actually reads).
+
+    Per-user conversion collapses first (one user_id shuffle — a user
+    converts once no matter how many purchases, the unit-of-analysis
+    rule that naive event-counting gets wrong), then a 1-row arm
+    rollup; lift and z derive from 4 integers with the identical
+    double expression (§2.X rule 1). The z is reported as a statistic
+    — significance thresholds are the reader's policy, not the
+    engine's.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = assigned.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    return arms.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p1 - p0, 6).alias("abs_lift"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(
+                pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@op(
+    "agg_lorenz_deciles",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), binned AS (
+        SELECT o_custkey, rev_c,
+               ntile(10) OVER (ORDER BY rev_c, o_custkey) AS decile
+        FROM per_cust
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev_c) AS BIGINT) AS rev_c,
+           round(CAST(sum(sum(rev_c)) OVER (ORDER BY decile) AS DOUBLE)
+                 / sum(sum(rev_c)) OVER (), 6) AS cum_share
+    FROM binned GROUP BY decile
+    """,
+    category=CAT,
+)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE deciles: customers ranked by revenue, split into
+    10 equal-count bins, with each bin's exact cent mass and the
+    cumulative share — the chart BEHIND agg_gini_activity's single
+    number (the Gini is twice the area above this curve; an account
+    review reads the curve: "bottom 50% of customers carry 11% of
+    revenue" is decile 5's cum_share).
+
+    Customer rollup first (the only fact shuffle), then ntile over
+    the |customers| AGGREGATED relation with the (rev, custkey)
+    tie-break §2.X demands of ntile (equal-revenue customers at a
+    bin boundary would otherwise split engine-dependently); beyond
+    ~10⁷ customers the win_quantile_bin_global broadcast-cut-points
+    path replaces the global ntile, same output contract. Cumulative
+    share is a nested window over the 10-row decile rollup — free.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev_c")
+    )
+    w_bin = Window.orderBy("rev_c", "o_custkey")
+    binned = per_cust.select(
+        "rev_c", F.ntile(10).over(w_bin).alias("decile")
+    )
+    rolled = binned.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev_c").alias("rev_c"),
+    )
+    w_cum = Window.orderBy("decile")
+    w_all = Window.partitionBy()
+    return rolled.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_customers",
+        "rev_c",
+        F.round(
+            F.sum("rev_c").over(w_cum).cast("double")
+            / F.sum("rev_c").over(w_all),
+            6,
+        ).alias("cum_share"),
+    )

@@ -1356,3 +1356,64 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@op(
+    "win_skyline_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT p_brand, p_partkey, p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+        FROM part
+    ), judged AS (
+        SELECT p_brand, p_partkey, p_size, price_c,
+               max(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                   AS best_cheaper_size
+        FROM pts
+    )
+    SELECT p_brand, p_partkey, p_size, price_c
+    FROM judged
+    WHERE best_cheaper_size IS NULL OR best_cheaper_size <= p_size
+    """,
+    category=CAT,
+)
+def win_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) operator: per brand, the parts not
+    STRICTLY DOMINATED on (price ↓, size ↑) — no other same-brand
+    part is both strictly cheaper and strictly bigger. The classic
+    multi-criteria shortlist ("show me the defensible price/size
+    options") that top-K by any single score cannot produce — a
+    whole OLAP operator family (Börzsönyi et al., ICDE'01) the
+    engine covers with ONE window.
+
+    The quadratic dominance check collapses to a 2D sweep: within
+    each brand, max(size) over the RANGE frame ending 1 PRECEDING on
+    price — RANGE (not ROWS) so equal-priced parts are NOT
+    "cheaper" (value-based strictness is exactly what the frame
+    grammar encodes; a ROWS frame would silently break ties wrong).
+    A part survives iff no strictly-cheaper part reached its size.
+    One brand-partitioned window, no self-join, no tie-break needed
+    (the frame is value-determined). Dominance is strict-strict by
+    stated convention; equal-price-equal-size twins both survive.
+    """
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    judged = pts.withColumn(
+        "best_cheaper_size", F.max("p_size").over(w)
+    )
+    return judged.filter(
+        F.col("best_cheaper_size").isNull()
+        | (F.col("best_cheaper_size") <= F.col("p_size"))
+    ).select("p_brand", "p_partkey", "p_size", "price_c")
