@@ -3407,3 +3407,73 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+TE_SMOOTHING_M = 100
+
+
+@op(
+    "agg_target_encoding",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y_c
+        FROM orders
+    ), g AS (
+        SELECT CAST(sum(y_c) AS BIGINT) AS gs,
+               CAST(count(*) AS BIGINT) AS gn
+        FROM base
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(y_c) AS DOUBLE) / count(*) / 100, 4) AS raw_mean,
+           round((sum(y_c) + {TE_SMOOTHING_M} * (CAST(gs AS DOUBLE) / gn))
+                 / (count(*) + {TE_SMOOTHING_M}) / 100, 4) AS smoothed_enc
+    FROM base CROSS JOIN g
+    GROUP BY o_orderpriority, gs, gn
+    """,
+    category=CAT,
+)
+def agg_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate TARGET ENCODING: each category (order priority)
+    encoded as the smoothed target mean
+    (Σy + m·global_mean)/(n + m), m={TE_SMOOTHING_M} — the
+    feature-engineering classic for high-cardinality categoricals,
+    where the smoothing shrinks rare categories toward the prior so
+    a 3-row category can't memorize its targets (the leakage that
+    sinks naive mean encoding; a production pipeline adds
+    out-of-fold splitting on top — corpus_split_hash's folds are
+    exactly the splitter this composes with).
+
+    One map-combined category rollup + a 1-row global-prior
+    broadcast; the encoding derives from integer sums with the
+    identical double expression per §2.X rule 1. At 10⁶ categories
+    this is still two aggregates — the whole point of mean encoding
+    over one-hot at scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y_c"),
+    )
+    g = base.agg(
+        F.sum("y_c").alias("gs"), F.count("*").alias("gn")
+    )
+    gm = F.col("gs").cast("double") / F.col("gn")
+    return (
+        base.crossJoin(F.broadcast(g))
+        .groupBy("o_orderpriority", "gs", "gn")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum("y_c").cast("double") / F.count("*") / 100, 4
+            ).alias("raw_mean"),
+            F.round(
+                (F.sum("y_c") + TE_SMOOTHING_M * gm)
+                / (F.count("*") + TE_SMOOTHING_M)
+                / 100,
+                4,
+            ).alias("smoothed_enc"),
+        )
+        .select("o_orderpriority", "n", "raw_mean", "smoothed_enc")
+    )

@@ -1279,3 +1279,71 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.cast("bigint").alias("start_tok"),
         (start + SPAN_LEN - 1).cast("bigint").alias("end_tok"),
     )
+
+
+EPOCHS = 2
+EPOCH_SHARDS = 8
+
+
+@op(
+    "corpus_epoch_reshuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, e.epoch,
+               md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, {EPOCHS - 1}))
+                        AS epoch) e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST({_k16_sql('k')} % {EPOCH_SHARDS} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM keyed
+    GROUP BY epoch, shard
+    """,
+    category=CAT,
+)
+def corpus_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH reshuffling: every training epoch re-shards the corpus
+    under a DIFFERENT deterministic permutation (md5 salted by epoch
+    number) — each epoch sees a different data order (the
+    generalization requirement) yet any re-run of epoch k reproduces
+    epoch k exactly (the debuggability requirement; RNG-state
+    shuffles give you one or the other, never both).
+    corpus_shard_shuffle is the single-epoch layout; this is its
+    schedule across epochs, and the per-(epoch, shard) accounting
+    relation (counts + doc-id checksums) is what the training job
+    validates before reading a shard.
+
+    The epoch dimension materializes as a {EPOCHS}-row broadcast
+    cross join (row expansion in the scan stage, no shuffle); shard
+    assignment is the exact 16-bit md5 integer mod {EPOCH_SHARDS};
+    the only exchange is the (epoch, shard) rollup of integer
+    accounting columns — text never moves, per the corpus_ops
+    contract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.lit("epoch:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("k"),
+    )
+    shard = (_k16_col(F.col("k")) % EPOCH_SHARDS).cast("bigint")
+    return keyed.groupBy(
+        F.col("epoch").cast("bigint").alias("epoch"), shard.alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )

@@ -1400,3 +1400,122 @@ def dq_header_detail_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.abs(F.col("header_c") - F.col("lines_c"))).alias("abs_gap_c"),
     )
+
+
+# Numeric measure columns for the correlation matrix (lineitem),
+# with their integer scaling (per-mille for rates, cents for price).
+_CORR_COLS = [
+    ("l_quantity", 1),
+    # whole DOLLARS, not cents: Σ(cents²) over 600k rows is 2.2·10¹⁹ —
+    # past BIGINT (caught by the sf0.1 typed gate); dollars buy 10⁴×
+    # headroom and correlation is scale-invariant up to the stated
+    # rounding grain
+    ("l_extendedprice", 1),
+    ("l_discount", 1000),
+    ("l_tax", 1000),
+]
+
+
+def _corr_matrix_oracle() -> str:
+    scaled = ", ".join(
+        f"CAST(round({c} * {m}) AS BIGINT) AS x{i}"
+        for i, (c, m) in enumerate(_CORR_COLS)
+    )
+    rows = []
+    for i, (ci, _) in enumerate(_CORR_COLS):
+        for j, (cj, _) in enumerate(_CORR_COLS):
+            if i >= j:
+                continue
+            rows.append(f"""
+    SELECT '{ci}' AS col_a, '{cj}' AS col_b,
+           round((CAST(n AS DOUBLE) * sxy{i}{j}
+                  - CAST(sx{i} AS DOUBLE) * sx{j})
+                 / sqrt(CAST(n AS DOUBLE) * sxx{i}
+                        - CAST(sx{i} AS DOUBLE) * sx{i})
+                 / sqrt(CAST(n AS DOUBLE) * sxx{j}
+                        - CAST(sx{j} AS DOUBLE) * sx{j}), 4) AS pearson_r
+    FROM moments""")
+    mom_cols = ["CAST(count(*) AS BIGINT) AS n"]
+    for i in range(len(_CORR_COLS)):
+        mom_cols.append(f"CAST(sum(x{i}) AS BIGINT) AS sx{i}")
+        mom_cols.append(f"CAST(sum(x{i} * x{i}) AS BIGINT) AS sxx{i}")
+    for i in range(len(_CORR_COLS)):
+        for j in range(len(_CORR_COLS)):
+            if i < j:
+                mom_cols.append(
+                    f"CAST(sum(x{i} * x{j}) AS BIGINT) AS sxy{i}{j}"
+                )
+    return (
+        f"WITH scaled AS (SELECT {scaled} FROM lineitem), "
+        f"moments AS (SELECT {', '.join(mom_cols)} FROM scaled)"
+        + " UNION ALL ".join(rows)
+    )
+
+
+@op("dq_corr_matrix", oracle=_corr_matrix_oracle(), category=CAT)
+def dq_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-profile CORRELATION MATRIX: Pearson r for every pair of
+    the 4 lineitem measures in ONE scan — the column-relationship
+    panel every data-prep/EDA tool ships beside dq_profile's
+    per-column stats (win_rolling_corr tracks ONE pair over time;
+    this is the all-pairs snapshot that finds redundant or derived
+    columns — an |r|≈1 pair is a modeling leak or a copy).
+
+    The agg_regression integer-moment protocol widened to a matrix:
+    each measure is integer-scaled (cents / per-mille), one
+    map-combined aggregate emits the 15-number moment state (n, 4×Σx,
+    4×Σx², 6×Σxy), and all 6 r values derive in the 1-row projection
+    — adding a 5th column costs 5 more sums, never another scan.
+    Beyond ~10¹⁰ rows the Σx² terms need DECIMAL(38) state
+    (agg_skew_kurtosis contract, documented there).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        *[
+            F.round(F.col(c) * m).cast("bigint").alias(f"x{i}")
+            for i, (c, m) in enumerate(_CORR_COLS)
+        ]
+    )
+    aggs = [F.count("*").alias("n")]
+    for i in range(len(_CORR_COLS)):
+        aggs.append(F.sum(F.col(f"x{i}")).alias(f"sx{i}"))
+        aggs.append(
+            F.sum(F.col(f"x{i}") * F.col(f"x{i}")).alias(f"sxx{i}")
+        )
+    for i in range(len(_CORR_COLS)):
+        for j in range(len(_CORR_COLS)):
+            if i < j:
+                aggs.append(
+                    F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(
+                        f"sxy{i}{j}"
+                    )
+                )
+    moments = scaled.agg(*aggs)
+    outs = []
+    nd = F.col("n").cast("double")
+    for i, (ci, _) in enumerate(_CORR_COLS):
+        for j, (cj, _) in enumerate(_CORR_COLS):
+            if i >= j:
+                continue
+            num = nd * F.col(f"sxy{i}{j}") - F.col(f"sx{i}").cast(
+                "double"
+            ) * F.col(f"sx{j}")
+            den_i = F.sqrt(
+                nd * F.col(f"sxx{i}")
+                - F.col(f"sx{i}").cast("double") * F.col(f"sx{i}")
+            )
+            den_j = F.sqrt(
+                nd * F.col(f"sxx{j}")
+                - F.col(f"sx{j}").cast("double") * F.col(f"sx{j}")
+            )
+            outs.append(
+                moments.select(
+                    F.lit(ci).alias("col_a"),
+                    F.lit(cj).alias("col_b"),
+                    F.round(num / den_i / den_j, 4).alias("pearson_r"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -1594,3 +1594,51 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.length("text")).alias("sum_len"),
     )
+
+
+@op(
+    "scan_recursive_lookup",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
+def scan_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recursiveFileLookup: data scattered across ARBITRARY nested
+    directories (teamA/2024/x.parquet, teamB/legacy/deep/y.parquet —
+    the "files landed wherever" reality of shared drop zones) read as
+    ONE dataset with a single reader option — no partition-directory
+    naming required, unlike scan_partitioned_pruned's om=… layout
+    (the two are mutually exclusive: recursive lookup disables
+    partition inference, which is exactly right for unstructured
+    drops).
+
+    Three status slices written to three differently-shaped nested
+    paths, read back via ONE recursive scan; the oracle on the flat
+    source proves no file was missed or double-read (file listing is
+    driver metadata — O(files), the 100 TB cost is the listing, which
+    is why real lakes front this with a manifest; ingest_manifest_
+    dedup is that next step).
+    """
+    base = tempfile.mkdtemp(prefix="igis-recur-")
+    orders = load_table(spark, sf_dir, "orders")
+    slices = [
+        ("P", os.path.join(base, "teamA", "2024")),
+        ("O", os.path.join(base, "teamB", "legacy", "deep")),
+        ("F", os.path.join(base, "adhoc")),
+    ]
+    for status, path in slices:
+        orders.filter(F.col("o_orderstatus") == status).write.mode(
+            "overwrite"
+        ).parquet(path)
+    back = spark.read.option("recursiveFileLookup", "true").parquet(base)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev_c"),
+    )
