@@ -1632,3 +1632,116 @@ def join_calendar_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("day_rev_c", F.lit(0))).alias("rev_c"),
         )
     )
+
+
+# Feature-store cutoff: epoch-day midpoint of the order span (the
+# agg_price_index rule) — everything AFTER the cutoff is the "future"
+# a leaking feature would read.
+
+
+@op(
+    "pipeline_feature_store_snapshot",
+    oracle="""
+    WITH stamped AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS ed
+        FROM orders
+    ), bounds AS (
+        SELECT (min(ed) + max(ed)) // 2 AS cutoff FROM stamped
+    ), feats AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS f_frequency,
+               CAST(sum(rev_c) AS BIGINT) AS f_monetary_c,
+               CAST(max(ed) AS BIGINT) AS f_last_ed,
+               CAST((SELECT cutoff FROM bounds) - max(ed) AS BIGINT)
+                   AS f_recency_d
+        FROM stamped WHERE ed <= (SELECT cutoff FROM bounds)
+        GROUP BY o_custkey
+    ), label AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS y_future_orders
+        FROM stamped WHERE ed > (SELECT cutoff FROM bounds)
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_mktsegment,
+           CAST(coalesce(f_frequency, 0) AS BIGINT) AS f_frequency,
+           CAST(coalesce(f_monetary_c, 0) AS BIGINT) AS f_monetary_c,
+           CAST(coalesce(f_recency_d, -1) AS BIGINT) AS f_recency_d,
+           CAST(coalesce(y_future_orders, 0) AS BIGINT) AS y_future_orders
+    FROM customer
+    LEFT JOIN feats ON o_custkey = c_custkey
+    LEFT JOIN label ON label.o_custkey = c_custkey
+    """,
+    category=CAT,
+)
+def pipeline_feature_store_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EIGHTH capstone — a POINT-IN-TIME-correct feature-store
+    snapshot: per-customer training features (frequency, monetary,
+    recency) computed STRICTLY from orders at-or-before the cutoff,
+    with the label (future order count) STRICTLY after it — the
+    feature/label temporal firewall whose violation (leakage) is the
+    most expensive silent bug in applied ML, enforced here by
+    CONSTRUCTION (two disjoint time slices of one scan) rather than
+    by reviewer vigilance. join_point_in_time looks up SCD2
+    attributes at event time; this materializes the TRAINING TABLE —
+    every customer appears (LEFT joins off the dim), cold customers
+    get explicit zero/-1 sentinels, not NULLs (§2.X rule 3).
+
+    One stamped scan → 1-row cutoff broadcast → two disjoint-slice
+    rollups on the same custkey shuffle → dim-anchored left joins
+    (both feature relations are |customers|-sized, broadcastable).
+    Exact integers throughout; the epoch-day-midpoint cutoff is the
+    deterministic stand-in for the wall-clock train-time cutoff
+    (§2.X rule 5).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    stamped = o.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("rev_c"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("ed"),
+    )
+    bounds = stamped.agg(
+        F.expr("(min(ed) + max(ed)) div 2").alias("cutoff")
+    )
+    stamped_c = stamped.crossJoin(F.broadcast(bounds))
+    feats = (
+        stamped_c.filter(F.col("ed") <= F.col("cutoff"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("f_frequency"),
+            F.sum("rev_c").alias("f_monetary_c"),
+            (F.max("cutoff") - F.max("ed")).alias("f_recency_d"),
+        )
+    )
+    label = (
+        stamped_c.filter(F.col("ed") > F.col("cutoff"))
+        .groupBy(F.col("o_custkey").alias("l_custkey"))
+        .agg(F.count("*").alias("y_future_orders"))
+    )
+    return (
+        c.join(feats, c.c_custkey == feats.o_custkey, "left")
+        .join(label, c.c_custkey == label.l_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("f_frequency", F.lit(0))
+            .cast("bigint")
+            .alias("f_frequency"),
+            F.coalesce("f_monetary_c", F.lit(0))
+            .cast("bigint")
+            .alias("f_monetary_c"),
+            F.coalesce("f_recency_d", F.lit(-1))
+            .cast("bigint")
+            .alias("f_recency_d"),
+            F.coalesce("y_future_orders", F.lit(0))
+            .cast("bigint")
+            .alias("y_future_orders"),
+        )
+    )

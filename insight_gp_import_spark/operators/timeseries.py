@@ -963,3 +963,75 @@ def ts_wow_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wow_pct"),
     )
+
+
+@op(
+    "ts_seasonal_index_monthly",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%m') AS INTEGER) AS mon,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1, 2
+    ), per_mon AS (
+        SELECT mon, CAST(sum(rev_c) AS BIGINT) AS mon_rev_c,
+               CAST(count(*) AS BIGINT) AS n_years
+        FROM monthly GROUP BY mon
+    ), tot AS (
+        SELECT CAST(sum(mon_rev_c) AS BIGINT) AS all_rev_c,
+               CAST(sum(n_years) AS BIGINT) AS all_months
+        FROM per_mon
+    )
+    SELECT mon, n_years, mon_rev_c,
+           round((CAST(mon_rev_c AS DOUBLE) / n_years)
+                 / (CAST(all_rev_c AS DOUBLE) / all_months), 4)
+               AS seasonal_index
+    FROM per_mon CROSS JOIN tot
+    """,
+    category=CAT,
+)
+def ts_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical MONTHLY SEASONAL INDEX over the 7-year order history:
+    each calendar month's average monthly revenue divided by the
+    overall monthly average — index 1.10 means "Marches run 10% hot",
+    the deseasonalization factor classical decomposition divides out
+    before trend fitting (ts_seasonality_profile shapes the DAY by
+    hour from the event stream; this shapes the YEAR by month from
+    the order history — forecasting's other calendar;
+    ts_seasonal_naive_forecast consumes exactly these factors).
+
+    Averaging per (calendar month, year) cell FIRST, then across
+    years, keeps a month observed in 7 years comparable to one
+    observed in 6 (edge months) — the unweighted-mean pitfall of
+    naive sum-by-month. Two nested map-combined rollups + a 1-row
+    total broadcast; one rounded double ratio from integer sums
+    (§2.X rule 1).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").alias("mon"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev_c")
+    )
+    per_mon = monthly.groupBy("mon").agg(
+        F.sum("rev_c").alias("mon_rev_c"),
+        F.count("*").alias("n_years"),
+    )
+    tot = per_mon.agg(
+        F.sum("mon_rev_c").alias("all_rev_c"),
+        F.sum("n_years").alias("all_months"),
+    )
+    return per_mon.crossJoin(F.broadcast(tot)).select(
+        "mon",
+        "n_years",
+        "mon_rev_c",
+        F.round(
+            (F.col("mon_rev_c").cast("double") / F.col("n_years"))
+            / (F.col("all_rev_c").cast("double") / F.col("all_months")),
+            4,
+        ).alias("seasonal_index"),
+    )
