@@ -3477,3 +3477,63 @@ def agg_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderpriority", "n", "raw_mean", "smoothed_enc")
     )
+
+
+CR_K = 10
+
+
+@op(
+    "agg_concentration_ratio",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rev_c,
+               row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rk
+        FROM per_cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN rk <= {CR_K} THEN rev_c ELSE 0 END)
+                AS BIGINT) AS topk_rev_c,
+           CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+           round(CAST(sum(CASE WHEN rk <= {CR_K} THEN rev_c ELSE 0 END)
+                      AS DOUBLE) / sum(rev_c), 6) AS cr{CR_K}
+    FROM ranked
+    """,
+    category=CAT,
+)
+def agg_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCENTRATION RATIO CR{CR_K}: the top-{CR_K} customers' share of
+    total revenue — the OTHER regulator/board number beside
+    agg_hhi_concentration (HHI weights every firm quadratically; CRk
+    answers "how exposed are we to our biggest {CR_K} accounts", the
+    key-account-risk question a sales org actually asks).
+
+    Customer rollup (one fact shuffle), then rank over the
+    |customers| AGGREGATED relation with the custkey tie-break —
+    at extreme cardinality the TakeOrdered-top-K + 1-row-total
+    formulation replaces the rank window (same output, stated);
+    one rounded double from exact cent sums.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev_c")
+    )
+    w = Window.orderBy(F.desc("rev_c"), "o_custkey")
+    ranked = per_cust.select(
+        "rev_c", F.row_number().over(w).alias("rk")
+    )
+    topk = F.sum(F.when(F.col("rk") <= CR_K, F.col("rev_c")).otherwise(0))
+    return ranked.groupBy().agg(
+        F.count("*").alias("n_customers"),
+        topk.alias("topk_rev_c"),
+        F.sum("rev_c").alias("total_rev_c"),
+        F.round(topk.cast("double") / F.sum("rev_c"), 6).alias(
+            f"cr{CR_K}"
+        ),
+    )

@@ -853,3 +853,49 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer("ds").alias("long_word"),
         F.size("ds").cast("bigint").alias("n_runs"),
     )
+
+
+@op(
+    "fn_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderpriority)
+               AS priorities,
+           CAST(count(*) AS BIGINT) AS n_prio
+    FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+    GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
+def fn_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (SQL:2016, new in Spark 4.0) — ordered, delimited
+    string aggregation: the distinct priorities seen per order
+    status as one '|'-joined column, the denormalized summary cell
+    every report and CSV export wants (agg_collect_sorted builds the
+    same thing from array primitives; this is the STANDARD-SQL
+    spelling a migrating Oracle/Snowflake/BigQuery user types, now
+    executable verbatim).
+
+    WITHIN GROUP (ORDER BY …) is mandatory under §2.X: an unordered
+    LISTAGG is nondeterministic across partitions and would never
+    hash-match — the deterministic form is also the only form worth
+    migrating. The distinct pre-collapse keeps the cell bounded by
+    the value domain, not the row count (an unbounded LISTAGG cell is
+    an anti-pattern at 100 TB — bound it or use arrays), and
+    sidesteps Spark 4.1's DISTINCT-inside-LISTAGG analyzer bug
+    (ClassCastException on the WITHIN-GROUP sort order — found
+    live; the pre-collapsed form is also the better plan).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("igis_orders_la")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               CAST(count(*) AS BIGINT) AS n_prio
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority
+              FROM igis_orders_la)
+        GROUP BY o_orderstatus
+        """
+    )

@@ -1642,3 +1642,52 @@ def scan_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint")
         ).alias("rev_c"),
     )
+
+
+@op(
+    "scan_glob_filtered",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
+def scan_glob_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pathGlobFilter ingest hygiene: a drop zone strewn with the junk
+    real landing dirs accumulate — `_SUCCESS` markers, `.tmp`
+    half-writes, `.crc` sidecars, a stray `.csv` — read with
+    `pathGlobFilter=*.parquet` so ONLY the data files load (without
+    it the mixed-format dir either corrupts the read or kills the
+    job). The oracle on the clean source proves the junk contributed
+    zero rows AND no parquet file was skipped — both failure
+    directions hashed.
+
+    The filter applies at driver-side LISTING time (before any task
+    launches, unlike a post-read filter) — at 100 TB dir scale this
+    is the difference between skipping a million junk files for free
+    and scheduling tasks against them. The .tmp file here is REAL
+    parquet bytes under a junk name: a suffix-trusting reader would
+    double-count, which is exactly what the hash would catch.
+    """
+    base = tempfile.mkdtemp(prefix="igis-glob-")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    orders.write.mode("overwrite").parquet(base)
+    # junk the drop zone: a half-write (REAL parquet bytes, junk name),
+    # a marker, and a stray csv
+    real = [f for f in os.listdir(base) if f.endswith(".parquet")]
+    shutil.copy(
+        os.path.join(base, real[0]), os.path.join(base, "part-dup.tmp")
+    )
+    with open(os.path.join(base, "_LOADING"), "w") as fh:
+        fh.write("marker")
+    with open(os.path.join(base, "stray.csv"), "w") as fh:
+        fh.write("a,b\n1,2\n")
+    back = spark.read.option("pathGlobFilter", "*.parquet").parquet(base)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_custkey").alias("cust_sum"),
+    )
