@@ -3537,3 +3537,108 @@ def agg_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cr{CR_K}"
         ),
     )
+
+
+MAD_K = 5  # outlier rule: |v - median| > MAD_K * MAD (stated convention)
+
+
+@op(
+    "agg_mad_robust",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ), hist1 AS (
+        SELECT event_type, v, CAST(count(*) AS BIGINT) AS n_at
+        FROM vals GROUP BY event_type, v
+    ), med1 AS (
+        SELECT event_type, min(v) AS med_c
+        FROM (SELECT event_type, v,
+                     sum(n_at) OVER (PARTITION BY event_type ORDER BY v)
+                         AS cum,
+                     sum(n_at) OVER (PARTITION BY event_type) AS n
+              FROM hist1) c
+        WHERE cum >= (n + 1) // 2
+        GROUP BY event_type
+    ), devs AS (
+        SELECT vals.event_type, abs(v - med_c) AS d
+        FROM vals JOIN med1 USING (event_type)
+    ), hist2 AS (
+        SELECT event_type, d, CAST(count(*) AS BIGINT) AS n_at
+        FROM devs GROUP BY event_type, d
+    ), mad AS (
+        SELECT event_type, min(d) AS mad_c
+        FROM (SELECT event_type, d,
+                     sum(n_at) OVER (PARTITION BY event_type ORDER BY d)
+                         AS cum,
+                     sum(n_at) OVER (PARTITION BY event_type) AS n
+              FROM hist2) c
+        WHERE cum >= (n + 1) // 2
+        GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(med_c AS BIGINT) AS med_c,
+           CAST(mad_c AS BIGINT) AS mad_c,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.d > {MAD_K} * mad_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM devs d JOIN med1 USING (event_type) JOIN mad USING (event_type)
+    GROUP BY d.event_type, med_c, mad_c
+    """,
+    category=CAT,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection via Median Absolute Deviation: per
+    stream, the exact median, the exact MAD, and the count of points
+    beyond {MAD_K}·MAD — the robust twin of dq_anomaly_zscore (mean
+    and σ are themselves dragged by the outliers they're meant to
+    find; median/MAD have a 50% breakdown point, which is why
+    monitoring literature prefers them on dirty feeds).
+
+    ENTIRELY integer: both medians come from the dq_join_key_skew
+    count-histogram trick (counts → cumulative over the bounded
+    distinct-value relation → smallest value with cum ≥ ⌈n/2⌉, lower
+    median stated) — two histogram rollups and one deviation pass,
+    never a sort of the data; the outlier rule compares integer cents
+    to integer MAD-multiples, so no double exists in the whole op.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+
+    def _hist_median(df, col, out):
+        hist = df.groupBy("event_type", col).agg(
+            F.count("*").alias("n_at")
+        )
+        w_cum = Window.partitionBy("event_type").orderBy(col)
+        w_all = Window.partitionBy("event_type")
+        cum = hist.select(
+            "event_type",
+            col,
+            F.sum("n_at").over(w_cum).alias("cum"),
+            F.sum("n_at").over(w_all).alias("n"),
+        )
+        return (
+            cum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    med1 = _hist_median(vals, "v", "med_c")
+    devs = vals.join(F.broadcast(med1), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med_c")).alias("d")
+    )
+    mad = _hist_median(devs, "d", "mad_c")
+    return (
+        devs.join(F.broadcast(med1), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_c", "mad_c")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("d") > MAD_K * F.col("mad_c"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "med_c", "mad_c", "n", "n_outliers")
+    )

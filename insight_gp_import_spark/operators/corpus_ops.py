@@ -1347,3 +1347,95 @@ def corpus_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.sum("doc_id").alias("doc_id_sum"),
     )
+
+
+@op(
+    "corpus_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(text) AS content_key
+        FROM documents
+    ), hist AS (
+        SELECT n_chars, CAST(count(*) AS BIGINT) AS n_at
+        FROM base GROUP BY n_chars
+    ), med AS (
+        SELECT min(n_chars) AS p50_chars
+        FROM (SELECT n_chars,
+                     sum(n_at) OVER (ORDER BY n_chars) AS cum,
+                     sum(n_at) OVER () AS n
+              FROM hist) c
+        WHERE cum >= (n + 1) // 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SELECT p50_chars FROM med) AS BIGINT) AS p50_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(count(*) - count(DISTINCT content_key) AS BIGINT)
+               AS n_exact_dup_rows,
+           round(CAST(sum(CASE WHEN lang = 'en' THEN n_tokens ELSE 0 END)
+                      AS DOUBLE) / sum(n_tokens), 6) AS en_token_share
+    FROM base
+    """,
+    category=CAT,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD statistics: the one-row datasheet every published
+    corpus ships — doc/lang/source counts, char and token mass,
+    exact median length, max length, exact-duplicate row count, and
+    the dominant-language token share (the numbers a HuggingFace
+    dataset card or a Datasheets-for-Datasets table states, produced
+    by the engine instead of a notebook; every figure here is
+    INDEPENDENTLY recomputable by the oracle, which is the whole
+    point of a card you can trust).
+
+    One scan computes all per-doc facts (token count, md5 content
+    key) in the projection; the median comes from the count-histogram
+    trick over n_chars (never a sort of the corpus); dup rows =
+    count − distinct(content key), the dedup_exact relation reduced
+    to its headline number. Text leaves the scan only as md5.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("content_key"),
+    )
+    hist = base.groupBy("n_chars").agg(F.count("*").alias("n_at"))
+    w_cum = Window.orderBy("n_chars")
+    w_all = Window.partitionBy()
+    med = (
+        hist.select(
+            "n_chars",
+            F.sum("n_at").over(w_cum).alias("cum"),
+            F.sum("n_at").over(w_all).alias("n"),
+        )
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("n_chars").alias("p50_chars"))
+    )
+    return base.crossJoin(F.broadcast(med)).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("p50_chars").alias("p50_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.count("*") - F.countDistinct("content_key")).alias(
+            "n_exact_dup_rows"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("n_tokens")).otherwise(0)
+            ).cast("double")
+            / F.sum("n_tokens"),
+            6,
+        ).alias("en_token_share"),
+    )

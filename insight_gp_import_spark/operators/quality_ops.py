@@ -1292,7 +1292,10 @@ def dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_at").over(Window.partitionBy()).alias("n_keys"),
         )
         med = (
-            cum.filter(F.col("cum") >= (F.col("n_keys") + 1) / 2)
+            # (n+1) div 2 in INTEGER division: the double form x.5
+            # silently raises the threshold by one on even n (caught
+            # live on agg_mad_robust's even-count stream)
+            cum.filter(F.col("cum") >= F.expr("(n_keys + 1) div 2"))
             .groupBy("n_keys")
             .agg(F.min("rows_k").alias("med_rows"))
         )

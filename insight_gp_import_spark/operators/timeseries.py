@@ -1035,3 +1035,94 @@ def ts_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("seasonal_index"),
     )
+
+
+DESEAS_TOP_K = 10
+
+
+@op(
+    "ts_deseasonalized_outliers",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%m') AS INTEGER) AS mon,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1, 2
+    ), per_mon AS (
+        SELECT mon, CAST(sum(rev_c) AS BIGINT) AS mon_rev_c,
+               CAST(count(*) AS BIGINT) AS n_years
+        FROM monthly GROUP BY mon
+    ), tot AS (
+        SELECT CAST(sum(mon_rev_c) AS BIGINT) AS all_rev_c,
+               CAST(sum(n_years) AS BIGINT) AS all_months
+        FROM per_mon
+    ), scored AS (
+        SELECT ym, m.mon, rev_c,
+               round((CAST(mon_rev_c AS DOUBLE) / n_years)
+                     / (CAST(all_rev_c AS DOUBLE) / all_months), 4) AS sidx,
+               round(CAST(rev_c AS DOUBLE)
+                     / ((CAST(mon_rev_c AS DOUBLE) / n_years)
+                        / (CAST(all_rev_c AS DOUBLE) / all_months))
+                     / (CAST(all_rev_c AS DOUBLE) / all_months), 4)
+                   AS deseas_ratio
+        FROM monthly m JOIN per_mon p ON m.mon = p.mon CROSS JOIN tot
+    )
+    SELECT ym, mon, rev_c, sidx, deseas_ratio
+    FROM scored
+    ORDER BY abs(deseas_ratio - 1) DESC, ym
+    LIMIT {DESEAS_TOP_K}
+    """,
+    category=CAT,
+)
+def ts_deseasonalized_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESEASONALIZED anomaly ranking — classical decomposition closed:
+    each month's revenue ÷ its seasonal factor ÷ the overall monthly
+    level = a ratio that is 1.0 for a month behaving exactly as its
+    calendar position predicts; the top-{DESEAS_TOP_K} months by
+    |ratio−1| are the genuinely anomalous ones AFTER the calendar is
+    excused (ts_seasonal_index_monthly supplies the factors;
+    dq_anomaly_zscore would flag every December — deseasonalizing
+    first is the difference between an alert and an almanac).
+
+    The whole chain reuses the monthly rollup once (one fact
+    shuffle); factors and level are |months|-row/1-row broadcasts;
+    final TakeOrdered on (|ratio−1| DESC, ym) with the unique
+    year-month tie-break (§2.X rule 2). The ratio derives from
+    integer sums, rounded before ranking.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").alias("mon"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev_c")
+    )
+    per_mon = monthly.groupBy("mon").agg(
+        F.sum("rev_c").alias("mon_rev_c"),
+        F.count("*").alias("n_years"),
+    )
+    tot = per_mon.agg(
+        F.sum("mon_rev_c").alias("all_rev_c"),
+        F.sum("n_years").alias("all_months"),
+    )
+    level = F.col("all_rev_c").cast("double") / F.col("all_months")
+    sidx = (F.col("mon_rev_c").cast("double") / F.col("n_years")) / level
+    scored = (
+        monthly.join(F.broadcast(per_mon), "mon")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ym",
+            "mon",
+            "rev_c",
+            F.round(sidx, 4).alias("sidx"),
+            F.round(
+                F.col("rev_c").cast("double") / sidx / level, 4
+            ).alias("deseas_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("deseas_ratio") - 1).desc(), "ym"
+    ).limit(DESEAS_TOP_K)
