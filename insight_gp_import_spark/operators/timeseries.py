@@ -1126,3 +1126,89 @@ def ts_deseasonalized_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.abs(F.col("deseas_ratio") - 1).desc(), "ym"
     ).limit(DESEAS_TOP_K)
+
+
+ACF_MAX_LAG = 7
+
+
+def _acf_oracle() -> str:
+    parts = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        parts.append(f"""
+    SELECT {k} AS lag_k, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+                 4) AS acf_r
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.cnt) AS BIGINT) AS sx,
+               CAST(sum(b.cnt) AS BIGINT) AS sy,
+               CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx,
+               CAST(sum(b.cnt * b.cnt) AS BIGINT) AS syy,
+               CAST(sum(a.cnt * b.cnt) AS BIGINT) AS sxy
+        FROM daily a JOIN daily b ON b.d = a.d - {k}
+    )""")
+    return (
+        """WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    )"""
+        + " UNION ALL ".join(parts)
+    )
+
+
+@op("ts_acf_lags", oracle=_acf_oracle(), category=CAT)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function, lags 1..{ACF_MAX_LAG}: Pearson r
+    between the daily volume series and its k-day-shifted self — the
+    diagnostic that picks model structure (a spike at lag 7 says
+    weekly seasonality → seasonal-naive or weekday features; fast
+    decay says short memory → EWMA is enough; agg_runs_test answers
+    IS it autocorrelated, the ACF answers AT WHICH LAG).
+
+    Pair formation is a d−k equi self-join of the tiny daily rollup
+    per lag (the ts_wow_aligned shape — value-based alignment, no
+    frame semantics); each lag's (n, Σx, Σy, Σx², Σy², Σxy) moment
+    state is exact BIGINT and r derives identically per §2.X rule 1.
+    Pairs use the INTERSECTION of the series with its shift (lag-k
+    ACF over n−k points, the standard sample form).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    outs = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        a = daily.alias("a")
+        b = daily.select(
+            F.date_add("d", k).alias("dk"), F.col("cnt").alias("cnt_b")
+        ).alias("b")
+        pairs = a.join(b, F.col("a.d") == F.col("b.dk"))
+        m = pairs.agg(
+            F.count("*").alias("n"),
+            F.sum("cnt").alias("sx"),
+            F.sum("cnt_b").alias("sy"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+            F.sum(F.col("cnt_b") * F.col("cnt_b")).alias("syy"),
+            F.sum(F.col("cnt") * F.col("cnt_b")).alias("sxy"),
+        )
+        nd = F.col("n").cast("double")
+        num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+        den = F.sqrt(
+            nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+        ) * F.sqrt(
+            nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+        )
+        outs.append(
+            m.select(
+                F.lit(k).alias("lag_k"),
+                "n",
+                F.round(num / den, 4).alias("acf_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

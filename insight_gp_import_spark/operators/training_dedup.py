@@ -1217,3 +1217,80 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.alias("centroid_sim"),
         F.round(1 - sim, 4).alias("drift"),
     )
+
+
+@op(
+    "dedup_survivor_quality",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({JACCARD_PAIRS_SQL}) jp),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION
+        SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(doc_id) FILTER (WHERE n_chars =
+               (SELECT max(s2.n_chars) FROM scored s2
+                WHERE s2.cluster_id = scored.cluster_id)) AS BIGINT)
+               AS survivor_doc_id,
+           CAST(max(n_chars) AS BIGINT) AS survivor_chars
+    FROM scored
+    GROUP BY cluster_id
+    HAVING count(*) >= 2
+    """,
+    category=CAT,
+)
+def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-aware survivor selection: within each near-dup cluster,
+    keep the LONGEST member (n_chars argmax, min-doc_id tie-break) —
+    the C4/CCNet keep-longest policy, versus dedup_cluster's min-id
+    survivor (an ID policy keeps whichever duplicate happened to be
+    crawled first; a curation pipeline wants the most complete copy,
+    and on truncated-crawl duplicates the two policies genuinely
+    disagree). Only multi-member clusters are reported — the
+    singleton majority has nothing to decide.
+
+    Reuses dedup_cluster's components verbatim (same AllPairs pairs,
+    same min-label propagation), then one argmax per cluster via the
+    struct-max trick (max (n_chars, −doc_id) — one aggregate, no
+    window, no self-join); the cluster relation is tiny versus the
+    corpus, so policy selection costs nothing at 100 TB. The oracle
+    recomputes the clusters through the INDEPENDENT recursive-CTE
+    formulation plus a correlated-subquery argmax.
+    """
+    clusters = dedup_cluster(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    scored = clusters.join(docs, "doc_id")
+    agg = scored.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("nd")
+            )
+        ).alias("m"),
+    )
+    return (
+        agg.filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("m.nd")).cast("bigint").alias("survivor_doc_id"),
+            F.col("m.q").cast("bigint").alias("survivor_chars"),
+        )
+    )

@@ -91,7 +91,28 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # agg_skew_kurtosis, fn_luhn_check, scan_text_roundtrip,
 # corpus_curriculum_order, fn_mask, dq_psi_drift, embed_sim_histogram —
 # all currently appended after this list, i.e. registry
-# tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
+# tail), AND the fourth-session additions (join_bilateral_trade,
+# agg_fulfillment_lag, agg_hhi_concentration, ts_sma_crossover,
+# dq_ks_drift, graph_bfs_distances, scan_partitioned_pruned,
+# join_drill_across_facts, sql_limit_offset, agg_xyz_variability,
+# win_last_touch_attribution, dq_rule_checks, corpus_span_corruption,
+# pipeline_dq_quarantine, agg_contribution_waterfall,
+# embed_binary_sign_pack, agg_window_funnel_strict,
+# sql_values_inline_dim, scan_csv_corrupt_rescue,
+# join_calendar_dim_rollup, sink_jsonl_roundtrip, ts_largest_silences,
+# win_rank_change, dq_join_key_skew, ts_wow_aligned,
+# agg_semi_additive_eom, setop_except_all, dq_header_detail_reconcile,
+# mm_patch_grid, udf_pandas_iter, agg_receivables_aging,
+# text_bpe_first_merges, embed_centroid_drift, fn_explode_outer,
+# win_event_context_window, agg_price_volume_mix, agg_runs_test,
+# win_twap, sql_distribute_sort_by, agg_ab_test_lift,
+# win_skyline_frontier, agg_lorenz_deciles, corpus_epoch_reshuffle,
+# dq_corr_matrix, agg_target_encoding, scan_recursive_lookup,
+# pipeline_feature_store_snapshot, ts_seasonal_index_monthly,
+# fn_listagg, agg_concentration_ratio, scan_glob_filtered,
+# agg_mad_robust, ts_deseasonalized_outliers, corpus_dataset_card,
+# dedup_survivor_quality, ts_acf_lags — likewise registry tail),
+# then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [
     # -- round-3 hash slots: oracled, no green driver row yet --
