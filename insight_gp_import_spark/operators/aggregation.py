@@ -3642,3 +3642,60 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "med_c", "mad_c", "n", "n_outliers")
     )
+
+
+@op(
+    "agg_engagement_histogram",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS np
+        FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN np = 0 THEN '0'
+                WHEN np <= 2 THEN '1-2'
+                WHEN np <= 5 THEN '3-5'
+                WHEN np <= 10 THEN '6-10'
+                ELSE '11+' END AS band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(np) AS BIGINT) AS n_purchases,
+           CAST(min(user_id) AS BIGINT) AS min_user
+    FROM per_user GROUP BY 1
+    """,
+    category=CAT,
+)
+def agg_engagement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGAGEMENT distribution: users banded by purchase count (0 /
+    1-2 / 3-5 / 6-10 / 11+) with users and purchases per band — the
+    "how concentrated is usage" product report (a power-user band
+    holding most purchases and a fat zero band is the classic
+    freemium shape; agg_gini_activity compresses this to one number,
+    agg_lorenz_deciles to equal-COUNT bins — fixed SEMANTIC bands are
+    what PMs actually name in reviews, and the three agree or you
+    have a data bug).
+
+    Count-of-counts two-level aggregate (both map-combined, the
+    second over |users| rows); integer bands on integer counts, no
+    double anywhere. The explicit '0' band documents that users with
+    zero purchases are IN the population (they have other events) —
+    the silent-exclusion trap of starting from the purchases table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np")
+    )
+    band = (
+        F.when(F.col("np") == 0, "0")
+        .when(F.col("np") <= 2, "1-2")
+        .when(F.col("np") <= 5, "3-5")
+        .when(F.col("np") <= 10, "6-10")
+        .otherwise("11+")
+    )
+    return per_user.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("np").alias("n_purchases"),
+        F.min("user_id").alias("min_user"),
+    )

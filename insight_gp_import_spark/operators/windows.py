@@ -1417,3 +1417,123 @@ def win_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_cheaper_size").isNull()
         | (F.col("best_cheaper_size") <= F.col("p_size"))
     ).select("p_brand", "p_partkey", "p_size", "price_c")
+
+
+@op(
+    "win_indexed_performance",
+    oracle="""
+    WITH monthly AS (
+        SELECT n_name, strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, ym
+    )
+    SELECT n_name, ym, rev_c,
+           round(CAST(rev_c AS DOUBLE)
+                 / first_value(rev_c) OVER (PARTITION BY n_name
+                                            ORDER BY ym) * 100, 4)
+               AS indexed
+    FROM monthly
+    """,
+    category=CAT,
+)
+def win_indexed_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED performance (rebase-to-100): each nation's monthly
+    revenue as a percentage of its OWN first month — the
+    normalization that makes a 25-line comparison chart readable
+    (raw series differ 100× in level; indexed series all start at
+    100 and the chart shows growth RATES; win_ratio_to_report shares
+    a pie, this tracks divergence from a common start).
+
+    first_value over the (nation-partitioned, month-ordered) monthly
+    AGGREGATE — months are unique per nation post-groupBy, so the
+    §2.X tie-break is the partition key itself; one fact shuffle,
+    dims broadcast, the window over ≤ 24×84 rows. One rounded
+    double per row from exact cent sums.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("ym")
+    return monthly.select(
+        "n_name",
+        "ym",
+        "rev_c",
+        F.round(
+            F.col("rev_c").cast("double")
+            / F.first("rev_c").over(w)
+            * 100,
+            4,
+        ).alias("indexed"),
+    )
+
+
+@op(
+    "win_z_chart",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y') AS yr,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT ym, rev_c,
+           CAST(sum(rev_c) OVER (PARTITION BY yr ORDER BY ym) AS BIGINT)
+               AS ytd_c,
+           CAST(sum(rev_c) OVER (ORDER BY ym
+                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS mat_c,
+           CAST(count(*) OVER (ORDER BY ym
+                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS mat_months
+    FROM monthly
+    """,
+    category=CAT,
+)
+def win_z_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-CHART: the management-accounting triple per month — monthly
+    revenue, year-to-date cumulative, and the 12-month Moving Annual
+    Total — in one relation (the three strokes of the 'Z'; the MAT
+    line is the deseasonalized trend an exec reads, the YTD line the
+    budget pace, and all three on one chart is a century-old
+    reporting standard that takes three windows here).
+
+    Three frames over the ≤|months| monthly aggregate: YTD partitions
+    by year (resets each January by construction, not by CASE), MAT
+    is a 12-row moving frame across year boundaries, mat_months
+    flags the warm-up (MAT is only honest at 12). Exact cents
+    throughout — no doubles at all. Months are unique post-groupBy
+    so ordering is total (§2.X).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("rev_c")
+    )
+    w_ytd = Window.partitionBy("yr").orderBy("ym")
+    w_mat = Window.orderBy("ym").rowsBetween(-11, 0)
+    return monthly.select(
+        "ym",
+        "rev_c",
+        F.sum("rev_c").over(w_ytd).alias("ytd_c"),
+        F.sum("rev_c").over(w_mat).alias("mat_c"),
+        F.count("*").over(w_mat).alias("mat_months"),
+    )
