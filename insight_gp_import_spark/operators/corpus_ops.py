@@ -1439,3 +1439,60 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("en_token_share"),
     )
+
+
+LSH_CONFIGS = [(2, 32), (4, 16), (8, 8), (16, 4), (32, 2)]  # (bands, rows)
+LSH_SIMS = ["0.5", "0.7", "0.8", "0.9", "0.95"]  # literal strings: exact
+
+
+def _lsh_tuning_oracle() -> str:
+    rows = []
+    for b, r in LSH_CONFIGS:
+        for s in LSH_SIMS:
+            rows.append(
+                f"SELECT {b} AS bands, {r} AS rows_per_band,"
+                f" CAST({s} AS DOUBLE) AS sim,"
+                f" round(pow(1.0 / {b}, 1.0 / {r}), 6) AS s_threshold,"
+                f" round(1 - pow(1 - pow(CAST({s} AS DOUBLE), {r}), {b}), 6)"
+                f" AS p_candidate"
+            )
+    return " UNION ALL ".join(rows)
+
+
+@op("corpus_lsh_tuning_table", oracle=_lsh_tuning_oracle(), category=CAT)
+def corpus_lsh_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH TUNING TABLE: for each (bands b, rows-per-band r)
+    split of a 64-hash signature, the S-curve threshold (1/b)^(1/r)
+    and the candidate probability 1−(1−sʳ)ᵇ at five similarity
+    levels — the design table one consults BEFORE committing a
+    banding to a 100 TB dedup run (dedup_near_minhash ships (8,8);
+    this table is WHY: threshold 0.77, 95%-sim pairs caught at
+    ~0.999, 50%-sim noise at ~0.03). Engine-generated so the tuning
+    math and the production banding can never drift apart — it is a
+    QUERY, not a wiki page.
+
+    Pure closed-form arithmetic over literal configs (no table scan
+    — the rare op whose input is the parameter space itself);
+    identical pow() expressions both engines, rounded at 6 per §2.X.
+    """
+    rows = []
+    for b, r in LSH_CONFIGS:
+        for s in LSH_SIMS:
+            rows.append((b, r, float(s)))
+    df = spark.createDataFrame(rows, "bands int, rows_per_band int, sim double")
+    return df.select(
+        "bands",
+        "rows_per_band",
+        "sim",
+        F.round(
+            F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 6
+        ).alias("s_threshold"),
+        F.round(
+            1
+            - F.pow(
+                1 - F.pow(F.col("sim"), F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+            6,
+        ).alias("p_candidate"),
+    )

@@ -1745,3 +1745,97 @@ def pipeline_feature_store_snapshot(
             .alias("y_future_orders"),
         )
     )
+
+
+@op(
+    "join_bitemporal_asof",
+    oracle="""
+    WITH versions AS (
+        SELECT c_custkey, c_mktsegment AS seg, 1 AS tx FROM customer
+        UNION ALL
+        SELECT c_custkey, 'CORRECTED-' || c_mktsegment, 2
+        FROM customer WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey, 'RESTATED', 3
+        FROM customer WHERE c_custkey % 77 = 0
+    ), as_of AS (
+        SELECT c_custkey,
+               max(CASE WHEN tx <= 1 THEN tx END) AS t1,
+               max(CASE WHEN tx <= 2 THEN tx END) AS t2,
+               max(tx) AS t3
+        FROM versions GROUP BY c_custkey
+    ), knowledge AS (
+        SELECT a.c_custkey,
+               v1.seg AS seg_asof_1, v2.seg AS seg_asof_2, v3.seg AS seg_asof_3
+        FROM as_of a
+        JOIN versions v1 ON v1.c_custkey = a.c_custkey AND v1.tx = a.t1
+        JOIN versions v2 ON v2.c_custkey = a.c_custkey AND v2.tx = a.t2
+        JOIN versions v3 ON v3.c_custkey = a.c_custkey AND v3.tx = a.t3
+    )
+    SELECT c_custkey, seg_asof_1, seg_asof_2, seg_asof_3,
+           (seg_asof_2 <> seg_asof_1) AS corrected_at_2,
+           (seg_asof_3 <> seg_asof_2) AS corrected_at_3
+    FROM knowledge
+    WHERE seg_asof_2 <> seg_asof_1 OR seg_asof_3 <> seg_asof_2
+    """,
+    category=CAT,
+)
+def join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of-knowledge audit: what did we BELIEVE each
+    customer's segment was as of transaction-time 1, 2, and 3 — the
+    second time axis SCD2 doesn't have (full_snapshot_scd2 tracks
+    when reality changed [valid time]; transaction time tracks when
+    WE LEARNED it, and restating last quarter's report requires
+    replaying knowledge, not reality). The derived correction feed
+    (≡0 mod 11 corrected at load 2, ≡0 mod 77 restated at load 3 —
+    the merge_cdc_apply self-derivation trick) yields rows whose
+    knowledge CHANGED — exactly the "why did January's number move"
+    audit trail.
+
+    Version union → per-key latest-tx-≤-T resolution for each of the
+    three knowledge points in ONE aggregate (conditional max per
+    horizon — the as-of join done as three conditional aggs over one
+    custkey shuffle, not three window passes); corrections are a
+    tiny fraction, so at 100 TB the version table is dominated by
+    tx=1 and the resolution stays one map-combined pass. Flags
+    compare exact strings (§2.X).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"), F.lit(1).alias("tx")
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 11 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("CORRECTED-"), F.col("c_mktsegment")).alias("seg"),
+            F.lit(2).alias("tx"),
+        )
+    )
+    v3 = (
+        c.filter(F.col("c_custkey") % 77 == 0)
+        .select("c_custkey", F.lit("RESTATED").alias("seg"), F.lit(3).alias("tx"))
+    )
+    versions = v1.unionByName(v2).unionByName(v3)
+    resolved = versions.groupBy("c_custkey").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("tx") <= t,
+                    F.struct(F.col("tx").alias("t"), F.col("seg").alias("s")),
+                )
+            )["s"].alias(f"seg_asof_{t}")
+            for t in (1, 2, 3)
+        ]
+    )
+    return resolved.filter(
+        (F.col("seg_asof_2") != F.col("seg_asof_1"))
+        | (F.col("seg_asof_3") != F.col("seg_asof_2"))
+    ).select(
+        "c_custkey",
+        "seg_asof_1",
+        "seg_asof_2",
+        "seg_asof_3",
+        (F.col("seg_asof_2") != F.col("seg_asof_1")).alias("corrected_at_2"),
+        (F.col("seg_asof_3") != F.col("seg_asof_2")).alias("corrected_at_3"),
+    )
