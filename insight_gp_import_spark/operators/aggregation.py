@@ -3699,3 +3699,91 @@ def agg_engagement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np").alias("n_purchases"),
         F.min("user_id").alias("min_user"),
     )
+
+
+@op(
+    "agg_customer_migration_matrix",
+    oracle="""
+    WITH stamped AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS rev_c,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS ed
+        FROM orders
+    ), bounds AS (
+        SELECT min(ed) AS lo, max(ed) AS hi FROM stamped
+    ), halves AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN ed * 2 < lo + hi THEN rev_c ELSE 0 END)
+                    AS BIGINT) AS rev0_c,
+               CAST(sum(CASE WHEN ed * 2 < lo + hi THEN 0 ELSE rev_c END)
+                    AS BIGINT) AS rev1_c
+        FROM stamped CROSS JOIN bounds
+        GROUP BY o_custkey
+    ), banded AS (
+        SELECT o_custkey,
+               CASE WHEN rev0_c = 0 THEN 0
+                    ELSE ntile(4) OVER (PARTITION BY rev0_c > 0
+                                        ORDER BY rev0_c, o_custkey) END
+                   AS band0,
+               CASE WHEN rev1_c = 0 THEN 0
+                    ELSE ntile(4) OVER (PARTITION BY rev1_c > 0
+                                        ORDER BY rev1_c, o_custkey) END
+                   AS band1
+        FROM halves
+    )
+    SELECT CAST(band0 AS BIGINT) AS band0, CAST(band1 AS BIGINT) AS band1,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM banded GROUP BY band0, band1
+    """,
+    category=CAT,
+)
+def agg_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer VALUE-MIGRATION matrix: each customer's revenue
+    quartile in the first half-period × their quartile in the second
+    (band 0 = inactive that half) — the upgrade/downgrade/churn
+    transition matrix every CRM review reads (agg_markov_transitions
+    walks event types; this walks VALUE BANDS, and the off-diagonal
+    mass IS the churn story; agg_new_returning_users is its 2×2
+    shadow).
+
+    One fact shuffle to per-customer half-revenues, two ntile
+    windows over the |customers| AGGREGATED relation (both carry the
+    (rev, custkey) tie-break; the rev>0 partition isolates actives so
+    quartiles are quartiles OF ACTIVES, inactives are band 0 by CASE
+    — a ntile over a mixed population would let zeros dilute the
+    quartile boundaries), then a ≤25-cell rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    stamped = o.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("rev_c"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("ed"),
+    )
+    bounds = stamped.agg(F.min("ed").alias("lo"), F.max("ed").alias("hi"))
+    in_h0 = F.col("ed") * 2 < F.col("lo") + F.col("hi")
+    halves = (
+        stamped.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(in_h0, F.col("rev_c")).otherwise(0)).alias("rev0_c"),
+            F.sum(F.when(in_h0, 0).otherwise(F.col("rev_c"))).alias("rev1_c"),
+        )
+    )
+    w0 = Window.partitionBy(F.col("rev0_c") > 0).orderBy("rev0_c", "o_custkey")
+    w1 = Window.partitionBy(F.col("rev1_c") > 0).orderBy("rev1_c", "o_custkey")
+    banded = halves.select(
+        F.when(F.col("rev0_c") == 0, 0)
+        .otherwise(F.ntile(4).over(w0))
+        .cast("bigint")
+        .alias("band0"),
+        F.when(F.col("rev1_c") == 0, 0)
+        .otherwise(F.ntile(4).over(w1))
+        .cast("bigint")
+        .alias("band1"),
+    )
+    return banded.groupBy("band0", "band1").agg(
+        F.count("*").alias("n_customers")
+    )

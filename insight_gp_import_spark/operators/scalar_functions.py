@@ -899,3 +899,68 @@ def fn_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@op(
+    "fn_uuid5_surrogate",
+    oracle="""
+    WITH h AS (
+        SELECT c_custkey,
+               md5('igis:customer:' || CAST(c_custkey AS VARCHAR)) AS hx
+        FROM customer
+    )
+    SELECT c_custkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-5'
+               || substr(hx, 14, 3) || '-'
+               || CASE substr(hx, 17, 1)
+                      WHEN '0' THEN '8' WHEN '1' THEN '9'
+                      WHEN '2' THEN 'a' WHEN '3' THEN 'b'
+                      WHEN '4' THEN '8' WHEN '5' THEN '9'
+                      WHEN '6' THEN 'a' WHEN '7' THEN 'b'
+                      WHEN '8' THEN '8' WHEN '9' THEN '9'
+                      WHEN 'a' THEN 'a' WHEN 'b' THEN 'b'
+                      WHEN 'c' THEN '8' WHEN 'd' THEN '9'
+                      WHEN 'e' THEN 'a' ELSE 'b' END
+               || substr(hx, 18, 3) || '-' || substr(hx, 21, 12)
+               AS surrogate_uuid
+    FROM h
+    """,
+    category=CAT,
+)
+def fn_uuid5_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-based (UUIDv5-style) SURROGATE KEYS: a stable UUID per
+    customer derived from a namespace + natural key via md5, with the
+    version nibble forced to 5 and the variant nibble folded into
+    [89ab] — the deterministic identifier contract cross-system
+    entity resolution needs (Spark's uuid() is RANDOM: §2.X bans it,
+    and a re-run would re-key every row — exactly the bug stable
+    surrogates exist to prevent; same registry-wide principle as
+    corpus_split_hash's content-hash splits, applied to KEYS).
+
+    Pure string projection in the scan stage (md5 + substr + one
+    16-way CASE for the variant fold — both engines share every
+    piece); zero shuffles, and the key is reproducible on any
+    cluster, any engine, any day — which is the entire point.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    hx = F.md5(
+        F.concat(F.lit("igis:customer:"), F.col("c_custkey").cast("string"))
+    )
+    h = c.select("c_custkey", hx.alias("hx"))
+    variant = (
+        F.when(F.substring("hx", 17, 1).isin("0", "4", "8", "c"), "8")
+        .when(F.substring("hx", 17, 1).isin("1", "5", "9", "d"), "9")
+        .when(F.substring("hx", 17, 1).isin("2", "6", "a", "e"), "a")
+        .otherwise("b")
+    )
+    return h.select(
+        "c_custkey",
+        F.concat(
+            F.substring("hx", 1, 8), F.lit("-"),
+            F.substring("hx", 9, 4), F.lit("-5"),
+            F.substring("hx", 14, 3), F.lit("-"),
+            variant,
+            F.substring("hx", 18, 3), F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("surrogate_uuid"),
+    )

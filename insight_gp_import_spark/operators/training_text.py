@@ -1617,3 +1617,76 @@ def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("merge_rank") <= BPE_TOP_K)
         .select("lang", "bg", "n_occ", "merge_rank")
     )
+
+
+OOV_VOCAB_K = 200
+
+
+@op(
+    "text_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (
+                ORDER BY count(*) DESC, tok) AS rk
+            FROM toks GROUP BY tok
+        ) WHERE rk <= {OOV_VOCAB_K}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY lang
+    """,
+    category=CAT,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate per language against the corpus-global
+    top-{OOV_VOCAB_K} token vocabulary — THE tokenizer-coverage
+    metric (a language whose OOV rate is high under a shared vocab
+    is under-served by that tokenizer: its text will fragment into
+    more, worse tokens — the multilingual-fairness number every
+    tokenizer card reports beside fertility, and the empirical
+    companion to corpus_lsh_tuning_table's design-before-run
+    discipline: measure coverage BEFORE training the real vocab).
+
+    Vocabulary = top-K by global count with token tie-break (rank
+    over the DISTINCT-TOKEN aggregate, the dq_ks_drift
+    bounded-domain rule), broadcast back as a LEFT join — an OOV
+    token is a null match, counted per language in one map-combined
+    pass. Token shuffle carries the token string once (vocab
+    build); the scoring join is broadcast, so the corpus never
+    reshuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    w = Window.orderBy(F.desc("cnt"), "tok")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .select("tok", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= OOV_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "tok", "left")
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+        ).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
