@@ -3787,3 +3787,85 @@ def agg_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     return banded.groupBy("band0", "band1").agg(
         F.count("*").alias("n_customers")
     )
+
+
+AB_DELTAS_PP = ["0.01", "0.02", "0.05", "0.10"]  # detectable lifts
+AB_Z_ALPHA = "1.959964"  # two-sided alpha = 0.05
+AB_Z_POWER = "0.841621"  # power = 0.80
+
+
+@op(
+    "agg_ab_sample_size",
+    oracle=f"""
+    WITH rate AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS p
+        FROM (
+            SELECT user_id,
+                   CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) >= 15
+                        THEN 1 ELSE 0 END AS conv
+            FROM events GROUP BY user_id
+        )
+    )
+    SELECT CAST(d AS DOUBLE) AS delta_pp, n_users, p,
+           CAST(ceil(2 * (({AB_Z_ALPHA} + {AB_Z_POWER})
+                          * ({AB_Z_ALPHA} + {AB_Z_POWER}))
+                     * p * (1 - p) / (CAST(d AS DOUBLE) * d) )
+                AS BIGINT) AS n_per_arm,
+           (CAST(ceil(2 * (({AB_Z_ALPHA} + {AB_Z_POWER})
+                           * ({AB_Z_ALPHA} + {AB_Z_POWER}))
+                      * p * (1 - p) / (CAST(d AS DOUBLE) * d))
+                 AS BIGINT) * 2 <= n_users) AS feasible_now
+    FROM rate
+    CROSS JOIN (SELECT unnest(ARRAY[{", ".join(AB_DELTAS_PP)}]) AS d)
+    """,
+    category=CAT,
+)
+def agg_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B SAMPLE-SIZE table anchored to the OBSERVED baseline: for
+    each detectable lift δ, the required users per arm
+    n = 2(z_α+z_β)²p(1−p)/δ² at α=0.05 / power 0.8 — the
+    design-before-run companion of agg_ab_test_lift (the tuning-table
+    pattern of corpus_lsh_tuning_table applied to experimentation:
+    the p in the formula comes from THIS corpus's heavy-buyer rate,
+    not a guess, and feasible_now says whether the current user base
+    could even run the test).
+
+    The baseline rate is the same per-user conversion rollup as the
+    lift op (unit-of-analysis consistency — sizing and readout MUST
+    share the metric); the δ grid is a literal cross join; z values
+    are stated literals (no inverse-normal function exists portably).
+    Closed-form doubles from one observed rate, rounded before use.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    rate = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("conv").cast("double") / F.count("*"), 6).alias("p"),
+    )
+    deltas = spark.createDataFrame(
+        [(float(d),) for d in AB_DELTAS_PP], "delta_pp double"
+    )
+    z = float(AB_Z_ALPHA) + float(AB_Z_POWER)
+    n_per_arm = F.ceil(
+        2 * (z * z) * F.col("p") * (1 - F.col("p"))
+        / (F.col("delta_pp") * F.col("delta_pp"))
+    ).cast("bigint")
+    return rate.crossJoin(deltas).select(
+        "delta_pp",
+        "n_users",
+        "p",
+        n_per_arm.alias("n_per_arm"),
+        (n_per_arm * 2 <= F.col("n_users")).alias("feasible_now"),
+    )

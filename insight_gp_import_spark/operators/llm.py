@@ -974,3 +974,66 @@ def embed_binary_sign_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hamming_ref"),
     )
+
+
+NORM_DEAD_EPS = "0.5"  # near-zero norm threshold (literal: exact both sides)
+
+
+@op(
+    "embed_norm_health",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id, label,
+               round(sqrt(CAST(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                    AS DOUBLE)), 4) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           CAST(sum(CASE WHEN nrm < {NORM_DEAD_EPS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dead,
+           CAST(min(vec_id) FILTER (WHERE nrm < {NORM_DEAD_EPS})
+                AS BIGINT) AS first_dead_vec
+    FROM norms GROUP BY label
+    """,
+    category=CAT,
+)
+def embed_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding NORM health check: per label, the L2-norm range and
+    the count of near-DEAD vectors (norm < {NORM_DEAD_EPS}) with the
+    first offender's id — the encoder-sanity gate run before any
+    similarity work (a dead vector cosines to ~anything; a norm
+    range spanning orders of magnitude says the encoder was fed
+    garbage or mixed checkpoints — embed_centroid_drift finds
+    DIRECTION problems, this finds MAGNITUDE problems, and both run
+    on the same scan).
+
+    Norms are one JVM aggregate expression per row in the scan stage
+    (zip_with-free: x² sum then sqrt), ROUNDED at 4 before the
+    dead-threshold compare and min/max (§2.X flag rule — a raw
+    float32-sum boundary would flip engine-dependently); the rollup
+    is one map-combined pass; first_dead_vec uses the conditional-min
+    idiom with nulls where a label is healthy.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double),"
+                " (acc, x) -> acc + cast(x as double) * cast(x as double))"
+            )
+        ),
+        4,
+    )
+    norms = emb.select("vec_id", "label", nrm.alias("nrm"))
+    dead = F.col("nrm") < float(NORM_DEAD_EPS)
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.sum(F.when(dead, 1).otherwise(0)).alias("n_dead"),
+        F.min(F.when(dead, F.col("vec_id"))).alias("first_dead_vec"),
+    )

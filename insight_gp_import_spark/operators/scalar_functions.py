@@ -964,3 +964,45 @@ def fn_uuid5_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("hx", 21, 12),
         ).alias("surrogate_uuid"),
     )
+
+
+@op(
+    "fn_slugify",
+    oracle="""
+    SELECT p_partkey,
+           p_name,
+           trim(BOTH '-' FROM regexp_replace(regexp_replace(lower(p_name),
+                '[^a-z0-9]+', '-', 'g'), '-+', '-', 'g')) AS slug,
+           CAST(len(trim(BOTH '-' FROM regexp_replace(regexp_replace(
+                lower(p_name), '[^a-z0-9]+', '-', 'g'), '-+', '-', 'g')))
+               AS BIGINT) AS slug_len
+    FROM part
+    """,
+    category=CAT,
+)
+def fn_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLUGIFY: part names → URL/filename-safe slugs (lowercase,
+    non-alphanumeric runs collapsed to single hyphens, edges
+    trimmed) — the id-from-title transform every content pipeline,
+    catalog URL, and artifact naming scheme carries
+    (fn_uuid5_surrogate keys on an OPAQUE hash; the slug is the
+    HUMAN-readable sibling, and production systems emit both).
+
+    Pure regexp projection in the scan stage; the two-stage replace
+    (class→hyphen, then hyphen-run collapse) plus edge trim is
+    spelled identically in both engines (Spark regexp_replace is
+    global by default, DuckDB needs the explicit 'g' — the §2.G
+    dialect note, exercised here in the other direction from
+    text_pii_mask).
+    """
+    p = load_table(spark, sf_dir, "part")
+    slug = F.expr(
+        "trim(BOTH '-' FROM regexp_replace(regexp_replace(lower(p_name),"
+        " '[^a-z0-9]+', '-'), '-+', '-'))"
+    )
+    return p.select(
+        "p_partkey",
+        "p_name",
+        slug.alias("slug"),
+        F.length(slug).cast("bigint").alias("slug_len"),
+    )
