@@ -3869,3 +3869,57 @@ def agg_ab_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_per_arm.alias("n_per_arm"),
         (n_per_arm * 2 <= F.col("n_users")).alias("feasible_now"),
     )
+
+
+@op(
+    "agg_return_rate_brand",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS returned_value_c,
+           round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS return_rate
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    category=CAT,
+)
+def agg_return_rate_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN RATE by brand: returned-item share and returned value
+    per brand — the merchandising quality signal (a brand whose
+    return rate sits 2× the fleet points at a supplier or listing
+    problem; pipeline_dq_quarantine catches rows WE reject, this
+    measures what CUSTOMERS reject, and the two reports bracket the
+    quality funnel).
+
+    One broadcast dim join (part is small relative to the fact —
+    at 100 TB the brand column would be denormalized into the fact
+    at load, per the star-schema write path), one map-combined
+    rollup; exact counts and cents, one derived rate (§2.X rule 1).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.when(ret, 1).otherwise(0)).alias("n_returned"),
+            F.sum(
+                F.when(
+                    ret,
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+                ).otherwise(0)
+            ).alias("returned_value_c"),
+            F.round(
+                F.sum(F.when(ret, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("return_rate"),
+        )
+    )

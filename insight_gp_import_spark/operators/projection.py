@@ -211,3 +211,63 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= STRATUM_N)
         .drop("rk")
     )
+
+
+RESERVOIR_K = 50
+_HEX16 = "0123456789abcdef"
+
+
+@op(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               md5('wres:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, n_chars,
+               -- exact 16-bit uniform in (0,1]: (k+1)/65536
+               round(pow((({" + ".join(
+                   f"(strpos('{_HEX16}', substr(hx, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+                   for i in range(4))}) + 1) / 65536.0,
+                   1.0 / n_chars), 9) AS wkey
+        FROM keyed
+    )
+    SELECT doc_id, n_chars, wkey
+    FROM scored
+    ORDER BY wkey DESC, doc_id
+    LIMIT {RESERVOIR_K}
+    """,
+    category=CAT,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    A-Res): each doc scored u^(1/w) with u a content-hash uniform and
+    w = n_chars, top-{RESERVOIR_K} by score — inclusion probability
+    proportional to length, the standard char-budget-fair corpus
+    sample (sample_deterministic draws UNIFORMLY, so a 50-char doc
+    and a 5000-char doc are equally likely and short docs dominate
+    any token budget; A-Res is the one-pass distributed fix, and
+    md5-for-RNG makes it reproducible per §2.X rule 5).
+
+    u = (k16+1)/2¹⁶ — an EXACT dyadic rational in (0,1], never 0 so
+    the pow is total; the only cross-engine hazard is pow's last ulp,
+    killed by rounding the key at 9 BEFORE the rank with the doc_id
+    tie-break (rule 2). One scan projection + TakeOrdered — no
+    shuffle beyond the K-selection, the reservoir property that makes
+    this THE weighted sampler at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("wres:"), F.col("doc_id").cast("string")))
+    digs = [
+        (F.instr(F.lit(_HEX16), F.substring(hx, i + 1, 1)) - 1)
+        * (16 ** (3 - i))
+        for i in range(4)
+    ]
+    u = (digs[0] + digs[1] + digs[2] + digs[3] + 1) / F.lit(65536.0)
+    wkey = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
+    return (
+        d.select("doc_id", "n_chars", wkey.alias("wkey"))
+        .orderBy(F.desc("wkey"), "doc_id")
+        .limit(RESERVOIR_K)
+    )
