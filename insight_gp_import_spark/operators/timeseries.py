@@ -1212,3 +1212,173 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+BOLL_N = 20
+
+
+@op(
+    "ts_bollinger_breaks",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), stats AS (
+        SELECT d, cnt,
+               CAST(sum(cnt) OVER w AS BIGINT) AS s,
+               CAST(sum(cnt * cnt) OVER w AS BIGINT) AS q,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {BOLL_N - 1} PRECEDING
+                                         AND 1 PRECEDING)
+    )
+    SELECT d, cnt, s, q,
+           CASE WHEN n * cnt - s > 0 THEN 'upper' ELSE 'lower' END AS band
+    FROM stats
+    WHERE rn > {BOLL_N}
+      AND (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s)
+    ORDER BY d
+    """,
+    category=CAT,
+)
+def ts_bollinger_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout days: daily shipment volume outside the
+    trailing {BOLL_N}-day mean ± 2σ envelope — the volatility-scaled
+    spike detector (a fixed-threshold alert pages on every seasonal
+    hump; σ-scaled bands only page on days abnormal RELATIVE to their
+    own recent regime; dq_anomaly_zscore is the same idea for a DQ
+    metric, this is the trading-chart form on the business series).
+
+    No mean or stddev double is ever formed: x > μ + 2σ over an
+    n-row window ⟺ (n·x − s) > 0 ∧ (n·x − s)² > 4(n·q − s²) by
+    cross-multiplication (n²σ² = n·q − s², both BIGINT-safe: daily
+    counts ≤ ~10⁴ even at 100 TB keep q ≤ 20·10⁸). The envelope
+    window EXCLUDES the current row (… 1 PRECEDING) — a spike must
+    not fatten the very band that judges it, the off-by-one that
+    makes textbook Bollinger miss step changes. Whole signal is one
+    ordered window over the ≤|days| daily aggregate; the 100 TB fact
+    volume dies in the groupBy (ts_sma_crossover rule).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    env = w.rowsBetween(-(BOLL_N - 1), -1)
+    stats = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(env).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(env).alias("q"),
+        F.count("*").over(env).alias("n"),
+        F.row_number().over(w).alias("rn"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    return (
+        stats.filter(
+            (F.col("rn") > BOLL_N)
+            & (dev * dev > 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        )
+        .select(
+            "d",
+            "cnt",
+            "s",
+            "q",
+            F.when(dev > 0, F.lit("upper")).otherwise(F.lit("lower")).alias("band"),
+        )
+        .orderBy("d")
+    )
+
+
+RSI_N = 14
+
+
+@op(
+    "ts_rsi_zones",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), delta AS (
+        SELECT d, cnt, cnt - lag(cnt) OVER (ORDER BY d) AS ch,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM daily
+    ), gl AS (
+        SELECT d, cnt,
+               CAST(sum(CASE WHEN ch > 0 THEN ch ELSE 0 END) OVER w
+                    AS BIGINT) AS g,
+               CAST(sum(CASE WHEN ch < 0 THEN -ch ELSE 0 END) OVER w
+                    AS BIGINT) AS l,
+               rn
+        FROM delta
+        WINDOW w AS (ORDER BY d ROWS BETWEEN {RSI_N - 1} PRECEDING
+                                         AND CURRENT ROW)
+    )
+    SELECT d, cnt, g, l,
+           round(100.0 * g / (g + l), 9) AS rsi,
+           CASE WHEN 2 * g >= 3 * l THEN 'overbought'
+                ELSE 'oversold' END AS zone
+    FROM gl
+    WHERE rn > {RSI_N} AND g + l > 0
+      AND (2 * g >= 3 * l OR 3 * g <= 2 * l)
+    ORDER BY d
+    """,
+    category=CAT,
+)
+def ts_rsi_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI({RSI_N}) momentum zones on daily shipment volume: days where
+    Cutler's RSI = 100·G/(G+L) leaves the 40–60 neutral band — the
+    overbought/oversold oscillator (ts_sma_crossover flags trend
+    REVERSALS, Bollinger flags LEVEL outliers; RSI flags one-sided
+    momentum RUNS — 14 days of mostly-up drift never trips either of
+    the others). Cutler's simple-average form, not Wilder's EWMA:
+    the recursive smoothing compounds float error unboundedly, the
+    windowed form is pure integers.
+
+    G and L are integer sums of the window's up-moves/down-moves, so
+    zone entry is exact cross-multiplication (RSI ≥ 60 ⟺ 2G ≥ 3L,
+    RSI ≤ 40 ⟺ 3G ≤ 2L); the displayed rsi is one int/int IEEE
+    division rounded at 9 (identical in both engines). Flat windows
+    (G+L=0) are excluded before the division can 0/0. One ordered
+    window chain over the daily aggregate — same ≤|days| shape as
+    every op in this family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    delta = daily.select(
+        "d",
+        "cnt",
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("ch"),
+        F.row_number().over(w).alias("rn"),
+    )
+    fr = w.rowsBetween(-(RSI_N - 1), 0)
+    gl = delta.select(
+        "d",
+        "cnt",
+        F.sum(F.when(F.col("ch") > 0, F.col("ch")).otherwise(0)).over(fr).alias("g"),
+        F.sum(F.when(F.col("ch") < 0, -F.col("ch")).otherwise(0)).over(fr).alias("l"),
+        "rn",
+    )
+    g, l = F.col("g"), F.col("l")
+    return (
+        gl.filter(
+            (F.col("rn") > RSI_N)
+            & (g + l > 0)
+            & ((2 * g >= 3 * l) | (3 * g <= 2 * l))
+        )
+        .select(
+            "d",
+            "cnt",
+            "g",
+            "l",
+            F.round(F.lit(100.0) * g / (g + l), 9).alias("rsi"),
+            F.when(2 * g >= 3 * l, F.lit("overbought"))
+            .otherwise(F.lit("oversold"))
+            .alias("zone"),
+        )
+        .orderBy("d")
+    )
