@@ -3923,3 +3923,198 @@ def agg_return_rate_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("return_rate"),
         )
     )
+
+
+@op(
+    "agg_spearman_corr",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS seg, c.c_custkey AS ck,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+               CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS spend_c
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT seg,
+               CAST(row_number() OVER (PARTITION BY seg
+                                       ORDER BY bal_c, ck) AS BIGINT) AS rb,
+               CAST(row_number() OVER (PARTITION BY seg
+                                       ORDER BY spend_c, ck) AS BIGINT) AS rs
+        FROM spend
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((rb - rs) * (rb - rs)) AS BIGINT) AS sum_d2,
+           round(1 - 6.0 * sum((rb - rs) * (rb - rs))
+                     / (count(*) * (count(*) * count(*) - 1.0)), 9) AS rho
+    FROM ranked GROUP BY seg ORDER BY seg
+    """,
+    category=CAT,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between account balance and realized
+    spend, per market segment — the MONOTONe-association answer to
+    agg_regression's linear one (Pearson on heavy-tailed spend is
+    dragged by whales; rank correlation is outlier-immune, and
+    near-zero rho here is the 'balance is not a spend proxy' finding
+    segmentation teams need stated, not assumed).
+
+    Ranks are row_number over (value, custkey) — a deterministic
+    total order (§2.X: rank() average-tie variants reappear as .5s;
+    the key tie-break keeps every rank an integer and the permutation
+    identity exact), so rho = 1 − 6Σd²/(n(n²−1)) is one integer
+    aggregate with a single rounded division at the end. Σd² ≤ n³/3
+    keeps BIGINT safe to n ~ 2×10⁶ per segment; beyond that, band
+    the ranks (the formula only needs Σd², which sums per-band).
+    Two per-segment windows + one rollup — no global sort.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            c.c_mktsegment.alias("seg"),
+            c.c_custkey.alias("ck"),
+            F.round(c.c_acctbal * 100).cast("bigint").alias("bal_c"),
+        )
+        .agg(
+            F.sum(F.round(o.o_totalprice * 100)).cast("bigint").alias("spend_c")
+        )
+    )
+    rb = F.row_number().over(
+        Window.partitionBy("seg").orderBy("bal_c", "ck")
+    )
+    rs = F.row_number().over(
+        Window.partitionBy("seg").orderBy("spend_c", "ck")
+    )
+    ranked = spend.select(
+        "seg", rb.cast("bigint").alias("rb"), rs.cast("bigint").alias("rs")
+    )
+    d = F.col("rb") - F.col("rs")
+    n = F.count("*")
+    return (
+        ranked.groupBy("seg")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.sum(d * d).cast("bigint").alias("sum_d2"),
+            F.round(
+                1 - 6.0 * F.sum(d * d) / (n * (n * n - 1.0)), 9
+            ).alias("rho"),
+        )
+        .orderBy("seg")
+    )
+
+
+MWU_SEG_A = "BUILDING"
+MWU_SEG_B = "MACHINERY"
+
+
+@op(
+    "agg_mann_whitney_u",
+    oracle=f"""
+    WITH samp AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{MWU_SEG_A}', '{MWU_SEG_B}')
+    ), hist AS (
+        SELECT v,
+               CAST(sum(CASE WHEN seg = '{MWU_SEG_A}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS tc
+        FROM samp GROUP BY v
+    ), cum AS (
+        SELECT c1, tc,
+               CAST(sum(tc) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumtc
+        FROM hist
+    ), sums AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(tc - c1) AS BIGINT) AS n2,
+               CAST(sum(c1 * (2 * (cumtc - tc + 1) + tc - 1)) AS BIGINT) AS r1d,
+               CAST(sum(tc * tc * tc - tc) AS BIGINT) AS t3t
+        FROM cum
+    )
+    SELECT n1, n2, r1d,
+           CAST(r1d - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+           round((r1d - n1 * (n1 + 1)) / (2.0 * n1 * n2), 9) AS auc,
+           round((0.5 * (r1d - n1 * (n1 + 1)) - 0.5 * n1 * n2)
+                 / sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0
+                        - n1 * n2 * t3t
+                          / (12.0 * (n1 + n2) * (n1 + n2 - 1.0))), 9) AS z
+    FROM sums
+    """,
+    category=CAT,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test: do {MWU_SEG_A} and {MWU_SEG_B} customers
+    draw order values from the same distribution? The nonparametric
+    two-sample location test (agg_ab_test_lift's z-test compares
+    binomial RATES; dq_ks_drift compares whole SHAPES; U tests
+    stochastic dominance of a continuous metric without normality —
+    the right test for revenue-per-order, which is nothing like
+    normal). Reports the doubled-U integer, AUC = U/(n1·n2) (the
+    probability a random A order exceeds a random B order — the
+    common-language effect size), and the tie-corrected z.
+
+    Scale shape: ranks are NEVER assigned per row — the sample
+    collapses to a value HISTOGRAM (group by cents), one ordered
+    window over DISTINCT values computes min-ranks from cumulative
+    counts, and rank sums come from c1·(2·rmin+tc−1) (doubled
+    average-rank trick: ties contribute .5s, doubling keeps every
+    term BIGINT). The only sort is over the ≤|distinct cents| table,
+    range-partitionable at scale — not the 100 TB row set. All
+    moments integer; the two final divisions + sqrt are the only
+    float ops, mirrored token-for-token and rounded at 9.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    samp = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .filter(c.c_mktsegment.isin(MWU_SEG_A, MWU_SEG_B))
+        .select(
+            c.c_mktsegment.alias("seg"),
+            F.round(o.o_totalprice * 100).cast("bigint").alias("v"),
+        )
+    )
+    hist = samp.groupBy("v").agg(
+        F.sum(F.when(F.col("seg") == MWU_SEG_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.count("*").cast("bigint").alias("tc"),
+    )
+    cum = hist.select(
+        "c1",
+        "tc",
+        F.sum("tc")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cumtc"),
+    )
+    rmin = F.col("cumtc") - F.col("tc") + 1
+    sums = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("tc") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * rmin + F.col("tc") - 1))
+        .cast("bigint")
+        .alias("r1d"),
+        F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
+        .cast("bigint")
+        .alias("t3t"),
+    )
+    n1, n2, r1d, t3t = (F.col(x) for x in ("n1", "n2", "r1d", "t3t"))
+    return sums.select(
+        "n1",
+        "n2",
+        "r1d",
+        (r1d - n1 * (n1 + 1)).cast("bigint").alias("u1_doubled"),
+        F.round((r1d - n1 * (n1 + 1)) / (2.0 * n1 * n2), 9).alias("auc"),
+        F.round(
+            (0.5 * (r1d - n1 * (n1 + 1)) - 0.5 * n1 * n2)
+            / F.sqrt(
+                n1 * n2 * (n1 + n2 + 1.0) / 12.0
+                - n1 * n2 * t3t / (12.0 * (n1 + n2) * (n1 + n2 - 1.0))
+            ),
+            9,
+        ).alias("z"),
+    )
