@@ -4118,3 +4118,93 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("z"),
     )
+
+
+EB_PRIOR_M = 100
+
+
+@op(
+    "agg_eb_shrunk_rates",
+    oracle=f"""
+    WITH per_supp AS (
+        SELECT l_suppkey AS sk,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), gstats AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(x) AS BIGINT) AS tx
+        FROM per_supp
+    ), rates AS (
+        SELECT sk, n, x,
+               round(x * 1.0 / n, 9) AS raw_rate,
+               round((x + {EB_PRIOR_M} * (tx * 1.0 / tn))
+                     / (n + {EB_PRIOR_M}), 9) AS shrunk_rate
+        FROM per_supp, gstats
+    )
+    SELECT sk, n, x, raw_rate, shrunk_rate,
+           CAST(row_number() OVER (ORDER BY raw_rate DESC, sk) AS BIGINT)
+               AS rank_raw,
+           CAST(row_number() OVER (ORDER BY shrunk_rate DESC, sk) AS BIGINT)
+               AS rank_shrunk
+    FROM rates
+    ORDER BY sk
+    """,
+    category=CAT,
+)
+def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk per-supplier return rates: rate estimate
+    (x + m·p̂)/(n + m), m={EB_PRIOR_M} pseudo-observations of the
+    global rate — THE fix for small-sample league tables (raw-rate
+    ranking crowns whichever low-volume supplier got unlucky twice;
+    shrinkage pulls thin evidence toward the prior so rank is earned
+    by volume-backed deviation, the same Beta(α,β) smoothing every
+    CTR/quality-score pipeline ships). Both rankings are emitted so
+    the rank displacement — which suppliers the raw table slanders —
+    is the visible deliverable.
+
+    Integer (n, x) state per supplier, one broadcastable global-rate
+    row crossed in, two float divisions mirrored token-for-token and
+    ROUNDED AT 9 BEFORE the rank windows (§2.X flag rule: ranking an
+    unrounded double turns a last-ulp wobble into an off-by-one rank
+    everywhere downstream); supplier-key tie-break keeps both ranks
+    total. Supplier cardinality is dim-sized, so the rank windows'
+    global sorts are over ≤|suppliers| rows, never the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    glob = per_supp.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("x").cast("bigint").alias("tx"),
+    )
+    rates = per_supp.crossJoin(F.broadcast(glob)).select(
+        "sk",
+        "n",
+        "x",
+        F.round(F.col("x") * 1.0 / F.col("n"), 9).alias("raw_rate"),
+        F.round(
+            (F.col("x") + EB_PRIOR_M * (F.col("tx") * 1.0 / F.col("tn")))
+            / (F.col("n") + EB_PRIOR_M),
+            9,
+        ).alias("shrunk_rate"),
+    )
+    return rates.select(
+        "sk",
+        "n",
+        "x",
+        "raw_rate",
+        "shrunk_rate",
+        F.row_number()
+        .over(Window.orderBy(F.desc("raw_rate"), "sk"))
+        .cast("bigint")
+        .alias("rank_raw"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("shrunk_rate"), "sk"))
+        .cast("bigint")
+        .alias("rank_shrunk"),
+    ).orderBy("sk")

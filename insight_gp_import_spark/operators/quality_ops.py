@@ -1522,3 +1522,75 @@ def dq_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+SEQGAP_BUCKET = 1000
+
+
+@op(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH received AS (
+        SELECT event_id AS id FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <> '00'
+    ), seq AS (
+        SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM received
+    )
+    SELECT CAST(id + 1 AS BIGINT) AS gap_start,
+           CAST(nxt - 1 AS BIGINT) AS gap_end,
+           CAST(nxt - id - 1 AS BIGINT) AS missing_cnt
+    FROM seq
+    WHERE nxt > id + 1
+    ORDER BY gap_start
+    """,
+    category=CAT,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit: every missing id RANGE in a
+    received event feed — the upstream-loss detector for sequenced
+    sources (CDC LSNs, Kafka offsets, auto-increment keys: a gap in
+    the key space is dropped data even when row counts look
+    plausible; dq_header_detail_reconcile catches count drift, this
+    names the exact missing ranges to re-request). The degraded feed
+    is derived deterministically (ids whose md5 starts '00' are
+    'lost', ~1/256) so the audit has real findings to report.
+
+    Scale shape: the naive form is lead(id) over ONE global sort of
+    every id — the partition-less window §2.X bans. Here ids bucket
+    by id div 1000 (SEQGAP_BUCKET): within-bucket gaps come from a
+    PARTITIONED lead, and cross-bucket gaps from an ordered window
+    over the per-bucket (min, max) summary — ≤|keyspace|/1000 rows,
+    the only global sort. Provably ≡ the naive lead (each
+    consecutive-received pair is either intra-bucket or spans the
+    summary), which is exactly what the oracle runs. Whole-bucket
+    losses fall out of the summary join-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    received = ev.select(F.col("event_id").alias("id")).filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) != "00"
+    )
+    b = received.withColumn("bkt", (F.col("id") / SEQGAP_BUCKET).cast("bigint"))
+    # intra-bucket gaps: partitioned lead
+    wb = Window.partitionBy("bkt").orderBy("id")
+    intra = (
+        b.withColumn("nxt", F.lead("id").over(wb))
+        .filter(F.col("nxt") > F.col("id") + 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("id") - 1).alias("missing_cnt"),
+        )
+    )
+    # cross-bucket gaps: ordered window over the tiny per-bucket summary
+    summ = b.groupBy("bkt").agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+    ws = Window.orderBy("bkt")
+    cross = (
+        summ.withColumn("nxt_mn", F.lead("mn").over(ws))
+        .filter(F.col("nxt_mn") > F.col("mx") + 1)
+        .select(
+            (F.col("mx") + 1).alias("gap_start"),
+            (F.col("nxt_mn") - 1).alias("gap_end"),
+            (F.col("nxt_mn") - F.col("mx") - 1).alias("missing_cnt"),
+        )
+    )
+    return intra.unionAll(cross).orderBy("gap_start")
