@@ -1496,3 +1496,80 @@ def corpus_lsh_tuning_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_candidate"),
     )
+
+
+@op(
+    "corpus_source_overlap",
+    oracle="""
+    WITH st AS (
+        SELECT DISTINCT source AS s, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY s
+    ), inter AS (
+        SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS shared
+        FROM st a JOIN st b ON a.tok = b.tok AND a.s < b.s
+        GROUP BY 1, 2
+    )
+    SELECT i.s1, i.s2, va.v AS v1, vb.v AS v2, i.shared,
+           round(i.shared * 1.0 / (va.v + vb.v - i.shared), 9) AS jaccard
+    FROM inter i
+    JOIN vocab va ON va.s = i.s1
+    JOIN vocab vb ON vb.s = i.s2
+    ORDER BY s1, s2
+    """,
+    category=CAT,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus SOURCES — the
+    source-redundancy matrix a mixture designer reads before
+    corpus_mix_weights assigns budget (two crawls with 0.9 vocab
+    overlap are one source paid for twice; doc-level dedup never sees
+    it because no document pair collides — the redundancy lives in
+    the aggregate vocabulary, which is exactly what this measures).
+
+    Shape: distinct (source, token) pairs — the corpus collapses to
+    its vocabulary ONCE (raw text never reshuffles; the distinct is
+    the same map-side-combined aggregate every dedup op uses) — then
+    a token-keyed self-join fans out to at most |sources|² rows per
+    token before the pair rollup. Stop-token skew is bounded: a
+    token in all S sources contributes S²/2 join rows, S=20 here and
+    dim-sized in practice; at web scale you'd pre-hash tokens and
+    drop df=1 tokens (they can't intersect) — both noted, neither
+    changes the relation. Jaccard = one rounded division over three
+    BIGINTs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        F.col("source").alias("s"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).distinct()
+    vocab = st.groupBy("s").agg(F.count("*").cast("bigint").alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    va = vocab.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    vb = vocab.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
+    return (
+        inter.join(F.broadcast(va), "s1")
+        .join(F.broadcast(vb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "v1",
+            "v2",
+            "shared",
+            F.round(
+                F.col("shared") * 1.0
+                / (F.col("v1") + F.col("v2") - F.col("shared")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )

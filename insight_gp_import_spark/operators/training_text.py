@@ -1690,3 +1690,77 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+@op(
+    "text_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM tf GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_types, n_hapax,
+           round(n_types * 1.0 / n_tokens, 9) AS ttr,
+           round(n_hapax * 1.0 / n_tokens, 9) AS hapax_ratio,
+           CASE WHEN 10 * n_types >= 9 * n_tokens THEN 'diverse'
+                WHEN 10 * n_types >= 7 * n_tokens THEN 'normal'
+                ELSE 'repetitive' END AS band
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    category=CAT,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio + hapax ratio
+    + a quality band — the vocabulary-richness filter beside
+    text_repetition (that op catches VERBATIM n-gram loops; a
+    template that cycles synonyms sails through it but its TTR
+    collapses, and hapax ratio separates 'rich vocabulary' from
+    'short doc where everything is rare' — the two together are the
+    standard low-diversity cut in corpus curation).
+
+    State is the per-doc term-frequency aggregate — all integers
+    (total, types, hapax counts), partitioned by doc_id so every
+    group is one document; no cross-row float sums exist (an avg-TTR
+    rollup would order-dependently sum doubles — per-doc rows keep
+    the op exact and let downstream cut at any threshold). Band
+    edges are exact cross-multiplications (TTR ≥ .9 ⟺ 10·types ≥
+    9·tokens); the two displayed ratios are int/int IEEE divisions
+    rounded at 9.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    nt, ty, hp = F.col("n_tokens"), F.col("n_types"), F.col("n_hapax")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(ty * 1.0 / nt, 9).alias("ttr"),
+        F.round(hp * 1.0 / nt, 9).alias("hapax_ratio"),
+        F.when(10 * ty >= 9 * nt, F.lit("diverse"))
+        .when(10 * ty >= 7 * nt, F.lit("normal"))
+        .otherwise(F.lit("repetitive"))
+        .alias("band"),
+    ).orderBy("doc_id")
