@@ -353,3 +353,121 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+CN_TOP_K = 50
+CN_MIN_SUPPORT = 2
+
+
+@op(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM pairs WHERE w >= {CN_MIN_SUPPORT}),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    cand AS (
+        SELECT e1.src AS a, e2.dst AS c, CAST(count(*) AS BIGINT) AS common_cnt
+        FROM edges e1 JOIN edges e2
+          ON e1.dst = e2.src AND e1.src < e2.dst
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT cand.* FROM cand
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.src = cand.a AND e.dst = cand.c)
+    )
+    SELECT n.a, n.c, n.common_cnt, da.deg AS deg_a, dc.deg AS deg_c,
+           round(n.common_cnt * 1.0
+                 / (da.deg + dc.deg - n.common_cnt), 9) AS jaccard
+    FROM nonadj n
+    JOIN deg da ON da.node = n.a
+    JOIN deg dc ON dc.node = n.c
+    ORDER BY n.common_cnt DESC, n.a, n.c
+    LIMIT {CN_TOP_K}
+    """,
+    category=CAT,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the SUPPORT-PRUNED
+    copurchase graph: top non-adjacent part pairs ranked by shared
+    neighbors (+ neighborhood Jaccard) — 'bought with the same
+    things, never together yet' IS the recommendation/substitute
+    candidate query (join_copurchase_pairs counts observed pairs;
+    this ranks pairs the data implies but hasn't observed).
+
+    Edges require co-purchase in ≥ {CN_MIN_SUPPORT} distinct orders
+    — the standard market-basket min-support cut, and here it is
+    LOAD-BEARING at scale: the unpruned graph's wedge count is
+    Σ deg(b)², which grows with catalog size × order volume and
+    OOMs a single stage long before 100 TB (measured: the w≥1 graph
+    at sf0.1 is 2.4 M directed edges and the wedge join dies; w≥2
+    is ~7 k edges with real candidates at BOTH SFs). Support-pruning
+    first makes every downstream stage proportional to the SIGNAL
+    graph, not the noise graph. Then the triangle-op wedge join
+    (a < c kills mirrors), an anti-join keeps unlinked pairs, and
+    integer scores make the top-K order exact; Jaccard is one
+    rounded display division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= CN_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    cand = (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.src"))
+            & (F.col("e1.src") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.src").alias("a"), F.col("e2.dst").alias("c"))
+        .agg(F.count("*").cast("bigint").alias("common_cnt"))
+    )
+    nonadj = cand.join(
+        edges,
+        (cand.a == edges.src) & (cand.c == edges.dst),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    dc = deg.select(F.col("node").alias("c"), F.col("deg").alias("deg_c"))
+    return (
+        nonadj.join(da, "a")
+        .join(dc, "c")
+        .select(
+            "a",
+            "c",
+            "common_cnt",
+            "deg_a",
+            "deg_c",
+            F.round(
+                F.col("common_cnt")
+                * 1.0
+                / (F.col("deg_a") + F.col("deg_c") - F.col("common_cnt")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common_cnt"), "a", "c")
+        .limit(CN_TOP_K)
+    )

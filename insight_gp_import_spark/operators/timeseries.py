@@ -1382,3 +1382,83 @@ def ts_rsi_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@op(
+    "ts_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS et, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), slopes AS (
+        SELECT a.et,
+               round((b.cnt - a.cnt) * 1.0
+                     / date_diff('day', a.d, b.d), 9) AS slope,
+               a.d AS d1, b.d AS d2
+        FROM daily a JOIN daily b ON a.et = b.et AND a.d < b.d
+    ), ranked AS (
+        SELECT et, slope,
+               CAST(row_number() OVER (PARTITION BY et
+                   ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS n_pairs
+        FROM slopes
+    )
+    SELECT et, n_pairs, slope AS sen_slope
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2
+    ORDER BY et
+    """,
+    category=CAT,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise daily-volume slopes — the outlier-immune answer to
+    agg_regression's OLS slope (one launch-day spike drags a
+    least-squares fit arbitrarily; the slope median tolerates ~29 %
+    contamination, which is why monitoring burn-rate trends use it).
+
+    Pairwise O(days²) happens on the DAILY AGGREGATE (the fact
+    volume dies in the groupBy; days are dim-sized, 435 pairs per
+    type here, ~bounded by the retention window at 100 TB — and the
+    self-join partitions by event_type so pairs never cross types).
+    Each slope is ONE int/int IEEE division — bit-identical in both
+    engines — rounded at 9 BEFORE the median rank (§2.X flag rule);
+    the LOWER median ((n+1) div 2, stated) avoids averaging two
+    doubles; (slope, d1, d2) makes the order total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b, (F.col("a.et") == F.col("b.et")) & (F.col("a.d") < F.col("b.d"))
+    ).select(
+        F.col("a.et").alias("et"),
+        F.round(
+            (F.col("b.cnt") - F.col("a.cnt"))
+            * 1.0
+            / F.datediff(F.col("b.d"), F.col("a.d")),
+            9,
+        ).alias("slope"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+    )
+    w = Window.partitionBy("et")
+    ranked = slopes.select(
+        "et",
+        "slope",
+        F.row_number()
+        .over(w.orderBy("slope", "d1", "d2"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count("*").over(w).cast("bigint").alias("n_pairs"),
+    )
+    return (
+        ranked.filter(
+            F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2).cast("bigint")
+        )
+        .select("et", "n_pairs", F.col("slope").alias("sen_slope"))
+        .orderBy("et")
+    )
