@@ -4208,3 +4208,90 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_shrunk"),
     ).orderBy("sk")
+
+
+LFL_Y1, LFL_Y2 = 1999, 2000
+
+
+@op(
+    "agg_like_for_like_growth",
+    oracle=f"""
+    WITH yr AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS y,
+               CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE EXTRACT(year FROM o.o_orderdate) IN ({LFL_Y1}, {LFL_Y2})
+        GROUP BY 1, 2, 3
+    ), both_years AS (
+        SELECT seg, ck,
+               CAST(sum(CASE WHEN y = {LFL_Y1} THEN rev_c ELSE 0 END)
+                    AS BIGINT) AS r1,
+               CAST(sum(CASE WHEN y = {LFL_Y2} THEN rev_c ELSE 0 END)
+                    AS BIGINT) AS r2
+        FROM yr GROUP BY 1, 2
+        HAVING count(DISTINCT y) = 2
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(r1) AS BIGINT) AS rev_{LFL_Y1}_c,
+           CAST(sum(r2) AS BIGINT) AS rev_{LFL_Y2}_c,
+           round((sum(r2) - sum(r1)) * 1.0 / sum(r1), 9) AS lfl_growth
+    FROM both_years GROUP BY seg ORDER BY seg
+    """,
+    category=CAT,
+)
+def agg_like_for_like_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like-for-like (same-customer) YoY growth per segment: revenue
+    change {LFL_Y1}→{LFL_Y2} counting ONLY customers active in BOTH
+    years — the comparable-basis growth retailers call same-store
+    sales (raw YoY conflates three stories: acquisition, churn, and
+    behavior change of the retained base; agg_new_returning_users
+    splits the first two, this isolates the third, and a healthy
+    headline number with negative LFL is the classic leaky-bucket
+    finding).
+
+    The both-years cut is HAVING count(DISTINCT y)=2 on the per
+    (customer, year) cents rollup — one aggregate, no self-join (the
+    naive INTERSECT of two yearly customer lists scans twice and
+    shuffles twice); year predicate pushes to the scan. Exact cents
+    BIGINTs end to end; growth is the single rounded division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yr = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .filter(F.year("o_orderdate").isin(LFL_Y1, LFL_Y2))
+        .groupBy(
+            c.c_mktsegment.alias("seg"),
+            o.o_custkey.alias("ck"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("rev_c")
+        )
+    )
+    both = (
+        yr.groupBy("seg", "ck")
+        .agg(
+            F.sum(F.when(F.col("y") == LFL_Y1, F.col("rev_c")).otherwise(0))
+            .cast("bigint")
+            .alias("r1"),
+            F.sum(F.when(F.col("y") == LFL_Y2, F.col("rev_c")).otherwise(0))
+            .cast("bigint")
+            .alias("r2"),
+            F.countDistinct("y").alias("ny"),
+        )
+        .filter(F.col("ny") == 2)
+    )
+    return (
+        both.groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("r1").cast("bigint").alias(f"rev_{LFL_Y1}_c"),
+            F.sum("r2").cast("bigint").alias(f"rev_{LFL_Y2}_c"),
+            F.round(
+                (F.sum("r2") - F.sum("r1")) * 1.0 / F.sum("r1"), 9
+            ).alias("lfl_growth"),
+        )
+        .orderBy("seg")
+    )

@@ -1006,3 +1006,48 @@ def fn_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
         slug.alias("slug"),
         F.length(slug).cast("bigint").alias("slug_len"),
     )
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte demo key; a real deployment injects it
+
+
+@op(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           text AS decrypted,
+           CAST((strlen(text) // 16 + 1) * 16 AS BIGINT) AS ct_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    category=CAT,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: AES-ECB/PKCS encrypt →
+    decrypt roundtrip over document text plus the predicted
+    ciphertext length — the at-rest PII protection primitive
+    (text_pii_mask REDACTS irreversibly; encryption is the
+    reversible sibling for columns that must round-trip through an
+    untrusted store and come back bit-exact).
+
+    The oracle is the IDENTITY relation: decrypt(encrypt(x)) must
+    equal the source column byte-for-byte (UTF-8 multilingual text
+    included), and ct_len must equal the PKCS#7 prediction
+    (⌊bytes/16⌋+1)·16 — so DuckDB needs no AES at all, the roundtrip
+    LAW is what's checked. ECB is chosen BECAUSE it is deterministic
+    (GCM's random IV breaks both re-runs and the hash gate — the
+    §2.X no-rand rule applied to crypto; real pipelines wanting
+    semantic security pay nondeterminism knowingly). Pure projection
+    in the scan stage, zero shuffles, JVM-native codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    enc = F.expr(f"aes_encrypt(text, '{AES_KEY}', 'ECB', 'PKCS')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(text, '{AES_KEY}', 'ECB', 'PKCS'),"
+        f" '{AES_KEY}', 'ECB', 'PKCS') AS STRING)"
+    )
+    return docs.select(
+        "doc_id",
+        dec.alias("decrypted"),
+        F.octet_length(enc).cast("bigint").alias("ct_len"),
+    ).orderBy("doc_id")
