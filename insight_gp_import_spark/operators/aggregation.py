@@ -4295,3 +4295,160 @@ def agg_like_for_like_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@op(
+    "agg_mrr_bridge",
+    oracle="""
+    WITH per_cm AS (
+        SELECT o_custkey AS ck,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1, 2
+    ), seq AS (
+        SELECT ck, m, rev,
+               lag(m) OVER w AS pm, lag(rev) OVER w AS prev,
+               lead(m) OVER w AS nm
+        FROM per_cm WINDOW w AS (PARTITION BY ck ORDER BY m)
+    ), moves AS (
+        SELECT m,
+           CAST(sum(CASE WHEN pm IS NULL THEN rev ELSE 0 END) AS BIGINT)
+               AS new_c,
+           CAST(sum(CASE WHEN pm IS NOT NULL
+                          AND date_diff('month', pm, m) > 1
+                         THEN rev ELSE 0 END) AS BIGINT) AS resurrected_c,
+           CAST(sum(CASE WHEN pm IS NOT NULL
+                          AND date_diff('month', pm, m) = 1 AND rev > prev
+                         THEN rev - prev ELSE 0 END) AS BIGINT) AS expansion_c,
+           CAST(sum(CASE WHEN pm IS NOT NULL
+                          AND date_diff('month', pm, m) = 1 AND rev < prev
+                         THEN rev - prev ELSE 0 END) AS BIGINT)
+               AS contraction_c
+        FROM seq GROUP BY m
+    ), churn AS (
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+               CAST(sum(rev) AS BIGINT) AS churn_c
+        FROM seq WHERE nm IS NULL OR date_diff('month', m, nm) > 1
+        GROUP BY 1
+    ), ending AS (
+        SELECT m, CAST(sum(rev) AS BIGINT) AS ending_c FROM per_cm GROUP BY m
+    )
+    SELECT e.m,
+           coalesce(lag(e.ending_c) OVER (ORDER BY e.m), 0) AS starting_c,
+           coalesce(mv.new_c, 0) AS new_c,
+           coalesce(mv.resurrected_c, 0) AS resurrected_c,
+           coalesce(mv.expansion_c, 0) AS expansion_c,
+           coalesce(mv.contraction_c, 0) AS contraction_c,
+           coalesce(ch.churn_c, 0) AS churn_c,
+           e.ending_c,
+           (coalesce(lag(e.ending_c) OVER (ORDER BY e.m), 0)
+            + coalesce(mv.new_c, 0) + coalesce(mv.resurrected_c, 0)
+            + coalesce(mv.expansion_c, 0) + coalesce(mv.contraction_c, 0)
+            - coalesce(ch.churn_c, 0)) = e.ending_c AS bridge_ok
+    FROM ending e
+    LEFT JOIN moves mv ON mv.m = e.m
+    LEFT JOIN churn ch ON ch.m = e.m
+    ORDER BY e.m
+    """,
+    category=CAT,
+)
+def agg_mrr_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly recurring-revenue bridge: every month's ending revenue
+    decomposed into starting + new + resurrected + expansion +
+    contraction − churn — the SaaS revenue waterfall
+    (agg_customer_migration_matrix shows WHO moved between value
+    bands; agg_contribution_waterfall bridges two snapshots by
+    segment; this is the customer-level ADDITIVE decomposition whose
+    components must reconcile to the period totals — `bridge_ok`
+    carries that reconciliation per row, the column a finance
+    reviewer checks first).
+
+    No dense customer×month spine is materialized (the naive join
+    explodes to |customers|·|months| rows at 100 TB): transition
+    class comes from lag/lead over each customer's OBSERVED months —
+    a gap > 1 month means churn at m+1 (a generated row, not a
+    scanned one) and resurrection on return. Exact cents BIGINTs end
+    to end; the only windows are per-customer (partitioned) plus one
+    ordered pass over the ≤|months| bridge table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cm = o.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.trunc("o_orderdate", "month").alias("m"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("rev"))
+    w = Window.partitionBy("ck").orderBy("m")
+    seq = per_cm.select(
+        "ck",
+        "m",
+        "rev",
+        F.lag("m").over(w).alias("pm"),
+        F.lag("rev").over(w).alias("prev"),
+        F.lead("m").over(w).alias("nm"),
+    )
+    mdiff = F.months_between(F.col("m"), F.col("pm")).cast("int")
+    moves = seq.groupBy("m").agg(
+        F.sum(F.when(F.col("pm").isNull(), F.col("rev")).otherwise(0))
+        .cast("bigint")
+        .alias("new_c"),
+        F.sum(
+            F.when(F.col("pm").isNotNull() & (mdiff > 1), F.col("rev")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("resurrected_c"),
+        F.sum(
+            F.when(
+                F.col("pm").isNotNull()
+                & (mdiff == 1)
+                & (F.col("rev") > F.col("prev")),
+                F.col("rev") - F.col("prev"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("expansion_c"),
+        F.sum(
+            F.when(
+                F.col("pm").isNotNull()
+                & (mdiff == 1)
+                & (F.col("rev") < F.col("prev")),
+                F.col("rev") - F.col("prev"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("contraction_c"),
+    )
+    ndiff = F.months_between(F.col("nm"), F.col("m")).cast("int")
+    churn = (
+        seq.filter(F.col("nm").isNull() | (ndiff > 1))
+        .groupBy(F.add_months(F.col("m"), 1).alias("m"))
+        .agg(F.sum("rev").cast("bigint").alias("churn_c"))
+    )
+    ending = per_cm.groupBy("m").agg(
+        F.sum("rev").cast("bigint").alias("ending_c")
+    )
+    wm = Window.orderBy("m")
+    bridge = (
+        ending.join(moves, "m", "left")
+        .join(churn, "m", "left")
+        .select(
+            "m",
+            F.coalesce(F.lag("ending_c").over(wm), F.lit(0)).alias("starting_c"),
+            F.coalesce("new_c", F.lit(0)).alias("new_c"),
+            F.coalesce("resurrected_c", F.lit(0)).alias("resurrected_c"),
+            F.coalesce("expansion_c", F.lit(0)).alias("expansion_c"),
+            F.coalesce("contraction_c", F.lit(0)).alias("contraction_c"),
+            F.coalesce("churn_c", F.lit(0)).alias("churn_c"),
+            "ending_c",
+        )
+    )
+    return bridge.select(
+        "*",
+        (
+            F.col("starting_c")
+            + F.col("new_c")
+            + F.col("resurrected_c")
+            + F.col("expansion_c")
+            + F.col("contraction_c")
+            - F.col("churn_c")
+            == F.col("ending_c")
+        ).alias("bridge_ok"),
+    ).orderBy("m")

@@ -471,3 +471,102 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_cnt"), "a", "c")
         .limit(CN_TOP_K)
     )
+
+
+@op(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    xy AS (
+        SELECT ds.deg AS x, dd.deg AS y
+        FROM edges e
+        JOIN deg ds ON ds.node = e.src
+        JOIN deg dd ON dd.node = e.dst
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT n, sx, sxy, sxx,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx * 1.0)
+                    * sqrt(n * syy - sy * sy * 1.0)), 9) AS assortativity
+    FROM mom
+    """,
+    category=CAT,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the copurchase graph: Pearson r over
+    (deg(src), deg(dst)) across every directed edge — the one-number
+    answer to 'do hubs link to hubs?' (Newman 2002). Negative
+    (disassortative) means niche parts attach to bestsellers —
+    hub-and-spoke carts; positive means popular parts co-sell with
+    each other — bundle carts. Completes the graph module's
+    structure axis beside ranking (pagerank), closure (triangles),
+    reach (BFS) and prediction (common neighbors), and it reads the
+    degree histogram's (graph_degree_stats) hidden second moment.
+
+    Moments are pure BIGINT sums over the edge relation (degrees
+    join in via two broadcastable dim-sized maps; no wedge blowup —
+    this is linear in |edges|, safe where the unpruned common-
+    neighbors join is not). The only float math is the final
+    two-sqrt expression, mirrored token-for-token and rounded at 9;
+    the symmetric edge set makes x/y moments equal by construction,
+    which the published sx/sxx columns let a reviewer confirm.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
+    xy = edges.join(F.broadcast(ds), "src").join(F.broadcast(dd), "dst")
+    mom = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(k) for k in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    return mom.select(
+        "n",
+        "sx",
+        "sxy",
+        "sxx",
+        F.round(
+            (n * sxy - sx * sy)
+            / (
+                F.sqrt(n * sxx - sx * sx * 1.0)
+                * F.sqrt(n * syy - sy * sy * 1.0)
+            ),
+            9,
+        ).alias("assortativity"),
+    )
