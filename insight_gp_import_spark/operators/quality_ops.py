@@ -1594,3 +1594,127 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return intra.unionAll(cross).orderBy("gap_start")
+
+
+# The schema contract: canonical (table, column, type) triples the feed
+# SHOULD have. Deliberately one migration behind the live feed --
+# events.session_id was dropped upstream (-> 'missing') and events.props
+# added without a contract update (-> 'unexpected') -- so every status
+# the audit can emit is exercised on real metadata.
+SCHEMA_CONTRACT: list[tuple[str, str, str]] = [
+    ("events", "event_id", "int64"),
+    ("events", "ts", "timestamp"),
+    ("events", "user_id", "int64"),
+    ("events", "event_type", "utf8"),
+    ("events", "value", "float64"),
+    ("events", "session_id", "int64"),
+    ("embeddings", "vec_id", "int64"),
+    ("embeddings", "embedding", "list<float32>"),
+    ("embeddings", "label", "int32"),
+]
+
+_CONTRACT_SQL_ROWS = ", ".join(
+    f"('{t}', '{c}', '{ty}')" for t, c, ty in SCHEMA_CONTRACT
+)
+
+
+@op(
+    "dq_schema_contract",
+    oracle=f"""
+    WITH actual_raw AS (
+        SELECT 'events' AS tbl, column_name AS col, column_type AS ty
+        FROM (DESCRIBE events)
+        UNION ALL
+        SELECT 'embeddings', column_name, column_type
+        FROM (DESCRIBE embeddings)
+    ), actual AS (
+        SELECT tbl, col,
+               CASE ty WHEN 'BIGINT' THEN 'int64'
+                       WHEN 'INTEGER' THEN 'int32'
+                       WHEN 'DOUBLE' THEN 'float64'
+                       WHEN 'VARCHAR' THEN 'utf8'
+                       WHEN 'TIMESTAMP' THEN 'timestamp'
+                       WHEN 'FLOAT[]' THEN 'list<float32>'
+                       ELSE lower(ty) END AS actual_type
+        FROM actual_raw
+    ), expected AS (
+        SELECT * FROM (VALUES {_CONTRACT_SQL_ROWS}) v(tbl, col, expected_type)
+    )
+    SELECT coalesce(e.tbl, a.tbl) AS tbl,
+           coalesce(e.col, a.col) AS col,
+           e.expected_type, a.actual_type,
+           CASE WHEN e.col IS NULL THEN 'unexpected'
+                WHEN a.col IS NULL THEN 'missing'
+                WHEN e.expected_type = a.actual_type THEN 'ok'
+                ELSE 'type_drift' END AS status
+    FROM expected e
+    FULL OUTER JOIN actual a ON a.tbl = e.tbl AND a.col = e.col
+    ORDER BY tbl, col
+    """,
+    category=CAT,
+)
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract audit: the feed's LIVE schema (engine
+    DESCRIBE, not a hardcoded copy) full-outer-joined against the
+    declared contract, every column judged ok / type_drift /
+    missing / unexpected — the pre-load gate that catches upstream
+    migrations before they corrupt a 100 TB backfill
+    (dq_rule_checks audits VALUES against rules; this audits the
+    METADATA, which breaks first: a silently-widened int or a
+    renamed column fails every downstream assumption at once). The
+    shipped contract deliberately lags the feed by one migration so
+    all four statuses are exercised.
+
+    Both engines introspect their OWN catalog (Spark DESCRIBE of
+    the scan relation vs DuckDB DESCRIBE of the parquet view) and
+    fold physical type names onto one canonical vocabulary
+    (int64/utf8/timestamp/... — absorbing dialect spellings AND
+    Spark's timestamp vs timestamp_ntz parquet split); agreement is
+    therefore evidence the canonicalization itself is faithful, not
+    just the join. O(columns) metadata rows end to end — no data is
+    scanned at any scale.
+    """
+    rows = []
+    for t in ("events", "embeddings"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"igis_sc_{t}")
+        rows.append(
+            spark.sql(f"DESCRIBE igis_sc_{t}").selectExpr(
+                f"'{t}' AS tbl", "col_name AS col", "data_type AS ty"
+            )
+        )
+    actual_raw = rows[0].unionAll(rows[1])
+    actual = actual_raw.select(
+        "tbl",
+        "col",
+        F.when(F.col("ty") == "bigint", "int64")
+        .when(F.col("ty") == "int", "int32")
+        .when(F.col("ty") == "double", "float64")
+        .when(F.col("ty") == "string", "utf8")
+        .when(F.col("ty").isin("timestamp", "timestamp_ntz"), "timestamp")
+        .when(F.col("ty") == "array<float>", "list<float32>")
+        .otherwise(F.lower(F.col("ty")))
+        .alias("actual_type"),
+    )
+    expected = spark.createDataFrame(
+        SCHEMA_CONTRACT, "tbl string, col string, expected_type string"
+    )
+    e, a = expected.alias("e"), actual.alias("a")
+    return (
+        e.join(
+            a,
+            (F.col("a.tbl") == F.col("e.tbl")) & (F.col("a.col") == F.col("e.col")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("e.tbl"), F.col("a.tbl")).alias("tbl"),
+            F.coalesce(F.col("e.col"), F.col("a.col")).alias("col"),
+            "expected_type",
+            "actual_type",
+            F.when(F.col("e.col").isNull(), "unexpected")
+            .when(F.col("a.col").isNull(), "missing")
+            .when(F.col("expected_type") == F.col("actual_type"), "ok")
+            .otherwise("type_drift")
+            .alias("status"),
+        )
+        .orderBy("tbl", "col")
+    )

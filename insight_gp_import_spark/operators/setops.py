@@ -682,3 +682,49 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_custkey
         """
     )
+
+
+LV_TOP_K = 30
+
+
+@op(
+    "sql_lateral_view",
+    oracle=f"""
+    WITH e AS (
+        SELECT unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS pos_sum
+    FROM e GROUP BY tok
+    ORDER BY n DESC, tok LIMIT {LV_TOP_K}
+    """,
+    category=CAT,
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`LATERAL VIEW posexplode` SQL-dialect surface: top tokens with
+    their total corpus positions — the HiveQL generator syntax every
+    migrated warehouse query still uses (udtf_explode covers the
+    DataFrame explode; fn_explode_outer the null-preserving variant;
+    this is the SQL-text form a lift-and-shift from Hive/Presto
+    arrives in, and posexplode's ordinal output is the part plain
+    explode can't express in one clause).
+
+    The generator runs in the scan stage (Catalyst lowers LATERAL
+    VIEW onto the same Generate node as the DataFrame form — the
+    dialect is surface, the plan identical); position sums are exact
+    integers (0-based, matching DuckDB's generate_subscripts − 1),
+    so the top-K order is exact with the token tie-break.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "igis_lv_documents"
+    )
+    return spark.sql(f"""
+        SELECT tok, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS pos_sum
+        FROM igis_lv_documents
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        GROUP BY tok
+        ORDER BY n DESC, tok LIMIT {LV_TOP_K}
+    """)
