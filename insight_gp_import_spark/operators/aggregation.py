@@ -4452,3 +4452,69 @@ def agg_mrr_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("ending_c")
         ).alias("bridge_ok"),
     ).orderBy("m")
+
+
+@op(
+    "agg_price_endings",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(round(p_retailprice * 100) AS BIGINT) % 100 AS ending
+        FROM part
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cents)
+    SELECT ending,
+           CASE WHEN ending = 99 THEN 'charm_99'
+                WHEN ending = 0 THEN 'round_00'
+                WHEN ending = 95 THEN 'charm_95'
+                WHEN ending % 10 = 9 THEN 'other_9'
+                ELSE 'plain' END AS price_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST((1000000 * count(*)) // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM cents
+    GROUP BY ending
+    ORDER BY ending
+    """,
+    category=CAT,
+)
+def agg_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Psychological price-point audit: the cents-ending distribution
+    of the catalog (99-ending 'charm' prices, round .00, .95, other
+    9s) — the merchandising-hygiene report (dq_benford_check audits
+    the LEADING digit for fabrication; this audits the TRAILING
+    digits for pricing-policy drift — a catalog drifting from .99 to
+    uniform endings means imports are bypassing the pricing rules).
+
+    Endings are exact integer residues of the cents cast — mod on
+    money avoids every float-representation trap (15.99·100 is
+    1598.9999… as a raw double; round-then-mod is the stated
+    contract, same cents discipline as agg_decimal_money); shares
+    are integer ppm via div against the one-row total, so no float
+    exists anywhere. One map-side-combined ≤100-group rollup.
+    """
+    p = load_table(spark, sf_dir, "part")
+    cents = p.select(
+        (F.round(F.col("p_retailprice") * 100).cast("bigint") % 100).alias(
+            "ending"
+        )
+    )
+    tot = cents.agg(F.count("*").cast("bigint").alias("n"))
+    e = F.col("ending")
+    return (
+        cents.groupBy("ending")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ending",
+            F.when(e == 99, "charm_99")
+            .when(e == 0, "round_00")
+            .when(e == 95, "charm_95")
+            .when(e % 10 == 9, "other_9")
+            .otherwise("plain")
+            .alias("price_class"),
+            "n_parts",
+            F.floor((1000000 * F.col("n_parts")) / F.col("n"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("ending")
+    )

@@ -1537,3 +1537,100 @@ def win_z_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_c").over(w_mat).alias("mat_c"),
         F.count("*").over(w_mat).alias("mat_months"),
     )
+
+
+TDA_LOOKBACK_DAYS = 7
+TDA_W0 = 64  # weight numerator at age 0 days; halves each day: 64 >> d
+
+
+@op(
+    "win_time_decay_attribution",
+    oracle=f"""
+    WITH conv AS (
+        SELECT event_id AS cid, user_id, ts AS cts
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_type AS channel, ts AS tts
+        FROM events WHERE event_type <> 'purchase'
+    ), pairs AS (
+        SELECT c.cid, t.channel,
+               CAST({TDA_W0} // power(2, (epoch_us(c.cts) - epoch_us(t.tts))
+                                         // 86400000000) AS BIGINT) AS w
+        FROM conv c JOIN touch t
+          ON t.user_id = c.user_id
+         AND t.tts < c.cts
+         AND t.tts >= c.cts - INTERVAL {TDA_LOOKBACK_DAYS} DAY
+    ), shared AS (
+        SELECT channel,
+               CAST((1000000 * w) // sum(w) OVER (PARTITION BY cid)
+                    AS BIGINT) AS credit_ppm
+        FROM pairs
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM shared GROUP BY channel ORDER BY channel
+    """,
+    category=CAT,
+)
+def win_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every purchase's credit
+    split across the user's prior-{TDA_LOOKBACK_DAYS}-day touches
+    with daily-halving weights — the fractional middle ground
+    win_last_touch_attribution refuses (last-touch gives the closer
+    100 %; time-decay pays the assist channels that filled the
+    funnel, which is why media teams reconcile both before moving
+    budget).
+
+    Decay is DYADIC-INTEGER by construction: age in whole days d ∈
+    [0,{TDA_LOOKBACK_DAYS}) gives weight {TDA_W0} >> d, so per-
+    conversion weight sums are exact BIGINTs and each touch's share
+    is (10⁶·w) div Σw in integer ppm — float pow/sums never exist,
+    which is what makes a CHANNEL ROLLUP of shares hash-exact (a
+    continuous e^-λt weight would demand order-dependent float sums
+    across 100 TB of touches; ppm integers commute). The touch join
+    partitions by user_id; Σw is a per-conversion window over that
+    same shuffle; truncation loss (≤ channels·1 ppm per conversion)
+    is the stated precision contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("channel"), F.col("ts").alias("tts")
+    )
+    age_days = (
+        F.unix_micros(F.col("cts")) - F.unix_micros(F.col("tts"))
+    ) / F.lit(86400000000)
+    pairs = conv.join(
+        touch,
+        (touch.user_id == conv.cuid)
+        & (F.col("tts") < F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {TDA_LOOKBACK_DAYS} DAY")
+        ),
+    ).select(
+        "cid",
+        "channel",
+        F.floor(TDA_W0 / F.pow(2, F.floor(age_days))).cast("bigint").alias("w"),
+    )
+    shared = pairs.select(
+        "channel",
+        F.floor(
+            (1000000 * F.col("w"))
+            / F.sum("w").over(Window.partitionBy("cid"))
+        )
+        .cast("bigint")
+        .alias("credit_ppm"),
+    )
+    return (
+        shared.groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm_total"),
+        )
+        .orderBy("channel")
+    )
