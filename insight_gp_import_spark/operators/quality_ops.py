@@ -1718,3 +1718,146 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "col")
     )
+
+
+@op(
+    "pipeline_experiment_readout",
+    oracle="""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+                                1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ), pc AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), metric AS (
+        SELECT a.user_id, a.arm,
+               CASE WHEN coalesce(pc.n_purch, 0) >= 14 THEN 1 ELSE 0 END
+                   AS converted
+        FROM assigned a LEFT JOIN pc ON pc.user_id = a.user_id
+    ), arms AS (
+        SELECT
+          CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_a,
+          CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_b
+        FROM metric
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a * 1.0 / n_a, 9) AS rate_a,
+           round(conv_b * 1.0 / n_b, 9) AS rate_b,
+           CAST((1000000 * (conv_a * n_b - conv_b * n_a))
+                // (conv_b * n_a) AS BIGINT) AS lift_ppm,
+           round((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b), 9)
+               AS srm_chi2,
+           (n_a - n_b) * (n_a - n_b) * 1000 <= 3841 * (n_a + n_b) AS srm_ok,
+           round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 9) AS z,
+           CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
+                THEN 'invalid_srm'
+                WHEN abs(round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                     / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 9)) >= 1.96
+                THEN 'significant' ELSE 'inconclusive' END AS verdict
+    FROM arms
+    """,
+    category=CAT,
+)
+def pipeline_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone 9 — the A/B experiment readout, gate-first: hash-based
+    50/50 assignment → per-arm conversion → SAMPLE-RATIO-MISMATCH
+    chi-square BEFORE any lift is believed → two-proportion z →
+    one verdict string. The SRM gate is the part real experiment
+    platforms learned the hard way: a biased splitter (bot filtering,
+    logging loss) makes any lift meaningless, so the readout refuses
+    itself ('invalid_srm') before reporting significance —
+    agg_ab_test_lift and agg_ab_sample_size are the bookends, this
+    is the full governance loop in one relation.
+
+    Assignment is md5-bucketed ('exp1:' salt, first hex nibble <'8')
+    — §2.X rule 5's reproducible RNG, and exactly how production
+    bucketing works (stable across re-runs and machines). The
+    conversion metric is 'power buyer' (≥14 purchases): binary
+    has-purchased saturates at 100 % on a dense feed, which zeroes
+    the pooled variance and the z with it — the degenerate-metric
+    trap this op documents by construction. Equal-split SRM
+    collapses algebraically to (nA−nB)²/n, tested EXACTLY by
+    cross-multiplication against χ²₀.₀₅ = 3.841 (·1000 both sides —
+    no float in the gate); lift in integer ppm; the z is the one
+    mirrored float expression, rounded at 9, and the verdict
+    compares the ROUNDED z so both engines branch identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    pc = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_purch"))
+    )
+    metric = assigned.join(pc, "user_id", "left").select(
+        "arm",
+        F.when(F.coalesce(F.col("n_purch"), F.lit(0)) >= 14, 1)
+        .otherwise(0)
+        .alias("converted"),
+    )
+    arms = metric.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    na, nb, ca, cb = (F.col(k) for k in ("n_a", "n_b", "conv_a", "conv_b"))
+    pool = (ca + cb) * 1.0 / (na + nb)
+    z = F.round(
+        (ca * 1.0 / na - cb * 1.0 / nb)
+        / F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)),
+        9,
+    )
+    srm_lhs = (na - nb) * (na - nb) * 1000
+    srm_rhs = 3841 * (na + nb)
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ca * 1.0 / na, 9).alias("rate_a"),
+        F.round(cb * 1.0 / nb, 9).alias("rate_b"),
+        F.floor((1000000 * (ca * nb - cb * na)) / (cb * na))
+        .cast("bigint")
+        .alias("lift_ppm"),
+        F.round((na - nb) * (na - nb) * 1.0 / (na + nb), 9).alias("srm_chi2"),
+        (srm_lhs <= srm_rhs).alias("srm_ok"),
+        z.alias("z"),
+        F.when(srm_lhs > srm_rhs, "invalid_srm")
+        .when(F.abs(z) >= 1.96, "significant")
+        .otherwise("inconclusive")
+        .alias("verdict"),
+    )

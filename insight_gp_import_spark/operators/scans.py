@@ -1691,3 +1691,57 @@ def scan_glob_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("o_custkey").alias("cust_sum"),
     )
+
+
+_FOOTER_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+@op(
+    "scan_parquet_footer_stats",
+    oracle="""
+    SELECT 'documents' AS tbl, CAST(count(*) AS BIGINT) AS num_rows,
+           true AS row_groups_consistent
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings', CAST(count(*) AS BIGINT), true FROM embeddings
+    UNION ALL
+    SELECT 'events', CAST(count(*) AS BIGINT), true FROM events
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT), true FROM lineitem
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT), true FROM orders
+    ORDER BY tbl
+    """,
+    category=CAT,
+)
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER-vs-CONTENT audit: per table, the row count the
+    footer CLAIMS (never a data scan — pyarrow ParquetFile.metadata,
+    O(files) driver-side catalog work, zero Spark jobs) checked
+    against the rows actually present, plus the footer-internal law
+    that per-row-group counts sum to the file total. A footer that
+    lies is a corrupt or truncated write — and every engine that
+    plans off metadata (row-group pruning, split sizing, this
+    engine's own scans) silently mis-plans on it; at 100 TB this
+    audit is the cheap tier that runs BEFORE any data-tier DQ op
+    can even be trusted (dq_header_detail_reconcile needs row counts
+    — THIS is what certifies row counts).
+
+    The oracle side is the content tier: DuckDB counts the same
+    parquet through its own reader, so footer num_rows ==
+    content count(*) is verified by two INDEPENDENT parsers (the
+    fn_aes_roundtrip law pattern: the invariant, not a reimplementation,
+    is what's compared); row_groups_consistent mirrors as literal
+    true. Row-group geometry (split parallelism at scale) is read
+    and checked en route.
+    """
+    import pyarrow.parquet as pq
+
+    rows = []
+    for t in _FOOTER_TABLES:
+        md = pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata
+        rg_sum = sum(md.row_group(i).num_rows for i in range(md.num_row_groups))
+        rows.append((t, md.num_rows, rg_sum == md.num_rows))
+    return spark.createDataFrame(
+        rows, "tbl string, num_rows bigint, row_groups_consistent boolean"
+    ).orderBy("tbl")
