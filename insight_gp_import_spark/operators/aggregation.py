@@ -4518,3 +4518,116 @@ def agg_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ending")
     )
+
+
+@op(
+    "agg_runrate_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+               CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT) AS doy,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN (1999, 2000)
+        GROUP BY 1, 2
+    ), actual AS (
+        SELECT y, CAST(sum(rev_c) AS BIGINT) AS actual_c FROM daily GROUP BY y
+    ), marks AS (
+        SELECT * FROM (VALUES (1), (2), (3)) v(q)
+    ), ytd_marks AS (
+        SELECT d.y, m.q,
+               CASE WHEN d.y = 2000 THEN 366 ELSE 365 END AS yd,
+               CASE m.q WHEN 1 THEN (CASE WHEN d.y = 2000 THEN 91 ELSE 90 END)
+                        WHEN 2 THEN (CASE WHEN d.y = 2000 THEN 182 ELSE 181 END)
+                        ELSE (CASE WHEN d.y = 2000 THEN 274 ELSE 273 END)
+               END AS cutoff_doy,
+               CAST(sum(CASE WHEN d.doy <= CASE m.q
+                        WHEN 1 THEN (CASE WHEN d.y = 2000 THEN 91 ELSE 90 END)
+                        WHEN 2 THEN (CASE WHEN d.y = 2000 THEN 182 ELSE 181 END)
+                        ELSE (CASE WHEN d.y = 2000 THEN 274 ELSE 273 END) END
+                        THEN d.rev_c ELSE 0 END) AS BIGINT) AS ytd_c
+        FROM daily d CROSS JOIN marks m
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a.y, a.q, a.ytd_c,
+           CAST((a.ytd_c * a.yd) // a.cutoff_doy AS BIGINT) AS runrate_c,
+           ac.actual_c,
+           CAST((((a.ytd_c * a.yd) // a.cutoff_doy) - ac.actual_c) * 1000000
+                // ac.actual_c AS BIGINT) AS err_ppm
+    FROM ytd_marks a JOIN actual ac ON ac.y = a.y
+    ORDER BY a.y, a.q
+    """,
+    category=CAT,
+)
+def agg_runrate_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-rate forecast backtest: the annualized projection a finance
+    team would have published at the end of Q1/Q2/Q3 (ytd·year_days
+    div elapsed_days) against the year's ACTUAL, for 1999 and 2000,
+    error in signed ppm — forecast governance as a query
+    (ts_seasonal_naive_forecast predicts forward; this scores the
+    simplest projection method retroactively, and its systematic
+    sign — run-rate UNDERSHOOTS in back-loaded years — is the
+    seasonality-blindness finding that justifies the seasonal index).
+
+    Whole op is integer: cents YTD sums, literal quarter-end
+    day-of-year cutoffs (leap-aware: 91/182/274 in 2000 vs
+    90/181/273), projection and error via BIGINT div — no float
+    anywhere, so the 6-row report is bit-stable by construction.
+    One daily rollup (the fact dies there) crossed with a 3-row
+    literal mark table, then a ≤ |years|·3 aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.year("o_orderdate").isin(1999, 2000))
+        .groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("rev_c")
+        )
+    )
+    actual = daily.groupBy("y").agg(
+        F.sum("rev_c").cast("bigint").alias("actual_c")
+    )
+    marks = spark.range(1, 4).select(F.col("id").cast("int").alias("q"))
+    yd = F.when(F.col("y") == 2000, 366).otherwise(365)
+    cutoff = (
+        F.when(F.col("q") == 1, F.when(F.col("y") == 2000, 91).otherwise(90))
+        .when(F.col("q") == 2, F.when(F.col("y") == 2000, 182).otherwise(181))
+        .otherwise(F.when(F.col("y") == 2000, 274).otherwise(273))
+    )
+    asof = (
+        daily.crossJoin(F.broadcast(marks))
+        .select("y", "q", "doy", "rev_c", yd.alias("yd"), cutoff.alias("cutoff_doy"))
+        .groupBy("y", "q", "yd", "cutoff_doy")
+        .agg(
+            F.sum(F.when(F.col("doy") <= F.col("cutoff_doy"), F.col("rev_c")).otherwise(0))
+            .cast("bigint")
+            .alias("ytd_c")
+        )
+    )
+    # `div` (truncate toward zero) matches DuckDB's `//` on NEGATIVE
+    # numerators; F.floor(a/b) floors toward -inf and is off by one
+    # on every undershooting quarter.
+    runrate = F.expr("(ytd_c * yd) div cutoff_doy").cast("bigint")
+    return (
+        asof.join(actual, "y")
+        .select(
+            "y",
+            "q",
+            "ytd_c",
+            runrate.alias("runrate_c"),
+            "actual_c",
+            ((runrate - F.col("actual_c")) * 1000000).alias("err_num"),
+        )
+        .select(
+            "y",
+            "q",
+            "ytd_c",
+            "runrate_c",
+            "actual_c",
+            F.expr("err_num div actual_c").cast("bigint").alias("err_ppm"),
+        )
+        .orderBy("y", "q")
+    )

@@ -1037,3 +1037,130 @@ def embed_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(dead, 1).otherwise(0)).alias("n_dead"),
         F.min(F.when(dead, F.col("vec_id"))).alias("first_dead_vec"),
     )
+
+
+MAT_QUERY_IDS = (0, 1, 2, 3, 4)
+MAT_DIMS = 32  # prefix dims retained (of 64)
+MAT_K = 10
+
+
+@op(
+    "embed_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id IN {MAT_QUERY_IDS}
+    ), cand AS (
+        SELECT q.qid, e.vec_id AS vid,
+               CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE)
+                   AS cos_full,
+               CAST(list_cosine_similarity(e.embedding[1:{MAT_DIMS}],
+                                           q.qe[1:{MAT_DIMS}]) AS DOUBLE)
+                   AS cos_trunc
+        FROM embeddings e JOIN q ON e.vec_id <> q.qid
+    ), rf AS (
+        SELECT qid, vid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_full DESC, vid) AS r
+        FROM cand
+    ), rt AS (
+        SELECT qid, vid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_trunc DESC, vid) AS r
+        FROM cand
+    )
+    SELECT rf.qid,
+           CAST(count(rt.vid) AS BIGINT) AS overlap_at_{MAT_K},
+           CAST(min(CASE WHEN rf.r = 1 THEN rf.vid END) AS BIGINT)
+               AS top1_full,
+           CAST(min(CASE WHEN rf.r = 1 THEN rf.vid END) =
+                (SELECT vid FROM rt x
+                 WHERE x.qid = rf.qid AND x.r = 1) AS BOOLEAN) AS top1_same
+    FROM rf
+    LEFT JOIN rt ON rt.qid = rf.qid AND rt.vid = rf.vid
+                AND rt.r <= {MAT_K}
+    WHERE rf.r <= {MAT_K}
+    GROUP BY rf.qid
+    ORDER BY rf.qid
+    """,
+    category=CAT,
+)
+def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: does retrieval survive keeping only
+    the first {MAT_DIMS} of 64 dims? Per probe query: top-{MAT_K}
+    overlap between full-dim and prefix-dim cosine rankings + top-1
+    agreement — the measurement behind every 'store 2× less, rerank
+    later' decision (embed_truncate_renorm SHIPS truncated vectors;
+    this op is the eval gate that says whether you're allowed to,
+    and MRL-trained embeddings are deployed exactly on this
+    evidence).
+
+    Probe set is {len(MAT_QUERY_IDS)} fixed ids (broadcast, so the
+    candidate side streams once per probe — bounded Q·N work, the
+    sim_knn_join shape, never N²); slicing is zero-copy on the
+    array column; both rankings come off the SAME candidate pass
+    (one scan, two windows partitioned by probe). Cosines are
+    identical IEEE folds in both engines (probe-3 law sim_search
+    relies on) with vec_id tie-breaks making each rank total;
+    overlap/top-1 are then pure integer/bool aggregates.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*MAT_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        e.join(F.broadcast(q), e.vec_id != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            F.expr(
+                f"{_dot_sql('embedding', 'qe')}"
+                f" / (sqrt({_dot_sql('embedding', 'embedding')})"
+                f" * sqrt({_dot_sql('qe', 'qe')}))"
+            ).alias("cos_full"),
+            F.expr(
+                f"{_dot_sql(f'slice(embedding, 1, {MAT_DIMS})', f'slice(qe, 1, {MAT_DIMS})')}"
+                f" / (sqrt({_dot_sql(f'slice(embedding, 1, {MAT_DIMS})', f'slice(embedding, 1, {MAT_DIMS})')})"
+                f" * sqrt({_dot_sql(f'slice(qe, 1, {MAT_DIMS})', f'slice(qe, 1, {MAT_DIMS})')}))"
+            ).alias("cos_trunc"),
+        )
+    )
+    wq = Window.partitionBy("qid")
+    rf = cand.select(
+        "qid",
+        "vid",
+        F.row_number().over(wq.orderBy(F.desc("cos_full"), "vid")).alias("r"),
+    ).filter(F.col("r") <= MAT_K)
+    rt = cand.select(
+        "qid",
+        "vid",
+        F.row_number().over(wq.orderBy(F.desc("cos_trunc"), "vid")).alias("r"),
+    ).filter(F.col("r") <= MAT_K)
+    t1f = rf.filter(F.col("r") == 1).select(
+        "qid", F.col("vid").alias("top1_full")
+    )
+    t1t = rt.filter(F.col("r") == 1).select(
+        "qid", F.col("vid").alias("top1_trunc")
+    )
+    overlap = (
+        rf.alias("rf")
+        .join(
+            rt.select("qid", "vid").alias("rt"),
+            (F.col("rf.qid") == F.col("rt.qid"))
+            & (F.col("rf.vid") == F.col("rt.vid")),
+            "left_semi",
+        )
+        .groupBy("qid")
+        .agg(F.count("*").cast("bigint").alias(f"overlap_at_{MAT_K}"))
+    )
+    return (
+        overlap.join(F.broadcast(t1f), "qid")
+        .join(F.broadcast(t1t), "qid")
+        .select(
+            "qid",
+            f"overlap_at_{MAT_K}",
+            F.col("top1_full").cast("bigint").alias("top1_full"),
+            (F.col("top1_full") == F.col("top1_trunc")).alias("top1_same"),
+        )
+        .orderBy("qid")
+    )
