@@ -1745,3 +1745,66 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tbl string, num_rows bigint, row_groups_consistent boolean"
     ).orderBy("tbl")
+
+
+@op(
+    "scan_modified_after",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id % 2 = 1
+    GROUP BY lang ORDER BY lang
+    """,
+    category=CAT,
+)
+def scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pickup by FILE MTIME: `modifiedAfter` on the
+    parquet source reads only files newer than the checkpoint — the
+    zero-infrastructure incremental-load pattern for feeds that drop
+    files into one directory (ingest_manifest_dedup tracks lineage
+    in a manifest TABLE; mtime pickup is the cruder tier below it —
+    exactly what the reference's directory-watching loader did
+    between full manifests, and still the only option on shares
+    where you can't write state).
+
+    The op builds its own two-generation fixture: an 'old' batch
+    (even doc_ids) and a 'new' batch (odd doc_ids) written to one
+    directory, mtimes FORCED with os.utime (old ← T−2h, new ← T)
+    so the test can't pass by write-order accident; the read uses
+    modifiedAfter = T−1h and must see EXACTLY the odd-id rows —
+    which is what the oracle declares from the source table, so a
+    filter that silently reads everything (the common modifiedAfter
+    misspelling failure: unknown options are IGNORED by Spark
+    sources) fails the hash, not just a count. Rollup by lang keeps
+    the declared relation small; mtime forcing is O(files) driver
+    metadata.
+    """
+    import time as _time
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="igis-mtime-")
+    old_dir, new_dir = f"{base}/batch=old", f"{base}/batch=new"
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(old_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(new_dir)
+    now = _time.time()
+    for d, ts in ((old_dir, now - 7200), (new_dir, now)):
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (ts, ts))
+    cutoff = _time.strftime(
+        "%Y-%m-%dT%H:%M:%S", _time.gmtime(now - 3600)
+    )
+    picked = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("modifiedAfter", cutoff)
+        .parquet(base)
+    )
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -728,3 +728,47 @@ def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tok
         ORDER BY n DESC, tok LIMIT {LV_TOP_K}
     """)
+
+
+@op(
+    "sql_identifier_dynamic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category=CAT,
+)
+def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`IDENTIFIER(:param)` dynamic-name binding (Spark 3.5+,
+    SPARK-41231): table AND grouping column arrive as PARAMETERS,
+    not string-spliced SQL — the injection-safe templating that
+    multi-tenant report generators need (sql_parameterized binds
+    VALUES; IDENTIFIER binds NAMES, which value parameters cannot —
+    `GROUP BY :col` would group by a constant string, the classic
+    silent-wrong-answer; IDENTIFIER makes it a resolved column
+    reference with catalog-time validation instead of textual
+    splicing).
+
+    The oracle is the statically-written query — proving the
+    dynamic form resolves to the identical relation. The plan after
+    binding is byte-for-byte the static plan (binding happens at
+    parse time), so every Catalyst optimization applies unchanged.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "igis_ident_orders"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col),
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        ORDER BY IDENTIFIER(:col)
+        """,
+        args={"tbl": "igis_ident_orders", "col": "o_orderpriority"},
+    )
