@@ -1462,3 +1462,68 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("et", "n_pairs", F.col("slope").alias("sen_slope"))
         .orderBy("et")
     )
+
+
+@op(
+    "ts_downsample_minmax",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), wk AS (
+        SELECT CAST(date_trunc('week', d) AS DATE) AS week_start, d, cnt
+        FROM daily
+    ), ranked AS (
+        SELECT week_start, d, cnt,
+               row_number() OVER (PARTITION BY week_start
+                                  ORDER BY cnt ASC, d) AS r_min,
+               row_number() OVER (PARTITION BY week_start
+                                  ORDER BY cnt DESC, d) AS r_max
+        FROM wk
+    )
+    SELECT week_start, 'min' AS role, d, cnt FROM ranked WHERE r_min = 1
+    UNION ALL
+    SELECT week_start, 'max', d, cnt FROM ranked WHERE r_max = 1
+    ORDER BY week_start, role
+    """,
+    category=CAT,
+)
+def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max chart downsampling: per week, keep exactly the lowest
+    and highest day of the daily shipment series — the
+    spike-preserving decimator monitoring UIs use (an AVG-per-week
+    downsample ERASES the outage dip and the flash-sale spike, which
+    are the only two points anyone charts the series FOR; min-max is
+    the M4 family's core guarantee: rendered extremes survive any
+    zoom level). 2499 daily points → 2 per week, ~7× reduction here,
+    unbounded reduction at 100 TB where the bucket is an hour of
+    billions of raw rows.
+
+    Buckets are date_trunc weeks; the two keeps come from two
+    row_number windows over the SAME per-week partition (one
+    shuffle), earliest-day tie-break making each keep total (§2.X).
+    All integer; the raw fact volume dies in the daily groupBy
+    before any window runs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wk = daily.select(
+        F.trunc("d", "week").alias("week_start"), "d", "cnt"
+    )
+    wp = Window.partitionBy("week_start")
+    ranked = wk.select(
+        "week_start",
+        "d",
+        "cnt",
+        F.row_number().over(wp.orderBy(F.asc("cnt"), "d")).alias("r_min"),
+        F.row_number().over(wp.orderBy(F.desc("cnt"), "d")).alias("r_max"),
+    )
+    mins = ranked.filter(F.col("r_min") == 1).select(
+        "week_start", F.lit("min").alias("role"), "d", "cnt"
+    )
+    maxs = ranked.filter(F.col("r_max") == 1).select(
+        "week_start", F.lit("max").alias("role"), "d", "cnt"
+    )
+    return mins.unionAll(maxs).orderBy("week_start", "role")

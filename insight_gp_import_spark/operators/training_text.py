@@ -1764,3 +1764,69 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("repetitive"))
         .alias("band"),
     ).orderBy("doc_id")
+
+
+@op(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks
+        FROM documents GROUP BY lang
+    ), en AS (
+        SELECT sum_chars AS en_chars, sum_toks AS en_toks
+        FROM per_lang WHERE lang = 'en'
+    )
+    SELECT p.lang, p.sum_chars, p.sum_toks,
+           round(p.sum_chars * 1.0 / p.sum_toks, 9) AS chars_per_token,
+           CAST((p.sum_chars * e.en_toks * 1000000)
+                // (p.sum_toks * e.en_chars) AS BIGINT) AS fertility_vs_en_ppm
+    FROM per_lang p CROSS JOIN en e
+    ORDER BY p.lang
+    """,
+    category=CAT,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: chars consumed per whitespace
+    token, normalized to the English baseline in integer ppm — THE
+    multilingual token-budget fairness number (a lang at 1.4×
+    English fertility pays 40 % more of its context window for the
+    same content; text_oov_rate says which WORDS the vocab misses,
+    fertility says how much BUDGET each script burns — the two
+    axes tokenizer RFCs must report together, and the corpus-mix
+    designer needs fertility to convert char budgets into token
+    budgets per language).
+
+    Two integer sums per language (chars from the typed column,
+    tokens from one split-length pass — the text itself never
+    shuffles), the English row crossed in as a broadcast scalar;
+    the ratio-of-ratios is exact BIGINT cross-multiplication in ppm
+    (overflow-audited: chars·toks·10⁶ ≪ 2⁶³ at any plausible
+    per-lang rollup) with one rounded display division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("sum_toks"),
+    )
+    en = per_lang.filter(F.col("lang") == "en").select(
+        F.col("sum_chars").alias("en_chars"), F.col("sum_toks").alias("en_toks")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(en))
+        .select(
+            "lang",
+            "sum_chars",
+            "sum_toks",
+            F.round(F.col("sum_chars") * 1.0 / F.col("sum_toks"), 9).alias(
+                "chars_per_token"
+            ),
+            F.expr(
+                "(sum_chars * en_toks * 1000000) div (sum_toks * en_chars)"
+            )
+            .cast("bigint")
+            .alias("fertility_vs_en_ppm"),
+        )
+        .orderBy("lang")
+    )
