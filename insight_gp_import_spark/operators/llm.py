@@ -1164,3 +1164,85 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+HN_QUERY_IDS = (0, 1, 2, 3, 4)
+HN_K = 5
+
+
+@op(
+    "embed_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS q_label, embedding AS qe
+        FROM embeddings WHERE vec_id IN {HN_QUERY_IDS}
+    ), cand AS (
+        SELECT q.qid, q.q_label, e.vec_id AS vid, e.label AS neg_label,
+               CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS cos
+        FROM embeddings e JOIN q ON e.label <> q.q_label
+    ), ranked AS (
+        SELECT qid, q_label, vid, neg_label, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, vid) AS rnk
+        FROM cand
+    )
+    SELECT qid, q_label, CAST(rnk AS BIGINT) AS rnk, vid, neg_label,
+           round(cos, 4) AS cos
+    FROM ranked WHERE rnk <= {HN_K}
+    ORDER BY qid, rnk
+    """,
+    category=CAT,
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per probe vector, the top-{HN_K} most
+    similar candidates with a DIFFERENT label — the contrastive-
+    training step that decides retrieval-model quality (random
+    negatives are trivially separable and teach nothing; the
+    negatives that are nearly positive — high cosine, wrong class —
+    carry all the gradient, per the dense-retrieval literature from
+    DPR/ANCE onward; this op is the mining query those trainers run
+    over the whole corpus every epoch).
+
+    The label-mismatch predicate rides the broadcast probe join
+    (bounded Q·N, the sim_knn_join shape), so mining cost is one
+    candidate pass per probe batch regardless of corpus size — at
+    100 TB the probe set batches through the same plan. One rank
+    window per probe partition, vid tie-break total order; cosine
+    rounded at 4 for DISPLAY only, after the rank (the order key is
+    the identical IEEE fold both engines compute — the sim_search
+    probe-3 law).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*HN_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = e.join(F.broadcast(q), e.label != F.col("q_label")).select(
+        "qid",
+        "q_label",
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("neg_label"),
+        F.expr(
+            f"{_dot_sql('embedding', 'qe')}"
+            f" / (sqrt({_dot_sql('embedding', 'embedding')})"
+            f" * sqrt({_dot_sql('qe', 'qe')}))"
+        ).alias("cos"),
+    )
+    ranked = cand.select(
+        "qid",
+        "q_label",
+        "vid",
+        "neg_label",
+        "cos",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("cos"), "vid"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= HN_K)
+        .select("qid", "q_label", "rnk", "vid", "neg_label",
+                F.round("cos", 4).alias("cos"))
+        .orderBy("qid", "rnk")
+    )

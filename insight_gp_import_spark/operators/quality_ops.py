@@ -1861,3 +1861,91 @@ def pipeline_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("inconclusive")
         .alias("verdict"),
     )
+
+
+DUP_PAY_WINDOW_DAYS = 7
+
+
+@op(
+    "dq_duplicate_payments",
+    oracle=f"""
+    WITH payments AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS amount_c,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT),
+               CAST(o_orderdate + INTERVAL 1 DAY AS DATE)
+        FROM orders
+        WHERE o_orderkey % 97 = 0
+    )
+    SELECT a.ck, a.amount_c, a.k AS k1, b.k AS k2, a.d AS d1, b.d AS d2,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS day_gap
+    FROM payments a JOIN payments b
+      ON a.ck = b.ck AND a.amount_c = b.amount_c AND a.k < b.k
+     AND abs(date_diff('day', a.d, b.d)) <= {DUP_PAY_WINDOW_DAYS}
+    ORDER BY a.ck, a.amount_c, k1, k2
+    """,
+    category=CAT,
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit: same payer, same exact amount, within
+    {DUP_PAY_WINDOW_DAYS} days — the classic AP/billing recovery
+    analytic (double-submitted invoices and retried charges are the
+    top recovery-audit finding; the (payer, amount) equi-key plus a
+    narrow date window is how every audit firm blocks the search).
+    The feed is the order book with deterministically INJECTED
+    re-submissions (orderkey % 97, surrogate +10⁹ key, +1 day — the
+    pipeline_dq_quarantine injected-dirt pattern), so the audit has
+    a known answer set to be held against: clean data proving an
+    audit finds nothing proves nothing.
+
+    The join is EQUI on (payer, cents) — Spark plans a hash join,
+    and the date-window predicate only filters within equal-amount
+    groups (per-key group sizes are the natural-duplicate rate,
+    tiny by construction at any scale — this is why the blocking
+    key matters: date-range-first would be a range join). Exact
+    cents, integer day gaps, total (k1 < k2) ordering.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("amount_c"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    injected = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            (F.col("o_orderkey") + 1000000000).alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("amount_c"),
+            F.date_add(F.to_date("o_orderdate"), 1).alias("d"),
+        )
+    )
+    payments = base.unionAll(injected)
+    a, b = payments.alias("a"), payments.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.amount_c") == F.col("b.amount_c"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (
+                F.abs(F.datediff(F.col("b.d"), F.col("a.d")))
+                <= DUP_PAY_WINDOW_DAYS
+            ),
+        )
+        .select(
+            F.col("a.ck").alias("ck"),
+            F.col("a.amount_c").alias("amount_c"),
+            F.col("a.k").alias("k1"),
+            F.col("b.k").alias("k2"),
+            F.col("a.d").alias("d1"),
+            F.col("b.d").alias("d2"),
+            F.datediff(F.col("b.d"), F.col("a.d")).cast("bigint").alias("day_gap"),
+        )
+        .orderBy("ck", "amount_c", "k1", "k2")
+    )
