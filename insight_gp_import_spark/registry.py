@@ -112,7 +112,18 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # fn_listagg, agg_concentration_ratio, scan_glob_filtered,
 # agg_mad_robust, ts_deseasonalized_outliers, corpus_dataset_card,
 # dedup_survivor_quality, ts_acf_lags — likewise registry tail),
-# then cycle the oldest-evidence blocks (round-1 set) ahead of
+# AND the fifth-session additions (ts_bollinger_breaks, ts_rsi_zones,
+# agg_spearman_corr, agg_mann_whitney_u, dq_sequence_gaps,
+# agg_eb_shrunk_rates, corpus_source_overlap, text_lexical_diversity,
+# graph_common_neighbors, ts_theil_sen_trend, agg_like_for_like_growth,
+# fn_aes_roundtrip, agg_mrr_bridge, graph_degree_assortativity,
+# sql_lateral_view, dq_schema_contract, win_time_decay_attribution,
+# agg_price_endings, pipeline_experiment_readout,
+# scan_parquet_footer_stats, agg_runrate_backtest,
+# embed_matryoshka_eval, scan_modified_after, sql_identifier_dynamic,
+# ts_downsample_minmax, text_tokenizer_fertility,
+# dq_duplicate_payments, embed_hard_negatives — likewise registry
+# tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [
     # -- round-3 hash slots: oracled, no green driver row yet --
