@@ -1051,3 +1051,53 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.alias("decrypted"),
         F.octet_length(enc).cast("bigint").alias("ct_len"),
     ).orderBy("doc_id")
+
+
+TS_FORMATS = ("yyyy/MM/dd HH:mm:ss", "dd-MM-yyyy HH:mm:ss", "yyyyMMdd'T'HHmmss")
+
+
+@op(
+    "fn_timestamp_parse_multi",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey % 3 AS INTEGER) AS fmt_id,
+           o_orderdate AS parsed,
+           true AS roundtrip_ok
+    FROM orders ORDER BY o_orderkey
+    """,
+    category=CAT,
+)
+def fn_timestamp_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format timestamp ingestion waterfall: each order's date
+    is FORMATTED into one of three source conventions (slash, dashed
+    day-first, compact ISO-basic — chosen per row) and then parsed
+    back through a `coalesce(try_to_timestamp(s, f₁), …)` chain —
+    the standard tolerant-ingest pattern for feeds where every
+    upstream system stamps dates its own way (try_to_timestamp
+    returns NULL instead of erroring per format, so the chain falls
+    through to the right parser; a single-format to_timestamp either
+    crashes the batch or silently nulls two-thirds of it).
+
+    Law-style oracle (fn_aes_roundtrip pattern): format∘parse must
+    be the IDENTITY on every row and the declared relation IS the
+    identity — DuckDB reimplements nothing. The parsed value is cast
+    back to TIMESTAMP_NTZ (to_timestamp yields LTZ; the loader pins
+    UTC so the cast is value-preserving — the ADVICE.md hazard
+    handled at the op). Pure scan-stage projection, zero shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    fmt_id = (F.col("o_orderkey") % 3).cast("int")
+    s = (
+        F.when(fmt_id == 0, F.date_format("o_orderdate", TS_FORMATS[0]))
+        .when(fmt_id == 1, F.date_format("o_orderdate", TS_FORMATS[1]))
+        .otherwise(F.date_format("o_orderdate", TS_FORMATS[2]))
+    )
+    parsed = F.coalesce(
+        *[F.try_to_timestamp(s, F.lit(f)) for f in TS_FORMATS]
+    ).cast("timestamp_ntz")
+    return o.select(
+        "o_orderkey",
+        fmt_id.alias("fmt_id"),
+        parsed.alias("parsed"),
+        (parsed == F.col("o_orderdate")).alias("roundtrip_ok"),
+    ).orderBy("o_orderkey")

@@ -772,3 +772,35 @@ def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "igis_ident_orders", "col": "o_orderpriority"},
     )
+
+
+@op(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (text) FROM documents ORDER BY doc_id
+    """,
+    category=CAT,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` star modifier (Spark 4 / DuckDB
+    EXCLUDE — same feature, two spellings): project everything BUT
+    the payload column — the idiom wide-table pipelines live by
+    (hand-listing 200 of 201 columns is the maintenance bug: every
+    upstream column ADD silently vanishes from a hand-list, while
+    *-EXCEPT picks it up automatically — that asymmetry is why
+    metadata-only reads of payload tables should always be written
+    this way, and at 100 TB dropping the text/binary column at the
+    SCAN is the difference between shuffling metadata and shuffling
+    the corpus).
+
+    Column pruning applies exactly as with an explicit projection —
+    the parser expands the star minus the exclusion BEFORE analysis,
+    so the scan's ReadSchema omits `text` (same plan as listing the
+    kept columns; asserted by the dialect twins agreeing).
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "igis_se_documents"
+    )
+    return spark.sql(
+        "SELECT * EXCEPT (text) FROM igis_se_documents ORDER BY doc_id"
+    )
