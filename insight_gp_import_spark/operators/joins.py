@@ -1839,3 +1839,97 @@ def join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("seg_asof_2") != F.col("seg_asof_1")).alias("corrected_at_2"),
         (F.col("seg_asof_3") != F.col("seg_asof_2")).alias("corrected_at_3"),
     )
+
+
+# Literal currency dimension: nation id ranges -> currency + ppm rate
+# to USD (1 local unit = rate_ppm / 1e6 USD). A real deployment loads
+# this from a rates table; the VALUES literal keeps the op self-contained.
+FX_DIM: list[tuple[int, str, int]] = [
+    (0, "USD", 1000000), (1, "USD", 1000000), (2, "EUR", 1080000),
+    (3, "EUR", 1080000), (4, "EUR", 1080000), (5, "GBP", 1270000),
+    (6, "GBP", 1270000), (7, "JPY", 6700), (8, "JPY", 6700),
+    (9, "JPY", 6700), (10, "CNY", 140000), (11, "CNY", 140000),
+    (12, "CNY", 140000), (13, "INR", 12000), (14, "INR", 12000),
+    (15, "BRL", 180000), (16, "BRL", 180000), (17, "CAD", 730000),
+    (18, "CAD", 730000), (19, "AUD", 650000), (20, "AUD", 650000),
+    (21, "CHF", 1100000), (22, "CHF", 1100000), (23, "MXN", 58000),
+    (24, "MXN", 58000),
+]
+
+_FX_SQL_ROWS = ", ".join(f"({n}, '{c}', {r})" for n, c, r in FX_DIM)
+
+
+@op(
+    "join_fx_normalize",
+    oracle=f"""
+    WITH fx AS (
+        SELECT * FROM (VALUES {_FX_SQL_ROWS}) v(nationkey, currency, rate_ppm)
+    ), rev AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS local_c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT fx.currency,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(rev.n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(rev.local_c) AS BIGINT) AS local_c,
+           CAST(sum((rev.local_c * fx.rate_ppm) // 1000000) AS BIGINT)
+               AS usd_c
+    FROM rev JOIN fx ON fx.nationkey = rev.nationkey
+    GROUP BY fx.currency
+    ORDER BY fx.currency
+    """,
+    category=CAT,
+)
+def join_fx_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency normalization through a broadcast rate dimension:
+    per-nation order revenue treated as LOCAL-currency cents,
+    converted to USD at literal ppm rates and rolled up by currency
+    — the Kimball multi-currency fact pattern (store local + rate,
+    derive reporting currency; storing only converted values loses
+    the audit trail and every restatement re-scans the fact). The
+    deliberately coarse rate table (JPY at 0.0067) makes conversion
+    bugs visible at a glance: JPY revenue shrinking 150× is obvious,
+    a 1.08 EUR error is not.
+
+    Rates are INTEGER ppm so conversion is exact BIGINT
+    (local_c · rate_ppm div 10⁶ — truncating div, stated;
+    per-nation then per-currency rollups are both map-combined).
+    The 25-row dim broadcasts; the fact aggregates BEFORE the join
+    (agg-below-join: 100 TB of orders collapses to ≤|nations| rows
+    first — the drill-across rule).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fx = spark.createDataFrame(
+        FX_DIM, "nationkey int, currency string, rate_ppm bigint"
+    )
+    rev = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("bigint")
+            .alias("local_c"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(fx), "nationkey")
+        .select(
+            "currency",
+            "n_orders",
+            "local_c",
+            F.expr("(local_c * rate_ppm) div 1000000").alias("usd_part"),
+        )
+        .groupBy("currency")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("local_c").cast("bigint").alias("local_c"),
+            F.sum("usd_part").cast("bigint").alias("usd_c"),
+        )
+        .orderBy("currency")
+    )
