@@ -4631,3 +4631,176 @@ def agg_runrate_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "q")
     )
+
+
+@op(
+    "agg_new_product_adoption",
+    oracle="""
+    WITH first_ship AS (
+        SELECT p.p_brand AS brand, l.l_partkey AS pk,
+               min(CAST(date_trunc('quarter', l.l_shipdate) AS DATE)) AS q0
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
+    ), newq AS (
+        SELECT brand, q0 AS qtr, CAST(count(*) AS BIGINT) AS new_parts
+        FROM first_ship GROUP BY 1, 2
+    ), catalog AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS catalog_parts
+        FROM first_ship GROUP BY brand
+    )
+    SELECT n.brand, n.qtr, n.new_parts,
+           CAST(sum(n.new_parts) OVER (PARTITION BY n.brand ORDER BY n.qtr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_parts,
+           c.catalog_parts,
+           CAST((sum(n.new_parts) OVER (PARTITION BY n.brand ORDER BY n.qtr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+               // c.catalog_parts AS BIGINT) AS cum_share_ppm
+    FROM newq n JOIN catalog c ON c.brand = n.brand
+    ORDER BY n.brand, n.qtr
+    """,
+    category=CAT,
+)
+def agg_new_product_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog adoption curve: per brand, parts shipping for the
+    FIRST time each quarter, cumulative, and cumulative share of the
+    brand's eventually-shipped catalog in ppm — the assortment-
+    rollout S-curve (merchandising reads where it flattens: a brand
+    whose cum-share plateaus at 60 % after year one has dead SKUs;
+    agg_retention_cohort tracks CUSTOMERS' first order, this tracks
+    PRODUCTS' first shipment — same debut-anchor idea on the other
+    dimension of the fact).
+
+    min-shipdate-per-part is one map-combined aggregate (the 100 TB
+    fact dies there: |parts| rows out); the running sum is a window
+    over ≤|brand×quarters| rows partitioned by brand; ppm share is
+    integer div against the brand catalog count. No float anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    first_ship = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("pk"))
+        .agg(F.min(F.trunc("l_shipdate", "quarter")).alias("q0"))
+    )
+    newq = first_ship.groupBy("brand", F.col("q0").alias("qtr")).agg(
+        F.count("*").cast("bigint").alias("new_parts")
+    )
+    catalog = first_ship.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("catalog_parts")
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("qtr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("new_parts").over(w).cast("bigint")
+    return (
+        newq.join(F.broadcast(catalog), "brand")
+        .select(
+            "brand",
+            "qtr",
+            "new_parts",
+            cum.alias("cum_parts"),
+            "catalog_parts",
+            (cum * 1000000).alias("cum_num"),
+        )
+        .select(
+            "brand",
+            "qtr",
+            "new_parts",
+            "cum_parts",
+            "catalog_parts",
+            F.expr("cum_num div catalog_parts").cast("bigint").alias("cum_share_ppm"),
+        )
+        .orderBy("brand", "qtr")
+    )
+
+
+SESS_GAP_US = 1800 * 1000000  # 30-minute session gap
+
+
+@op(
+    "agg_sessions_to_convert",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {SESS_GAP_US}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_type,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sess_no
+        FROM seq
+    ), conv AS (
+        SELECT user_id,
+               coalesce(CAST(min(CASE WHEN event_type = 'purchase'
+                                      THEN sess_no END) AS BIGINT),
+                        -1) AS s2c
+        FROM sess GROUP BY user_id
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM conv)
+    SELECT s2c AS sessions_to_convert,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST((count(*) * 1000000) // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM conv GROUP BY s2c ORDER BY s2c
+    """,
+    category=CAT,
+)
+def agg_sessions_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions-to-convert distribution: for every user, the ordinal
+    of the 30-minute-gap session containing their FIRST purchase
+    (−1 = never), histogrammed with ppm shares — the activation-
+    funnel depth metric growth teams set onboarding budgets by
+    (agg_funnel_conversion counts step completion WITHIN a window;
+    this counts how many VISITS the funnel takes, which is the
+    difference between a UX problem and an intent problem).
+
+    Sessionization is the sessionize_gap recipe inline (lag + gap
+    flag + running sum, both windows per-user on ONE shuffle);
+    first-converting session is a conditional min per user; the
+    histogram is a ≤|max sessions| rollup with integer ppm shares.
+    Integer microsecond gap arithmetic end to end — no interval
+    float, no timezone dependence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > SESS_GAP_US),
+        1,
+    ).otherwise(0)
+    seq = ev.select("user_id", "ts", "event_type", "event_id", new_sess.alias("new_sess"))
+    sess = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("sess_no"),
+    )
+    conv = sess.groupBy("user_id").agg(
+        F.coalesce(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("sess_no"))
+            ).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        ).alias("s2c")
+    )
+    tot = conv.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        conv.groupBy(F.col("s2c").alias("sessions_to_convert"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "sessions_to_convert",
+            "n_users",
+            F.expr("(n_users * 1000000) div n").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("sessions_to_convert")
+    )
