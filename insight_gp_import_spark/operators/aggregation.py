@@ -4804,3 +4804,140 @@ def agg_sessions_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sessions_to_convert")
     )
+
+
+LIFECYCLE_W = 3  # retained if repurchasing within W days; churn lands at d+W+1
+
+
+@op(
+    "agg_user_lifecycle_daily",
+    oracle=f"""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        WHERE event_type = 'purchase'
+    ), rng AS (SELECT max(d) AS max_d FROM act),
+    seq AS (
+        SELECT user_id, d,
+               lag(d) OVER w AS pd, lead(d) OVER w AS nd
+        FROM act WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ), staged AS (
+        SELECT d, CASE WHEN pd IS NULL THEN 'new'
+                       WHEN date_diff('day', pd, d) <= {LIFECYCLE_W}
+                            THEN 'retained'
+                       ELSE 'resurrected' END AS stage
+        FROM seq
+        UNION ALL
+        SELECT CAST(d + INTERVAL {LIFECYCLE_W + 1} DAY AS DATE), 'churned'
+        FROM seq, rng
+        WHERE (nd IS NULL OR date_diff('day', d, nd) > {LIFECYCLE_W})
+          AND CAST(d + INTERVAL {LIFECYCLE_W + 1} DAY AS DATE) <= rng.max_d
+    )
+    SELECT d,
+           CAST(sum(CASE WHEN stage = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(sum(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resurrected,
+           CAST(sum(CASE WHEN stage = 'churned' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           CASE WHEN sum(CASE WHEN stage = 'churned' THEN 1 ELSE 0 END) = 0
+                THEN CAST(-1 AS BIGINT)
+                ELSE CAST((sum(CASE WHEN stage IN ('new', 'resurrected')
+                                    THEN 1 ELSE 0 END) * 1000000)
+                          // sum(CASE WHEN stage = 'churned' THEN 1 ELSE 0
+                                 END) AS BIGINT) END AS quick_ratio_ppm
+    FROM staged GROUP BY d ORDER BY d
+    """,
+    category=CAT,
+)
+def agg_user_lifecycle_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting, daily: every purchase-active user classified
+    new / retained / resurrected (by gap to their PREVIOUS purchase
+    day, window {LIFECYCLE_W}d) and churn counted on the day a user
+    FALLS OUT of the window — with the growth quick ratio
+    (new+resurrected)/churned in ppm per day. This is the
+    Social-Capital growth-accounting identity on users
+    (agg_mrr_bridge is the same identity on revenue, monthly;
+    agg_new_returning_users splits arrivals only — none of the
+    three substitutes for another, which is why growth teams run
+    all three).
+
+    Churn needs ABSENCE, which no scanned row carries: churn rows
+    are GENERATED at d+{LIFECYCLE_W + 1} from each activity day
+    whose lead-gap exceeds the window (the MRR-bridge trick),
+    clipped at the corpus horizon so end-of-data never fabricates a
+    churn wave. One per-user ordered window (lag+lead share it),
+    one ≤|days| rollup, integer ppm; −1 flags zero-churn days
+    instead of a 0-division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    rng = act.agg(F.max("d").alias("max_d"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = act.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("pd"),
+        F.lead("d").over(w).alias("nd"),
+    )
+    staged_act = seq.select(
+        "d",
+        F.when(F.col("pd").isNull(), "new")
+        .when(F.datediff(F.col("d"), F.col("pd")) <= LIFECYCLE_W, "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    churn = (
+        seq.filter(
+            F.col("nd").isNull()
+            | (F.datediff(F.col("nd"), F.col("d")) > LIFECYCLE_W)
+        )
+        .crossJoin(F.broadcast(rng))
+        .select(
+            F.date_add(F.col("d"), LIFECYCLE_W + 1).alias("d"),
+            F.lit("churned").alias("stage"),
+            "max_d",
+        )
+        .filter(F.col("d") <= F.col("max_d"))
+        .select("d", "stage")
+    )
+    staged = staged_act.unionAll(churn)
+    n_new = F.sum(F.when(F.col("stage") == "new", 1).otherwise(0)).cast("bigint")
+    n_ret = F.sum(F.when(F.col("stage") == "retained", 1).otherwise(0)).cast(
+        "bigint"
+    )
+    n_res = F.sum(F.when(F.col("stage") == "resurrected", 1).otherwise(0)).cast(
+        "bigint"
+    )
+    n_ch = F.sum(F.when(F.col("stage") == "churned", 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        staged.groupBy("d")
+        .agg(
+            n_new.alias("n_new"),
+            n_ret.alias("n_retained"),
+            n_res.alias("n_resurrected"),
+            n_ch.alias("n_churned"),
+        )
+        .select(
+            "d",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned",
+            F.when(F.col("n_churned") == 0, F.lit(-1).cast("bigint"))
+            .otherwise(
+                F.expr(
+                    "((n_new + n_resurrected) * 1000000) div n_churned"
+                ).cast("bigint")
+            )
+            .alias("quick_ratio_ppm"),
+        )
+        .orderBy("d")
+    )

@@ -1830,3 +1830,65 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+KWIC_KEYWORD = "join"
+KWIC_CTX = 3
+
+
+@op(
+    "text_kwic_concordance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), hits AS (
+        SELECT doc_id, arr,
+               generate_subscripts(arr, 1) AS p, unnest(arr) AS tok
+        FROM toks
+    )
+    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+           coalesce(array_to_string(arr[greatest(1, p - {KWIC_CTX}):p - 1],
+                                    ' '), '') AS left_ctx,
+           coalesce(array_to_string(arr[p + 1:least(len(arr), p + {KWIC_CTX})],
+                                    ' '), '') AS right_ctx
+    FROM hits WHERE tok = '{KWIC_KEYWORD}'
+    ORDER BY doc_id, pos
+    """,
+    category=CAT,
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance for '{KWIC_KEYWORD}':
+    every occurrence with {KWIC_CTX} tokens of context either side —
+    the corpus linguist's primary tool since the 1950s and the
+    modern data-curation spot-check (before cutting every doc
+    containing a flagged term, you READ a concordance of it; PII and
+    toxicity reviews work the same way — text_collocation_pmi says
+    what co-occurs statistically, KWIC shows the instances
+    themselves).
+
+    One posexplode in the scan stage (the Generate node; the array
+    is built once per doc and sliced per hit — slices are zero-copy
+    offsets, not string surgery), keyword filter BEFORE any shuffle
+    so only hit rows survive, window-free. Position is 0-based
+    (matching the sql_lateral_view convention); edge clamping via
+    greatest/least keeps document-boundary hits total instead of
+    null.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("arr"))
+    hits = toks.select(
+        "doc_id", "arr", F.posexplode("arr").alias("pos0", "tok")
+    ).filter(F.col("tok") == KWIC_KEYWORD)
+    # 1-based position for slice arithmetic, mirroring the oracle's p
+    p = F.col("pos0") + 1
+    left_start = F.greatest(F.lit(1), p - KWIC_CTX)
+    left_len = p - left_start
+    right_len = F.least(F.size("arr"), p + KWIC_CTX) - p
+    return hits.select(
+        "doc_id",
+        F.col("pos0").cast("bigint").alias("pos"),
+        F.array_join(
+            F.slice("arr", left_start, left_len), " "
+        ).alias("left_ctx"),
+        F.array_join(F.slice("arr", p + 1, right_len), " ").alias("right_ctx"),
+    ).orderBy("doc_id", "pos")
