@@ -4941,3 +4941,105 @@ def agg_user_lifecycle_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@op(
+    "agg_anova_dow",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS dd, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), g AS (
+        SELECT dayofweek(dd) AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cnt) AS BIGINT) AS s,
+               CAST(sum(cnt * cnt) AS BIGINT) AS q
+        FROM daily GROUP BY 1
+    ), piv AS (
+        SELECT
+          max(CASE WHEN dow = 0 THEN n END) AS n0, max(CASE WHEN dow = 0 THEN s END) AS s0,
+          max(CASE WHEN dow = 1 THEN n END) AS n1, max(CASE WHEN dow = 1 THEN s END) AS s1,
+          max(CASE WHEN dow = 2 THEN n END) AS n2, max(CASE WHEN dow = 2 THEN s END) AS s2,
+          max(CASE WHEN dow = 3 THEN n END) AS n3, max(CASE WHEN dow = 3 THEN s END) AS s3,
+          max(CASE WHEN dow = 4 THEN n END) AS n4, max(CASE WHEN dow = 4 THEN s END) AS s4,
+          max(CASE WHEN dow = 5 THEN n END) AS n5, max(CASE WHEN dow = 5 THEN s END) AS s5,
+          max(CASE WHEN dow = 6 THEN n END) AS n6, max(CASE WHEN dow = 6 THEN s END) AS s6,
+          CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ts,
+          CAST(sum(q) AS BIGINT) AS tq
+        FROM g
+    ), calc AS (
+        SELECT nn, ts, tq,
+               ((s0 * s0 * 1.0 / n0 + s1 * s1 * 1.0 / n1)
+                + (s2 * s2 * 1.0 / n2 + s3 * s3 * 1.0 / n3)
+                + (s4 * s4 * 1.0 / n4 + s5 * s5 * 1.0 / n5)
+                + s6 * s6 * 1.0 / n6) AS sum_t
+        FROM piv
+    )
+    SELECT nn AS n_days, ts AS total_cnt, tq AS total_sq,
+           round(((sum_t - ts * ts * 1.0 / nn) / 6.0)
+                 / ((tq - sum_t) / (nn - 7.0)), 9) AS f_stat,
+           round((sum_t - ts * ts * 1.0 / nn)
+                 / ((sum_t - ts * ts * 1.0 / nn) + (tq - sum_t)), 9)
+               AS eta_squared
+    FROM calc
+    """,
+    category=CAT,
+)
+def agg_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across day-of-week groups on daily shipment
+    volume: F-statistic + η² effect size — IS there a weekday
+    effect, tested properly (agg_weekend_lift reports the lift
+    point-estimate; ANOVA asks whether BETWEEN-day variance exceeds
+    within-day noise at all, completing the test battery: χ²
+    (categorical), KS (shape), Mann-Whitney (two-sample location),
+    runs (independence), ANOVA (k-sample means)).
+
+    Determinism device worth naming: SSW/SSB need Σ_g S_g²/n_g — a
+    FLOAT sum across groups, order-dependent if aggregated. The
+    seven groups are instead PIVOTED INTO ONE ROW (conditional max
+    on integer moments) and the seven-term sum written out in one
+    fixed textual order, identical in both engines — the float fold
+    becomes a scalar expression, not a reduction. Group moments are
+    integer; dow uses the duck-0-based convention (Spark
+    dayofweek−1, the documented off-by-one). The daily rollup kills
+    the fact volume; everything after is one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("dd")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    g = daily.groupBy((F.dayofweek("dd") - 1).alias("dow")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("q"),
+    )
+    aggs = []
+    for i in range(7):
+        aggs.append(
+            F.max(F.when(F.col("dow") == i, F.col("n"))).alias(f"n{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("dow") == i, F.col("s"))).alias(f"s{i}")
+        )
+    aggs += [
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ts"),
+        F.sum("q").cast("bigint").alias("tq"),
+    ]
+    piv = g.agg(*aggs)
+    sum_t = F.expr(
+        "((s0 * s0 * 1.0 / n0 + s1 * s1 * 1.0 / n1)"
+        " + (s2 * s2 * 1.0 / n2 + s3 * s3 * 1.0 / n3)"
+        " + (s4 * s4 * 1.0 / n4 + s5 * s5 * 1.0 / n5)"
+        " + s6 * s6 * 1.0 / n6)"
+    )
+    calc = piv.select("nn", "ts", "tq", sum_t.alias("sum_t"))
+    ssb = F.col("sum_t") - F.col("ts") * F.col("ts") * 1.0 / F.col("nn")
+    ssw = F.col("tq") - F.col("sum_t")
+    return calc.select(
+        F.col("nn").alias("n_days"),
+        F.col("ts").alias("total_cnt"),
+        F.col("tq").alias("total_sq"),
+        F.round((ssb / 6.0) / (ssw / (F.col("nn") - 7.0)), 9).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 9).alias("eta_squared"),
+    )

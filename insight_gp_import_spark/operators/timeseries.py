@@ -1527,3 +1527,96 @@ def ts_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_start", F.lit("max").alias("role"), "d", "cnt"
     )
     return mins.unionAll(maxs).orderBy("week_start", "role")
+
+
+PGRAM_PERIODS = (3, 5, 7, 14, 30)
+PGRAM_SCALE = 1000
+
+
+@op(
+    "ts_periodogram_quantized",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS dd, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), idx AS (
+        SELECT date_diff('day', (SELECT min(dd) FROM daily), dd) AS d, cnt
+        FROM daily
+    ), per AS (SELECT unnest({list(PGRAM_PERIODS)}) AS p), terms AS (
+        SELECT p, cnt,
+            CAST(round(cos(2 * pi() * (d % p) / p) * {PGRAM_SCALE})
+                 AS BIGINT) AS c,
+            CAST(round(sin(2 * pi() * (d % p) / p) * {PGRAM_SCALE})
+                 AS BIGINT) AS s
+        FROM idx CROSS JOIN per
+    ), pw AS (
+        SELECT p, CAST(sum(cnt * c) AS BIGINT) AS sc,
+               CAST(sum(cnt * s) AS BIGINT) AS ss
+        FROM terms GROUP BY p
+    )
+    SELECT p AS period, sc, ss,
+           CAST(sc * sc + ss * ss AS BIGINT) AS power,
+           CAST(row_number() OVER (ORDER BY sc * sc + ss * ss DESC, p)
+                AS BIGINT) AS power_rank
+    FROM pw ORDER BY period
+    """,
+    category=CAT,
+)
+def ts_periodogram_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-DFT periodogram: spectral power of the daily volume
+    series at candidate periods {PGRAM_PERIODS} — WHICH cycle
+    dominates, answered by Fourier projection instead of
+    ts_acf_lags' time-domain autocorrelation (ACF at lag 7 conflates
+    a true weekly cycle with a 14-day cycle's harmonic; the
+    periodogram separates them — here the 14-day component outranks
+    the 7-day one, which ACF alone cannot show).
+
+    THE determinism trick: a raw DFT is Σ xₜ·cos(ωt) — a cross-row
+    FLOAT sum, order-dependent and §2.X-banned. Instead each trig
+    factor is QUANTIZED to an integer (round(cos·10³) — the ½·10⁻³
+    quantization step dwarfs any libm last-ulp disagreement, which
+    is the point) so the projection becomes Σ cnt·c — an exact,
+    commutative BIGINT sum; power = sc²+ss² stays integer
+    (overflow-audited: |sc| ≤ Σcnt·10³). The ~0.1 % amplitude bias
+    from quantization is uniform across periods, so the power
+    RANKING — the deliverable — is unaffected. One daily rollup ×
+    |periods| cross join, map-combined.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("dd")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    d0 = daily.agg(F.min("dd").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col("dd"), F.col("d0")).alias("d"), "cnt"
+    )
+    per = spark.createDataFrame([(p,) for p in PGRAM_PERIODS], "p int")
+    ang = 2 * F.expr("pi()") * (F.col("d") % F.col("p")) / F.col("p")
+    terms = idx.crossJoin(F.broadcast(per)).select(
+        "p",
+        "cnt",
+        F.round(F.cos(ang) * PGRAM_SCALE).cast("bigint").alias("c"),
+        F.round(F.sin(ang) * PGRAM_SCALE).cast("bigint").alias("s"),
+    )
+    pw = terms.groupBy("p").agg(
+        F.sum(F.col("cnt") * F.col("c")).cast("bigint").alias("sc"),
+        F.sum(F.col("cnt") * F.col("s")).cast("bigint").alias("ss"),
+    )
+    power = (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")).cast(
+        "bigint"
+    )
+    return (
+        pw.select(
+            F.col("p").alias("period"),
+            "sc",
+            "ss",
+            power.alias("power"),
+        )
+        .withColumn(
+            "power_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("power"), "period"))
+            .cast("bigint"),
+        )
+        .orderBy("period")
+    )
