@@ -1573,3 +1573,84 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+ALPHA_NUM, ALPHA_DEN = 3, 10  # alpha = 0.3, the mT5 value
+ALPHA_SCALE = 1000000
+
+
+@op(
+    "corpus_alpha_sampling_weights",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang
+    ), scaled AS (
+        SELECT lang, n_docs, n_chars,
+               CAST(round(pow(n_chars, {ALPHA_NUM} / {ALPHA_DEN}.0)
+                          * {ALPHA_SCALE}) AS BIGINT) AS w_scaled
+        FROM per_lang
+    ), tot AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS tw FROM scaled)
+    SELECT s.lang, s.n_docs, s.n_chars, s.w_scaled,
+           CAST((s.w_scaled * 1000000) // t.tw AS BIGINT) AS sample_ppm,
+           CAST((s.n_chars * 1000000)
+                // (SELECT sum(n_chars) FROM per_lang) AS BIGINT)
+               AS natural_ppm
+    FROM scaled s CROSS JOIN tot t
+    ORDER BY s.lang
+    """,
+    category=CAT,
+)
+def corpus_alpha_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-sampling language weights (α = {ALPHA_NUM}/{ALPHA_DEN}, the
+    mT5 exponent): sampling probability ∝ (corpus size)^α, shown in
+    ppm next to the natural (α=1) distribution — THE multilingual
+    rebalancing formula (natural sampling starves tail languages;
+    uniform overfits them; the α power law is the published
+    compromise every multilingual LM since mBERT/XLM-R/mT5 trains
+    under, and the delta column natural→α IS the fairness transfer
+    being bought). corpus_mix_weights assigns budget by QUALITY
+    bands; this rebalances by SIZE — composable, not redundant.
+
+    Determinism: p^α is one pow per LANGUAGE ROW (never a cross-row
+    float fold), immediately quantized to an integer micro-weight
+    (round(pow·10⁶) — quantization step dwarfs libm's last ulp, the
+    ts_periodogram device); normalization is then BIGINT div against
+    the integer weight total. |langs| rows end to end — the 100 TB
+    corpus dies in the first rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    scaled = per_lang.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.pow(F.col("n_chars"), ALPHA_NUM / float(ALPHA_DEN)) * ALPHA_SCALE
+        )
+        .cast("bigint")
+        .alias("w_scaled"),
+    )
+    tot = scaled.agg(F.sum("w_scaled").cast("bigint").alias("tw"))
+    tot_chars = per_lang.agg(F.sum("n_chars").cast("bigint").alias("tc"))
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_chars))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "w_scaled",
+            F.expr("(w_scaled * 1000000) div tw")
+            .cast("bigint")
+            .alias("sample_ppm"),
+            F.expr("(n_chars * 1000000) div tc")
+            .cast("bigint")
+            .alias("natural_ppm"),
+        )
+        .orderBy("lang")
+    )

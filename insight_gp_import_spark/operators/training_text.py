@@ -1892,3 +1892,90 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("left_ctx"),
         F.array_join(F.slice("arr", p + 1, right_len), " ").alias("right_ctx"),
     ).orderBy("doc_id", "pos")
+
+
+VOCAB_BANDS = (5, 10, 20)
+
+
+@op(
+    "text_vocab_coverage_bands",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ), ranked AS (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok) AS rnk
+        FROM tf
+    ), banded AS (
+        SELECT CASE WHEN rnk <= {VOCAB_BANDS[0]} THEN 'top_{VOCAB_BANDS[0]}'
+                    WHEN rnk <= {VOCAB_BANDS[1]} THEN 'top_{VOCAB_BANDS[1]}'
+                    WHEN rnk <= {VOCAB_BANDS[2]} THEN 'top_{VOCAB_BANDS[2]}'
+                    ELSE 'tail' END AS band,
+               c
+        FROM ranked
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tf)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST((sum(c) * 1000000) // (SELECT n FROM tot) AS BIGINT)
+               AS coverage_ppm
+    FROM banded GROUP BY band ORDER BY band
+    """,
+    category=CAT,
+)
+def text_vocab_coverage_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all corpus TOKENS the
+    top-N TYPES account for (band edges {VOCAB_BANDS}; the synthetic
+    corpus's 31-type vocabulary forces toy edges — production uses
+    100/1k/10k through the same constant) — the
+    vocabulary-size sizing chart (a tokenizer team reads exactly
+    this to choose vocab size: the marginal coverage of the next
+    band is the payoff of a bigger embedding table;
+    text_oov_rate evaluates ONE cutoff per language, this draws the
+    whole curve corpus-wide; Zipf's law predicts its shape,
+    text_zipf_slope measures that prediction — the three ops
+    triangulate).
+
+    The rank window runs over the DISTINCT-token frequency table
+    (vocab-sized, the text_oov_rate caveat: at web scale band by
+    frequency quantiles instead of a total rank — the bands, which
+    is all this op emits, are identical); counts and coverage are
+    exact integers with ppm shares against the one-row total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = tf.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), "tok")).alias("rnk"),
+    )
+    band = (
+        F.when(F.col("rnk") <= VOCAB_BANDS[0], f"top_{VOCAB_BANDS[0]}")
+        .when(F.col("rnk") <= VOCAB_BANDS[1], f"top_{VOCAB_BANDS[1]}")
+        .when(F.col("rnk") <= VOCAB_BANDS[2], f"top_{VOCAB_BANDS[2]}")
+        .otherwise("tail")
+    )
+    tot = tf.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        ranked.select(band.alias("band"), "c")
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_types",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("band")
+    )
