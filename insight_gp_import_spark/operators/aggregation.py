@@ -5043,3 +5043,108 @@ def agg_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / 6.0) / (ssw / (F.col("nn") - 7.0)), 9).alias("f_stat"),
         F.round(ssb / (ssb + ssw), 9).alias("eta_squared"),
     )
+
+
+ATP_CAPACITY_PCT = 80  # per-part capacity = 80 % of total demand
+
+
+@op(
+    "agg_atp_allocation",
+    oracle=f"""
+    WITH demand AS (
+        SELECT l.l_partkey AS pk, o.o_orderpriority AS prio,
+               o.o_orderdate AS od, l.l_orderkey AS ok, l.l_linenumber AS ln,
+               CAST(round(l.l_quantity) AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), cap AS (
+        SELECT pk,
+               CAST((sum(qty) * {ATP_CAPACITY_PCT}) // 100 AS BIGINT) AS cap
+        FROM demand GROUP BY pk
+    ), ranked AS (
+        SELECT d.pk, d.prio, d.qty, c.cap,
+               CAST(coalesce(sum(d.qty) OVER (PARTITION BY d.pk
+                   ORDER BY d.prio, d.od, d.ok, d.ln
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS used_before
+        FROM demand d JOIN cap c ON c.pk = d.pk
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(qty) AS BIGINT) AS requested,
+           CAST(sum(greatest(0, least(qty, cap - used_before))) AS BIGINT)
+               AS allocated,
+           CAST((sum(greatest(0, least(qty, cap - used_before))) * 1000000)
+                // sum(qty) AS BIGINT) AS fill_ppm
+    FROM ranked GROUP BY prio ORDER BY prio
+    """,
+    category=CAT,
+)
+def agg_atp_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Available-to-promise allocation: each part's constrained supply
+    ({ATP_CAPACITY_PCT} % of demand) handed out in strict
+    priority-then-date order, fill rate reported per priority class
+    — the scarce-supply waterfall every OMS runs at cutoff (the
+    deliverable is WHO absorbs the shortage: under priority
+    allocation the 5-LOW class eats nearly all of it, which is the
+    policy made visible — a pro-rata policy would spread it evenly,
+    and the delta between those two tables is the business
+    decision).
+
+    Greedy sequential allocation is a PREFIX SUM in disguise:
+    allocated = clamp(qty, cap − Σ earlier qty) needs only the
+    running demand BEFORE each line (window, 1 PRECEDING), so the
+    whole 'loop' is one per-part ordered window — no iteration, no
+    state machine, and it parallelizes per part at 100 TB. Total
+    (prio, date, key) ordering makes the allocation deterministic;
+    all integers, fill rate in BIGINT-ppm.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    demand = li.join(o, o.o_orderkey == li.l_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("od"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.round("l_quantity").cast("bigint").alias("qty"),
+    )
+    cap = demand.groupBy("pk").agg(
+        F.expr(f"(sum(qty) * {ATP_CAPACITY_PCT}) div 100")
+        .cast("bigint")
+        .alias("cap")
+    )
+    w = (
+        Window.partitionBy("pk")
+        .orderBy("prio", "od", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = demand.join(cap, "pk").select(
+        "pk",
+        "prio",
+        "qty",
+        "cap",
+        F.coalesce(F.sum("qty").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("used_before"),
+    )
+    alloc = F.greatest(
+        F.lit(0), F.least(F.col("qty"), F.col("cap") - F.col("used_before"))
+    )
+    return (
+        ranked.groupBy("prio")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("qty").cast("bigint").alias("requested"),
+            F.sum(alloc).cast("bigint").alias("allocated"),
+        )
+        .select(
+            "prio",
+            "n_lines",
+            "requested",
+            "allocated",
+            F.expr("(allocated * 1000000) div requested")
+            .cast("bigint")
+            .alias("fill_ppm"),
+        )
+        .orderBy("prio")
+    )

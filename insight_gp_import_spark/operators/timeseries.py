@@ -1620,3 +1620,118 @@ def ts_periodogram_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+NAIVE_LAG = 7
+PI_LO_PCT, PI_HI_PCT = 10, 90
+PI_REPORT_DAYS = 30
+
+
+@op(
+    "ts_naive_interval_bands",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), fc AS (
+        SELECT d, cnt,
+               lag(cnt, {NAIVE_LAG}) OVER (ORDER BY d) AS naive,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS nd
+        FROM daily
+    ), resid AS (
+        SELECT cnt - naive AS r FROM fc WHERE naive IS NOT NULL
+    ), rr AS (
+        SELECT r, CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM resid
+    ), qs AS (
+        SELECT
+          max(CASE WHEN rk = (n * {PI_LO_PCT} + 99) // 100 THEN r END) AS r_lo,
+          max(CASE WHEN rk = (n * {PI_HI_PCT} + 99) // 100 THEN r END) AS r_hi
+        FROM rr
+    )
+    SELECT f.d, f.cnt AS actual, f.naive,
+           CAST(f.naive + q.r_lo AS BIGINT) AS lo,
+           CAST(f.naive + q.r_hi AS BIGINT) AS hi,
+           (f.cnt >= f.naive + q.r_lo AND f.cnt <= f.naive + q.r_hi)
+               AS covered
+    FROM fc f CROSS JOIN qs q
+    WHERE f.naive IS NOT NULL AND f.rn > f.nd - {PI_REPORT_DAYS}
+    ORDER BY f.d
+    """,
+    category=CAT,
+)
+def ts_naive_interval_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction intervals for the seasonal-naive forecast: lag-7
+    point forecast ± exact empirical residual quantiles
+    (p{PI_LO_PCT}/p{PI_HI_PCT}), reported for the last
+    {PI_REPORT_DAYS} days with a per-day coverage flag — the
+    uncertainty band every forecast consumer actually needs
+    (ts_seasonal_naive_forecast emits the point; a point without an
+    interval cannot drive a paging threshold, and the empirical-
+    residual band is the distribution-free way to get one —
+    conformal prediction's base case).
+
+    Residual quantiles are EXACT ordered selection (rank =
+    ⌈p·n/100⌉ over integer residuals — the agg_median_exact
+    device, no interpolation, no float), folded to one row by
+    conditional max; bands are then integer adds. The residual
+    rank window is over ≤|days| rows; everything downstream of the
+    daily rollup is day-scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    fc = daily.select(
+        "d",
+        "cnt",
+        F.lag("cnt", NAIVE_LAG).over(w).alias("naive"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("nd"),
+    )
+    resid = fc.filter(F.col("naive").isNotNull()).select(
+        (F.col("cnt") - F.col("naive")).alias("r")
+    )
+    rr = resid.select(
+        "r",
+        F.row_number().over(Window.orderBy("r")).cast("bigint").alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    qs = rr.agg(
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.expr(f"(n * {PI_LO_PCT} + 99) div 100"),
+                F.col("r"),
+            )
+        ).alias("r_lo"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.expr(f"(n * {PI_HI_PCT} + 99) div 100"),
+                F.col("r"),
+            )
+        ).alias("r_hi"),
+    )
+    return (
+        fc.filter(
+            F.col("naive").isNotNull()
+            & (F.col("rn") > F.col("nd") - PI_REPORT_DAYS)
+        )
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "d",
+            F.col("cnt").alias("actual"),
+            "naive",
+            (F.col("naive") + F.col("r_lo")).cast("bigint").alias("lo"),
+            (F.col("naive") + F.col("r_hi")).cast("bigint").alias("hi"),
+            (
+                (F.col("cnt") >= F.col("naive") + F.col("r_lo"))
+                & (F.col("cnt") <= F.col("naive") + F.col("r_hi"))
+            ).alias("covered"),
+        )
+        .orderBy("d")
+    )
