@@ -1949,3 +1949,84 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ck", "amount_c", "k1", "k2")
     )
+
+
+def _gate_family_sql() -> str:
+    """Compose the release-gate oracle from the SIBLING ops' own oracle
+    strings (registry lookups — the twins can't drift apart)."""
+    from insight_gp_import_spark.registry import REGISTRY
+
+    sc = REGISTRY["dq_schema_contract"].oracle
+    sg = REGISTRY["dq_sequence_gaps"].oracle
+    dp = REGISTRY["dq_duplicate_payments"].oracle
+    return f"""
+    WITH sc AS ({sc}), sg AS ({sg}), dp AS ({dp})
+    SELECT 'duplicate_payments' AS family,
+           CAST((SELECT count(*) FROM dp) AS BIGINT) AS n_issues,
+           false AS blocking,
+           CASE WHEN (SELECT count(*) FROM dp) = 0 THEN 'pass'
+                ELSE 'warn' END AS verdict
+    UNION ALL
+    SELECT 'schema_contract',
+           CAST((SELECT count(*) FROM sc WHERE status <> 'ok') AS BIGINT),
+           true,
+           CASE WHEN (SELECT count(*) FROM sc WHERE status <> 'ok') = 0
+                THEN 'pass' ELSE 'block' END
+    UNION ALL
+    SELECT 'sequence_gaps',
+           CAST((SELECT count(*) FROM sg) AS BIGINT),
+           true,
+           CASE WHEN (SELECT count(*) FROM sg) = 0 THEN 'pass'
+                ELSE 'block' END
+    ORDER BY family
+    """
+
+
+@op(
+    "pipeline_release_gate",
+    oracle=_gate_family_sql(),
+    category=CAT,
+)
+def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone 10 — the feed release gate: three audit families
+    (schema contract, key-sequence continuity, duplicate payments)
+    collapsed to one verdict table a scheduler can branch on —
+    per family: issue count, blocking flag, pass/warn/block. This is
+    the op a real loader runs FIRST each batch; everything else in
+    the engine executes only if this relation says so (metadata-tier
+    schema breaks BLOCK; data-loss gaps BLOCK; duplicate-payment
+    findings WARN — recovery is downstream's job, not load's).
+
+    Composition is the point, twice over: the Spark side CALLS the
+    three registered sibling operators and aggregates their outputs
+    (one implementation, reused), and the ORACLE is assembled from
+    those siblings' own oracle strings as CTEs (registry lookups at
+    decoration time) — neither side can drift from its components.
+    Family outputs are issue COUNTS, so the gate costs three
+    already-bounded audits + a 3-row union.
+    """
+    sc = dq_schema_contract(spark, sf_dir)
+    sg = dq_sequence_gaps(spark, sf_dir)
+    dp = dq_duplicate_payments(spark, sf_dir)
+    n_sc = sc.filter(F.col("status") != "ok").agg(
+        F.count("*").cast("bigint").alias("n_issues")
+    )
+    n_sg = sg.agg(F.count("*").cast("bigint").alias("n_issues"))
+    n_dp = dp.agg(F.count("*").cast("bigint").alias("n_issues"))
+
+    def fam(name: str, n_df: DataFrame, blocking: bool, fail: str) -> DataFrame:
+        return n_df.select(
+            F.lit(name).alias("family"),
+            "n_issues",
+            F.lit(blocking).alias("blocking"),
+            F.when(F.col("n_issues") == 0, "pass")
+            .otherwise(fail)
+            .alias("verdict"),
+        )
+
+    return (
+        fam("duplicate_payments", n_dp, False, "warn")
+        .unionAll(fam("schema_contract", n_sc, True, "block"))
+        .unionAll(fam("sequence_gaps", n_sg, True, "block"))
+        .orderBy("family")
+    )

@@ -1735,3 +1735,90 @@ def ts_naive_interval_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+MONTH_END_DAYS = 3
+
+
+@op(
+    "ts_month_end_hockey_stick",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ), tagged AS (
+        SELECT m, n, rev_c,
+               date_diff('day', d,
+                   CAST(m + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE))
+                   < {MONTH_END_DAYS} AS is_tail
+        FROM daily
+    )
+    SELECT m,
+           CAST(sum(rev_c) AS BIGINT) AS rev_c,
+           CAST(sum(CASE WHEN is_tail THEN rev_c ELSE 0 END) AS BIGINT)
+               AS tail_rev_c,
+           CAST((sum(CASE WHEN is_tail THEN rev_c ELSE 0 END) * 1000000)
+                // sum(rev_c) AS BIGINT) AS tail_share_ppm,
+           (sum(CASE WHEN is_tail THEN rev_c ELSE 0 END) * 10
+            > sum(rev_c) * 2) AS hockey_stick
+    FROM tagged GROUP BY m ORDER BY m
+    """,
+    category=CAT,
+)
+def ts_month_end_hockey_stick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end 'hockey stick' audit: the revenue share of each
+    month's last {MONTH_END_DAYS} days, flagged where it exceeds 20 %
+    — the quota-gaming fingerprint (sales teams sandbagging to the
+    close compress risk into three days: rushed deals, returns,
+    revenue-recognition scrutiny; a flat ~10 % share is healthy, and
+    the FLAG is what an audit committee samples). ts_seasonal_index_
+    monthly normalizes BETWEEN months; this looks WITHIN the month at
+    the close, which that index cannot see.
+
+    Tail membership is date arithmetic against the month's last day
+    (no calendar table needed: month-start + 1 month − 1 day —
+    leap-safe by construction); shares are integer ppm and the 20 %
+    flag is an exact cross-multiplication (tail·10 > total·2), so
+    the flag can never disagree with the published share. One daily
+    rollup → one ≤|months| rollup, both map-combined.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("m"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("rev_c"),
+    )
+    last_day = F.date_sub(F.add_months(F.col("m"), 1), 1)
+    tagged = daily.select(
+        "m",
+        "rev_c",
+        (F.datediff(last_day, F.col("d")) < MONTH_END_DAYS).alias("is_tail"),
+    )
+    tail = F.sum(F.when(F.col("is_tail"), F.col("rev_c")).otherwise(0)).cast(
+        "bigint"
+    )
+    total = F.sum("rev_c").cast("bigint")
+    return (
+        tagged.groupBy("m")
+        .agg(
+            total.alias("rev_c"),
+            tail.alias("tail_rev_c"),
+        )
+        .select(
+            "m",
+            "rev_c",
+            "tail_rev_c",
+            F.expr("(tail_rev_c * 1000000) div rev_c")
+            .cast("bigint")
+            .alias("tail_share_ppm"),
+            (F.col("tail_rev_c") * 10 > F.col("rev_c") * 2).alias(
+                "hockey_stick"
+            ),
+        )
+        .orderBy("m")
+    )
