@@ -1822,3 +1822,88 @@ def ts_month_end_hockey_stick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+UNDERWATER_TOP_K = 5
+
+
+@op(
+    "ts_underwater_duration",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY 1
+    ), marked AS (
+        SELECT d, rev_c,
+               CAST(max(rev_c) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS peak
+        FROM daily
+    ), uw AS (
+        SELECT d, peak - rev_c AS depth_c,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn_all
+        FROM marked WHERE rev_c < peak
+    ), isl AS (
+        SELECT d, depth_c,
+               CAST(d - INTERVAL (row_number() OVER (ORDER BY d)) DAY
+                    AS DATE) AS grp
+        FROM uw
+    )
+    SELECT min(d) AS spell_start, max(d) AS spell_end,
+           CAST(count(*) AS BIGINT) AS underwater_days,
+           CAST(max(depth_c) AS BIGINT) AS max_depth_c
+    FROM isl GROUP BY grp
+    ORDER BY underwater_days DESC, spell_start
+    LIMIT {UNDERWATER_TOP_K}
+    """,
+    category=CAT,
+)
+def ts_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest underwater spells: maximal runs of consecutive days
+    where daily revenue sits below its running all-time peak, top-5
+    by duration with max depth — TIME-based drawdown
+    (win_max_drawdown answers 'how far below peak'; this answers
+    'how LONG below peak', and the two disagree on purpose: a deep
+    one-day dip and a shallow two-month slump are opposite findings,
+    which is why fund reporting always shows both).
+
+    Gaps-islands on a CONDITION: underwater days anchored by
+    d − row_number() (the win_gaps_islands device — consecutive
+    dates in a filtered set share one anchor), after a running-max
+    window on the daily cents rollup. All integer; spell bounds are
+    min/max per island, ties broken by start date. The global
+    windows run over ≤|days| rows — the fact died in the groupBy.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100))
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    marked = daily.select(
+        "d", "rev_c", F.max("rev_c").over(w).cast("bigint").alias("peak")
+    )
+    uw = marked.filter(F.col("rev_c") < F.col("peak")).select(
+        "d", (F.col("peak") - F.col("rev_c")).alias("depth_c")
+    )
+    isl = uw.select(
+        "d",
+        "depth_c",
+        F.date_sub(
+            F.col("d"), F.row_number().over(Window.orderBy("d"))
+        ).alias("grp"),
+    )
+    return (
+        isl.groupBy("grp")
+        .agg(
+            F.min("d").alias("spell_start"),
+            F.max("d").alias("spell_end"),
+            F.count("*").cast("bigint").alias("underwater_days"),
+            F.max("depth_c").cast("bigint").alias("max_depth_c"),
+        )
+        .drop("grp")
+        .orderBy(F.desc("underwater_days"), "spell_start")
+        .limit(UNDERWATER_TOP_K)
+    )

@@ -1294,3 +1294,103 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.q").cast("bigint").alias("survivor_chars"),
         )
     )
+
+
+SWEEP_THRESHOLDS_PM = (400, 450, 500, 550)  # permille; 400 = production cut
+
+
+@op(
+    "embed_dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT b.vec_id AS v2,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                          AS DOUBLE), 4) AS sim_r
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                         AS DOUBLE), 4) > {SWEEP_THRESHOLDS_PM[0]} / 1000.0
+    ), th AS (
+        SELECT unnest({list(SWEEP_THRESHOLDS_PM)}) AS t_pm
+    ), hits AS (
+        SELECT th.t_pm,
+               CAST(count(p.sim_r) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT p.v2) AS BIGINT) AS n_removed
+        FROM th LEFT JOIN pairs p ON p.sim_r > th.t_pm / 1000.0
+        GROUP BY th.t_pm
+    ), corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT h.t_pm AS threshold_pm,
+           coalesce(h.n_pairs, 0) AS n_pairs,
+           coalesce(h.n_removed, 0) AS n_removed,
+           CAST((coalesce(h.n_removed, 0) * 1000000) // c.n AS BIGINT)
+               AS removal_ppm
+    FROM hits h CROSS JOIN corpus c
+    ORDER BY threshold_pm
+    """,
+    category=CAT,
+)
+def embed_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity sweep: duplicate-pair count, docs
+    removed (min-id survivor convention: the GREATER id of a pair is
+    the casualty) and corpus removal rate in ppm at four candidate
+    cosine cuts — the table a data lead reads BEFORE choosing the
+    production threshold (dedup_embed_cosine executes ONE cut; a cut
+    chosen without its sensitivity curve is folklore: the elbow
+    where removal_ppm collapses is the signal/noise boundary, and a
+    cliff between adjacent cuts means the threshold sits inside a
+    similarity mode — exactly what you must know at 100 TB where a
+    1 % removal error is a terabyte).
+
+    One pair pass filtered at the LOOSEST cut first — the sweep
+    never multiplies the pair join by |thresholds|, it multiplies
+    only the few survivors; per-threshold membership compares the
+    ROUNDED sim (round-before-compare on both sides, §2.X flag rule)
+    so band edges cannot disagree; threshold rows LEFT-join so a cut
+    with zero survivors still reports its zero. Removal counts are
+    distinct-id aggregates; shares integer ppm.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim_r = F.round(
+        F.expr(
+            "aggregate(zip_with(a.embedding, b.embedding,"
+            " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
+            " (acc, v) -> acc + v)"
+            " / (sqrt(aggregate(zip_with(a.embedding, a.embedding,"
+            " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
+            " (acc, v) -> acc + v))"
+            " * sqrt(aggregate(zip_with(b.embedding, b.embedding,"
+            " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
+            " (acc, v) -> acc + v)))"
+        ),
+        4,
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("b.vec_id").alias("v2"), sim_r.alias("sim_r"))
+        .filter(F.col("sim_r") > SWEEP_THRESHOLDS_PM[0] / 1000.0)
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS_PM], "t_pm int"
+    )
+    hits = (
+        F.broadcast(th)
+        .join(pairs, pairs.sim_r > th.t_pm / 1000.0, "left")
+        .groupBy("t_pm")
+        .agg(
+            F.count("sim_r").cast("bigint").alias("n_pairs"),
+            F.countDistinct("v2").cast("bigint").alias("n_removed"),
+        )
+    )
+    corpus = e.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        hits.crossJoin(F.broadcast(corpus))
+        .select(
+            F.col("t_pm").alias("threshold_pm"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.expr("(coalesce(n_removed, 0) * 1000000) div n")
+            .cast("bigint")
+            .alias("removal_ppm"),
+        )
+        .orderBy("threshold_pm")
+    )
