@@ -122,7 +122,16 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # scan_parquet_footer_stats, agg_runrate_backtest,
 # embed_matryoshka_eval, scan_modified_after, sql_identifier_dynamic,
 # ts_downsample_minmax, text_tokenizer_fertility,
-# dq_duplicate_payments, embed_hard_negatives — likewise registry
+# dq_duplicate_payments, embed_hard_negatives, sql_star_except,
+# fn_timestamp_parse_multi, join_fx_normalize, graph_kcore_unrolled,
+# agg_new_product_adoption, agg_sessions_to_convert,
+# join_record_linkage_score, sink_parquet_zstd,
+# agg_user_lifecycle_daily, text_kwic_concordance,
+# ts_periodogram_quantized, agg_anova_dow,
+# corpus_alpha_sampling_weights, text_vocab_coverage_bands,
+# ts_naive_interval_bands, agg_atp_allocation, pipeline_release_gate,
+# ts_month_end_hockey_stick, embed_dedup_threshold_sweep,
+# ts_underwater_duration — likewise registry
 # tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [
