@@ -536,3 +536,49 @@ def test_distribute_sort_by_plans_repartition_not_global_sort(spark):
     # intra-partition (no global sort / range exchange)
     assert "hashpartitioning(o_custkey" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_sequence_gaps_has_no_partitionless_window_over_ids(spark):
+    plan = plan_of(spark, "dq_sequence_gaps")
+    # the naive formulation is ONE un-partitioned lead over every id;
+    # the two-level rewrite must show a bucket-partitioned window (the
+    # id stream) plus at most a tiny summary-level global window
+    # id-level window must partition by the bucket column (the
+    # summary-level window over per-bucket min/max is the only
+    # unpartitioned one, and it is bucket-count-sized)
+    assert "windowspecdefinition(bkt" in plan
+
+
+def test_common_neighbors_prunes_before_wedge(spark):
+    plan = plan_of(spark, "graph_common_neighbors")
+    # the w >= 2 support cut must run inside/above the FIRST pair
+    # aggregate (a Filter on w), before any wedge join — the unpruned
+    # wedge join is the measured OOM at sf0.1
+    import re
+    assert re.search(r"Filter.*w#", plan) or "(w" in plan
+    # wedge + anti + two degree joins: at least 3 joins in the plan
+    assert plan.count("Join") >= 3
+
+
+def test_atp_allocation_window_is_per_part(spark):
+    plan = plan_of(spark, "agg_atp_allocation")
+    # the prefix-sum window must partition by part key — a global
+    # allocation sort would serialize the 100 TB fact
+    assert "windowspecdefinition(pk" in plan
+
+
+def test_fx_normalize_aggregates_before_broadcast_join(spark):
+    plan = plan_of(spark, "join_fx_normalize")
+    # fact must collapse to <=|nations| rows BEFORE the dim join, and
+    # the 25-row dim must broadcast
+    assert "BroadcastHashJoin" in plan
+    idx_agg = plan.find("HashAggregate")
+    assert idx_agg != -1
+
+
+def test_modified_after_prunes_at_listing_time(spark):
+    plan = plan_of(spark, "scan_modified_after")
+    # the mtime cut happens at file-listing time: the plan must contain
+    # NO Filter on a modification-time column (it never becomes a row
+    # predicate) — only the partition/batch columns appear
+    assert "modificationTime" not in plan
