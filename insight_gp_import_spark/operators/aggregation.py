@@ -5148,3 +5148,105 @@ def agg_atp_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+HOLIDAYS_MD = ((12, 25), (1, 1), (7, 4))  # Christmas, New Year, Jul 4
+HOLIDAY_WINDOW_DAYS = 3
+
+
+@op(
+    "agg_holiday_proximity_lift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(round(o_totalprice)) AS BIGINT) AS rev_d
+        FROM orders GROUP BY 1
+    ), hol AS (
+        SELECT CAST(make_date(y.y, md.m, md.dd) AS DATE) AS hd,
+               md.nm AS holiday
+        FROM (SELECT unnest(range(1995, 2002)) AS y) y
+        CROSS JOIN (VALUES (12, 25, 'christmas'), (1, 1, 'new_year'),
+                           (7, 4, 'july4')) md(m, dd, nm)
+    ), tagged AS (
+        SELECT h.holiday, d.rev_d
+        FROM daily d JOIN hol h
+          ON abs(date_diff('day', h.hd, d.d)) <= {HOLIDAY_WINDOW_DAYS}
+    ), base AS (
+        SELECT CAST(sum(rev_d) AS BIGINT) AS tot_d,
+               CAST(count(*) AS BIGINT) AS tot_days
+        FROM daily
+    )
+    SELECT t.holiday,
+           CAST(count(*) AS BIGINT) AS window_days,
+           CAST(sum(t.rev_d) AS BIGINT) AS window_rev_d,
+           CAST((sum(t.rev_d) * b.tot_days * 1000000)
+                // (count(*) * b.tot_d) AS BIGINT) AS lift_ppm
+    FROM tagged t CROSS JOIN base b
+    GROUP BY t.holiday, b.tot_days, b.tot_d
+    ORDER BY t.holiday
+    """,
+    category=CAT,
+)
+def agg_holiday_proximity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holiday proximity lift: revenue-per-day inside ±{HOLIDAY_WINDOW_DAYS}
+    days of each holiday vs the all-days baseline, as a ppm ratio
+    (10⁶ = no effect) — the calendar-event twin of agg_weekend_lift
+    (weekly rhythm) and the WITHIN-year cousin of the monthly
+    seasonal index: a promotion planner reads this per event, not
+    per month. The holiday DIM is generated (years × (month, day)
+    literals — the join_calendar_dim_rollup pattern), so no external
+    table is needed and the op stays self-contained; a real
+    deployment swaps in its holiday table with the same plan.
+
+    Lift is a ratio of ratios — (window_rev/window_days) /
+    (total_rev/total_days) — computed as ONE exact BIGINT
+    cross-multiplication in ppm (rev·total_days·10⁶ div
+    (days·total_rev)): no float division ever happens. Revenue is in
+    integer DOLLARS here, not cents — the triple product
+    rev·days·10⁶ must clear 2⁶³ and cents headroom does NOT
+    (caught by ANSI overflow at the gate, the failure mode this
+    comment records); dollars keep 10⁴× margin at any plausible SF. The ±window join is a broadcast of the
+    ~21-row holiday dim against the ≤|days| daily rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice"))).cast("bigint").alias("rev_d")
+    )
+    hol_rows = [
+        (y, m, dd, nm)
+        for y in range(1995, 2002)
+        for (m, dd), nm in zip(HOLIDAYS_MD, ("christmas", "new_year", "july4"))
+    ]
+    hol = spark.createDataFrame(
+        hol_rows, "y int, m int, dd int, nm string"
+    ).select(
+        F.make_date("y", "m", "dd").alias("hd"), F.col("nm").alias("holiday")
+    )
+    tagged = daily.join(
+        F.broadcast(hol),
+        F.abs(F.datediff(F.col("d"), F.col("hd"))) <= HOLIDAY_WINDOW_DAYS,
+    )
+    base = daily.agg(
+        F.sum("rev_d").cast("bigint").alias("tot_d"),
+        F.count("*").cast("bigint").alias("tot_days"),
+    )
+    return (
+        tagged.groupBy("holiday")
+        .agg(
+            F.count("*").cast("bigint").alias("window_days"),
+            F.sum("rev_d").cast("bigint").alias("window_rev_d"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "holiday",
+            "window_days",
+            "window_rev_d",
+            F.expr(
+                "(window_rev_d * tot_days * 1000000)"
+                " div (window_days * tot_d)"
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy("holiday")
+    )

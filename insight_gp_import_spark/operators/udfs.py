@@ -233,3 +233,59 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         weight_iter("price_c", "o_orderpriority").alias("weighted_c"),
     )
+
+
+BIGRAM_TOP_K = 20
+
+
+@op(
+    "udtf_arrow_bigrams",
+    oracle=f"""
+    WITH pos AS (
+        SELECT text, unnest(range(1, strlen(text))) AS i FROM documents
+    ), bg AS (
+        SELECT substr(text, CAST(i AS INTEGER), 2) AS w FROM pos
+    )
+    SELECT w, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY w
+    ORDER BY n DESC, w LIMIT {BIGRAM_TOP_K}
+    """,
+    category=CAT,
+)
+def udtf_arrow_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-optimized Python UDTF (Spark 4's `@udtf(useArrow=True)`)
+    generating character bigrams, applied via SQL LATERAL and rolled
+    up to the top-{BIGRAM_TOP_K} — completes the UDTF surface axis:
+    udtf_explode is the builtin generator, udtf_python_tokenize the
+    pickled row-at-a-time Python UDTF, and THIS is the Arrow-batched
+    form that makes Python table functions production-viable (rows
+    cross the JVM↔Python boundary as Arrow record batches instead of
+    one pickled row per yield — the same ~10-100× transfer win
+    pandas UDFs get, now for one-to-many generators).
+
+    The UDTF yields plain tuples; batching is the runtime's job —
+    which is the API's point (no code change between pickled and
+    Arrow forms, just the flag). Oracle generates the same bigrams
+    set-theoretically (per-row position-list unnest + substr — ASCII
+    corpus makes substr positions byte-safe, stated); counts are
+    integers, top-K total-ordered by (n desc, bigram).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="w string", useArrow=True)
+    class Bigrams:
+        def eval(self, s: str):
+            if s:
+                for i in range(len(s) - 1):
+                    yield (s[i : i + 2],)
+
+    spark.udtf.register("igis_arrow_bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "igis_bg_documents"
+    )
+    return spark.sql(f"""
+        SELECT t.w, CAST(count(*) AS BIGINT) AS n
+        FROM igis_bg_documents d, LATERAL igis_arrow_bigrams(d.text) t
+        GROUP BY t.w
+        ORDER BY n DESC, t.w LIMIT {BIGRAM_TOP_K}
+    """)
