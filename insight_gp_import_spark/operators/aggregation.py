@@ -5250,3 +5250,86 @@ def agg_holiday_proximity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("holiday")
     )
+
+
+HILL_K = 100
+LOG_SCALE = 1000000  # micro-log quantization
+
+
+@op(
+    "agg_hill_tail_index",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey AS ck,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend_c
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT spend_c,
+               CAST(row_number() OVER (ORDER BY spend_c DESC, ck)
+                    AS BIGINT) AS rk
+        FROM spend
+    ), thresh AS (
+        SELECT CAST(round(ln(spend_c) * {LOG_SCALE}) AS BIGINT) AS l_min,
+               spend_c AS x_threshold_c
+        FROM ranked WHERE rk = {HILL_K} + 1
+    ), top AS (
+        SELECT CAST(round(ln(r.spend_c) * {LOG_SCALE}) AS BIGINT)
+                   - t.l_min AS dl
+        FROM ranked r CROSS JOIN thresh t
+        WHERE r.rk <= {HILL_K}
+    )
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           t.x_threshold_c,
+           CAST(sum(top.dl) AS BIGINT) AS sum_excess_microlog,
+           CAST((CAST({HILL_K} AS BIGINT) * {LOG_SCALE} * 1000000)
+                // sum(top.dl) AS BIGINT) AS alpha_ppm
+    FROM top CROSS JOIN thresh t
+    GROUP BY t.x_threshold_c
+    """,
+    category=CAT,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator over customer spend: α̂ = k / Σ
+    ln(xᵢ/x₍ₖ₊₁₎) on the top-{HILL_K} order statistics — extreme
+    value theory's standard heavy-tail measurement (α < 2 means
+    infinite variance: mean-based planning fails and whale risk
+    dominates; agg_pareto_cut shows the 80/20 share and
+    agg_lorenz_deciles the whole curve — Hill puts a NUMBER with an
+    asymptotic theory on the tail those describe, which is what a
+    capacity planner extrapolating beyond observed data needs).
+
+    Logs are per-row, immediately quantized to integer micro-logs
+    (round(ln·10⁶) — the periodogram/α-sampling device: the
+    quantization step dwarfs libm's last ulp) so the Hill sum is an
+    exact BIGINT of log-excesses over the rank-(k+1) threshold, and
+    α̂ lands as one integer ppm division. The rank window runs over
+    the |customers| spend rollup (dim-scale); the fact dies in the
+    first groupBy.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("spend_c")
+    )
+    ranked = spend.select(
+        "spend_c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("spend_c"), "ck"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    microlog = F.round(F.log(F.col("spend_c")) * LOG_SCALE).cast("bigint")
+    thresh = ranked.filter(F.col("rk") == HILL_K + 1).select(
+        microlog.alias("l_min"), F.col("spend_c").alias("x_threshold_c")
+    )
+    top = (
+        ranked.filter(F.col("rk") <= HILL_K)
+        .crossJoin(F.broadcast(thresh))
+        .select((microlog - F.col("l_min")).alias("dl"), "x_threshold_c")
+    )
+    return top.groupBy("x_threshold_c").agg(
+        F.lit(HILL_K).cast("bigint").alias("k"),
+        F.sum("dl").cast("bigint").alias("sum_excess_microlog"),
+        F.expr(f"(CAST({HILL_K} AS BIGINT) * {LOG_SCALE} * 1000000) div sum(dl)")
+        .cast("bigint")
+        .alias("alpha_ppm"),
+    ).select("k", "x_threshold_c", "sum_excess_microlog", "alpha_ppm")

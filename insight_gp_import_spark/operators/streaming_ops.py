@@ -539,3 +539,60 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@op("stream_rate_source", oracle=None, category=CAT)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in `rate` source: a self-clocking benchmark/soak
+    stream (monotonic `value` + event-time `timestamp` at a
+    configured rows/sec) — the source every streaming deployment
+    uses FIRST, because it isolates the engine from the feed: if a
+    topology misbehaves on `rate`, the bug is yours, not Kafka's.
+    Rows-only by nature (row count depends on wall-clock); the
+    asserted invariants are structural: values are unique and form
+    a gapless 0..max prefix — which is also the exactly-once claim
+    of the source.
+
+    Unlike the file-source ops, `rate` is UNBOUNDED, so availableNow
+    doesn't terminate it: the query is started, polled until the
+    memory sink shows data (bounded fail-loud wait — the
+    run_to_memory contract adapted to an endless source), then
+    stopped explicitly.
+    """
+    import time as _time
+
+    name = _qname("rate_src", sf_dir)
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+    )
+    with tempfile.TemporaryDirectory(prefix="igis-rate-ckpt-") as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if spark.table(name).count() >= 100:
+                    break
+                _time.sleep(0.5)
+            else:
+                raise TimeoutError("rate source produced <100 rows in 60s")
+        finally:
+            q.stop()
+    got = spark.table(name)
+    return got.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("value").cast("bigint").alias("n_distinct"),
+        (F.max("value") - F.min("value") + 1).cast("bigint").alias("span"),
+        (
+            (F.countDistinct("value") == F.count("*"))
+            & (F.min("value") == 0)
+        ).alias("gapless_prefix"),
+    )
