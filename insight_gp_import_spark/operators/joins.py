@@ -2061,3 +2061,93 @@ def join_record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score")
     )
+
+
+SPLIT_SHIP_BANDS = (7, 30)  # days: tight / split / badly-split
+
+
+@op(
+    "join_order_split_shipments",
+    oracle=f"""
+    WITH spans AS (
+        SELECT l_orderkey AS ok,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(date_diff('day', min(CAST(l_shipdate AS DATE)),
+                              max(CAST(l_shipdate AS DATE))) AS BIGINT)
+                   AS span_days
+        FROM lineitem GROUP BY 1
+        HAVING count(*) > 1
+    ), banded AS (
+        SELECT CASE WHEN span_days <= {SPLIT_SHIP_BANDS[0]} THEN 'tight'
+                    WHEN span_days <= {SPLIT_SHIP_BANDS[1]} THEN 'split'
+                    ELSE 'badly_split' END AS band,
+               n_lines, span_days
+        FROM spans
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM spans)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(max(span_days) AS BIGINT) AS max_span_days,
+           CAST((count(*) * 1000000) // (SELECT n FROM tot) AS BIGINT)
+               AS share_ppm
+    FROM banded GROUP BY band ORDER BY band
+    """,
+    category=CAT,
+)
+def join_order_split_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-shipment audit: multi-line orders banded by their
+    INTRA-order ship-date spread (≤{SPLIT_SHIP_BANDS[0]}d tight,
+    ≤{SPLIT_SHIP_BANDS[1]}d split, beyond = badly split) — the
+    consolidation-failure report (every extra shipment per order is
+    a packaging+freight cost and a doorstep annoyance;
+    agg_fulfillment_lag measures order→ship latency, this measures
+    ship→ship SPREAD within the order — an order can be fast AND
+    badly split, and the two reports disagree exactly there).
+
+    One groupBy on the fact's own key (no join despite living in the
+    join family: the 'self-join' min/max-per-order formulation
+    collapses to a grouped aggregate — stated because the naive
+    first-vs-last-line pairing is a real antipattern); single-line
+    orders excluded by HAVING (a span of zero days from one line is
+    vacuous, not 'tight'). Integer day spans, exact band edges,
+    ppm shares vs the multi-line order total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.datediff(
+                F.max(F.to_date("l_shipdate")), F.min(F.to_date("l_shipdate"))
+            )
+            .cast("bigint")
+            .alias("span_days"),
+        )
+        .filter(F.col("n_lines") > 1)
+    )
+    band = (
+        F.when(F.col("span_days") <= SPLIT_SHIP_BANDS[0], "tight")
+        .when(F.col("span_days") <= SPLIT_SHIP_BANDS[1], "split")
+        .otherwise("badly_split")
+    )
+    tot = spans.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        spans.select(band.alias("band"), "n_lines", "span_days")
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.max("span_days").cast("bigint").alias("max_span_days"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_orders",
+            "n_lines",
+            "max_span_days",
+            F.expr("(n_orders * 1000000) div n")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("band")
+    )

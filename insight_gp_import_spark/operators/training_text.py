@@ -1979,3 +1979,109 @@ def text_vocab_coverage_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+DISPERSION_TOP_K = 10
+
+
+@op(
+    "text_token_dispersion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), cell AS (
+        SELECT tok, source, CAST(count(*) AS BIGINT) AS v
+        FROM toks GROUP BY 1, 2
+    ), src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS t FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(t) AS BIGINT) AS grand FROM src
+    ), tokv AS (
+        SELECT tok, CAST(sum(v) AS BIGINT) AS vt FROM cell GROUP BY tok
+    ), top AS (
+        SELECT tok, vt FROM tokv
+        ORDER BY vt DESC, tok LIMIT {DISPERSION_TOP_K}
+    ), dev AS (
+        SELECT top.tok, top.vt,
+               CAST(sum(abs(coalesce(c.v, 0) * t2.grand - s.t * top.vt))
+                    AS BIGINT) AS dev_num
+        FROM top
+        CROSS JOIN src s
+        CROSS JOIN tot t2
+        LEFT JOIN cell c ON c.tok = top.tok AND c.source = s.source
+        GROUP BY top.tok, top.vt
+    )
+    SELECT d.tok, d.vt AS n_occurrences,
+           CAST((d.dev_num * 1000000) // (2 * t2.grand * d.vt) AS BIGINT)
+               AS dp_ppm
+    FROM dev d CROSS JOIN tot t2
+    ORDER BY dp_ppm DESC, d.tok
+    """,
+    category=CAT,
+)
+def text_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' Deviation of Proportions (DP) for the top-{DISPERSION_TOP_K}
+    tokens: how UNEVENLY each token spreads across sources, 0 ppm =
+    perfectly proportional, →10⁶ = concentrated in one source — the
+    dispersion axis raw frequency hides (corpus linguistics' core
+    critique of frequency lists: a term with 1 000 hits in ONE crawl
+    is jargon, the same count spread evenly is core vocabulary; for
+    corpus curation DP separates source-artifact tokens — boilerplate,
+    site chrome — from genuine high-frequency language, a cut
+    text_boilerplate_sentences makes at sentence level and this
+    makes at token level).
+
+    DP = ½·Σ|obs_share − expected_share| is computed WITHOUT any
+    fraction: each cell's deviation is |v·T − t·V| over the common
+    denominator T·V, summed as BIGINTs and divided ONCE into ppm
+    (overflow audit: v·T ≤ 10⁴·10⁶ per cell). The token×source
+    deviation grid is |top-K|×|sources| — dim-sized — built by a
+    LEFT join so zero cells (the strongest deviations) are counted,
+    not dropped.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    cell = toks.groupBy("tok", "source").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    src = toks.groupBy("source").agg(F.count("*").cast("bigint").alias("t"))
+    tot = src.agg(F.sum("t").cast("bigint").alias("grand"))
+    tokv = cell.groupBy("tok").agg(F.sum("v").cast("bigint").alias("vt"))
+    top = tokv.orderBy(F.desc("vt"), "tok").limit(DISPERSION_TOP_K)
+    grid = (
+        top.crossJoin(F.broadcast(src))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cell.withColumnRenamed("tok", "ctok").withColumnRenamed(
+                "source", "csource"
+            ),
+            (F.col("tok") == F.col("ctok"))
+            & (F.col("source") == F.col("csource")),
+            "left",
+        )
+        .select(
+            "tok",
+            "vt",
+            "grand",
+            (
+                F.abs(
+                    F.coalesce(F.col("v"), F.lit(0)) * F.col("grand")
+                    - F.col("t") * F.col("vt")
+                )
+            ).alias("dev"),
+        )
+    )
+    dev = grid.groupBy("tok", "vt", "grand").agg(
+        F.sum("dev").cast("bigint").alias("dev_num")
+    )
+    return (
+        dev.select(
+            "tok",
+            F.col("vt").alias("n_occurrences"),
+            F.expr("(dev_num * 1000000) div (2 * grand * vt)")
+            .cast("bigint")
+            .alias("dp_ppm"),
+        )
+        .orderBy(F.desc("dp_ppm"), "tok")
+    )
