@@ -5333,3 +5333,86 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alpha_ppm"),
     ).select("k", "x_threshold_c", "sum_excess_microlog", "alpha_ppm")
+
+
+ENTROPY_LOG_SCALE = 1000000
+
+
+@op(
+    "agg_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), trans AS (
+        SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), rowtot AS (
+        SELECT src, CAST(sum(c) AS BIGINT) AS ci FROM trans GROUP BY src
+    ), cells AS (
+        SELECT t.c,
+               CAST(round(ln(r.ci * 1.0 / t.c) * {ENTROPY_LOG_SCALE})
+                    AS BIGINT) AS microlog
+        FROM trans t JOIN rowtot r ON r.src = t.src
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+    SELECT (SELECT n FROM tot) AS n_transitions,
+           CAST(sum(c * microlog) AS BIGINT) AS entropy_num_micro,
+           CAST(sum(c * microlog) // (SELECT n FROM tot) AS BIGINT)
+               AS entropy_rate_micronats
+    FROM cells
+    """,
+    category=CAT,
+)
+def agg_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain: H = Σᵢⱼ
+    (cᵢⱼ/N)·ln(cᵢ/cᵢⱼ) in micro-nats — the PREDICTABILITY number on
+    top of agg_markov_transitions' matrix (the matrix says WHERE
+    users go next; the entropy rate says how much there is to know
+    at all: ~0 = deterministic flows worth modeling, ~ln(k) =
+    uniform noise where a next-event model cannot beat the
+    marginal — the one-number go/no-go for sequence-model
+    investment, Shannon's rate applied to clickstreams).
+
+    Per-cell ln(cᵢ/cᵢⱼ) is one IEEE division + log, immediately
+    quantized to integer micro-nats (the periodogram/Hill device),
+    so the weighted sum Σ c·microlog is an exact commutative BIGINT
+    — the float-fold ban holds even over the k² transition cells.
+    The transition matrix is k²-sized (k = event types, dim-scale);
+    the sequence pass is the same per-user lead window every path op
+    uses.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    rowtot = trans.groupBy("src").agg(F.sum("c").cast("bigint").alias("ci"))
+    cells = trans.join(rowtot, "src").select(
+        "c",
+        F.round(
+            F.log(F.col("ci") * 1.0 / F.col("c")) * ENTROPY_LOG_SCALE
+        )
+        .cast("bigint")
+        .alias("microlog"),
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        cells.agg(
+            F.sum(F.col("c") * F.col("microlog"))
+            .cast("bigint")
+            .alias("entropy_num_micro")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_transitions"),
+            "entropy_num_micro",
+            F.expr("entropy_num_micro div n")
+            .cast("bigint")
+            .alias("entropy_rate_micronats"),
+        )
+    )

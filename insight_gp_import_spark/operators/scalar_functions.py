@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -1101,3 +1102,69 @@ def fn_timestamp_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.alias("parsed"),
         (parsed == F.col("o_orderdate")).alias("roundtrip_ok"),
     ).orderBy("o_orderkey")
+
+
+NATSORT_PAD = 8
+
+
+@op(
+    "fn_natural_sort_key",
+    oracle=f"""
+    WITH srcs AS (SELECT DISTINCT source FROM documents),
+    keyed AS (
+        SELECT source,
+               regexp_replace(
+                   regexp_replace(source, '(\\d+)',
+                                  '{"0" * NATSORT_PAD}\\1', 'g'),
+                   '0*(\\d{{{NATSORT_PAD}}})', '\\1', 'g') AS nat_key
+        FROM srcs
+    )
+    SELECT source, nat_key,
+           CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS lex_rank,
+           CAST(row_number() OVER (ORDER BY nat_key) AS BIGINT)
+               AS natural_rank
+    FROM keyed
+    ORDER BY source
+    """,
+    category=CAT,
+)
+def fn_natural_sort_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural (numeric-aware) sort keys: every digit run zero-padded
+    to {NATSORT_PAD} so 'src2' sorts before 'src10' — the versioned-
+    name ordering fix (lexical order interleaves src1, src10, src11,
+    src2 …; every file listing, partition list and shard manifest
+    with embedded numbers hits this, and BOTH rank columns are
+    emitted so the disagreement between lexical and natural order IS
+    the visible finding).
+
+    The key is a pure regexp projection (scan-stage, shuffle-free);
+    rank windows run over the distinct-source dim. Neither engine
+    has replace-with-callback, so the padding is the classic
+    two-step regexp chain (prefix every digit run with {NATSORT_PAD}
+    zeros, then keep each run's last {NATSORT_PAD} chars) — written
+    once per dialect and hash-proven equal; runs longer than
+    {NATSORT_PAD} digits are the stated precision bound.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.select("source").distinct()
+    # Spark: no callback replace — pad digit runs via two-step:
+    # prefix every digit run with zeros to >= PAD chars, then trim
+    # each run to its LAST {NATSORT_PAD} chars.
+    pad = "0" * NATSORT_PAD
+    keyed = srcs.select(
+        "source",
+        F.regexp_replace(
+            F.regexp_replace(F.col("source"), r"(\d+)", pad + r"$1"),
+            r"0*(\d{" + str(NATSORT_PAD) + r"})",
+            r"$1",
+        ).alias("nat_key"),
+    )
+    return keyed.select(
+        "source",
+        "nat_key",
+        F.row_number().over(Window.orderBy("source")).cast("bigint").alias("lex_rank"),
+        F.row_number()
+        .over(Window.orderBy("nat_key"))
+        .cast("bigint")
+        .alias("natural_rank"),
+    ).orderBy("source")
