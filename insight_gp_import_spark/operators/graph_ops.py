@@ -652,3 +652,115 @@ def graph_kcore_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("deg") >= KCORE_K)
         .orderBy(F.desc("deg"), "node")
     )
+
+
+RICH_CLUB_N = 50
+
+
+@op(
+    "graph_rich_club",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM pairs WHERE w >= {CN_MIN_SUPPORT}),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    club AS (
+        SELECT node FROM deg
+        ORDER BY deg DESC, node LIMIT {RICH_CLUB_N}
+    ),
+    club_edges AS (
+        SELECT e.src, e.dst FROM edges e
+        JOIN club c1 ON c1.node = e.src
+        JOIN club c2 ON c2.node = e.dst
+    ),
+    stats AS (
+        SELECT CAST((SELECT count(*) FROM club) AS BIGINT) AS nk,
+               CAST((SELECT count(*) FROM club_edges) AS BIGINT) AS ek2,
+               CAST((SELECT count(*) FROM deg) AS BIGINT) AS nn,
+               CAST((SELECT count(*) FROM edges) AS BIGINT) AS en2
+    )
+    SELECT nk AS club_size, ek2 // 2 AS club_edges,
+           nn AS graph_nodes, en2 // 2 AS graph_edges,
+           CAST((ek2 * 1000000) // (nk * (nk - 1)) AS BIGINT)
+               AS club_density_ppm,
+           CAST((en2 * 1000000) // (nn * (nn - 1)) AS BIGINT)
+               AS graph_density_ppm,
+           CAST(((ek2 * 1000000) // (nk * (nk - 1))) * 1000
+                // (((en2 * 1000000) // (nn * (nn - 1)))) AS BIGINT)
+               AS rich_club_ratio_milli
+    FROM stats
+    """,
+    category=CAT,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient: edge density among the top-{RICH_CLUB_N}
+    highest-degree parts vs the whole (support-pruned) graph — do
+    the bestsellers co-sell with EACH OTHER or only fan out to the
+    long tail? (Colizza et al. 2006: a ratio ≫ 1 means an elite
+    co-purchase core — bundle-anchor products; ≈ 1 means hubs are
+    independent aisles. Assortativity answered this per-EDGE; the
+    rich club answers it for the specific elite subgraph a
+    merchandiser would actually curate.)
+
+    Club selection is an exact (deg, node)-ordered top-N over the
+    dim-sized degree table; club edges come from two semi-join-style
+    joins against the 50-row club (broadcast). Directed counts are
+    halved to undirected; both densities and their ratio are
+    integer ppm/milli divisions — no float anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= CN_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    club = deg.orderBy(F.desc("deg"), "node").limit(RICH_CLUB_N).select("node")
+    club_edges = edges.join(
+        F.broadcast(club.withColumnRenamed("node", "src")), "src"
+    ).join(F.broadcast(club.withColumnRenamed("node", "dst")), "dst")
+    nk = club.count()
+    # counts are scalar metadata; assemble the one-row report relationally
+    stats = (
+        club_edges.agg(F.count("*").cast("bigint").alias("ek2"))
+        .crossJoin(deg.agg(F.count("*").cast("bigint").alias("nn")))
+        .crossJoin(edges.agg(F.count("*").cast("bigint").alias("en2")))
+        .withColumn("nk", F.lit(nk).cast("bigint"))
+    )
+    return stats.select(
+        F.col("nk").alias("club_size"),
+        F.expr("ek2 div 2").alias("club_edges"),
+        F.col("nn").alias("graph_nodes"),
+        F.expr("en2 div 2").alias("graph_edges"),
+        F.expr("(ek2 * 1000000) div (nk * (nk - 1))")
+        .cast("bigint")
+        .alias("club_density_ppm"),
+        F.expr("(en2 * 1000000) div (nn * (nn - 1))")
+        .cast("bigint")
+        .alias("graph_density_ppm"),
+        F.expr(
+            "((ek2 * 1000000) div (nk * (nk - 1))) * 1000"
+            " div ((en2 * 1000000) div (nn * (nn - 1)))"
+        )
+        .cast("bigint")
+        .alias("rich_club_ratio_milli"),
+    )

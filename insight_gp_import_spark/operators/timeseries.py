@@ -1907,3 +1907,83 @@ def ts_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("underwater_days"), "spell_start")
         .limit(UNDERWATER_TOP_K)
     )
+
+
+XMR_K_MILLI = 2660  # Shewhart individuals constant 2.66, in milli-units
+
+
+@op(
+    "ts_xmr_control_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), mr AS (
+        SELECT d, x,
+               abs(x - lag(x) OVER (ORDER BY d)) AS mrv
+        FROM daily
+    ), const AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+               CAST(count(mrv) AS BIGINT) AS m, CAST(sum(mrv) AS BIGINT) AS mm
+        FROM mr
+    )
+    SELECT r.d, r.x,
+           CAST(c.s AS BIGINT) AS sum_x, c.n AS n_days,
+           CAST(c.mm AS BIGINT) AS sum_mr, c.m AS n_mr,
+           CASE WHEN r.x * c.n > c.s THEN 'above' ELSE 'below' END AS side
+    FROM mr r CROSS JOIN const c
+    WHERE abs(r.x * c.n - c.s) * c.m * 1000 > {XMR_K_MILLI} * c.n * c.mm
+    ORDER BY r.d
+    """,
+    category=CAT,
+)
+def ts_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart XmR (individuals) control chart: days outside
+    x̄ ± 2.66·M̄R — statistical process control's fixed-limit
+    out-of-control signal (Bollinger adapts its band to the rolling
+    regime and dq_anomaly_zscore to the global σ; SPC limits come
+    from the MOVING RANGE, which estimates only COMMON-CAUSE
+    variation — a slow drift inflates σ and hides itself from a
+    z-score, but leaves MR small so XmR still fires; that
+    distinction is the entire Deming argument for control charts).
+
+    No mean, range-average or limit is ever a float: the violation
+    predicate |x·n − S|·m·1000 > 2660·n·M̄Rsum is one BIGINT
+    cross-multiplication (constants published as integer state so
+    the limits are recomputable downstream); sidedness from the
+    sign. One lag window + one scalar moment row over the daily
+    rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d")
+    mr = daily.select(
+        "d", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mrv")
+    )
+    const = mr.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.count("mrv").cast("bigint").alias("m"),
+        F.sum("mrv").cast("bigint").alias("mm"),
+    )
+    j = mr.crossJoin(F.broadcast(const))
+    dev = F.abs(F.col("x") * F.col("n") - F.col("s"))
+    return (
+        j.filter(
+            dev * F.col("m") * 1000 > XMR_K_MILLI * F.col("n") * F.col("mm")
+        )
+        .select(
+            "d",
+            "x",
+            F.col("s").alias("sum_x"),
+            F.col("n").alias("n_days"),
+            F.col("mm").alias("sum_mr"),
+            F.col("m").alias("n_mr"),
+            F.when(F.col("x") * F.col("n") > F.col("s"), "above")
+            .otherwise("below")
+            .alias("side"),
+        )
+        .orderBy("d")
+    )
