@@ -5416,3 +5416,109 @@ def agg_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy_rate_micronats"),
         )
     )
+
+
+WELCH_SEG_A, WELCH_SEG_B = "BUILDING", "MACHINERY"
+
+
+@op(
+    "agg_welch_t_test",
+    oracle=f"""
+    WITH samp AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice) AS BIGINT) AS v
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{WELCH_SEG_A}', '{WELCH_SEG_B}')
+    ), piv AS (
+        SELECT
+          CAST(sum(CASE WHEN seg = '{WELCH_SEG_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN seg = '{WELCH_SEG_A}' THEN v ELSE 0 END)
+               AS BIGINT) AS s1,
+          CAST(sum(CASE WHEN seg = '{WELCH_SEG_A}' THEN v * v ELSE 0 END)
+               AS BIGINT) AS q1,
+          CAST(sum(CASE WHEN seg = '{WELCH_SEG_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2,
+          CAST(sum(CASE WHEN seg = '{WELCH_SEG_B}' THEN v ELSE 0 END)
+               AS BIGINT) AS s2,
+          CAST(sum(CASE WHEN seg = '{WELCH_SEG_B}' THEN v * v ELSE 0 END)
+               AS BIGINT) AS q2
+        FROM samp
+    ), calc AS (
+        SELECT n1, n2,
+               ((q1 - s1 * (s1 * 1.0 / n1)) / (n1 - 1.0)) / n1 AS a,
+               ((q2 - s2 * (s2 * 1.0 / n2)) / (n2 - 1.0)) / n2 AS b,
+               s1 * 1.0 / n1 - s2 * 1.0 / n2 AS dmean
+        FROM piv
+    )
+    SELECT n1, n2,
+           round(dmean / sqrt(a + b), 9) AS t_stat,
+           round((a + b) * (a + b)
+                 / (a * a / (n1 - 1.0) + b * b / (n2 - 1.0)), 9) AS df_ws
+    FROM calc
+    """,
+    category=CAT,
+)
+def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the SAME question
+    agg_mann_whitney_u asks ({WELCH_SEG_A} vs {WELCH_SEG_B} order
+    values) — deliberately paired: Welch assumes normal-ish means
+    (fast, parametric, the default of every stats library since the
+    Behrens–Fisher resolution), MWU assumes nothing; when the two
+    disagree the distribution is telling you it's heavy-tailed, and
+    running both IS the robustness check. Welch–Satterthwaite df
+    reported alongside t (pooled-variance Student's t is WRONG here
+    — group sizes and variances differ, the exact case Welch fixes).
+
+    All six moments are one conditional-pivot row of BIGINTs (the
+    ANOVA device) over integer DOLLARS — Σv² at cents scale
+    overflows 2⁶³ on the larger corpus (ANSI overflow caught at the
+    gate, like agg_holiday_proximity_lift); the variance expressions
+    parenthesize as q − s·(s/n) so no integer product exceeds the
+    moment scale, and t / df are mirrored token-for-token with
+    DOUBLE literals (1.0D — Spark parses bare 1.0 as DECIMAL, the
+    second gate catch in this op) and rounded at 9.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    samp = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .filter(c.c_mktsegment.isin(WELCH_SEG_A, WELCH_SEG_B))
+        .select(
+            c.c_mktsegment.alias("seg"),
+            F.round(o.o_totalprice).cast("bigint").alias("v"),
+        )
+    )
+    isa = F.col("seg") == WELCH_SEG_A
+    isb = F.col("seg") == WELCH_SEG_B
+    piv = samp.agg(
+        F.sum(F.when(isa, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(isa, F.col("v")).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(isa, F.col("v") * F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(isb, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(isb, F.col("v")).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(F.when(isb, F.col("v") * F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    calc = piv.select(
+        "n1",
+        "n2",
+        F.expr("((q1 - s1 * (s1 * 1.0D / n1)) / (n1 - 1.0D)) / n1").alias("a"),
+        F.expr("((q2 - s2 * (s2 * 1.0D / n2)) / (n2 - 1.0D)) / n2").alias("b"),
+        F.expr("s1 * 1.0D / n1 - s2 * 1.0D / n2").alias("dmean"),
+    )
+    return calc.select(
+        "n1",
+        "n2",
+        F.round(F.expr("dmean / sqrt(a + b)"), 9).alias("t_stat"),
+        F.round(
+            F.expr(
+                "(a + b) * (a + b)"
+                " / (a * a / (n1 - 1.0D) + b * b / (n2 - 1.0D))"
+            ),
+            9,
+        ).alias("df_ws"),
+    )

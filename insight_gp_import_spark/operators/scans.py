@@ -1858,3 +1858,59 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+CSV_NULL_TOKEN = "\\N"  # MySQL-dump convention, the classic interop snag
+
+
+@op(
+    "scan_csv_null_tokens",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+           CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS was_nulled
+    FROM documents ORDER BY doc_id
+    """,
+    category=CAT,
+)
+def scan_csv_null_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom NULL-token CSV roundtrip: write with nulls encoded as a
+    sentinel (MySQL's '\\N' dump convention) and read back with
+    `nullValue` so they return as REAL nulls — the interop knob
+    every cross-system CSV handoff trips on (without it the reader
+    yields the literal string and every IS NULL predicate, null
+    count and COALESCE downstream silently lies; with the wrong
+    token, genuine data matching the sentinel is DESTROYED — both
+    failure modes are why parquet exists, and why the CSV path must
+    still be verified when a legacy feed forces it).
+
+    Nulls are INJECTED deterministically (doc_id % 7 on the lang
+    column) so the roundtrip has real nulls to lose; the oracle
+    declares the expected post-roundtrip relation from the source
+    (law-style: the writer/reader pair must reproduce it exactly,
+    including the was_nulled audit column computed BEFORE the trip).
+    One write + one read job; schema explicit on read-back (CSV
+    inference would widen doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0).alias("was_nulled"),
+    )
+    out = tempfile.mkdtemp(prefix="igis-csvnull-")
+    (
+        staged.write.mode("overwrite")
+        .option("header", "true")
+        .option("nullValue", CSV_NULL_TOKEN)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("doc_id bigint, lang string, was_nulled int")
+        .option("header", "true")
+        .option("nullValue", CSV_NULL_TOKEN)
+        .csv(out)
+    )
+    return back.orderBy("doc_id")
