@@ -804,3 +804,55 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * EXCEPT (text) FROM igis_se_documents ORDER BY doc_id"
     )
+
+
+@op(
+    "sql_union_by_name",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, lang, NULL AS source FROM documents
+        WHERE doc_id % 2 = 0
+    ), v2 AS (
+        SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, lang, source,
+           source IS NULL AS from_legacy
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    ORDER BY doc_id
+    """,
+    category=CAT,
+)
+def sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unionByName(allowMissingColumns=True)`: a legacy feed
+    generation (pre-`source` schema, and with its columns in a
+    DIFFERENT order) unioned with the current one — the
+    schema-evolution append every long-lived pipeline performs
+    weekly (positional UNION is the silent killer here twice over:
+    reordered columns pair doc_id with lang without any error, and
+    a missing column is a hard failure instead of a null-fill;
+    BY-NAME resolution fixes both, and schema_evolution_union's
+    mergeSchema covers the READ side — this is the in-flight
+    DataFrame side).
+
+    The legacy half is derived (even doc_ids, `source` dropped,
+    columns deliberately re-ordered lang-first); the oracle declares
+    the by-name result with nulls where the legacy rows lack the
+    column, plus a from_legacy audit flag riding the null pattern.
+    Catalyst resolves the union at analysis time — the plan is a
+    plain UnionExec over two projections, identical to a hand-
+    aligned positional union.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    legacy = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", "doc_id"  # re-ordered AND missing `source`
+    )
+    current = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source"
+    )
+    merged = current.unionByName(legacy, allowMissingColumns=True)
+    return merged.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("source").isNull().alias("from_legacy"),
+    ).orderBy("doc_id")

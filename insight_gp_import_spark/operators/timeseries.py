@@ -1987,3 +1987,107 @@ def ts_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+EVENT_STUDY_HALF = 3  # offsets -3..+3 around each event day
+
+
+@op(
+    "ts_event_study_panel",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1
+    ), stats AS (
+        SELECT d, cnt,
+               CAST(sum(cnt) OVER w AS BIGINT) AS s,
+               CAST(sum(cnt * cnt) OVER w AS BIGINT) AS q,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+    ), ev AS (
+        SELECT d AS ed FROM stats
+        WHERE rn > 20 AND n * cnt - s > 0
+          AND (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s)
+    ), panel AS (
+        SELECT date_diff('day', e.ed, x.d) AS offset_d, x.cnt
+        FROM ev e JOIN daily x
+          ON abs(date_diff('day', e.ed, x.d)) <= {EVENT_STUDY_HALF}
+    ), base AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS s0, CAST(count(*) AS BIGINT) AS n0
+        FROM panel WHERE offset_d = 0
+    )
+    SELECT p.offset_d,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(p.cnt) AS BIGINT) AS sum_cnt,
+           CAST((sum(p.cnt) * b.n0 * 1000000) // (count(*) * b.s0)
+                AS BIGINT) AS rel_to_day0_ppm
+    FROM panel p CROSS JOIN base b
+    GROUP BY p.offset_d, b.n0, b.s0
+    ORDER BY p.offset_d
+    """,
+    category=CAT,
+)
+def ts_event_study_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study around volatility breakouts: the average volume
+    trajectory at offsets −{EVENT_STUDY_HALF}..+{EVENT_STUDY_HALF}
+    days around every Bollinger UPPER break, normalized to day 0 in
+    ppm — the econometric event-study panel applied to the engine's
+    own signal (ts_bollinger_breaks finds the spike DAYS; this
+    stacks and averages their NEIGHBORHOODS, answering the question
+    the single-day flag can't: do spikes mean-revert next day or
+    persist? — i.e. is the alert actionable or already over). The
+    event set is recomputed inline from the same cross-multiplied
+    integer predicate, so flag and panel can never drift.
+
+    The stack is a ±{EVENT_STUDY_HALF}-day band join of the event
+    days (dim-sized) against the daily rollup; the trajectory is a
+    ratio of per-offset means to the day-0 mean, computed as ONE
+    exact BIGINT cross-multiplication in ppm (sum·n₀·10⁶ div
+    (n·s₀)) — the mean-of-means float trap never appears.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    env = w.rowsBetween(-19, -1)
+    stats = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(env).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(env).alias("q"),
+        F.count("*").over(env).alias("n"),
+        F.row_number().over(w).alias("rn"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    ev = stats.filter(
+        (F.col("rn") > 20)
+        & (dev > 0)
+        & (dev * dev > 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+    ).select(F.col("d").alias("ed"))
+    panel = ev.join(
+        daily, F.abs(F.datediff(F.col("d"), F.col("ed"))) <= EVENT_STUDY_HALF
+    ).select(F.datediff(F.col("d"), F.col("ed")).alias("offset_d"), "cnt")
+    base = panel.filter(F.col("offset_d") == 0).agg(
+        F.sum("cnt").cast("bigint").alias("s0"),
+        F.count("*").cast("bigint").alias("n0"),
+    )
+    return (
+        panel.groupBy("offset_d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum("cnt").cast("bigint").alias("sum_cnt"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "offset_d",
+            "n_obs",
+            "sum_cnt",
+            F.expr("(sum_cnt * n0 * 1000000) div (n_obs * s0)")
+            .cast("bigint")
+            .alias("rel_to_day0_ppm"),
+        )
+        .orderBy("offset_d")
+    )
