@@ -5522,3 +5522,127 @@ def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("df_ws"),
     )
+
+
+DID_TREAT_REGION = "AMERICA"
+DID_CUTOFF_Y = 2000
+DID_PLACEBO_Y = 1998
+
+
+@op(
+    "agg_did_estimate",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN r.r_name = '{DID_TREAT_REGION}' THEN 1 ELSE 0 END
+                   AS treated,
+               CASE WHEN EXTRACT(year FROM o.o_orderdate) >= {DID_CUTOFF_Y}
+                    THEN 1 ELSE 0 END AS post,
+               CASE WHEN EXTRACT(year FROM o.o_orderdate) >= {DID_PLACEBO_Y}
+                    THEN 1 ELSE 0 END AS placebo_post,
+               CAST(round(o.o_totalprice) AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ), piv AS (
+        SELECT
+          CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_tp,
+          CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+          CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_t0,
+          CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+          CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_cp,
+          CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+          CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_c0,
+          CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+          CAST(sum(CASE WHEN treated = 1 AND post = 0 AND placebo_post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_tq,
+          CAST(sum(CASE WHEN treated = 1 AND post = 0 AND placebo_post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tq,
+          CAST(sum(CASE WHEN treated = 1 AND post = 0 AND placebo_post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_tr,
+          CAST(sum(CASE WHEN treated = 1 AND post = 0 AND placebo_post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+          CAST(sum(CASE WHEN treated = 0 AND post = 0 AND placebo_post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_cq,
+          CAST(sum(CASE WHEN treated = 0 AND post = 0 AND placebo_post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cq,
+          CAST(sum(CASE WHEN treated = 0 AND post = 0 AND placebo_post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_cr,
+          CAST(sum(CASE WHEN treated = 0 AND post = 0 AND placebo_post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cr
+        FROM tagged
+    )
+    SELECT n_tp, n_t0, n_cp, n_c0,
+           round((s_tp * 1.0 / n_tp - s_t0 * 1.0 / n_t0)
+                 - (s_cp * 1.0 / n_cp - s_c0 * 1.0 / n_c0), 9) AS did_usd,
+           round((s_tq * 1.0 / n_tq - s_tr * 1.0 / n_tr)
+                 - (s_cq * 1.0 / n_cq - s_cr * 1.0 / n_cr), 9)
+               AS placebo_did_usd
+    FROM piv
+    """,
+    category=CAT,
+)
+def agg_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the change in {DID_TREAT_REGION}'s
+    average order value after {DID_CUTOFF_Y} minus the same change
+    in the rest of the world — causal inference's workhorse
+    identification (the second difference nets out the global trend
+    a naive before/after attributes to the 'treatment'), WITH the
+    placebo estimate every referee demands: the identical estimator
+    at a fake {DID_PLACEBO_Y} cutoff entirely inside the
+    pre-period — a placebo far from zero falsifies the parallel-
+    trends assumption and with it the headline number (the op ships
+    its own refutation test; agg_ab_test_lift randomizes so it
+    doesn't need one — DiD doesn't randomize, so it does).
+
+    Both estimates come from ONE pivoted row of 16 BIGINT cell
+    moments (the ANOVA device doubled); the four-mean expressions
+    are mirrored token-for-token and rounded at 9. Dollars, not
+    cents — consistent with the Welch/holiday overflow rule. One
+    pass over the fact, dims broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    tagged = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .select(
+            F.when(F.col("r_name") == DID_TREAT_REGION, 1).otherwise(0).alias("treated"),
+            F.when(F.year("o_orderdate") >= DID_CUTOFF_Y, 1).otherwise(0).alias("post"),
+            F.when(F.year("o_orderdate") >= DID_PLACEBO_Y, 1).otherwise(0).alias("placebo_post"),
+            F.round("o_totalprice").cast("bigint").alias("v"),
+        )
+    )
+    def cell(t, p, q=None):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        if q is not None:
+            cond = cond & (F.col("placebo_post") == q)
+        return (
+            F.sum(F.when(cond, F.col("v")).otherwise(0)).cast("bigint"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint"),
+        )
+    aggs = []
+    for nm, (t, p, q) in {
+        "tp": (1, 1, None), "t0": (1, 0, None),
+        "cp": (0, 1, None), "c0": (0, 0, None),
+        "tq": (1, 0, 1), "tr": (1, 0, 0),
+        "cq": (0, 0, 1), "cr": (0, 0, 0),
+    }.items():
+        sm, ct = cell(t, p, q)
+        aggs += [sm.alias(f"s_{nm}"), ct.alias(f"n_{nm}")]
+    piv = tagged.agg(*aggs)
+    return piv.select(
+        "n_tp",
+        "n_t0",
+        "n_cp",
+        "n_c0",
+        F.round(
+            F.expr(
+                "(s_tp * 1.0D / n_tp - s_t0 * 1.0D / n_t0)"
+                " - (s_cp * 1.0D / n_cp - s_c0 * 1.0D / n_c0)"
+            ),
+            9,
+        ).alias("did_usd"),
+        F.round(
+            F.expr(
+                "(s_tq * 1.0D / n_tq - s_tr * 1.0D / n_tr)"
+                " - (s_cq * 1.0D / n_cq - s_cr * 1.0D / n_cr)"
+            ),
+            9,
+        ).alias("placebo_did_usd"),
+    )

@@ -1914,3 +1914,61 @@ def scan_csv_null_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     return back.orderBy("doc_id")
+
+
+@op(
+    "scan_ignore_corrupt_files",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+    category=CAT,
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level corruption resilience: a staging directory seeded
+    with the real parquet batch PLUS a garbage `.parquet` (torn
+    write / partial upload — the thing object stores hand you
+    weekly at 100 TB fleet size), read with
+    `spark.sql.files.ignoreCorruptFiles` so the batch survives —
+    scan_csv_corrupt_rescue handles corrupt ROWS inside parseable
+    files; this handles files whose FOOTER is gone, where no
+    row-level rescue can even start. The oracle pins the exact
+    clean-batch rollup: if the option were misspelled the read
+    would throw (fail-closed), and if corruption silently DROPPED
+    good files the hash would catch the loss — both failure modes
+    covered.
+
+    The option is set per-op and restored in a finally (engine
+    config hygiene: a leaked true would mask real corruption for
+    every later op in the session — the hazard THIS op exists to
+    contain). One copy + one read job; the garbage file costs one
+    footer-parse failure, logged and skipped.
+    """
+    src = load_table(spark, sf_dir, "documents")
+    staged = tempfile.mkdtemp(prefix="igis-corrupt-")
+    src.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, "part-torn-write.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet footer / torn upload \x00\xff")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        back = spark.read.parquet(staged)
+        out = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+            .orderBy("lang")
+        )
+        # materialize BEFORE restoring the conf: the scan must run
+        # while ignoreCorruptFiles is active (lazy evaluation trap)
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    return spark.createDataFrame(
+        rows, "lang string, n_docs bigint, sum_chars bigint"
+    ).orderBy("lang")
