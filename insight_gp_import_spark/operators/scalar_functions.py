@@ -1168,3 +1168,85 @@ def fn_natural_sort_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("natural_rank"),
     ).orderBy("source")
+
+
+SPARK_BARS = "▁▂▃▄▅▆▇█"
+
+
+@op(
+    "fn_text_sparkline",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type AS et,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT et, CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi
+        FROM hourly GROUP BY et
+    ), lvl AS (
+        SELECT h.et, h.hr,
+               substr('{SPARK_BARS}',
+                      CAST(1 + CASE WHEN b.hi = b.lo THEN 0
+                               ELSE ((h.c - b.lo) * 7) // (b.hi - b.lo)
+                               END AS INTEGER), 1) AS bar
+        FROM hourly h JOIN bounds b ON b.et = h.et
+    )
+    SELECT et, string_agg(bar, '' ORDER BY hr) AS sparkline,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM lvl GROUP BY et ORDER BY et
+    """,
+    category=CAT,
+)
+def fn_text_sparkline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode sparklines: each event type's 24-hour volume profile
+    rendered as a ▁▂▃▄▅▆▇█ string — the terminal-dashboard /
+    alert-message rendering primitive (a pager line carrying
+    '▂▁▁▂▅█▇▆' communicates the WHOLE shape where a number cannot;
+    ts_seasonality_profile emits the same data as rows — this is
+    its presentation form, and shipping it as a QUERY keeps chart
+    and data from drifting).
+
+    Levels are exact integer buckets ((c−lo)·7 div (hi−lo), the
+    flat-profile hi=lo branch stated), so the glyph choice can never
+    disagree between engines; glyph pick is a 1-char substr into a
+    multibyte literal — exercising CHARACTER (not byte) substring
+    semantics in both engines, which is its own portability check.
+    Assembly is an ORDERED string_agg / array_join over the 24-row
+    per-type frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("et"), F.hour("ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    bounds = hourly.groupBy("et").agg(
+        F.min("c").cast("bigint").alias("lo"),
+        F.max("c").cast("bigint").alias("hi"),
+    )
+    lvl = hourly.join(bounds, "et").select(
+        "et",
+        "hr",
+        F.substring(
+            F.lit(SPARK_BARS),
+            (
+                1
+                + F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                    F.expr("((c - lo) * 7) div (hi - lo)")
+                )
+            ).cast("int"),
+            1,
+        ).alias("bar"),
+    )
+    return (
+        lvl.groupBy("et")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("hr"), F.col("bar")))
+                ).getField("bar"),
+                "",
+            ).alias("sparkline"),
+            F.count("*").cast("bigint").alias("n_hours"),
+        )
+        .orderBy("et")
+    )

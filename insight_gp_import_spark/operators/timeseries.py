@@ -2091,3 +2091,115 @@ def ts_event_study_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("offset_d")
     )
+
+
+@op(
+    "ts_anomaly_consensus",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), gm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q
+        FROM daily
+    ), mr AS (
+        SELECT d, x, abs(x - lag(x) OVER (ORDER BY d)) AS mrv,
+               CAST(sum(x) OVER wb AS BIGINT) AS bs,
+               CAST(sum(x * x) OVER wb AS BIGINT) AS bq,
+               CAST(count(*) OVER wb AS BIGINT) AS bn,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM daily
+        WINDOW wb AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+    ), mrs AS (
+        SELECT CAST(count(mrv) AS BIGINT) AS m, CAST(sum(mrv) AS BIGINT) AS mm
+        FROM mr
+    ), flags AS (
+        SELECT r.d, r.x,
+               (r.x * g.n - g.s) * (r.x * g.n - g.s)
+                   > 9 * (g.n * g.q - g.s * g.s) AS z_flag,
+               r.rn > 20 AND
+               (r.bn * r.x - r.bs) * (r.bn * r.x - r.bs)
+                   > 4 * (r.bn * r.bq - r.bs * r.bs) AS boll_flag,
+               abs(r.x * g.n - g.s) * ms.m * 1000
+                   > 2660 * g.n * ms.mm AS xmr_flag
+        FROM mr r CROSS JOIN gm g CROSS JOIN mrs ms
+    )
+    SELECT d, x, z_flag, boll_flag, xmr_flag,
+           CAST((CASE WHEN z_flag THEN 1 ELSE 0 END)
+                + (CASE WHEN boll_flag THEN 1 ELSE 0 END)
+                + (CASE WHEN xmr_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+    FROM flags
+    WHERE z_flag OR boll_flag OR xmr_flag
+    ORDER BY d
+    """,
+    category=CAT,
+)
+def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly-detector consensus: every day flagged by ANY of the
+    engine's three volume detectors — global 3σ z-score, rolling
+    Bollinger 2σ, Shewhart XmR — with per-detector booleans and the
+    vote count. The disagreement pattern is the deliverable
+    (alert-fatigue triage 101: z-only = level outlier vs history,
+    Bollinger-only = outlier vs recent regime, XmR-only = shift vs
+    common-cause noise, 3/3 = page someone; shipping the consensus
+    as ONE relation is what lets an on-call rota tier its paging
+    rules instead of triaging three streams).
+
+    All three predicates are the already-verified integer
+    cross-multiplications of their standalone ops, recomputed inline
+    from SHARED state (one daily rollup, one ordered window pass
+    carrying the Bollinger frame AND the moving range, one scalar
+    moment row) — detectors can't drift from their ops because the
+    predicates are textually identical, and no float appears
+    anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    glob = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    w = Window.orderBy("d")
+    wb = w.rowsBetween(-19, -1)
+    mr = daily.select(
+        "d",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(w)).alias("mrv"),
+        F.sum("x").over(wb).cast("bigint").alias("bs"),
+        F.sum(F.col("x") * F.col("x")).over(wb).cast("bigint").alias("bq"),
+        F.count("*").over(wb).cast("bigint").alias("bn"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    mrs = mr.agg(
+        F.count("mrv").cast("bigint").alias("m"),
+        F.sum("mrv").cast("bigint").alias("mm"),
+    )
+    j = mr.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(mrs))
+    gdev = F.col("x") * F.col("n") - F.col("s")
+    bdev = F.col("bn") * F.col("x") - F.col("bs")
+    z_flag = gdev * gdev > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    boll_flag = (F.col("rn") > 20) & (
+        bdev * bdev > 4 * (F.col("bn") * F.col("bq") - F.col("bs") * F.col("bs"))
+    )
+    xmr_flag = F.abs(gdev) * F.col("m") * 1000 > 2660 * F.col("n") * F.col("mm")
+    flags = j.select(
+        "d",
+        "x",
+        z_flag.alias("z_flag"),
+        boll_flag.alias("boll_flag"),
+        xmr_flag.alias("xmr_flag"),
+    )
+    nf = (
+        F.when(F.col("z_flag"), 1).otherwise(0)
+        + F.when(F.col("boll_flag"), 1).otherwise(0)
+        + F.when(F.col("xmr_flag"), 1).otherwise(0)
+    )
+    return (
+        flags.withColumn("n_flags", nf.cast("bigint"))
+        .filter(F.col("z_flag") | F.col("boll_flag") | F.col("xmr_flag"))
+        .orderBy("d")
+    )
