@@ -2030,3 +2030,78 @@ def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(fam("sequence_gaps", n_sg, True, "block"))
         .orderBy("family")
     )
+
+
+@op(
+    "dq_decimal_fit_audit",
+    oracle="""
+    WITH checks AS (
+        SELECT 'events.value' AS col,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value <> round(value, 2)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+        FROM events
+        UNION ALL
+        SELECT 'lineitem.l_extendedprice', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_extendedprice
+                                  <> round(l_extendedprice, 2)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_totalprice', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN o_totalprice <> round(o_totalprice, 2)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+    )
+    SELECT col, n, n_misfit,
+           CAST((n_misfit * 1000000) // n AS BIGINT) AS misfit_ppm,
+           n_misfit = 0 AS cents_safe
+    FROM checks ORDER BY col
+    """,
+    category=CAT,
+)
+def dq_decimal_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(_,2)-fit audit: for each money-candidate double
+    column, how many values carry sub-cent precision (x ≠
+    round(x,2)) — the migration gate before 'store it as cents'
+    (this engine's entire exact-money discipline assumes 2-dp
+    inputs; on the price columns that holds — cents_safe — while
+    events.value is a full-precision double where a cents cast
+    would silently destroy data: the audit DOCUMENTS which columns
+    the cents contract covers instead of assuming it, which is the
+    difference between a convention and a checked invariant).
+
+    The comparison x <> round(x, 2) is double-vs-double on
+    identically computed bits — exact in both engines by IEEE
+    determinism, no epsilon needed (and an epsilon would be WRONG:
+    the question is representability, not closeness). One
+    map-combined aggregate per column, three scans (at 100 TB run
+    it per-column on ingest samples — same relation).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def check(df: DataFrame, col: str, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("col"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col(col) != F.round(F.col(col), 2), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_misfit"),
+        )
+
+    checks = (
+        check(ev, "value", "events.value")
+        .unionAll(check(li, "l_extendedprice", "lineitem.l_extendedprice"))
+        .unionAll(check(o, "o_totalprice", "orders.o_totalprice"))
+    )
+    return checks.select(
+        "col",
+        "n",
+        "n_misfit",
+        F.expr("(n_misfit * 1000000) div n").cast("bigint").alias("misfit_ppm"),
+        (F.col("n_misfit") == 0).alias("cents_safe"),
+    ).orderBy("col")

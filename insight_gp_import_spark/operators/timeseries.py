@@ -2203,3 +2203,131 @@ def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("z_flag") | F.col("boll_flag") | F.col("xmr_flag"))
         .orderBy("d")
     )
+
+
+LB_LAGS = 7
+LB_CHI2_95_MILLI = 14067  # chi-square(7 df) 95th pct, milli-units
+
+
+def _lb_lag_sql(k: int) -> str:
+    """Per-lag centered Pearson autocorrelation of the residual
+    series as a DuckDB scalar subquery (exact BIGINT moments)."""
+    return f"""
+        (SELECT round((n * sxy - sx * sy)
+                      / (sqrt(n * sxx - sx * sx * 1.0)
+                         * sqrt(n * syy - sy * sy * 1.0)), 6)
+         FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(a.r) AS BIGINT) AS sx,
+                      CAST(sum(b.r) AS BIGINT) AS sy,
+                      CAST(sum(a.r * b.r) AS BIGINT) AS sxy,
+                      CAST(sum(a.r * a.r) AS BIGINT) AS sxx,
+                      CAST(sum(b.r * b.r) AS BIGINT) AS syy
+               FROM resid a JOIN resid b ON b.rn = a.rn + {k}))
+    """
+
+
+@op(
+    "ts_ljung_box_residuals",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), lagged AS (
+        SELECT d, x - lag(x, 7) OVER (ORDER BY d) AS r
+        FROM daily
+    ), resid AS (
+        SELECT r, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM lagged WHERE r IS NOT NULL
+    ), rs AS (
+        SELECT CAST((SELECT count(*) FROM resid) AS BIGINT) AS n,
+               {", ".join(f"{_lb_lag_sql(k)} AS r{k}" for k in range(1, LB_LAGS + 1))}
+    )
+    SELECT n, r1, r2, r3, r4, r5, r6, r7,
+           round(n * (n + 2.0)
+                 * (((r1 * r1 / (n - 1.0) + r2 * r2 / (n - 2.0))
+                     + (r3 * r3 / (n - 3.0) + r4 * r4 / (n - 4.0)))
+                    + ((r5 * r5 / (n - 5.0) + r6 * r6 / (n - 6.0))
+                       + r7 * r7 / (n - 7.0))), 9) AS q_stat,
+           round(n * (n + 2.0)
+                 * (((r1 * r1 / (n - 1.0) + r2 * r2 / (n - 2.0))
+                     + (r3 * r3 / (n - 3.0) + r4 * r4 / (n - 4.0)))
+                    + ((r5 * r5 / (n - 5.0) + r6 * r6 / (n - 6.0))
+                       + r7 * r7 / (n - 7.0))), 9) * 1000
+               < {LB_CHI2_95_MILLI} AS residuals_white
+    FROM rs
+    """,
+    category=CAT,
+)
+def ts_ljung_box_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box Q on the seasonal-naive forecast's residuals: are
+    the leftovers WHITE NOISE, i.e. is there structure the lag-7
+    model missed? — the diagnostic that closes the forecasting loop
+    (ts_naive_interval_bands assumed exchangeable residuals to build
+    its conformal band; Ljung–Box TESTS that assumption: Q above
+    χ²₇(.95) means the residuals still carry autocorrelation, the
+    band is too narrow, and a richer model is owed — the
+    Box–Jenkins residual-checking step as a query).
+
+    Per-lag autocorrelations are exact-BIGINT-moment Pearsons over
+    rn/rn+k pair joins (the ts_acf_lags device on the RESIDUAL
+    series), each rounded at 6 BEFORE entering Q; Q itself combines
+    the seven rounded terms in one fixed parenthesization (the ANOVA
+    pivot device — no float reduction), rounded at 9, and the
+    whiteness verdict compares the ROUNDED Q against the χ²
+    constant in milli-units so both engines branch identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d", (F.col("x") - F.lag("x", 7).over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    resid = lagged.select(
+        "r", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn")
+    )
+    n_row = resid.agg(F.count("*").cast("bigint").alias("n"))
+    rs = n_row
+    for k in range(1, LB_LAGS + 1):
+        a, b = resid.alias("a"), resid.alias("b")
+        mom = a.join(b, F.col("b.rn") == F.col("a.rn") + k).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("a.r")).cast("bigint").alias("sx"),
+            F.sum(F.col("b.r")).cast("bigint").alias("sy"),
+            F.sum(F.col("a.r") * F.col("b.r")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.r") * F.col("a.r")).cast("bigint").alias("sxx"),
+            F.sum(F.col("b.r") * F.col("b.r")).cast("bigint").alias("syy"),
+        )
+        rk = mom.select(
+            F.round(
+                F.expr(
+                    "(n * sxy - sx * sy)"
+                    " / (sqrt(n * sxx - sx * sx * 1.0D)"
+                    " * sqrt(n * syy - sy * sy * 1.0D))"
+                ),
+                6,
+            ).alias(f"r{k}")
+        )
+        rs = rs.crossJoin(F.broadcast(rk))
+    q_expr = (
+        "n * (n + 2.0D)"
+        " * (((r1 * r1 / (n - 1.0D) + r2 * r2 / (n - 2.0D))"
+        " + (r3 * r3 / (n - 3.0D) + r4 * r4 / (n - 4.0D)))"
+        " + ((r5 * r5 / (n - 5.0D) + r6 * r6 / (n - 6.0D))"
+        " + r7 * r7 / (n - 7.0D)))"
+    )
+    return rs.select(
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        "r4",
+        "r5",
+        "r6",
+        "r7",
+        F.round(F.expr(q_expr), 9).alias("q_stat"),
+        (F.round(F.expr(q_expr), 9) * 1000 < LB_CHI2_95_MILLI).alias(
+            "residuals_white"
+        ),
+    )
