@@ -2151,3 +2151,106 @@ def join_order_split_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@op(
+    "join_coverage_gaps",
+    oracle="""
+    WITH grid AS (
+        SELECT r.r_name AS region, p.p_brand AS brand
+        FROM (SELECT DISTINCT r_name FROM region) r
+        CROSS JOIN (SELECT DISTINCT p_brand FROM part) p
+    ), observed AS (
+        SELECT DISTINCT r.r_name AS region, p.p_brand AS brand
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ), cells AS (
+        SELECT g.region, g.brand,
+               (o.region IS NOT NULL) AS covered
+        FROM grid g
+        LEFT JOIN observed o
+          ON o.region = g.region AND o.brand = g.brand
+    )
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_gaps,
+           CAST((sum(CASE WHEN covered THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS coverage_ppm
+    FROM cells GROUP BY region ORDER BY region
+    """,
+    category=CAT,
+)
+def join_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment coverage-gap matrix: region × brand cells with NO
+    sales, against the DENSE generated grid — the absence report
+    joins cannot produce from facts alone (a fact table only records
+    what HAPPENED; 'which brands has EUROPE never bought' needs the
+    cross-join universe first, then an anti-membership test — the
+    same generated-universe discipline as ts_gap_fill's date spine
+    and dq_sequence_gaps' keyspace, applied to a 2-D category grid;
+    merchandisers call the gap cells whitespace and sales teams are
+    TARGETED on them).
+
+    The grid is |regions|·|brands| (dim × dim — dense by
+    construction and tiny; at real catalog scale you'd grid at the
+    category level, same plan); observed cells come from ONE
+    distinct-pair pass over the fully-broadcast star join, and
+    coverage is a LEFT-join membership flag rolled up with integer
+    ppm. The fact is scanned once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    grid = (
+        r.select(F.col("r_name").alias("region"))
+        .distinct()
+        .crossJoin(p.select(F.col("p_brand").alias("brand")).distinct())
+    )
+    observed = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .join(p, p.p_partkey == li.l_partkey)
+        .select(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    cells = grid.join(
+        observed.withColumn("covered", F.lit(True)),
+        ["region", "brand"],
+        "left",
+    ).select(
+        "region", "brand", F.coalesce("covered", F.lit(False)).alias("covered")
+    )
+    return (
+        cells.groupBy("region")
+        .agg(
+            F.count("*").cast("bigint").alias("n_brands"),
+            F.sum(F.when(F.col("covered"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.sum(F.when(F.col("covered"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_gaps"),
+        )
+        .select(
+            "region",
+            "n_brands",
+            "n_covered",
+            "n_gaps",
+            F.expr("(n_covered * 1000000) div n_brands")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+        .orderBy("region")
+    )

@@ -856,3 +856,87 @@ def sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("source").isNull().alias("from_legacy"),
     ).orderBy("doc_id")
+
+
+DIVISION_TOP_BRANDS = 3
+
+
+@op(
+    "sql_relational_division",
+    oracle=f"""
+    WITH top_brands AS (
+        SELECT p.p_brand AS b
+        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+        ORDER BY count(*) DESC, p.p_brand LIMIT {DIVISION_TOP_BRANDS}
+    ), buyers AS (
+        SELECT DISTINCT o.o_custkey AS ck, p.p_brand AS b
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN (SELECT b FROM top_brands)
+    )
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM top_brands t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM buyers bu
+            WHERE bu.ck = c.c_custkey AND bu.b = t.b
+        )
+    )
+    ORDER BY c.c_custkey
+    """,
+    category=CAT,
+)
+def sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION: customers who bought from EVERY one of
+    the {DIVISION_TOP_BRANDS} highest-volume brands — the FORALL
+    query, famously the hardest pattern in SQL because the language
+    has no universal quantifier (Codd's divide; 'suppliers who
+    supply all parts' is the textbook form, completed-all-modules
+    and holds-all-certifications the production forms; the divisor
+    is brands, not parts — a part-level divisor is near-unsatisfiable
+    on a long-tail catalog, which is itself a division design
+    lesson).
+
+    DELIBERATE double formulation: the oracle is the classic
+    double-NOT-EXISTS (¬∃ a required brand ¬∃ a purchase), the
+    Spark side is the set-cardinality form (distinct required-brand
+    count per customer == divisor size — the GROUP BY/HAVING
+    translation every optimizer-friendly rewrite uses). Two
+    INDEPENDENT encodings of FORALL hash-agreeing is the strongest
+    correctness statement available here, and the HAVING form is
+    the 100 TB plan (two hash aggregates + a semi-join; nested NOT
+    EXISTS is a per-row dependent subquery unless decorrelated).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    top_brands = (
+        p.join(li, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "b")
+        .limit(DIVISION_TOP_BRANDS)
+        .select("b")
+    )
+    buyers = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(p, p.p_partkey == li.l_partkey)
+        .join(F.broadcast(top_brands), p.p_brand == F.col("b"), "left_semi")
+        .select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("bb"))
+        .distinct()
+    )
+    complete = (
+        buyers.groupBy("ck")
+        .agg(F.countDistinct("bb").alias("nb"))
+        .filter(F.col("nb") == DIVISION_TOP_BRANDS)
+        .select("ck")
+    )
+    return (
+        c.join(complete, c.c_custkey == F.col("ck"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
