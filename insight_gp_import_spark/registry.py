@@ -131,7 +131,15 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # corpus_alpha_sampling_weights, text_vocab_coverage_bands,
 # ts_naive_interval_bands, agg_atp_allocation, pipeline_release_gate,
 # ts_month_end_hockey_stick, embed_dedup_threshold_sweep,
-# ts_underwater_duration — likewise registry
+# ts_underwater_duration, udtf_arrow_bigrams,
+# agg_holiday_proximity_lift, agg_hill_tail_index, stream_rate_source,
+# text_token_dispersion, join_order_split_shipments,
+# fn_natural_sort_key, agg_markov_entropy_rate, ts_xmr_control_chart,
+# graph_rich_club, scan_csv_null_tokens, agg_welch_t_test,
+# ts_event_study_panel, sql_union_by_name, agg_did_estimate,
+# scan_ignore_corrupt_files, fn_text_sparkline, ts_anomaly_consensus,
+# dq_decimal_fit_audit, ts_ljung_box_residuals,
+# sql_relational_division, join_coverage_gaps — likewise registry
 # tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [
