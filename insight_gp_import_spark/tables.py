@@ -51,11 +51,52 @@ _SCAN_CACHE: weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataF
 _SCAN_CACHE = weakref.WeakKeyDictionary()
 
 
+_PYFILE_SESSIONS: weakref.WeakSet = weakref.WeakSet()
+
+
+def _ensure_worker_importable(spark: SparkSession) -> None:
+    """Ship this package to Python WORKERS via addPyFile (once per
+    session). Defensive for sessions we did not build (the
+    ensure_events_read_confs philosophy): the driver can import the
+    package from sys.path manipulation, but worker processes inherit
+    only PYTHONPATH/cwd from the JVM — a driver launched from a
+    foreign cwd runs every JVM-side op fine and then fails EXACTLY
+    the five python-worker ops (mapInPandas, Python UDTF/data-source,
+    transformWithState) with ModuleNotFoundError when cloudpickle
+    tries to resolve module-level references. Root-caused from a
+    full-sweep run with cwd=/tmp; addPyFile-distributed zips are
+    appended to worker sys.path per task, so even already-spawned
+    reused workers pick it up."""
+    if spark in _PYFILE_SESSIONS:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), "igis_pkg_worker_import.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILE_SESSIONS.add(spark)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table; applies the events ns-timestamp recipe.
     Scans are memoized per (session, sf_dir, table)."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_worker_importable(spark)
     per_session = _SCAN_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
     df = per_session.get(key)
