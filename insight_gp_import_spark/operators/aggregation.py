@@ -5646,3 +5646,103 @@ def agg_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("placebo_did_usd"),
     )
+
+
+DISPERSION_TOP_K = 20
+
+
+@op(
+    "agg_unit_price_dispersion",
+    oracle=f"""
+    WITH up AS (
+        SELECT l_partkey AS pk,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS e_c,
+               CAST(round(l_quantity) AS BIGINT) AS q,
+               l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem
+    ), ranked AS (
+        SELECT pk, e_c, q,
+               row_number() OVER (PARTITION BY pk
+                   ORDER BY e_c * 1.0 / q, ok, ln) AS r_lo,
+               row_number() OVER (PARTITION BY pk
+                   ORDER BY e_c * 1.0 / q DESC, ok, ln) AS r_hi,
+               CAST(count(*) OVER (PARTITION BY pk) AS BIGINT) AS n_lines
+        FROM up
+    ), lo AS (
+        SELECT pk, e_c AS lo_e, q AS lo_q, n_lines FROM ranked WHERE r_lo = 1
+    ), hi AS (
+        SELECT pk, e_c AS hi_e, q AS hi_q FROM ranked WHERE r_hi = 1
+    )
+    SELECT l.pk, l.n_lines, l.lo_e, l.lo_q, h.hi_e, h.hi_q,
+           CAST((h.hi_e * l.lo_q * 1000000) // (l.lo_e * h.hi_q) AS BIGINT)
+               AS dispersion_ppm
+    FROM lo l JOIN hi h ON h.pk = l.pk
+    WHERE l.n_lines >= 3
+    ORDER BY dispersion_ppm DESC, l.pk
+    LIMIT {DISPERSION_TOP_K}
+    """,
+    category=CAT,
+)
+def agg_unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price dispersion: per part, the realized max/min
+    unit-price ratio (top-{DISPERSION_TOP_K} offenders, ≥3 lines) —
+    the pricing-consistency audit (the same SKU selling at 3× its
+    own floor inside one book is either uncontrolled discounting or
+    a data defect; either way it's the first table a pricing team
+    pulls, and agg_price_endings audits the LIST price shape while
+    this audits the TRANSACTED spread).
+
+    Unit price e/q is never materialized as a comparison key
+    hazard: the min/max LINES are picked by row_number ordered on
+    the e/q DOUBLE (one int/int IEEE division — bit-identical both
+    engines) with (order, line) tie-breaks, and the published ratio
+    is then computed from the winners' INTEGER components by exact
+    cross-multiplication in ppm (hi_e·lo_q·10⁶ div (lo_e·hi_q)) —
+    so the headline number is float-free even though the argmax
+    ordering used floats. Per-part windows; ≥3-line support cut
+    stops two-line noise from topping the table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    up = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("e_c"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    key = F.col("e_c") * 1.0 / F.col("q")
+    wp = Window.partitionBy("pk")
+    ranked = up.select(
+        "pk",
+        "e_c",
+        "q",
+        F.row_number().over(wp.orderBy(key, "ok", "ln")).alias("r_lo"),
+        F.row_number().over(wp.orderBy(key.desc(), "ok", "ln")).alias("r_hi"),
+        F.count("*").over(wp).cast("bigint").alias("n_lines"),
+    )
+    lo = ranked.filter(F.col("r_lo") == 1).select(
+        "pk",
+        F.col("e_c").alias("lo_e"),
+        F.col("q").alias("lo_q"),
+        "n_lines",
+    )
+    hi = ranked.filter(F.col("r_hi") == 1).select(
+        "pk", F.col("e_c").alias("hi_e"), F.col("q").alias("hi_q")
+    )
+    return (
+        lo.join(hi, "pk")
+        .filter(F.col("n_lines") >= 3)
+        .select(
+            "pk",
+            "n_lines",
+            "lo_e",
+            "lo_q",
+            "hi_e",
+            "hi_q",
+            F.expr("(hi_e * lo_q * 1000000) div (lo_e * hi_q)")
+            .cast("bigint")
+            .alias("dispersion_ppm"),
+        )
+        .orderBy(F.desc("dispersion_ppm"), "pk")
+        .limit(DISPERSION_TOP_K)
+    )

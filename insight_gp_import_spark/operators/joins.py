@@ -2254,3 +2254,135 @@ def join_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@op(
+    "join_repeat_basket_similarity",
+    oracle="""
+    WITH ord AS (
+        SELECT o_custkey AS ck, o_orderkey AS ok,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ), pairs AS (
+        SELECT a.ck, a.ok AS ok1, b.ok AS ok2
+        FROM ord a JOIN ord b ON b.ck = a.ck AND b.rn = a.rn + 1
+    ), items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), sizes AS (
+        SELECT ok, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY ok
+    ), inter AS (
+        SELECT p.ck, p.ok1, p.ok2, CAST(count(*) AS BIGINT) AS shared
+        FROM pairs p
+        JOIN items i1 ON i1.ok = p.ok1
+        JOIN items i2 ON i2.ok = p.ok2 AND i2.pk = i1.pk
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT c.c_mktsegment AS seg,
+               coalesce(i.shared, 0) AS shared,
+               s1.n + s2.n - coalesce(i.shared, 0) AS unions
+        FROM pairs p
+        JOIN customer c ON c.c_custkey = p.ck
+        JOIN sizes s1 ON s1.ok = p.ok1
+        JOIN sizes s2 ON s2.ok = p.ok2
+        LEFT JOIN inter i ON i.ok1 = p.ok1 AND i.ok2 = p.ok2
+    )
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlapping,
+           CAST(sum(shared) AS BIGINT) AS sum_shared,
+           CAST(sum(unions) AS BIGINT) AS sum_union,
+           CAST((sum(shared) * 1000000) // sum(unions) AS BIGINT)
+               AS pooled_jaccard_ppm
+    FROM scored GROUP BY seg ORDER BY seg
+    """,
+    category=CAT,
+)
+def join_repeat_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-basket similarity: for every customer's adjacent
+    order pair, the part-set overlap, pooled into a per-segment
+    Jaccard in ppm — the replenishment-vs-exploration axis of
+    repeat behavior (a grocery basket repeats ~50 %+; here ~0.8 %
+    of adjacent pairs share ANY part, i.e. this catalog sells
+    exploration — which kills replenishment-reminder features and
+    validates discovery-style recommendations: the NEGATIVE finding
+    is the product decision, and join_copurchase_pairs can't see it
+    because it aggregates across customers).
+
+    Adjacent pairs come from one per-customer rank window (rn+1
+    self-join — the Markov-transition shape on orders); overlap is
+    an equi-join on (basket, part) — candidate work ∝ actual shared
+    parts, never basket²; non-overlapping pairs are kept by LEFT
+    join with coalesce-0 (dropping them would inflate the pooled
+    Jaccard ~100×, the silent-inner-join trap). POOLED Jaccard
+    (Σ∩/Σ∪, exact BIGINT ppm) avoids averaging per-pair floats.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("ck").orderBy("o_orderdate", "ok")
+    ord_ = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        "o_orderdate",
+    ).withColumn("rn", F.row_number().over(w))
+    a, b = ord_.alias("a"), ord_.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.ck") == F.col("a.ck")) & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(
+        F.col("a.ck").alias("ck"),
+        F.col("a.ok").alias("ok1"),
+        F.col("b.ok").alias("ok2"),
+    )
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sizes = items.groupBy("ok").agg(F.count("*").cast("bigint").alias("n"))
+    i1 = items.select(F.col("ok").alias("ok1"), F.col("pk").alias("pk1"))
+    i2 = items.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
+    inter = (
+        pairs.join(i1, "ok1")
+        .join(i2, "ok2")
+        .filter(F.col("pk1") == F.col("pk2"))
+        .groupBy("ok1", "ok2")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    s1 = sizes.select(F.col("ok").alias("ok1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("ok").alias("ok2"), F.col("n").alias("n2"))
+    scored = (
+        pairs.join(c, c.c_custkey == F.col("ck"))
+        .join(s1, "ok1")
+        .join(s2, "ok2")
+        .join(inter, ["ok1", "ok2"], "left")
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.coalesce("shared", F.lit(0)).alias("shared"),
+            (F.col("n1") + F.col("n2") - F.coalesce("shared", F.lit(0))).alias(
+                "unions"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("shared") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overlapping"),
+            F.sum("shared").cast("bigint").alias("sum_shared"),
+            F.sum("unions").cast("bigint").alias("sum_union"),
+        )
+        .select(
+            "seg",
+            "n_pairs",
+            "n_overlapping",
+            "sum_shared",
+            "sum_union",
+            F.expr("(sum_shared * 1000000) div sum_union")
+            .cast("bigint")
+            .alias("pooled_jaccard_ppm"),
+        )
+        .orderBy("seg")
+    )
