@@ -2331,3 +2331,68 @@ def ts_ljung_box_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residuals_white"
         ),
     )
+
+
+VMR_OVER_MILLI = 1200  # overdispersed if VMR > 1.2
+
+
+@op(
+    "ts_overdispersion_index",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type AS et, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), mom AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q
+        FROM daily GROUP BY et
+    )
+    SELECT et, n, s, q,
+           round((n * q - s * s) * 1.0 / ((n - 1.0) * s), 9) AS vmr,
+           (n * q - s * s) * 1000 > {VMR_OVER_MILLI} * (n - 1) * s
+               AS overdispersed
+    FROM mom ORDER BY et
+    """,
+    category=CAT,
+)
+def ts_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion index (variance-to-mean ratio, the Fano factor)
+    of daily counts per event type, with an exact >1.2 flag — the
+    Poisson-or-not decision every count model starts with (VMR ≈ 1:
+    Poisson assumptions hold, intervals from √λ are honest; VMR ≫ 1:
+    bursty/clustered arrivals — negative-binomial territory, and
+    every Poisson-based alert threshold is too tight, firing on
+    burstiness the model calls impossible; ts_anomaly_consensus's
+    detectors all assume SOME dispersion model — this op says which
+    one is defensible).
+
+    VMR = (nQ − S²)/((n−1)·S) straight from three integer moments
+    per type; the flag cross-multiplies in milli-units
+    ((nQ−S²)·1000 > 1200·(n−1)·S — BIGINT-safe), so flag and
+    displayed (round-9) ratio can never disagree. One daily rollup,
+    one ≤|types| moment aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    mom = daily.groupBy("et").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return mom.select(
+        "et",
+        "n",
+        "s",
+        "q",
+        F.round(
+            num * 1.0 / ((F.col("n") - F.lit(1.0)) * F.col("s")), 9
+        ).alias("vmr"),
+        (num * 1000 > VMR_OVER_MILLI * (F.col("n") - 1) * F.col("s")).alias(
+            "overdispersed"
+        ),
+    ).orderBy("et")

@@ -2085,3 +2085,72 @@ def text_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("dp_ppm"), "tok")
     )
+
+
+@op(
+    "text_yule_k",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS m
+        FROM toks GROUP BY 1, 2
+    ), spectrum AS (
+        SELECT lang, m, CAST(count(*) AS BIGINT) AS vm
+        FROM tf GROUP BY 1, 2
+    ), moments AS (
+        SELECT lang,
+               CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+               CAST(sum(vm) AS BIGINT) AS v_types,
+               CAST(sum(m * m * vm) AS BIGINT) AS s2
+        FROM spectrum GROUP BY lang
+    )
+    SELECT lang, n_tokens, v_types,
+           CAST((10000 * (s2 - n_tokens) * 1000000)
+                // (n_tokens * n_tokens) AS BIGINT) AS yule_k_micro
+    FROM moments ORDER BY lang
+    """,
+    category=CAT,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language: 10⁴·(Σm²V_m − N)/N² over
+    the frequency SPECTRUM (V_m = types occurring exactly m times) —
+    the length-INVARIANT lexical-richness constant
+    (text_lexical_diversity's TTR falls mechanically as documents
+    grow, which is the classic trap when comparing corpora of
+    different sizes; K is derived from the repeat-rate and stays
+    stable under length, which is why stylometry and
+    authorship/bot-detection use K where curation dashboards use
+    TTR — the two ops state each other's failure mode).
+
+    The frequency spectrum is two nested integer aggregates (tf →
+    V_m), and K is pure BIGINT: Σm²V_m with m ≤ ~10³ and V_m
+    vocab-sized keeps every product far under 2⁶³, and the single
+    div lands micro-K exactly. No float exists anywhere in the op.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    spectrum = tf.groupBy("lang", "m").agg(
+        F.count("*").cast("bigint").alias("vm")
+    )
+    moments = spectrum.groupBy("lang").agg(
+        F.sum(F.col("m") * F.col("vm")).cast("bigint").alias("n_tokens"),
+        F.sum("vm").cast("bigint").alias("v_types"),
+        F.sum(F.col("m") * F.col("m") * F.col("vm"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    return moments.select(
+        "lang",
+        "n_tokens",
+        "v_types",
+        F.expr(
+            "(10000 * (s2 - n_tokens) * 1000000) div (n_tokens * n_tokens)"
+        )
+        .cast("bigint")
+        .alias("yule_k_micro"),
+    ).orderBy("lang")
