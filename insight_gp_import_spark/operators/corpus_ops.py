@@ -1654,3 +1654,80 @@ def corpus_alpha_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+KL_LOG_SCALE = 1000000
+
+
+@op(
+    "corpus_mix_kl_divergence",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(sum(chars) AS BIGINT) AS t FROM per_src),
+    cells AS (
+        SELECT p.source, p.chars,
+               CAST((p.chars * 1000000) // t.t AS BIGINT) AS obs_ppm,
+               CAST(50000 AS BIGINT) AS target_ppm,
+               CAST(round(ln((p.chars * 1000000.0 / t.t) / 50000.0)
+                          * {KL_LOG_SCALE}) AS BIGINT) AS microlog
+        FROM per_src p CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(CASE WHEN obs_ppm > target_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_target,
+           CAST(sum(obs_ppm * microlog) AS BIGINT) AS kl_num,
+           CAST(sum(obs_ppm * microlog) // 1000000 AS BIGINT)
+               AS kl_micronats
+    FROM cells
+    """,
+    category=CAT,
+)
+def corpus_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of the OBSERVED source mix from the TARGET mix
+    (uniform 5 % per source here — the declared policy), in
+    micro-nats — the one-number mix-drift monitor (corpus_mix_weights
+    SETS the mix, corpus_mix_entropy describes its spread; KL
+    against the declared target is the alarm: 0 = on policy, and
+    because KL weights by the OBSERVED mass, a doubled big source
+    moves it far more than a vanished small one — asymmetric exactly
+    the way a training-data incident is).
+
+    p·ln(p/q) per source: the log of the ppm ratio is quantized to
+    integer micro-nats per ROW (the Hill/entropy-rate device) and
+    weighted by integer observed-ppm, so the sum is an exact
+    commutative BIGINT (obs_ppm·microlog ≤ 10⁶·~10⁷ per cell —
+    audited); |sources| rows end to end after one chars rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    tot = per_src.agg(F.sum("chars").cast("bigint").alias("t"))
+    cells = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars",
+        F.expr("(chars * 1000000) div t").cast("bigint").alias("obs_ppm"),
+        F.lit(50000).cast("bigint").alias("target_ppm"),
+        F.round(
+            F.log((F.col("chars") * 1000000.0 / F.col("t")) / 50000.0)
+            * KL_LOG_SCALE
+        )
+        .cast("bigint")
+        .alias("microlog"),
+    )
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.sum(
+            F.when(F.col("obs_ppm") > F.col("target_ppm"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_over_target"),
+        F.sum(F.col("obs_ppm") * F.col("microlog"))
+        .cast("bigint")
+        .alias("kl_num"),
+        F.expr("sum(obs_ppm * microlog) div 1000000")
+        .cast("bigint")
+        .alias("kl_micronats"),
+    )

@@ -2396,3 +2396,87 @@ def ts_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overdispersed"
         ),
     ).orderBy("et")
+
+
+PEAK_HALF_WIN = 3
+PEAK_MARGIN_MILLI = 1100  # peak must exceed neighborhood max by 10 %
+
+
+@op(
+    "ts_local_peaks_prominence",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), nb AS (
+        SELECT d, x,
+               CAST(greatest(
+                   max(x) OVER (ORDER BY d ROWS BETWEEN {PEAK_HALF_WIN}
+                                PRECEDING AND 1 PRECEDING),
+                   max(x) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                                AND {PEAK_HALF_WIN} FOLLOWING))
+                   AS BIGINT) AS nbr_max,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS nd
+        FROM daily
+    )
+    SELECT d, x, nbr_max,
+           CAST((x * 1000000) // nbr_max AS BIGINT) AS prominence_ppm
+    FROM nb
+    WHERE rn > {PEAK_HALF_WIN} AND rn <= nd - {PEAK_HALF_WIN}
+      AND x * 1000 > nbr_max * {PEAK_MARGIN_MILLI}
+    ORDER BY d
+    """,
+    category=CAT,
+)
+def ts_local_peaks_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peak detection with a prominence margin: days strictly
+    10 % above EVERYTHING within ±{PEAK_HALF_WIN} days — the
+    scipy-find_peaks idiom as a window query (Bollinger asks
+    'abnormal vs the rolling REGIME', XmR 'vs common-cause noise';
+    a local peak asks the chart-reader's question — 'is this the
+    top of its neighborhood' — which none of the band detectors
+    answer: a day inside a high-variance band can still be the
+    local summit a campaign post-mortem needs to anchor on).
+
+    Neighborhood max is two one-sided frames (PRECEDING / FOLLOWING
+    — one window pass each, current row excluded by construction);
+    the margin is an exact milli-unit cross-multiplication
+    (x·1000 > nbr_max·{PEAK_MARGIN_MILLI}); edge days without a
+    full neighborhood are excluded by rank, not silently compared
+    against a truncated window (the find_peaks boundary bug,
+    stated). Prominence reported as integer ppm of the neighborhood
+    max.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d")
+    nbr_max = F.greatest(
+        F.max("x").over(w.rowsBetween(-PEAK_HALF_WIN, -1)),
+        F.max("x").over(w.rowsBetween(1, PEAK_HALF_WIN)),
+    ).cast("bigint")
+    nb = daily.select(
+        "d",
+        "x",
+        nbr_max.alias("nbr_max"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("nd"),
+    )
+    return (
+        nb.filter(
+            (F.col("rn") > PEAK_HALF_WIN)
+            & (F.col("rn") <= F.col("nd") - PEAK_HALF_WIN)
+            & (F.col("x") * 1000 > F.col("nbr_max") * PEAK_MARGIN_MILLI)
+        )
+        .select(
+            "d",
+            "x",
+            "nbr_max",
+            F.expr("(x * 1000000) div nbr_max")
+            .cast("bigint")
+            .alias("prominence_ppm"),
+        )
+        .orderBy("d")
+    )
