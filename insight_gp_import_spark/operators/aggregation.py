@@ -5746,3 +5746,73 @@ def agg_unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dispersion_ppm"), "pk")
         .limit(DISPERSION_TOP_K)
     )
+
+
+WILSON_Z_MILLI = 1960  # z_{.975} = 1.96 as an exact milli literal
+
+
+@op(
+    "agg_wilson_interval",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT seg, n, k,
+           round(k * 1.0 / n, 9) AS share,
+           round((k + 1.9208) / (n + 3.8416)
+                 - (1.96 * sqrt((k * (n - k)) * 1.0 / n + 0.9604))
+                   / (n + 3.8416), 9) AS wilson_lo,
+           round((k + 1.9208) / (n + 3.8416)
+                 + (1.96 * sqrt((k * (n - k)) * 1.0 / n + 0.9604))
+                   / (n + 3.8416), 9) AS wilson_hi
+    FROM cells ORDER BY seg
+    """,
+    category=CAT,
+)
+def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals for the urgent-order share per segment —
+    the proportion CI that behaves at the edges (the naive Wald
+    interval p ± z√(p(1−p)/n) collapses to zero width at p∈{0,1}
+    and goes negative near them — the two failure modes that make
+    small-cell dashboards lie confidently; Wilson inverts the score
+    test instead and stays inside [0,1], which is why every
+    competent reporting layer replaced Wald decades ago —
+    agg_ab_sample_size plans the n, THIS reports honestly at
+    whatever n arrived).
+
+    The z² terms are written as exact decimal literals (1.9208 =
+    z²/2, 3.8416 = z², 0.9604 = z²/4 with z = 1.96 — stated so the
+    magic numbers audit), the sqrt argument is assembled from
+    integer k(n−k) with one division, and both bounds are mirrored
+    token-for-token and rounded at 9. One conditional-count rollup
+    per segment; everything after is a ≤|segments| projection.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    center = "(k + 1.9208D) / (n + 3.8416D)"
+    half = "(1.96D * sqrt((k * (n - k)) * 1.0D / n + 0.9604D)) / (n + 3.8416D)"
+    return cells.select(
+        "seg",
+        "n",
+        "k",
+        F.round(F.expr("k * 1.0D / n"), 9).alias("share"),
+        F.round(F.expr(f"{center} - {half}"), 9).alias("wilson_lo"),
+        F.round(F.expr(f"{center} + {half}"), 9).alias("wilson_hi"),
+    ).orderBy("seg")

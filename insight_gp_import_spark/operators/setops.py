@@ -940,3 +940,45 @@ def sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+@op(
+    "sql_order_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    category=CAT,
+)
+def sql_order_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` + `ORDER BY ALL` together (Spark 4 / DuckDB —
+    the same modern-SQL pair in both dialects): every non-aggregate
+    column groups, every output column orders — the
+    maintenance-proof rollup skeleton (add a dimension to the SELECT
+    and both clauses follow automatically; with positional/named
+    lists that edit is THE classic review-miss, silently regrouping
+    or reordering; sql_group_by_all covered the grouping half alone
+    — the pair is the idiom as actually written).
+
+    Both resolve at parse time to the explicit column lists, so the
+    plan is byte-identical to the hand-written form — and here the
+    ORACLE ITSELF uses GROUP BY ALL / ORDER BY ALL in DuckDB, making
+    the op a two-dialect conformance check of the same sugar rather
+    than a Spark-only demo. Deterministic total order because ORDER
+    BY ALL includes the aggregate columns after the full key set.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "igis_gba_orders"
+    )
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM igis_gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
