@@ -2105,3 +2105,105 @@ def dq_decimal_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_misfit * 1000000) div n").cast("bigint").alias("misfit_ppm"),
         (F.col("n_misfit") == 0).alias("cents_safe"),
     ).orderBy("col")
+
+
+# FK-candidate pairs to profile: (child_table.column, parent_table.column)
+# including a deliberate NEGATIVE (suppkey is NOT a part FK) so the
+# verdict logic is exercised both ways.
+FK_CANDIDATES = (
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_suppkey", "part", "p_partkey"),
+)
+FK_VERDICT_PPM = 999000  # >= 99.9 % inclusion = FK candidate
+
+
+def _fk_pair_sql(ct: str, cc: str, pt: str, pc: str) -> str:
+    return f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           CAST((SELECT count(DISTINCT {cc}) FROM {ct}) AS BIGINT)
+               AS n_child_keys,
+           CAST((SELECT count(*) FROM
+                    (SELECT DISTINCT c.{cc} AS k FROM {ct} c) x
+                 WHERE EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = x.k))
+               AS BIGINT) AS n_included
+    """
+
+
+@op(
+    "dq_fk_inclusion_profile",
+    oracle=f"""
+    WITH pairs AS (
+        {" UNION ALL ".join(_fk_pair_sql(*c) for c in FK_CANDIDATES)}
+    )
+    SELECT child, parent, n_child_keys, n_included,
+           CAST((n_included * 1000000) // n_child_keys AS BIGINT)
+               AS inclusion_ppm,
+           (n_included * 1000000) // n_child_keys >= {FK_VERDICT_PPM}
+               AS fk_candidate
+    FROM pairs ORDER BY child, parent
+    """,
+    category=CAT,
+)
+def dq_fk_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY by inclusion coefficient: for each
+    candidate (child column, parent column) pair, the share of
+    distinct child keys that exist in the parent — the schema-
+    profiling primitive for feeds that arrive WITHOUT declared
+    constraints (dq_referential AUDITS a known FK; this one FINDS
+    them: ≥99.9 % inclusion is how profilers like Metanome's SPIDER
+    nominate FKs, and the candidate list includes a deliberate
+    non-FK pair — l_suppkey vs p_partkey — so both verdicts are
+    exercised, not just the happy path).
+
+    Each pair costs one distinct-build + one semi-join membership
+    count (EXISTS — never a row-multiplying inner join against a
+    non-unique parent); counts are BIGINT and the inclusion share
+    is integer ppm, with the verdict threshold applied to the SAME
+    integer the report shows. |pairs| is the candidate list, not
+    the schema square — at discovery scale you prune candidates by
+    type/name first (stated), same plan per survivor.
+    """
+    tbls = {
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "part": load_table(spark, sf_dir, "part"),
+        "supplier": load_table(spark, sf_dir, "supplier"),
+        "customer": load_table(spark, sf_dir, "customer"),
+    }
+    outs = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child_keys = tbls[ct].select(F.col(cc).alias("k")).distinct()
+        parent_keys = tbls[pt].select(F.col(pc).alias("k")).distinct()
+        stats = child_keys.agg(
+            F.count("*").cast("bigint").alias("n_child_keys")
+        ).crossJoin(
+            child_keys.join(parent_keys, "k", "left_semi").agg(
+                F.count("*").cast("bigint").alias("n_included")
+            )
+        )
+        outs.append(
+            stats.select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "n_child_keys",
+                "n_included",
+            )
+        )
+    pairs = outs[0]
+    for o_ in outs[1:]:
+        pairs = pairs.unionAll(o_)
+    return pairs.select(
+        "child",
+        "parent",
+        "n_child_keys",
+        "n_included",
+        F.expr("(n_included * 1000000) div n_child_keys")
+        .cast("bigint")
+        .alias("inclusion_ppm"),
+        (
+            F.expr("(n_included * 1000000) div n_child_keys")
+            >= FK_VERDICT_PPM
+        ).alias("fk_candidate"),
+    ).orderBy("child", "parent")

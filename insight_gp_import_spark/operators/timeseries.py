@@ -2480,3 +2480,82 @@ def ts_local_peaks_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@op(
+    "ts_negbin_fit_mom",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS et, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), mom AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q
+        FROM daily GROUP BY et
+    )
+    SELECT et, n, s, q,
+           CASE WHEN (n * q - s * s) * n > s * s * (n - 1)
+                THEN round((s * s * (n - 1.0))
+                           / ((n * q - s * s) * n - s * s * (n - 1.0)), 9)
+                END AS r_hat,
+           CASE WHEN (n * q - s * s) * n > s * s * (n - 1)
+                THEN round(s * (n - 1.0) / ((n * q - s * s) * 1.0 * n / s), 9)
+                END AS p_over_q_hint,
+           (n * q - s * s) * n > s * s * (n - 1) AS nb_admissible
+    FROM mom ORDER BY et
+    """,
+    category=CAT,
+)
+def ts_negbin_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit per event type: r̂ =
+    m²/(v−m) — the model ts_overdispersion_index's flag points at
+    (the Fano gate DECIDES Poisson-vs-NB; this op FITS the NB when
+    admissible, and the r̂ it lands is the dispersion parameter an
+    alert threshold or capacity planner actually plugs in; r̂ → ∞
+    recovers Poisson, small r̂ = heavy bursts). Admissibility
+    (v > m) is tested EXACTLY by integer cross-multiplication —
+    a type the gate called Poisson gets NULL fits, not garbage.
+
+    With m = S/n and v = (nQ−S²)/(n(n−1)), r̂ expands to
+    S²(n−1) / (n(nQ−S²) − S²(n−1)) — assembled from the same three
+    BIGINT moments as the Fano op (deliberately: the two ops share
+    state definitions so they can never disagree about m and v),
+    with the single float division mirrored and rounded at 9.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    mom = daily.groupBy("et").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    adm = (F.col("n") * F.col("q") - F.col("s") * F.col("s")) * F.col("n") > (
+        F.col("s") * F.col("s") * (F.col("n") - 1)
+    )
+    return mom.select(
+        "et",
+        "n",
+        "s",
+        "q",
+        F.when(
+            adm,
+            F.round(
+                F.expr(
+                    "(s * s * (n - 1.0D))"
+                    " / ((n * q - s * s) * n - s * s * (n - 1.0D))"
+                ),
+                9,
+            ),
+        ).alias("r_hat"),
+        F.when(
+            adm,
+            F.round(
+                F.expr("s * (n - 1.0D) / ((n * q - s * s) * 1.0D * n / s)"), 9
+            ),
+        ).alias("p_over_q_hint"),
+        adm.alias("nb_admissible"),
+    ).orderBy("et")
