@@ -2559,3 +2559,120 @@ def ts_negbin_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_over_q_hint"),
         adm.alias("nb_admissible"),
     ).orderBy("et")
+
+
+@op(
+    "ts_spike_type_attribution",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, l_returnflag AS rf,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+        SELECT d, CAST(sum(c) AS BIGINT) AS x FROM daily GROUP BY d
+    ), stats AS (
+        SELECT d, x,
+               CAST(sum(x) OVER w AS BIGINT) AS s,
+               CAST(sum(x * x) OVER w AS BIGINT) AS q,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM tot
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+    ), spikes AS (
+        SELECT d, x, s AS base_total FROM stats
+        WHERE rn > 20 AND n * x - s > 0
+          AND (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+    ), base_mix AS (
+        SELECT sp.d, dy.rf, CAST(sum(dy.c) AS BIGINT) AS base_c
+        FROM spikes sp
+        JOIN daily dy ON dy.d > sp.d - 21 AND dy.d < sp.d
+        GROUP BY 1, 2
+    )
+    SELECT sp.d, dy.rf,
+           dy.c AS day_c, sp.x AS day_total,
+           bm.base_c, sp.base_total,
+           CAST((dy.c * 1000000) // sp.x
+                - (bm.base_c * 1000000) // sp.base_total AS BIGINT)
+               AS mix_shift_ppm
+    FROM spikes sp
+    JOIN daily dy ON dy.d = sp.d
+    JOIN base_mix bm ON bm.d = sp.d AND bm.rf = dy.rf
+    ORDER BY sp.d, dy.rf
+    """,
+    category=CAT,
+)
+def ts_spike_type_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike attribution: on every Bollinger-upper spike day, each
+    return-flag category's share of the spike vs its share of the
+    trailing 20-day baseline (mix shift in signed ppm) — the
+    incident-triage question AFTER the alert fires ('volume spiked —
+    was it returns?'): a spike with zero mix shift is more-of-the-
+    same (demand), a spike with mass migrating into 'R' is a
+    returns incident — same alert, opposite on-call (the event
+    study asked WHEN spikes resolve; this asks WHAT they're made
+    of, and both recompute the flag predicate inline so alert and
+    attribution can't drift).
+
+    The baseline mix reuses the SAME 20-day window as the band
+    (dy.d ∈ (spike−21, spike) — a date-range join of the dim-sized
+    spike set against the per-category daily rollup); both shares
+    are integer ppm against their own totals, so the shift is an
+    exact BIGINT difference.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.to_date("l_shipdate").alias("d"), F.col("l_returnflag").alias("rf")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tot = daily.groupBy("d").agg(F.sum("c").cast("bigint").alias("x"))
+    w = Window.orderBy("d")
+    env = w.rowsBetween(-19, -1)
+    stats = tot.select(
+        "d",
+        "x",
+        F.sum("x").over(env).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(env).alias("q"),
+        F.count("*").over(env).alias("n"),
+        F.row_number().over(w).alias("rn"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    spikes = stats.filter(
+        (F.col("rn") > 20)
+        & (dev > 0)
+        & (dev * dev > 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+    ).select("d", "x", F.col("s").alias("base_total"))
+    sp = spikes.alias("sp")
+    dy = daily.alias("dy")
+    base_mix = (
+        sp.join(
+            dy,
+            (F.col("dy.d") > F.date_sub(F.col("sp.d"), 21))
+            & (F.col("dy.d") < F.col("sp.d")),
+        )
+        .groupBy(F.col("sp.d").alias("d"), F.col("dy.rf").alias("rf"))
+        .agg(F.sum(F.col("dy.c")).cast("bigint").alias("base_c"))
+    )
+    day_rows = sp.join(dy, F.col("dy.d") == F.col("sp.d")).select(
+        F.col("sp.d").alias("d"),
+        F.col("dy.rf").alias("rf"),
+        F.col("dy.c").alias("day_c"),
+        F.col("sp.x").alias("day_total"),
+        F.col("sp.base_total").alias("base_total"),
+    )
+    return (
+        day_rows.join(base_mix, ["d", "rf"])
+        .select(
+            "d",
+            "rf",
+            "day_c",
+            "day_total",
+            "base_c",
+            "base_total",
+            (
+                F.expr("(day_c * 1000000) div day_total")
+                - F.expr("(base_c * 1000000) div base_total")
+            )
+            .cast("bigint")
+            .alias("mix_shift_ppm"),
+        )
+        .orderBy("d", "rf")
+    )

@@ -2154,3 +2154,90 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yule_k_micro"),
     ).orderBy("lang")
+
+
+HEAPS_LOG_SCALE = 1000000
+
+
+@op(
+    "text_heaps_law_beta",
+    oracle=f"""
+    WITH half_tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 2 = 0
+    ), full_tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), half AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n1,
+               CAST(count(DISTINCT tok) AS BIGINT) AS v1
+        FROM half_tok GROUP BY lang
+    ), full_c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n2,
+               CAST(count(DISTINCT tok) AS BIGINT) AS v2
+        FROM full_tok GROUP BY lang
+    )
+    SELECT h.lang, h.n1, h.v1, f.n2, f.v2,
+           CAST(round(ln(f.v2 * 1.0 / h.v1) * {HEAPS_LOG_SCALE}) AS BIGINT)
+               AS dlogv_micro,
+           CAST(round(ln(f.n2 * 1.0 / h.n1) * {HEAPS_LOG_SCALE}) AS BIGINT)
+               AS dlogn_micro,
+           CAST((round(ln(f.v2 * 1.0 / h.v1) * {HEAPS_LOG_SCALE}) * 1000000)
+                // round(ln(f.n2 * 1.0 / h.n1) * {HEAPS_LOG_SCALE})
+               AS BIGINT) AS beta_micro
+    FROM half h JOIN full_c f ON f.lang = h.lang
+    ORDER BY h.lang
+    """,
+    category=CAT,
+)
+def text_heaps_law_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law exponent per language: β from vocabulary growth
+    between the half corpus (even doc_ids) and the full corpus —
+    V(N) ≈ K·N^β, so β = Δln V / Δln N — THE vocabulary-scaling
+    forecast (Zipf describes the frequency DISTRIBUTION at one
+    corpus size, Heaps predicts how VOCABULARY grows as you crawl
+    more — the two laws are asymptotic duals, and β is what sizes a
+    tokenizer's OOV budget for a corpus 100× today's: β≈0.5 means
+    doubling data grows vocab ~41 %; the synthetic corpus's closed
+    31-type vocabulary drives β→0, itself the 'vocabulary has
+    saturated' reading a curator acts on).
+
+    Two-point slope from two spectrum aggregates (the deterministic
+    even-id half — no sampling); both logs quantized to micro-nats
+    per row (Hill/KL device) and the ratio taken as one BIGINT div,
+    so β lands exactly. Growth deltas published so the reader can
+    recompute.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def spectrum(df: DataFrame, n_name: str, v_name: str) -> DataFrame:
+        toks = df.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        return toks.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias(n_name),
+            F.countDistinct("tok").cast("bigint").alias(v_name),
+        )
+
+    half = spectrum(docs.filter(F.col("doc_id") % 2 == 0), "n1", "v1")
+    full_c = spectrum(docs, "n2", "v2")
+    j = half.join(full_c, "lang")
+    dlogv = F.round(
+        F.log(F.col("v2") * 1.0 / F.col("v1")) * HEAPS_LOG_SCALE
+    ).cast("bigint")
+    dlogn = F.round(
+        F.log(F.col("n2") * 1.0 / F.col("n1")) * HEAPS_LOG_SCALE
+    ).cast("bigint")
+    return j.select(
+        "lang",
+        "n1",
+        "v1",
+        "n2",
+        "v2",
+        dlogv.alias("dlogv_micro"),
+        dlogn.alias("dlogn_micro"),
+        F.expr(
+            f"(CAST(round(ln(v2 * 1.0D / v1) * {HEAPS_LOG_SCALE}) AS BIGINT)"
+            f" * 1000000)"
+            f" div CAST(round(ln(n2 * 1.0D / n1) * {HEAPS_LOG_SCALE}) AS BIGINT)"
+        )
+        .cast("bigint")
+        .alias("beta_micro"),
+    ).orderBy("lang")
