@@ -139,7 +139,12 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # ts_event_study_panel, sql_union_by_name, agg_did_estimate,
 # scan_ignore_corrupt_files, fn_text_sparkline, ts_anomaly_consensus,
 # dq_decimal_fit_audit, ts_ljung_box_residuals,
-# sql_relational_division, join_coverage_gaps — likewise registry
+# sql_relational_division, join_coverage_gaps,
+# join_repeat_basket_similarity, agg_unit_price_dispersion,
+# text_yule_k, ts_overdispersion_index, corpus_mix_kl_divergence,
+# ts_local_peaks_prominence, agg_wilson_interval,
+# sql_order_group_by_all, ts_negbin_fit_mom, dq_fk_inclusion_profile,
+# text_heaps_law_beta, ts_spike_type_attribution — likewise registry
 # tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [
