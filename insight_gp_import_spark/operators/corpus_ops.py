@@ -1731,3 +1731,80 @@ def corpus_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kl_micronats"),
     )
+
+
+HASH_BUCKETS = 16
+CHI2_15DF_95_MILLI = 24996  # chi-square(15 df) 95th pct, milli
+
+
+@op(
+    "dq_hash_uniformity",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS VARCHAR)
+                   AS nib
+        FROM documents
+    ), counts AS (
+        SELECT nib, CAST(count(*) AS BIGINT) AS o FROM b GROUP BY nib
+    ), tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(o) AS BIGINT) AS min_bucket,
+           CAST(max(o) AS BIGINT) AS max_bucket,
+           CAST(sum(({HASH_BUCKETS} * o - t.n)
+                    * ({HASH_BUCKETS} * o - t.n)) AS BIGINT) AS dev_sq_sum,
+           round(sum(({HASH_BUCKETS} * o - t.n)
+                     * ({HASH_BUCKETS} * o - t.n))
+                 / ({HASH_BUCKETS} * 1.0 * t.n), 9) AS chi2,
+           sum(({HASH_BUCKETS} * o - t.n) * ({HASH_BUCKETS} * o - t.n))
+               * 1000 <= {CHI2_15DF_95_MILLI} * {HASH_BUCKETS} * t.n
+               AS uniform_ok
+    FROM counts CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+    category=CAT,
+)
+def dq_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split uniformity test: χ² goodness-of-fit of the md5
+    first-nibble bucket counts against uniform — the audit that
+    LICENSES corpus_split_hash and every md5-bucketed sampler/
+    assigner in this engine (reproducible hashing is §2.X law, but
+    reproducible ≠ fair: a biased nibble would skew every split
+    ratio and A/B assignment built on it; this op turns 'md5 is
+    uniform' from an assumption into a measured, thresholded fact
+    on OUR key distribution — doc_ids — not someone else's
+    benchmark).
+
+    With e = n/16, χ² = Σ(o−e)²/e = Σ(16o−n)²/(16n) — the left form
+    needs a fractional e, the right is pure BIGINT up to the single
+    rounded display division, and the verdict cross-multiplies
+    against χ²₁₅(.95) in milli-units so flag and statistic cannot
+    disagree. One 16-group rollup; deviation squares ≤ (16·n)² —
+    BIGINT-safe to n ~ 10⁸ per audit slice (sample or shard the
+    audit beyond that, stated).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+                "nib"
+            )
+        )
+        .groupBy("nib")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    tot = counts.agg(F.sum("o").cast("bigint").alias("n"))
+    j = counts.crossJoin(F.broadcast(tot))
+    dev = HASH_BUCKETS * F.col("o") - F.col("n")
+    return j.groupBy("n").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.min("o").cast("bigint").alias("min_bucket"),
+        F.max("o").cast("bigint").alias("max_bucket"),
+        F.sum(dev * dev).cast("bigint").alias("dev_sq_sum"),
+        F.round(
+            F.sum(dev * dev) / (HASH_BUCKETS * 1.0 * F.first("n")), 9
+        ).alias("chi2"),
+        (
+            F.sum(dev * dev) * 1000
+            <= CHI2_15DF_95_MILLI * HASH_BUCKETS * F.first("n")
+        ).alias("uniform_ok"),
+    ).drop("n")

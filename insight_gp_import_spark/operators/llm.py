@@ -1246,3 +1246,95 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("cos", 4).alias("cos"))
         .orderBy("qid", "rnk")
     )
+
+
+CENTROID_Q_SCALE = 10000  # per-component quantization for exact sums
+
+
+@op(
+    "embed_label_centroid_separation",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                          * {CENTROID_Q_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM embeddings
+    ), cent AS (
+        SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM comp GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.label AS l1, b.label AS l2,
+               CAST(sum(a.s * b.s) AS BIGINT) AS dot,
+               CAST(sum(a.s * a.s) AS BIGINT) AS n1sq,
+               CAST(sum(b.s * b.s) AS BIGINT) AS n2sq
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT l1, l2,
+           round(dot / (sqrt(n1sq * 1.0) * sqrt(n2sq * 1.0)), 6)
+               AS centroid_cos
+    FROM pairs ORDER BY l1, l2
+    """,
+    category=CAT,
+)
+def embed_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation matrix: pairwise cosine between LABEL
+    CENTROIDS — the embedding-quality eval behind 'are these classes
+    even separable' (near-orthogonal centroids = a classifier has
+    something to learn; two centroids at cos 0.9 = merge the labels
+    or fix the encoder; embed_centroid_drift watches ONE centroid
+    move over time, this measures ALL pairs against each other —
+    and on random synthetic vectors the whole matrix sits near 0,
+    which is the calibrated no-structure baseline a real corpus is
+    read against).
+
+    Centroid determinism trick: per-component mean needs a float sum
+    over rows — banned — so components are QUANTIZED once per row
+    (floor(CAST(x AS DOUBLE)·10⁴ + 0.5) — TWO gate catches live in
+    that expression: round() ties differ between engines, and
+    without the explicit double cast each engine promotes the
+    float32 product differently) and the centroid becomes
+    an exact integer sum vector; the common count divides OUT of
+    cosine (cos(S/n, T/m) = cos(S, T)), so means are never formed
+    at all. Pairwise cosine then runs on the |labels|·|dims| integer
+    table — dim-scale — with a single mirrored sqrt division
+    rounded at 6.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * CENTROID_Q_SCALE + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum("qv").cast("bigint").alias("s")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
+        .agg(
+            F.sum(F.col("a.s") * F.col("b.s")).cast("bigint").alias("dot"),
+            F.sum(F.col("a.s") * F.col("a.s")).cast("bigint").alias("n1sq"),
+            F.sum(F.col("b.s") * F.col("b.s")).cast("bigint").alias("n2sq"),
+        )
+    )
+    return pairs.select(
+        "l1",
+        "l2",
+        F.round(
+            F.col("dot")
+            / (F.sqrt(F.col("n1sq") * 1.0) * F.sqrt(F.col("n2sq") * 1.0)),
+            6,
+        ).alias("centroid_cos"),
+    ).orderBy("l1", "l2")
