@@ -5816,3 +5816,94 @@ def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"{center} - {half}"), 9).alias("wilson_lo"),
         F.round(F.expr(f"{center} + {half}"), 9).alias("wilson_hi"),
     ).orderBy("seg")
+
+
+@op(
+    "agg_simpsons_paradox_check",
+    oracle="""
+    WITH pts AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+               CAST(round(l.l_quantity) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), grp AS (
+        SELECT brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY brand
+    ), overall AS (
+        SELECT CASE WHEN sum(sxy) * sum(n) > sum(sx) * 1.0 * sum(sy) THEN 1
+                    WHEN sum(sxy) * sum(n) < sum(sx) * 1.0 * sum(sy) THEN -1
+                    ELSE 0 END AS overall_sign
+        FROM grp
+    )
+    SELECT g.brand, g.n,
+           CASE WHEN g.n * g.sxy > g.sx * g.sy THEN 1
+                WHEN g.n * g.sxy < g.sx * g.sy THEN -1
+                ELSE 0 END AS group_sign,
+           o.overall_sign,
+           (CASE WHEN g.n * g.sxy > g.sx * g.sy THEN 1
+                 WHEN g.n * g.sxy < g.sx * g.sy THEN -1
+                 ELSE 0 END) * o.overall_sign = -1 AS sign_flipped
+    FROM grp g CROSS JOIN overall o
+    ORDER BY g.brand
+    """,
+    category=CAT,
+)
+def agg_simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's paradox detector: the SIGN of the discount↔quantity
+    covariance overall vs within every brand — the aggregation trap
+    as a query (a positive pooled trend made of negative
+    within-group trends is THE textbook way a dashboard recommends
+    exactly the wrong action; any analysis that groups less finely
+    than the decision is exposed, so the engine ships the check,
+    not just the warning — brands whose sign opposes the pooled
+    sign are listed with `sign_flipped`).
+
+    Covariance SIGN needs no division and no float: sign(cov) =
+    sign(n·Σxy − Σx·Σy), pure BIGINT per group; the pooled sign
+    reuses the group moments (Σn, Σsx … — one extra rollup, no
+    second scan). The only 1.0 factor sits in the pooled comparison
+    to keep the Σsx·Σsy product out of BIGINT overflow (values
+    ≤ ~2⁶² as doubles with exact 53-bit mantissas at these moment
+    scales — audited; beyond that, compare via per-group centered
+    sums). Discount in integer cents-of-rate, quantity integer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pts = li.join(p, p.p_partkey == li.l_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    )
+    grp = pts.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    overall = grp.agg(
+        F.when(
+            F.sum("sxy") * F.sum("n") > F.sum("sx") * 1.0 * F.sum("sy"), 1
+        )
+        .when(F.sum("sxy") * F.sum("n") < F.sum("sx") * 1.0 * F.sum("sy"), -1)
+        .otherwise(0)
+        .alias("overall_sign")
+    )
+    gsign = (
+        F.when(F.col("n") * F.col("sxy") > F.col("sx") * F.col("sy"), 1)
+        .when(F.col("n") * F.col("sxy") < F.col("sx") * F.col("sy"), -1)
+        .otherwise(0)
+    )
+    return (
+        grp.crossJoin(F.broadcast(overall))
+        .select(
+            "brand",
+            "n",
+            gsign.alias("group_sign"),
+            "overall_sign",
+            (gsign * F.col("overall_sign") == -1).alias("sign_flipped"),
+        )
+        .orderBy("brand")
+    )

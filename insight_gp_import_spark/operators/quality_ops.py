@@ -2207,3 +2207,67 @@ def dq_fk_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= FK_VERDICT_PPM
         ).alias("fk_candidate"),
     ).orderBy("child", "parent")
+
+
+FP_PREFIX_HEX = 8  # 32-bit fingerprint prefix under audit
+
+
+@op(
+    "dq_fingerprint_collisions",
+    oracle=f"""
+    WITH fp AS (
+        SELECT substr(md5(text), 1, {FP_PREFIX_HEX}) AS f FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT f) AS BIGINT) AS n_distinct
+        FROM fp
+    )
+    SELECT n, n_distinct,
+           CAST(n - n_distinct AS BIGINT) AS observed_collisions,
+           round(n * (n - 1.0) / 2.0 / 4294967296.0, 9)
+               AS expected_collisions,
+           n - n_distinct
+               <= 3 + 3 * round(n * (n - 1.0) / 2.0 / 4294967296.0, 9)
+               AS within_birthday_bound
+    FROM stats
+    """,
+    category=CAT,
+)
+def dq_fingerprint_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint collision audit: observed collisions of the
+    {FP_PREFIX_HEX}-hex (32-bit) content-hash prefix vs the birthday
+    expectation n(n−1)/2·2⁻³² — the safety check for every truncated
+    fingerprint in the engine (text_fingerprint, dedup keys, LSH
+    band hashes all TRUNCATE hashes for shuffle width; truncation is
+    fine exactly as long as the birthday arithmetic says so, and
+    'observed ≫ expected' is how you catch a broken hash or an
+    adversarial corpus — the audit that tells you when to widen to
+    64-bit, which at 100 TB doc counts is a when, not an if).
+
+    Observed collisions are exact integers (n − distinct); the
+    expectation is one closed-form float rounded at 9; the verdict
+    allows 3 + 3× the expectation (a crude Poisson upper tail,
+    stated as such — the +3 floor keeps the small-n bound honest
+    where the expectation rounds to 0). Compare happens on the
+    ROUNDED expectation so both engines branch identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(F.substring(F.md5("text"), 1, FP_PREFIX_HEX).alias("f"))
+    stats = fp.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("f").cast("bigint").alias("n_distinct"),
+    )
+    expected = F.round(
+        F.col("n") * (F.col("n") - 1.0) / 2.0 / 4294967296.0, 9
+    )
+    return stats.select(
+        "n",
+        "n_distinct",
+        (F.col("n") - F.col("n_distinct")).cast("bigint").alias(
+            "observed_collisions"
+        ),
+        expected.alias("expected_collisions"),
+        (
+            F.col("n") - F.col("n_distinct") <= 3 + 3 * expected
+        ).alias("within_birthday_bound"),
+    )
