@@ -2386,3 +2386,147 @@ def join_repeat_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("seg")
     )
+
+
+@op(
+    "join_asof_policy_sensitivity",
+    oracle="""
+    WITH purch AS (
+        SELECT event_id AS pid, user_id, ts AS pts FROM events
+        WHERE event_type = 'purchase'
+    ), errs AS (
+        SELECT user_id, ts AS ets, event_id AS eid FROM events
+        WHERE event_type = 'error'
+    ), backward AS (
+        SELECT p.pid,
+               max_by(e.eid, lpad(CAST(epoch_us(e.ets) AS VARCHAR), 20, '0')
+                             || lpad(CAST(e.eid AS VARCHAR), 12, '0'))
+                   AS b_eid
+        FROM purch p JOIN errs e
+          ON e.user_id = p.user_id AND e.ets <= p.pts
+        GROUP BY p.pid
+    ), forward AS (
+        SELECT p.pid,
+               min_by(e.eid, lpad(CAST(epoch_us(e.ets) AS VARCHAR), 20, '0')
+                             || lpad(CAST(e.eid AS VARCHAR), 12, '0'))
+                   AS f_eid
+        FROM purch p JOIN errs e
+          ON e.user_id = p.user_id AND e.ets >= p.pts
+        GROUP BY p.pid
+    ), joined AS (
+        SELECT p.pid, b.b_eid, f.f_eid
+        FROM purch p
+        LEFT JOIN backward b ON b.pid = p.pid
+        LEFT JOIN forward f ON f.pid = p.pid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN b_eid IS NOT NULL AND f_eid IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN b_eid IS NULL AND f_eid IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_forward_only,
+           CAST(sum(CASE WHEN b_eid IS NOT NULL AND f_eid IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_backward_only,
+           CAST(sum(CASE WHEN b_eid IS NOT NULL AND f_eid IS NOT NULL
+                          AND b_eid <> f_eid
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_policy_sensitive
+    FROM joined
+    """,
+    category=CAT,
+)
+def join_asof_policy_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of POLICY sensitivity: for every purchase, match the same
+    user's error events under BACKWARD (latest ≤ t) and FORWARD
+    (earliest ≥ t) policies and count where the choice changes the
+    answer — the report that turns 'which asof direction?' from a
+    code-review opinion into a measured property of the feed
+    (join_asof / _tolerance / _nearest each implement ONE policy;
+    this op measures how much they can disagree on real data —
+    n_policy_sensitive / n_both is the share of enrichments where
+    direction ALONE changes the joined row, and the *_only columns
+    show the boundary losses each policy silently takes at the
+    stream's edges).
+
+    Each policy is one range join + max_by/min_by over a zero-padded
+    (epoch, id) STRING key — a sortable total order both engines'
+    max_by accept (neither takes a struct key, gate-caught); no
+    window over the full event stream; the
+    probe set partitions by user like every asof op. All counts
+    integer; the summary is one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puid"),
+        F.col("ts").alias("pts"),
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("euid"),
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+    )
+    backward = (
+        purch.join(
+            errs,
+            (F.col("euid") == F.col("puid")) & (F.col("ets") <= F.col("pts")),
+        )
+        .groupBy("pid")
+        .agg(
+            F.expr(
+                "max_by(eid, concat(lpad(cast(unix_micros(ets) AS STRING),"
+                " 20, '0'), lpad(cast(eid AS STRING), 12, '0')))"
+            ).alias("b_eid")
+        )
+    )
+    forward = (
+        purch.join(
+            errs,
+            (F.col("euid") == F.col("puid")) & (F.col("ets") >= F.col("pts")),
+        )
+        .groupBy("pid")
+        .agg(
+            F.expr(
+                "min_by(eid, concat(lpad(cast(unix_micros(ets) AS STRING),"
+                " 20, '0'), lpad(cast(eid AS STRING), 12, '0')))"
+            ).alias("f_eid")
+        )
+    )
+    joined = (
+        purch.select("pid")
+        .join(backward, "pid", "left")
+        .join(forward, "pid", "left")
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum(
+            F.when(
+                F.col("b_eid").isNotNull() & F.col("f_eid").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(
+            F.when(
+                F.col("b_eid").isNull() & F.col("f_eid").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_forward_only"),
+        F.sum(
+            F.when(
+                F.col("b_eid").isNotNull() & F.col("f_eid").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_backward_only"),
+        F.sum(
+            F.when(
+                F.col("b_eid").isNotNull()
+                & F.col("f_eid").isNotNull()
+                & (F.col("b_eid") != F.col("f_eid")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_policy_sensitive"),
+    )

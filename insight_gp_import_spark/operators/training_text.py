@@ -2241,3 +2241,94 @@ def text_heaps_law_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("beta_micro"),
     ).orderBy("lang")
+
+
+def _kappa_oracle() -> str:
+    """Compose the kappa oracle from the two detectors' own oracle
+    strings (registry lookup — the release-gate pattern: the
+    agreement metric can never drift from the detectors)."""
+    from insight_gp_import_spark.registry import REGISTRY
+
+    d1 = REGISTRY["text_langid"].oracle
+    d2 = REGISTRY["text_langid_ngram"].oracle
+    return f"""
+    WITH d1 AS ({d1}), d2 AS ({d2}),
+    j AS (
+        SELECT d1.predicted AS p1, d2.predicted AS p2
+        FROM d1 JOIN d2 ON d2.doc_id = d1.doc_id
+    ), n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+    agree AS (
+        SELECT CAST(sum(CASE WHEN p1 = p2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS a FROM j
+    ), marg AS (
+        SELECT CAST(sum(c1 * c2) AS BIGINT) AS rc
+        FROM (SELECT p1 AS p, CAST(count(*) AS BIGINT) AS c1
+              FROM j GROUP BY p1) m1
+        JOIN (SELECT p2 AS p, CAST(count(*) AS BIGINT) AS c2
+              FROM j GROUP BY p2) m2 ON m2.p = m1.p
+    )
+    SELECT n_tot.n, agree.a AS n_agree, marg.rc AS chance_num,
+           round((n_tot.n * agree.a - marg.rc) * 1.0
+                 / (n_tot.n * n_tot.n - marg.rc), 9) AS cohens_kappa
+    FROM n_tot, agree, marg
+    """
+
+
+@op("text_langid_kappa", oracle=_kappa_oracle(), category=CAT)
+def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the engine's two language detectors
+    (first-token lookup vs self-trained trigram) — inter-annotator
+    agreement applied to models (raw agreement flatters any pair on
+    a skewed corpus because both guess the majority class; κ
+    subtracts exactly that chance agreement, which is why labeling
+    pipelines gate on κ, not accuracy, before trusting silver
+    labels — and a LOW κ between two cheap detectors is the signal
+    that buys a better model, the text_langid_eval confusion matrix
+    says WHERE they disagree).
+
+    Composition without drift, twice (the release-gate pattern): the
+    Spark side JOINS the two registered detector ops' outputs, and
+    the oracle embeds their oracle STRINGS as CTEs via registry
+    lookup. κ = (n·agree − Σr·c)/(n² − Σr·c) straight from integer
+    counts with one rounded division; the marginal-product table is
+    ≤|langs|² cells.
+    """
+    from insight_gp_import_spark.registry import REGISTRY
+
+    d1 = REGISTRY["text_langid"].fn(spark, sf_dir).select(
+        "doc_id", F.col("predicted").alias("p1")
+    )
+    d2 = REGISTRY["text_langid_ngram"].fn(spark, sf_dir).select(
+        "doc_id", F.col("predicted").alias("p2")
+    )
+    j = d1.join(d2, "doc_id").select("p1", "p2")
+    n_tot = j.agg(F.count("*").cast("bigint").alias("n"))
+    agree = j.agg(
+        F.sum(F.when(F.col("p1") == F.col("p2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a")
+    )
+    m1 = j.groupBy(F.col("p1").alias("p")).agg(
+        F.count("*").cast("bigint").alias("c1")
+    )
+    m2 = j.groupBy(F.col("p2").alias("p")).agg(
+        F.count("*").cast("bigint").alias("c2")
+    )
+    marg = m1.join(m2, "p").agg(
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("rc")
+    )
+    return (
+        n_tot.crossJoin(agree)
+        .crossJoin(marg)
+        .select(
+            "n",
+            F.col("a").alias("n_agree"),
+            F.col("rc").alias("chance_num"),
+            F.round(
+                (F.col("n") * F.col("a") - F.col("rc"))
+                * 1.0
+                / (F.col("n") * F.col("n") - F.col("rc")),
+                9,
+            ).alias("cohens_kappa"),
+        )
+    )
