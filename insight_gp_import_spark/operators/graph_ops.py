@@ -764,3 +764,102 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rich_club_ratio_milli"),
     )
+
+
+@op(
+    "graph_modularity_brand_partition",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM pairs WHERE w >= {CN_MIN_SUPPORT}),
+    lab AS (SELECT p_partkey AS node, p_brand AS comm FROM part),
+    le AS (
+        SELECT ls.comm AS c1, ld.comm AS c2
+        FROM edges e
+        JOIN lab ls ON ls.node = e.src
+        JOIN lab ld ON ld.node = e.dst
+    ), m2 AS (SELECT CAST(count(*) AS BIGINT) AS dm FROM le),
+    comm AS (
+        SELECT c1 AS c,
+               CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS e_in2,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM le GROUP BY c1
+    ), numer AS (
+        SELECT CAST(sum(m2.dm * e_in2 - deg * deg) AS BIGINT) AS q_num,
+               CAST(max(m2.dm) AS BIGINT) AS dm
+        FROM comm CROSS JOIN m2
+    )
+    SELECT dm // 2 AS n_edges,
+           q_num,
+           round(q_num * 1.0 / (dm * dm), 9) AS modularity_q
+    FROM numer
+    """,
+    category=CAT,
+)
+def graph_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the BRAND partition on the support-
+    pruned copurchase graph — does the catalog taxonomy explain the
+    purchase structure? (Q ≈ 0: brands are not communities — carts
+    cross brands freely and brand-scoped recommenders fight the
+    data; Q ≫ 0: the taxonomy IS the community structure and
+    brand-local models are justified. Community DETECTION is
+    iterative and seed-sensitive; community EVALUATION of a GIVEN
+    partition — this op — is closed-form, and it's the honest first
+    question before running any detector.)
+
+    Q = Σ_c (e_c/m − (d_c/2m)²) clears to
+    Σ_c (2m·(2e_c_directed) − d_c²) / (2m)² in DIRECTED counts —
+    one integer numerator (overflow audit: dm·e ≤ ~10⁹ per
+    community here, dim-scale generally) and ONE rounded division,
+    so the cross-community float fold never exists. Labels join in
+    from the part dim (broadcast); the edge pass is the standard
+    pruned-graph build.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= CN_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    lab = p.select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("comm"))
+    ls = lab.select(F.col("node").alias("src"), F.col("comm").alias("c1"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("comm").alias("c2"))
+    le = edges.join(F.broadcast(ls), "src").join(F.broadcast(ld), "dst")
+    m2 = le.agg(F.count("*").cast("bigint").alias("dm"))
+    comm = le.groupBy("c1").agg(
+        F.sum(F.when(F.col("c1") == F.col("c2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("e_in2"),
+        F.count("*").cast("bigint").alias("deg"),
+    )
+    numer = comm.crossJoin(F.broadcast(m2)).agg(
+        F.sum(F.col("dm") * F.col("e_in2") - F.col("deg") * F.col("deg"))
+        .cast("bigint")
+        .alias("q_num"),
+        F.max("dm").cast("bigint").alias("dm"),
+    )
+    return numer.select(
+        F.expr("dm div 2").alias("n_edges"),
+        "q_num",
+        F.round(F.col("q_num") * 1.0 / (F.col("dm") * F.col("dm")), 9).alias(
+            "modularity_q"
+        ),
+    )

@@ -1250,3 +1250,43 @@ def fn_text_sparkline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("et")
     )
+
+
+@op(
+    "fn_base64_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           text AS decoded,
+           CAST(4 * ((strlen(text) + 2) // 3) AS BIGINT) AS b64_len
+    FROM documents ORDER BY doc_id
+    """,
+    category=CAT,
+)
+def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 encode→decode roundtrip plus the RFC 4648 length law
+    (4·⌈n/3⌉ with padding) — the binary-over-text transport
+    primitive (every JSON/CSV hop that must carry bytes uses it;
+    the roundtrip law is what certifies the pair, and the LENGTH
+    law catches the classic integration bug — a peer emitting
+    UNPADDED base64 that decodes fine locally and breaks fixed-
+    width consumers downstream).
+
+    Law-style oracle (fn_aes_roundtrip pattern): decode(encode(x))
+    must be the identity on UTF-8 multilingual text and the encoded
+    octet length must equal the closed form — DuckDB reimplements
+    neither codec. NOTE Spark's base64() inserts RFC 2045 line
+    breaks at 76 chars in some lineages — measuring octet_length on
+    the UNchunked value (replace newline first) is part of the law,
+    stated here because it IS the portability trap. Pure scan-stage
+    projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    enc = F.regexp_replace(
+        F.base64(F.col("text").cast("binary")), "[\\r\\n]", ""
+    )
+    dec = F.unbase64(enc).cast("string")
+    return docs.select(
+        "doc_id",
+        dec.alias("decoded"),
+        F.octet_length(enc).cast("bigint").alias("b64_len"),
+    ).orderBy("doc_id")
