@@ -2676,3 +2676,217 @@ def ts_spike_type_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d", "rf")
     )
+
+
+ITS_CUTOFF = "2000-01-01"
+
+
+@op(
+    "ts_interrupted_series",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(round(o_totalprice)) AS BIGINT) AS rev_d
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT date_diff('day', DATE '{ITS_CUTOFF}', d) AS t, rev_d,
+               date_diff('day', DATE '{ITS_CUTOFF}', d) >= 0 AS post
+        FROM daily
+    ), seg AS (
+        SELECT post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(rev_d) AS BIGINT) AS sy,
+               CAST(sum(t * rev_d) AS BIGINT) AS sty,
+               CAST(sum(t * t) AS BIGINT) AS stt
+        FROM idx GROUP BY post
+    ), piv AS (
+        SELECT
+          max(CASE WHEN NOT post THEN n END) AS n0,
+          max(CASE WHEN NOT post THEN st END) AS st0,
+          max(CASE WHEN NOT post THEN sy END) AS sy0,
+          max(CASE WHEN NOT post THEN sty END) AS sty0,
+          max(CASE WHEN NOT post THEN stt END) AS stt0,
+          max(CASE WHEN post THEN n END) AS n1,
+          max(CASE WHEN post THEN st END) AS st1,
+          max(CASE WHEN post THEN sy END) AS sy1,
+          max(CASE WHEN post THEN sty END) AS sty1,
+          max(CASE WHEN post THEN stt END) AS stt1
+        FROM seg
+    )
+    SELECT n0, n1,
+           round((n0 * sty0 - st0 * 1.0 * sy0)
+                 / (n0 * stt0 - st0 * 1.0 * st0), 6) AS slope_pre,
+           round((n1 * sty1 - st1 * 1.0 * sy1)
+                 / (n1 * stt1 - st1 * 1.0 * st1), 6) AS slope_post,
+           round((sy1 * 1.0 / n1
+                  - (n1 * sty1 - st1 * 1.0 * sy1)
+                    / (n1 * stt1 - st1 * 1.0 * st1) * (st1 * 1.0 / n1))
+                 - (sy0 * 1.0 / n0
+                    - (n0 * sty0 - st0 * 1.0 * sy0)
+                      / (n0 * stt0 - st0 * 1.0 * st0) * (st0 * 1.0 / n0)),
+                 6) AS level_jump_at_cutoff
+    FROM piv
+    """,
+    category=CAT,
+)
+def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time series at {ITS_CUTOFF}: separate OLS fits on
+    each side of the cutoff — slope before, slope after, and the
+    LEVEL JUMP where both intercepts meet the cutoff — the
+    within-series causal design for when no control group exists
+    (agg_did_estimate needs a comparison population; a policy that
+    hit EVERYONE at a known date leaves only the series' own
+    trajectory, and segmented regression is the standard ITS
+    analysis; a level jump with unchanged slopes is a step effect,
+    a slope change with no jump is a ramp — the decomposition IS
+    the reading).
+
+    Time is centered at the cutoff (t = days since), so each
+    segment's intercept-at-cutoff is ȳ − β·t̄ directly. Both fits
+    come from ONE pivoted row of ten BIGINT moments (ANOVA device);
+    slope and jump expressions are mirrored token-for-token with
+    the 1.0 promotions placed to keep integer products in moment
+    scale, rounded at 6 — NOT 9: the jump is a ~10⁵-dollar value
+    and a fixed decimal rounding only absorbs last-ulp noise when
+    magnitude × 10⁻ᵈ dwarfs it (gate-caught at sf0.1; round
+    behaves like significant figures only for |x| ≈ 1). Dollars per
+    the overflow rule.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round("o_totalprice")).cast("bigint").alias("rev_d")
+    )
+    idx = daily.select(
+        F.datediff(F.col("d"), F.lit(ITS_CUTOFF).cast("date")).alias("t"),
+        "rev_d",
+    ).withColumn("post", F.col("t") >= 0)
+    seg = idx.groupBy("post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("rev_d").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("rev_d")).cast("bigint").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+    )
+    aggs = []
+    for flag, sfx in ((False, "0"), (True, "1")):
+        for c in ("n", "st", "sy", "sty", "stt"):
+            aggs.append(
+                F.max(F.when(F.col("post") == flag, F.col(c))).alias(
+                    f"{c}{sfx}"
+                )
+            )
+    piv = seg.agg(*aggs)
+    slope0 = "(n0 * sty0 - st0 * 1.0D * sy0) / (n0 * stt0 - st0 * 1.0D * st0)"
+    slope1 = "(n1 * sty1 - st1 * 1.0D * sy1) / (n1 * stt1 - st1 * 1.0D * st1)"
+    return piv.select(
+        "n0",
+        "n1",
+        F.round(F.expr(slope0), 6).alias("slope_pre"),
+        F.round(F.expr(slope1), 6).alias("slope_post"),
+        F.round(
+            F.expr(
+                f"(sy1 * 1.0D / n1 - ({slope1}) * (st1 * 1.0D / n1))"
+                f" - (sy0 * 1.0D / n0 - ({slope0}) * (st0 * 1.0D / n0))"
+            ),
+            6,
+        ).alias("level_jump_at_cutoff"),
+    )
+
+
+FC_EVAL_DAYS = 100
+
+
+@op(
+    "ts_forecast_combination",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), fc AS (
+        SELECT d, x,
+               lag(x, 7) OVER w AS naive7,
+               CAST(sum(x) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                                 AND 1 PRECEDING) AS BIGINT) AS ma_sum,
+               CAST(count(*) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                                   AND 1 PRECEDING) AS BIGINT) AS ma_n,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS nd
+        FROM daily WINDOW w AS (ORDER BY d)
+    ), eval_rows AS (
+        -- doubled/scaled errors keep everything integer: e_na2 uses
+        -- 14x (naive at weight 14/14), e_ma2 14x/ma_n-scaled, combo
+        -- = (7*naive + ma_sum/ma_n * 7) => x - combo scaled by 14*ma_n
+        SELECT abs(14 * ma_n * x - 14 * ma_n * naive7) AS e_na_s,
+               abs(14 * ma_n * x - 14 * ma_sum) AS e_ma_s,
+               abs(14 * ma_n * x - (7 * ma_n * naive7 + 7 * ma_sum))
+                   AS e_co_s,
+               ma_n
+        FROM fc
+        WHERE naive7 IS NOT NULL AND ma_n = 7 AND rn > nd - {FC_EVAL_DAYS}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(e_na_s) AS BIGINT) AS sae_naive_s,
+           CAST(sum(e_ma_s) AS BIGINT) AS sae_ma_s,
+           CAST(sum(e_co_s) AS BIGINT) AS sae_combo_s,
+           sum(e_co_s) < sum(e_na_s) AND sum(e_co_s) < sum(e_ma_s)
+               AS combo_wins
+    FROM eval_rows
+    """,
+    category=CAT,
+)
+def ts_forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast combination test: seasonal-naive (lag-7) vs 7-day
+    moving average vs their 50/50 blend, scored by summed absolute
+    error over the last {FC_EVAL_DAYS} days — the M-competition
+    finding as a query (the simple average of two mediocre
+    forecasts routinely beats both components because their errors
+    anticorrelate; `combo_wins` is that claim TESTED on this series
+    rather than recited, and when it's false here that's equally a
+    finding — combination only pays when the components genuinely
+    disagree).
+
+    Every error is kept integer by scaling: with the common factor
+    14·ma_n, naive/MA/combo errors become |14n·x − 14n·ŷ| without a
+    single division (the MA's /n and the blend's /2 both clear),
+    so the three SAE columns are exact BIGINTs and the winner flag
+    is an integer comparison. Window pass shared by both
+    forecasters; eval restricted to full-history rows by rank.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d")
+    ma_f = w.rowsBetween(-7, -1)
+    fc = daily.select(
+        "d",
+        "x",
+        F.lag("x", 7).over(w).alias("naive7"),
+        F.sum("x").over(ma_f).cast("bigint").alias("ma_sum"),
+        F.count("*").over(ma_f).cast("bigint").alias("ma_n"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("nd"),
+    )
+    ev = fc.filter(
+        F.col("naive7").isNotNull()
+        & (F.col("ma_n") == 7)
+        & (F.col("rn") > F.col("nd") - FC_EVAL_DAYS)
+    ).select(
+        F.abs(14 * F.col("ma_n") * F.col("x") - 14 * F.col("ma_n") * F.col("naive7")).alias("e_na_s"),
+        F.abs(14 * F.col("ma_n") * F.col("x") - 14 * F.col("ma_sum")).alias("e_ma_s"),
+        F.abs(
+            14 * F.col("ma_n") * F.col("x")
+            - (7 * F.col("ma_n") * F.col("naive7") + 7 * F.col("ma_sum"))
+        ).alias("e_co_s"),
+    )
+    return ev.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum("e_na_s").cast("bigint").alias("sae_naive_s"),
+        F.sum("e_ma_s").cast("bigint").alias("sae_ma_s"),
+        F.sum("e_co_s").cast("bigint").alias("sae_combo_s"),
+        (
+            (F.sum("e_co_s") < F.sum("e_na_s"))
+            & (F.sum("e_co_s") < F.sum("e_ma_s"))
+        ).alias("combo_wins"),
+    )
