@@ -5907,3 +5907,90 @@ def agg_simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+TIER_HOT_D, TIER_WARM_D, TIER_COLD_D = 180, 540, 1080
+
+
+@op(
+    "agg_storage_tiering_policy",
+    oracle=f"""
+    WITH part_access AS (
+        SELECT l_partkey AS pk,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               max(CAST(l_shipdate AS DATE)) AS last_d
+        FROM lineitem GROUP BY 1
+    ), horizon AS (SELECT max(last_d) AS h FROM part_access),
+    tiered AS (
+        SELECT p.pk, p.n_lines,
+               CASE WHEN date_diff('day', p.last_d, x.h) <= {TIER_HOT_D}
+                    THEN 'hot'
+                    WHEN date_diff('day', p.last_d, x.h) <= {TIER_WARM_D}
+                    THEN 'warm'
+                    WHEN date_diff('day', p.last_d, x.h) <= {TIER_COLD_D}
+                    THEN 'cold'
+                    ELSE 'frozen' END AS tier
+        FROM part_access p CROSS JOIN horizon x
+    ), tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS t FROM tiered)
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST((sum(n_lines) * 1000000) // (SELECT t FROM tot) AS BIGINT)
+               AS line_share_ppm
+    FROM tiered GROUP BY tier ORDER BY tier
+    """,
+    category=CAT,
+)
+def agg_storage_tiering_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-tiering (ILM) simulation: every part assigned
+    hot/warm/cold/frozen by recency of its LAST activity against
+    the corpus horizon, with each tier's share of data volume — the
+    lifecycle-policy sizing table run BEFORE committing to a tiering
+    config (the decision input is exactly this: if 'frozen' holds
+    60 % of lines, aggressive archival pays; if 10 %, the policy
+    machinery costs more than it saves — and anchoring recency to
+    the CORPUS horizon, not wall-clock, keeps the simulation
+    reproducible and honest on historical data, stated because
+    now()-anchored simulations are the classic nondeterminism bug
+    this engine bans anyway).
+
+    One map-combined per-part aggregate (the fact dies there), a
+    broadcast one-row horizon, integer day arithmetic with literal
+    band edges, and a ≤4-row rollup with exact ppm shares. The
+    line count stands in for bytes (stated; swap in a size column
+    at deployment, same plan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part_access = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.max(F.to_date("l_shipdate")).alias("last_d"),
+    )
+    horizon = part_access.agg(F.max("last_d").alias("h"))
+    age = F.datediff(F.col("h"), F.col("last_d"))
+    tiered = part_access.crossJoin(F.broadcast(horizon)).select(
+        "pk",
+        "n_lines",
+        F.when(age <= TIER_HOT_D, "hot")
+        .when(age <= TIER_WARM_D, "warm")
+        .when(age <= TIER_COLD_D, "cold")
+        .otherwise("frozen")
+        .alias("tier"),
+    )
+    tot = tiered.agg(F.sum("n_lines").cast("bigint").alias("t"))
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_parts",
+            "n_lines",
+            F.expr("(n_lines * 1000000) div t")
+            .cast("bigint")
+            .alias("line_share_ppm"),
+        )
+        .orderBy("tier")
+    )

@@ -1972,3 +1972,77 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang string, n_docs bigint, sum_chars bigint"
     ).orderBy("lang")
+
+
+@op(
+    "scan_wholetext_files",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) + count(*) - 1 AS BIGINT) AS file_chars
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    category=CAT,
+)
+def scan_wholetext_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`wholetext` reads: one staged file PER SOURCE (newline-joined
+    docs), read back as ONE ROW PER FILE — the ingestion mode for
+    formats where the file IS the record (a YAML config, a log
+    bundle, one legal document per file: line-oriented text readers
+    shred exactly what must stay whole, and wholetext is the knob
+    that stops them). The readback must reproduce each source
+    file's exact character count — docs' chars plus the n−1 joining
+    newlines, which the oracle computes from the SOURCE relation
+    (law style: the writer/reader pair is certified without DuckDB
+    touching a file).
+
+    Writing is one per-source aggregation (concat_ws over a
+    sort_array'd collect — deterministic doc order stated) and a
+    driver-side write of |sources| small files (dim-scale metadata
+    work, the manifest-op class); the wholetext read parallelizes
+    per file — which is precisely its scale CAVEAT: one task per
+    file, so at 100 TB you use it for many medium files, never one
+    giant one (stated).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                ).getField("text"),
+                "\n",
+            ).alias("blob")
+        )
+        .collect()
+    )
+    base = tempfile.mkdtemp(prefix="igis-wholetext-")
+    for row in per_src:
+        with open(os.path.join(base, f"{row['source']}.txt"), "w") as fh:
+            fh.write(row["blob"])
+    # kwarg, NOT .option("wholetext", "true"): the string-valued option
+    # is silently ignored in this lineage (the scan_modified_after
+    # ignored-option trap again) — probed: option form yields one row
+    # per LINE, kwarg yields one per file. The oracle's row count
+    # would catch a regression either way.
+    back = spark.read.text(base, wholetext=True)
+    import_path = F.input_file_name()
+    return (
+        back.select(
+            F.regexp_extract(import_path, r"([^/]+)\.txt$", 1).alias("source"),
+            F.col("value"),
+        )
+        .select(
+            "source",
+            (F.size(F.split("value", "\n", -1))).alias("n_docs"),
+            F.length("value").alias("file_chars"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            F.col("file_chars").cast("bigint"),
+        )
+        .orderBy("source")
+    )
