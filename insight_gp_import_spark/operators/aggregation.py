@@ -5994,3 +5994,70 @@ def agg_storage_tiering_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@op(
+    "agg_rounding_drift_audit",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS sum_of_rounded_d,
+               CAST(round(sum(o_totalprice)) AS BIGINT) AS rounded_sum_d,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT m, n_orders, sum_of_rounded_d, rounded_sum_d,
+           CAST(sum_of_rounded_d - rounded_sum_d AS BIGINT) AS drift_d,
+           abs(sum_of_rounded_d - rounded_sum_d) * 2 <= n_orders
+               AS within_half_ulp_bound
+    FROM monthly ORDER BY m
+    """,
+    category=CAT,
+)
+def agg_rounding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The penny problem, measured: per month, Σround(price) vs
+    round(Σprice) in whole dollars — the reconciliation gap that
+    appears whenever line-level and total-level rounding meet (every
+    invoice/GL close fights it; it is WHY this engine's money ops
+    round once into cents and then stay integer — and this op turns
+    that design argument into a measured table: the drift column is
+    the error a round-each-line pipeline would book per month,
+    bounded in expectation by ±n/2 half-ulps, which the audit flag
+    checks exactly).
+
+    Both aggregations come from one monthly rollup; the drift is an
+    exact BIGINT difference, and the probabilistic bound |drift| ≤
+    n/2 is applied by integer cross-multiplication (·2, no halves).
+    The ONE cross-engine hazard is round(sum(double)) — the sums
+    are identical IEEE doubles here because DuckDB and Spark both
+    reduce this column without reordering at these partition counts;
+    the cents discipline exists precisely so production never has
+    to rely on that (stated — this audit is the exhibit, not the
+    recommended path).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("m"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round("o_totalprice").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_of_rounded_d"),
+            F.round(F.sum("o_totalprice")).cast("bigint").alias("rounded_sum_d"),
+        )
+        .select(
+            "m",
+            "n_orders",
+            "sum_of_rounded_d",
+            "rounded_sum_d",
+            (F.col("sum_of_rounded_d") - F.col("rounded_sum_d"))
+            .cast("bigint")
+            .alias("drift_d"),
+            (
+                F.abs(F.col("sum_of_rounded_d") - F.col("rounded_sum_d")) * 2
+                <= F.col("n_orders")
+            ).alias("within_half_ulp_bound"),
+        )
+        .orderBy("m")
+    )

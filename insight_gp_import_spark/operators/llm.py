@@ -1338,3 +1338,93 @@ def embed_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("centroid_cos"),
     ).orderBy("l1", "l2")
+
+
+ANISO_Q_SCALE = 10000
+
+
+@op(
+    "embed_anisotropy_score",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                          * {ANISO_Q_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM embeddings
+    ), sums AS (
+        SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s
+        FROM comp GROUP BY 1, 2
+    ), mean_sq AS (
+        SELECT label, CAST(sum(s * s) AS BIGINT) AS s_sq
+        FROM sums GROUP BY label
+    ), qnorm AS (
+        SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    ), rownorm AS (
+        SELECT label, CAST(sum(qv * qv) AS BIGINT) AS q_tot
+        FROM comp GROUP BY label
+    )
+    SELECT m.label, q.n,
+           round(sqrt(m.s_sq * 1.0 / (q.n * r.q_tot)), 9) AS anisotropy
+    FROM mean_sq m
+    JOIN qnorm q ON q.label = m.label
+    JOIN rownorm r ON r.label = m.label
+    ORDER BY m.label
+    """,
+    category=CAT,
+)
+def embed_anisotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy score per label: ‖mean vector‖ relative to the RMS
+    vector norm — the representation-degeneration check (Ethayarajh
+    2019 lineage: contextual embeddings collapse toward a shared
+    direction, so random pairs look similar and cosine loses
+    resolution; a score near 0 = isotropic/healthy, near 1 = the
+    space has collapsed and every downstream cosine — search,
+    dedup, hard negatives — is measuring the common direction, not
+    content; embed_norm_health checks MAGNITUDE, this checks
+    DIRECTION concentration — the axis it can't see).
+
+    Score = √(‖Σv‖² / (n·Σ‖v‖²)): both quadratic forms are exact
+    BIGINTs over the floor-quantized components (the centroid-
+    separation device — quantization scale divides out of the
+    ratio), so the only float is one sqrt of an integer ratio,
+    rounded at 9. |labels|·|dims| intermediate, dim-scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "label",
+        F.col("dim0").alias("dim"),
+        F.floor(F.col("v").cast("double") * ANISO_Q_SCALE + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    sums = comp.groupBy("label", "dim").agg(
+        F.sum("qv").cast("bigint").alias("s")
+    )
+    mean_sq = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("s_sq")
+    )
+    qnorm = e.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n")
+    )
+    rownorm = comp.groupBy("label").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("q_tot")
+    )
+    return (
+        mean_sq.join(qnorm, "label")
+        .join(rownorm, "label")
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.sqrt(
+                    F.col("s_sq") * 1.0 / (F.col("n") * F.col("q_tot"))
+                ),
+                9,
+            ).alias("anisotropy"),
+        )
+        .orderBy("label")
+    )
