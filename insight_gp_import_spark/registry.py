@@ -144,7 +144,14 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # text_yule_k, ts_overdispersion_index, corpus_mix_kl_divergence,
 # ts_local_peaks_prominence, agg_wilson_interval,
 # sql_order_group_by_all, ts_negbin_fit_mom, dq_fk_inclusion_profile,
-# text_heaps_law_beta, ts_spike_type_attribution — likewise registry
+# text_heaps_law_beta, ts_spike_type_attribution,
+# embed_label_centroid_separation, dq_hash_uniformity,
+# dq_fingerprint_collisions, agg_simpsons_paradox_check,
+# text_langid_kappa, join_asof_policy_sensitivity,
+# fn_base64_roundtrip, graph_modularity_brand_partition,
+# ts_interrupted_series, ts_forecast_combination,
+# scan_wholetext_files, agg_storage_tiering_policy,
+# embed_anisotropy_score, agg_rounding_drift_audit — likewise registry
 # tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
 # the round-2 set.
 DRIVER_ORDER: list[str] = [
