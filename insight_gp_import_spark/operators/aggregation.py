@@ -6061,3 +6061,103 @@ def agg_rounding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+@op(
+    "agg_new_vs_returning_aov",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey AS ck,
+               min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS m0
+        FROM orders GROUP BY 1
+    ), tagged AS (
+        SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+               CAST(round(o.o_totalprice) AS BIGINT) AS v,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) = f.m0
+                   AS is_new
+        FROM orders o JOIN firsts f ON f.ck = o.o_custkey
+    )
+    SELECT m,
+           CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN is_new THEN v ELSE 0 END) AS BIGINT)
+               AS new_rev_d,
+           CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_ret,
+           CAST(sum(CASE WHEN is_new THEN 0 ELSE v END) AS BIGINT)
+               AS ret_rev_d,
+           CASE WHEN sum(CASE WHEN is_new THEN 1 ELSE 0 END) = 0
+                  OR sum(CASE WHEN is_new THEN 0 ELSE 1 END) = 0
+                THEN NULL
+                ELSE CAST((sum(CASE WHEN is_new THEN v ELSE 0 END)
+                           * sum(CASE WHEN is_new THEN 0 ELSE 1 END)
+                           * 1000000)
+                          // (sum(CASE WHEN is_new THEN 1 ELSE 0 END)
+                              * sum(CASE WHEN is_new THEN 0 ELSE v END))
+                          AS BIGINT) END AS new_over_ret_aov_ppm
+    FROM tagged GROUP BY m ORDER BY m
+    """,
+    category=CAT,
+)
+def agg_new_vs_returning_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning average order value by month: each month's
+    orders split by whether the customer DEBUTED that month, with
+    the AOV ratio in ppm — the acquisition-quality trend
+    (agg_new_returning_users counts HEADS; this prices them: a
+    ratio sliding below 10⁶ means each acquisition cohort arrives
+    spending less than the installed base — growth that mixes the
+    average DOWN, invisible in both the volume chart and the user
+    split; finance calls the gap 'new-customer discount' and it
+    decides whether CAC math uses blended or new-only AOV).
+
+    Debut month per customer is one min-rollup joined back (the
+    retention-cohort anchor); the AOV ratio is the ratio-of-ratios
+    cross-multiplication in exact BIGINT ppm (new_rev·n_ret·10⁶ div
+    (n_new·ret_rev) — dollars per the overflow rule), with zero-side
+    months yielding NULL rather than a division error. One fact
+    pass + one ≤|months| rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("m0")
+    )
+    tagged = o.join(firsts, firsts.ck == o.o_custkey).select(
+        F.trunc("o_orderdate", "month").alias("m"),
+        F.round("o_totalprice").cast("bigint").alias("v"),
+        (F.trunc("o_orderdate", "month") == F.col("m0")).alias("is_new"),
+    )
+    n_new = F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("bigint")
+    new_rev = F.sum(F.when(F.col("is_new"), F.col("v")).otherwise(0)).cast(
+        "bigint"
+    )
+    n_ret = F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("bigint")
+    ret_rev = F.sum(F.when(F.col("is_new"), 0).otherwise(F.col("v"))).cast(
+        "bigint"
+    )
+    return (
+        tagged.groupBy("m")
+        .agg(
+            n_new.alias("n_new"),
+            new_rev.alias("new_rev_d"),
+            n_ret.alias("n_ret"),
+            ret_rev.alias("ret_rev_d"),
+        )
+        .select(
+            "m",
+            "n_new",
+            "new_rev_d",
+            "n_ret",
+            "ret_rev_d",
+            F.when(
+                (F.col("n_new") == 0) | (F.col("n_ret") == 0),
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(
+                F.expr(
+                    "(new_rev_d * n_ret * 1000000) div (n_new * ret_rev_d)"
+                ).cast("bigint")
+            )
+            .alias("new_over_ret_aov_ppm"),
+        )
+        .orderBy("m")
+    )

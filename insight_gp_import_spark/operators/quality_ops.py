@@ -2271,3 +2271,81 @@ def dq_fingerprint_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") - F.col("n_distinct") <= 3 + 3 * expected
         ).alias("within_birthday_bound"),
     )
+
+
+RARE_LEVEL_PPM = 1000  # levels under 0.1 % of their column are 'rare'
+
+
+@op(
+    "dq_rare_categories",
+    oracle=f"""
+    WITH levels AS (
+        SELECT 'orders.o_orderpriority' AS col, o_orderpriority AS level,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'part.p_brand', p_brand, CAST(count(*) AS BIGINT)
+        FROM part GROUP BY 2
+        UNION ALL
+        SELECT 'part.p_type', p_type, CAST(count(*) AS BIGINT)
+        FROM part GROUP BY 2
+    ), tot AS (
+        SELECT col, CAST(sum(n) AS BIGINT) AS t FROM levels GROUP BY col
+    )
+    SELECT l.col,
+           CAST(count(*) AS BIGINT) AS n_levels,
+           CAST(sum(CASE WHEN l.n * 1000000 < {RARE_LEVEL_PPM} * t.t
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN l.n * 1000000 < {RARE_LEVEL_PPM} * t.t
+                         THEN l.n ELSE 0 END) AS BIGINT) AS rare_rows,
+           CAST(min(l.n) AS BIGINT) AS smallest_level_rows
+    FROM levels l JOIN tot t ON t.col = l.col
+    GROUP BY l.col ORDER BY l.col
+    """,
+    category=CAT,
+)
+def dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-level audit: per categorical column, how many levels fall
+    under 0.1 % share and how many rows they cover — the
+    feature-hygiene smell detector (rare levels are where one-hot
+    encoders explode, target encoders overfit, GROUP BYs grow
+    unbounded, and privacy re-identification hides; a column whose
+    level count grows with data volume is a high-cardinality id
+    wearing a category's clothes, and `n_levels` vs `n_rare` is the
+    five-second read that catches it — dq_profile counts distincts,
+    this classifies their TAIL).
+
+    The rare test is an exact cross-multiplication per level
+    (n·10⁶ < threshold·total — no share float); per-column level
+    tables are dim-sized rollups UNIONed, then one ≤|columns|
+    aggregate. At discovery scale the level table per column is the
+    same relation a dictionary encoder already builds (stated).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+
+    def levels(df: DataFrame, col: str, label: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("level")).agg(
+            F.count("*").cast("bigint").alias("n")
+        ).select(F.lit(label).alias("col"), "level", "n")
+
+    lv = (
+        levels(o, "o_orderpriority", "orders.o_orderpriority")
+        .unionAll(levels(p, "p_brand", "part.p_brand"))
+        .unionAll(levels(p, "p_type", "part.p_type"))
+    )
+    tot = lv.groupBy("col").agg(F.sum("n").cast("bigint").alias("t"))
+    rare = F.col("n") * 1000000 < RARE_LEVEL_PPM * F.col("t")
+    return (
+        lv.join(tot, "col")
+        .groupBy("col")
+        .agg(
+            F.count("*").cast("bigint").alias("n_levels"),
+            F.sum(F.when(rare, 1).otherwise(0)).cast("bigint").alias("n_rare"),
+            F.sum(F.when(rare, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rare_rows"),
+            F.min("n").cast("bigint").alias("smallest_level_rows"),
+        )
+        .orderBy("col")
+    )
