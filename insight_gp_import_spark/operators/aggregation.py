@@ -6161,3 +6161,93 @@ def agg_new_vs_returning_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+@op(
+    "agg_boxplot_fences",
+    oracle="""
+    WITH cents AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), qs AS (
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(v) AS BIGINT) AS v_min,
+               CAST(round(quantile_cont(v, 0.25) * 4) AS BIGINT) AS q1x4,
+               CAST(round(quantile_cont(v, 0.50) * 4) AS BIGINT) AS medx4,
+               CAST(round(quantile_cont(v, 0.75) * 4) AS BIGINT) AS q3x4,
+               CAST(max(v) AS BIGINT) AS v_max
+        FROM cents GROUP BY seg
+    )
+    SELECT q.seg, q.n, q.v_min, q.q1x4, q.medx4, q.q3x4, q.v_max,
+           CAST((SELECT count(*) FROM cents c
+                 WHERE c.seg = q.seg
+                   AND 8 * c.v < 2 * q.q1x4 - 3 * (q.q3x4 - q.q1x4))
+               AS BIGINT) AS n_low_outliers,
+           CAST((SELECT count(*) FROM cents c
+                 WHERE c.seg = q.seg
+                   AND 8 * c.v > 2 * q.q3x4 + 3 * (q.q3x4 - q.q1x4))
+               AS BIGINT) AS n_high_outliers
+    FROM qs q ORDER BY q.seg
+    """,
+    category=CAT,
+)
+def agg_boxplot_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box plot per segment: five-number summary + the count of
+    points OUTSIDE the 1.5·IQR fences — the outlier census behind
+    every box chart (agg_median_exact reports percentiles;
+    agg_mad_robust flags by a robust z; Tukey fences are the third,
+    quartile-anchored convention — and since the three disagree at
+    the margins on heavy tails, a data platform must offer all
+    three and say which one a chart used).
+
+    Quartiles of integer cents interpolate on quarter weights, so
+    ×4-scaled quartiles are EXACT BIGINTs (round only collapses the
+    representation, not information); fences live in ×8 units where
+    lo = 2·q1×4 − 3·IQR×4 stays integer, and outlier membership is
+    the exact comparison 8v < lo — no float ever decides a count.
+    One grouped quantile pass + one fence-count pass (two scans of
+    the dim-bounded cents projection; at scale fuse via a window,
+    stated).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    qs = cents.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("v").cast("bigint").alias("v_min"),
+        F.round(F.expr("percentile(v, 0.25)") * 4).cast("bigint").alias("q1x4"),
+        F.round(F.expr("percentile(v, 0.50)") * 4).cast("bigint").alias("medx4"),
+        F.round(F.expr("percentile(v, 0.75)") * 4).cast("bigint").alias("q3x4"),
+        F.max("v").cast("bigint").alias("v_max"),
+    )
+    j = cents.join(F.broadcast(qs), "seg")
+    lo8 = 2 * F.col("q1x4") - 3 * (F.col("q3x4") - F.col("q1x4"))
+    hi8 = 2 * F.col("q3x4") + 3 * (F.col("q3x4") - F.col("q1x4"))
+    counts = j.groupBy("seg").agg(
+        F.sum(F.when(8 * F.col("v") < lo8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_outliers"),
+        F.sum(F.when(8 * F.col("v") > hi8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_outliers"),
+    )
+    return (
+        qs.join(counts, "seg")
+        .select(
+            "seg",
+            "n",
+            "v_min",
+            "q1x4",
+            "medx4",
+            "q3x4",
+            "v_max",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("seg")
+    )
