@@ -6251,3 +6251,118 @@ def agg_boxplot_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+MUS_SAMPLES = 50
+MUS_BUCKET = 1000  # orderkey div bucket for the two-level prefix sum
+
+
+@op(
+    "agg_monetary_unit_sampling",
+    oracle=f"""
+    WITH lines AS (
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+        FROM lineitem
+    ), seq AS (
+        SELECT ok, ln, w,
+               CAST(sum(w) OVER (ORDER BY ok, ln
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM lines
+    ), tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM lines),
+    params AS (
+        SELECT t, t // {MUS_SAMPLES} AS interval_c,
+               (t // {MUS_SAMPLES}) // 2 AS start_c
+        FROM tot
+    ), hits AS (
+        SELECT s.ok, s.ln, s.w, s.cum
+        FROM seq s CROSS JOIN params p
+        WHERE (s.cum - p.start_c - 1) // p.interval_c
+              > (s.cum - s.w - p.start_c - 1) // p.interval_c
+          AND s.cum > p.start_c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(w) AS BIGINT) AS selected_value_c,
+           CAST(min(ok) AS BIGINT) AS first_ok,
+           CAST(max(ok) AS BIGINT) AS last_ok,
+           CAST((SELECT max(w) FROM lines) AS BIGINT) AS max_item_c,
+           (SELECT t // {MUS_SAMPLES} FROM tot) <= (SELECT max(w) FROM lines)
+               AS has_certain_selections
+    FROM hits
+    """,
+    category=CAT,
+)
+def agg_monetary_unit_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-unit sampling (MUS / PPS): fixed-interval selection
+    over the cumulative CENTS of the book, deterministic mid-interval
+    start — the CPA audit-sampling standard (each cent is equally
+    likely, so a line's selection probability is proportional to its
+    VALUE: the $1M line cannot hide behind ten thousand $10 lines
+    the way it does under row sampling — which is the entire point
+    of auditing by monetary unit; items larger than the interval are
+    CERTAIN selections, flagged so the auditor strata them out).
+
+    The cumulative is a prefix sum over the total (ok, ln) book
+    order; the oracle runs it as one global window while the Spark
+    side uses the dq_sequence_gaps two-level shape — partitioned
+    cumsum within ok-div-{MUS_BUCKET} buckets plus broadcast bucket
+    offsets from the per-bucket summary — provably identical and
+    shuffle-sane at 100 TB. Interval crossing is pure integer
+    floor-division bracketing (an item is picked iff its cents span
+    crosses a sampling point), start = interval div 2 keeps §2.X's
+    no-rand rule.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    ).withColumn("bkt", F.expr(f"ok div {MUS_BUCKET}"))
+    wb = Window.partitionBy("bkt").orderBy("ok", "ln").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    intra = lines.withColumn("cum_in", F.sum("w").over(wb).cast("bigint"))
+    bsum = lines.groupBy("bkt").agg(F.sum("w").cast("bigint").alias("bw"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bsum.select(
+        "bkt",
+        F.coalesce(F.sum("bw").over(wo), F.lit(0)).cast("bigint").alias("off"),
+    )
+    seq = intra.join(F.broadcast(offsets), "bkt").select(
+        "ok", "ln", "w", (F.col("cum_in") + F.col("off")).alias("cum")
+    )
+    tot = lines.agg(F.sum("w").cast("bigint").alias("t"))
+    params = tot.select(
+        "t",
+        F.expr(f"t div {MUS_SAMPLES}").alias("interval_c"),
+        F.expr(f"(t div {MUS_SAMPLES}) div 2").alias("start_c"),
+    )
+    hits = seq.crossJoin(F.broadcast(params)).filter(
+        (
+            F.expr("(cum - start_c - 1) div interval_c")
+            > F.expr("(cum - w - start_c - 1) div interval_c")
+        )
+        & (F.col("cum") > F.col("start_c"))
+    )
+    max_item = lines.agg(F.max("w").cast("bigint").alias("mx"))
+    return (
+        hits.agg(
+            F.count("*").cast("bigint").alias("n_selected"),
+            F.sum("w").cast("bigint").alias("selected_value_c"),
+            F.min("ok").cast("bigint").alias("first_ok"),
+            F.max("ok").cast("bigint").alias("last_ok"),
+        )
+        .crossJoin(F.broadcast(max_item))
+        .crossJoin(F.broadcast(params.select("interval_c")))
+        .select(
+            "n_selected",
+            "selected_value_c",
+            "first_ok",
+            "last_ok",
+            F.col("mx").alias("max_item_c"),
+            (F.col("interval_c") <= F.col("mx")).alias(
+                "has_certain_selections"
+            ),
+        )
+    )

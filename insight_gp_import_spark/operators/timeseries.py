@@ -2890,3 +2890,106 @@ def ts_forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.sum("e_co_s") < F.sum("e_ma_s"))
         ).alias("combo_wins"),
     )
+
+
+@op(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS et, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.et,
+               CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON b.et = a.et AND b.d > a.d
+    ), s_stat AS (
+        SELECT et, CAST(sum(sgn) AS BIGINT) AS s FROM pairs GROUP BY et
+    ), nn AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY et
+    ), ties AS (
+        SELECT et, CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tsum
+        FROM (SELECT et, x, CAST(count(*) AS BIGINT) AS tc
+              FROM daily GROUP BY et, x) g
+        GROUP BY et
+    )
+    SELECT s.et, n.n, s.s,
+           CAST((n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum) AS BIGINT)
+               AS var18,
+           round((CASE WHEN s.s > 0 THEN s.s - 1
+                       WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+                 / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum)
+                        / 18.0), 9) AS z,
+           abs(round((CASE WHEN s.s > 0 THEN s.s - 1
+                           WHEN s.s < 0 THEN s.s + 1 ELSE 0 END)
+                     / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum)
+                            / 18.0), 9)) >= 1.96 AS trend_significant
+    FROM s_stat s JOIN nn n ON n.et = s.et JOIN ties t ON t.et = s.et
+    ORDER BY s.et
+    """,
+    category=CAT,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type: S = Σ sign(xⱼ−xᵢ) over
+    all day pairs, tie-corrected variance, continuity-corrected z —
+    the SIGNIFICANCE half of the robust-trend pair (ts_theil_sen_
+    trend estimates the slope; Mann–Kendall says whether a monotone
+    trend exists AT ALL, distribution-free — the two are published
+    together in every environmental/SRE trend report because a
+    slope without a significance statement is a chart, not a
+    finding).
+
+    S and the tie term Σt(t−1)(2t+5) are pure integers (the sign
+    join is O(days²) on the per-type DAILY aggregate — the Theil–Sen
+    shape); var·18 is kept integer and the /18 deferred into the one
+    mirrored sqrt expression; the continuity correction (S∓1) is
+    integer CASE; verdict compares the ROUNDED z. No float exists
+    before the final expression.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b, (F.col("b.et") == F.col("a.et")) & (F.col("b.d") > F.col("a.d"))
+    ).select(
+        F.col("a.et").alias("et"),
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s_stat = pairs.groupBy("et").agg(F.sum("sgn").cast("bigint").alias("s"))
+    nn = daily.groupBy("et").agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("et", "x")
+        .agg(F.count("*").cast("bigint").alias("tc"))
+        .groupBy("et")
+        .agg(
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    j = s_stat.join(nn, "et").join(ties, "et")
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tsum")
+    ).cast("bigint")
+    s_corr = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    z = F.round(s_corr / F.sqrt(var18 / 18.0), 9)
+    return j.select(
+        "et",
+        "n",
+        "s",
+        var18.alias("var18"),
+        z.alias("z"),
+        (F.abs(z) >= 1.96).alias("trend_significant"),
+    ).orderBy("et")
