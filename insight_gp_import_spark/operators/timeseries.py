@@ -2993,3 +2993,92 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) >= 1.96).alias("trend_significant"),
     ).orderBy("et")
+
+
+VAR_PCT = 5  # 5th percentile = 95% historical VaR
+
+
+@op(
+    "ts_historical_var",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(round(l_extendedprice)) AS BIGINT) AS rev_d
+        FROM lineitem GROUP BY 1
+    ), deltas AS (
+        SELECT d, rev_d - lag(rev_d) OVER (ORDER BY d) AS dd
+        FROM daily
+    ), rd AS (
+        SELECT dd, CAST(row_number() OVER (ORDER BY dd) AS BIGINT) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM deltas WHERE dd IS NOT NULL
+    ), var_c AS (
+        SELECT CAST(max(CASE WHEN rk = (n * {VAR_PCT} + 99) // 100
+                             THEN dd END) AS BIGINT) AS var_d,
+               CAST(max(n) AS BIGINT) AS n
+        FROM rd
+    )
+    SELECT v.n AS n_deltas, v.var_d,
+           CAST((SELECT count(*) FROM rd WHERE rd.dd < v.var_d) AS BIGINT)
+               AS n_breaches,
+           CAST(((SELECT count(*) FROM rd WHERE rd.dd < v.var_d) * 1000000)
+                // v.n AS BIGINT) AS breach_ppm
+    FROM var_c v
+    """,
+    category=CAT,
+)
+def ts_historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk on daily revenue CHANGES: the exact
+    empirical {VAR_PCT}th-percentile daily move plus the count of
+    days that breached it — risk management's plainest instrument
+    applied to the business series (VaR answers 'how bad is a
+    normal-bad day'; the BREACH COUNT is its own backtest — the
+    Kupiec idea: a 5 % VaR breached on ~5 % of days is calibrated,
+    breached on 12 % means the tail is fatter than the history
+    window, and ts_underwater_duration measures the resulting
+    drawdowns while this prices the daily shock itself).
+
+    The quantile is EXACT ordered selection over integer deltas
+    (⌈p·n/100⌉ rank — the conformal-bands device, no
+    interpolation); breaches are strict integer comparisons against
+    that selected integer, so statistic and backtest can never
+    disagree. Day-scale everything after the rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.round("l_extendedprice")).cast("bigint").alias("rev_d")
+    )
+    w = Window.orderBy("d")
+    deltas = daily.select(
+        (F.col("rev_d") - F.lag("rev_d").over(w)).alias("dd")
+    ).filter(F.col("dd").isNotNull())
+    rd = deltas.select(
+        "dd",
+        F.row_number().over(Window.orderBy("dd")).cast("bigint").alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    var_c = rd.agg(
+        F.max(
+            F.when(
+                F.col("rk") == F.expr(f"(n * {VAR_PCT} + 99) div 100"),
+                F.col("dd"),
+            )
+        )
+        .cast("bigint")
+        .alias("var_d"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    breaches = (
+        rd.crossJoin(F.broadcast(var_c.select("var_d")))
+        .filter(F.col("dd") < F.col("var_d"))
+        .agg(F.count("*").cast("bigint").alias("nb"))
+    )
+    return (
+        var_c.crossJoin(F.broadcast(breaches))
+        .select(
+            F.col("n").alias("n_deltas"),
+            "var_d",
+            F.col("nb").alias("n_breaches"),
+            F.expr("(nb * 1000000) div n").cast("bigint").alias("breach_ppm"),
+        )
+    )

@@ -1394,3 +1394,138 @@ def embed_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pm")
     )
+
+
+SNM_WINDOW = 5
+
+
+@op(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH clean AS (
+        SELECT c_custkey AS rid, c_name AS nm,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ), dirty AS (
+        SELECT c_custkey + 1000000000 AS rid,
+               CASE WHEN c_custkey % 5 = 0 THEN c_name || 'X'
+                    ELSE c_name END AS nm,
+               CAST(round(c_acctbal * 100) AS BIGINT)
+                   + (c_custkey * 7919) % 21 - 10 AS bal_c
+        FROM customer
+    ), allrec AS (
+        SELECT * FROM clean UNION ALL SELECT * FROM dirty
+    ), ranked AS (
+        SELECT rid, nm, bal_c,
+               CAST(row_number() OVER (ORDER BY nm, bal_c, rid) AS BIGINT)
+                   AS r
+        FROM allrec
+    ), cand AS (
+        SELECT a.rid AS r1, b.rid AS r2,
+               (abs(a.bal_c - b.bal_c) <= 10 AND
+                (a.nm = b.nm OR a.nm = b.nm || 'X' OR b.nm = a.nm || 'X'))
+                   AS matched
+        FROM ranked a JOIN ranked b
+          ON b.r > a.r AND b.r <= a.r + {SNM_WINDOW}
+    ), truth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true FROM clean
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(sum(CASE WHEN matched
+                          AND abs(r1 - r2) = 1000000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_found,
+           CAST((sum(CASE WHEN matched
+                           AND abs(r1 - r2) = 1000000000 THEN 1 ELSE 0 END)
+                 * 1000000) // (SELECT n_true FROM truth) AS BIGINT)
+               AS recall_ppm
+    FROM cand
+    """,
+    category=CAT,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández–Stolfo): sort all records
+    by a fuzzy key, compare only within a sliding window of
+    {SNM_WINDOW} — the OTHER classic blocking strategy, evaluated on
+    the SAME degraded-copy fixture as join_record_linkage_score so
+    the two methods' recall is directly comparable (hash blocking
+    bounds candidates by the block key's accuracy; SNM bounds them
+    by sort-key locality — a mutated LAST character survives a name
+    sort, a mutated FIRST character defeats it, which is exactly why
+    production SNM runs MULTIPLE passes with different keys —
+    stated, one pass shown). Ground truth rides the surrogate-key
+    offset, so recall is measured, not estimated.
+
+    One global sort by the fuzzy key is INHERENT to the method (it
+    IS the sorted method — noted as its scale cost; the rank
+    self-join on r..r+{SNM_WINDOW} makes candidate volume exactly
+    n·w); match scoring reuses the linkage op's field rules; all
+    counts integer with ppm recall.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("nm"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    dirty = c.select(
+        (F.col("c_custkey") + 1000000000).alias("rid"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.concat(F.col("c_name"), F.lit("X"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("nm"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("bigint")
+            + (F.col("c_custkey") * 7919) % 21
+            - 10
+        ).alias("bal_c"),
+    )
+    allrec = clean.unionAll(dirty)
+    ranked = allrec.withColumn(
+        "r",
+        F.row_number()
+        .over(Window.orderBy("nm", "bal_c", "rid"))
+        .cast("bigint"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    matched = (
+        (F.abs(F.col("a.bal_c") - F.col("b.bal_c")) <= 10)
+        & (
+            (F.col("a.nm") == F.col("b.nm"))
+            | (F.col("a.nm") == F.concat(F.col("b.nm"), F.lit("X")))
+            | (F.col("b.nm") == F.concat(F.col("a.nm"), F.lit("X")))
+        )
+    )
+    cand = a.join(
+        b,
+        (F.col("b.r") > F.col("a.r"))
+        & (F.col("b.r") <= F.col("a.r") + SNM_WINDOW),
+    ).select(
+        F.col("a.rid").alias("r1"),
+        F.col("b.rid").alias("r2"),
+        matched.alias("matched"),
+    )
+    truth_n = clean.count()
+    return cand.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("matched"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(
+            F.when(
+                F.col("matched")
+                & (F.abs(F.col("r1") - F.col("r2")) == 1000000000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_true_found"),
+        F.expr(
+            f"(sum(CASE WHEN matched AND abs(r1 - r2) = 1000000000"
+            f" THEN 1 ELSE 0 END) * 1000000) div {truth_n}"
+        )
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
