@@ -2349,3 +2349,111 @@ def dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@op(
+    "dq_future_leakage_audit",
+    oracle="""
+    WITH versions AS (
+        -- derived segment history: customers re-segment when their
+        -- key crosses era boundaries (deterministic 2-version feed)
+        SELECT c_custkey AS ck, c_mktsegment AS seg,
+               DATE '1995-01-01' AS valid_from
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN 'MACHINERY'
+                    ELSE c_mktsegment END,
+               DATE '1999-01-01'
+        FROM customer
+    ), probes AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+               CAST(o_orderdate AS DATE) AS od
+        FROM orders
+    ), pit AS (
+        SELECT p.ok,
+               max_by(v.seg, v.valid_from) AS pit_seg
+        FROM probes p JOIN versions v
+          ON v.ck = p.ck AND v.valid_from <= p.od
+        GROUP BY p.ok
+    ), naive AS (
+        SELECT p.ok, max_by(v.seg, v.valid_from) AS naive_seg
+        FROM probes p JOIN versions v ON v.ck = p.ck
+        GROUP BY p.ok
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN n.naive_seg <> t.pit_seg THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked,
+           CAST((sum(CASE WHEN n.naive_seg <> t.pit_seg THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS leakage_ppm
+    FROM pit t JOIN naive n ON n.ok = t.ok
+    """,
+    category=CAT,
+)
+def dq_future_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Future-leakage audit: every order joined to its customer's
+    segment BOTH ways — point-in-time (version valid at order date)
+    and the naive latest-version join — counting where they differ.
+    That count IS the training-label contamination a feature
+    pipeline ships when it skips PIT discipline (the difference is
+    invisible in schemas and row counts, inflates offline metrics,
+    and collapses online — the reason feature stores exist;
+    join_point_in_time IMPLEMENTS the correct join, this op
+    MEASURES what the shortcut would have cost on this feed: every
+    pre-1999 order of a re-segmented customer leaks).
+
+    The version history is the deterministic two-era fixture (the
+    bitemporal pattern); both joins are max_by over valid_from
+    (PIT adds the ≤ order-date predicate — the entire difference is
+    that one range condition, which is the lesson); counts integer,
+    leakage in ppm. Probe volume passes each join once.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.when(F.col("c_custkey") % 3 == 0, "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.lit("1999-01-01").cast("date").alias("valid_from"),
+    )
+    versions = v1.unionAll(v2)
+    probes = o.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("pck"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    pit = (
+        probes.join(
+            versions,
+            (versions.ck == F.col("pck"))
+            & (F.col("valid_from") <= F.col("od")),
+        )
+        .groupBy("ok")
+        .agg(F.expr("max_by(seg, valid_from)").alias("pit_seg"))
+    )
+    naive = (
+        probes.join(versions, versions.ck == F.col("pck"))
+        .groupBy("ok")
+        .agg(F.expr("max_by(seg, valid_from)").alias("naive_seg"))
+    )
+    j = pit.join(naive, "ok")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum(
+            F.when(F.col("naive_seg") != F.col("pit_seg"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_leaked"),
+        F.expr(
+            "(sum(CASE WHEN naive_seg <> pit_seg THEN 1 ELSE 0 END)"
+            " * 1000000) div count(*)"
+        )
+        .cast("bigint")
+        .alias("leakage_ppm"),
+    )

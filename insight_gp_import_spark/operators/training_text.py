@@ -2332,3 +2332,97 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cohens_kappa"),
         )
     )
+
+
+
+
+def _sampler_bias_oracle() -> str:
+    from insight_gp_import_spark.registry import REGISTRY
+
+    uni = REGISTRY["sample_stratified"].oracle
+    wres = REGISTRY["sample_weighted_reservoir"].oracle
+    return f"""
+    WITH uni AS ({uni}), wres AS ({wres}),
+    base AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM documents
+    ), u AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM uni
+    ), w AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM wres
+    )
+    SELECT 'corpus' AS sampler, base.n AS n_docs, base.s AS sum_chars,
+           CAST(1000000 AS BIGINT) AS mean_vs_corpus_ppm
+    FROM base
+    UNION ALL
+    SELECT 'stratified_uniform', u.n, u.s,
+           CAST((u.s * base.n * 1000000) // (u.n * base.s) AS BIGINT)
+    FROM u CROSS JOIN base
+    UNION ALL
+    SELECT 'weighted_reservoir', w.n, w.s,
+           CAST((w.s * base.n * 1000000) // (w.n * base.s) AS BIGINT)
+    FROM w CROSS JOIN base
+    ORDER BY sampler
+    """
+
+
+@op("corpus_sampler_bias_check", oracle=_sampler_bias_oracle(),
+    category="training-corpus")
+def corpus_sampler_bias_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampler bias, measured: mean document length under the uniform
+    sampler and the length-weighted reservoir, each as a ppm ratio
+    of the corpus mean — the composition that makes both samplers'
+    DESIGN CLAIMS falsifiable (uniform should sit ≈10⁶; the
+    Efraimidis–Spirakis draw should sit far ABOVE it because
+    inclusion ∝ length is its contract — a weighted sampler reading
+    ≈10⁶ would be broken-silent, the worst kind). The release-gate
+    pattern again: the ops themselves are called on the Spark side
+    and their oracle STRINGS embedded on the DuckDB side, so the
+    bias check can never drift from the samplers it audits.
+
+    Ratio-of-means as one exact cross-multiplication in BIGINT ppm
+    per sampler (s·N·10⁶ div (n·S)); both samplers carry n_chars in
+    their declared relations. Three one-row aggregates unioned.
+    """
+    from insight_gp_import_spark.registry import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    uni = REGISTRY["sample_stratified"].fn(spark, sf_dir).agg(
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    wres = REGISTRY["sample_weighted_reservoir"].fn(spark, sf_dir).agg(
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+    def row(label: str, df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(base.select(F.col("s").alias("bs"), F.col("n").alias("bn"))))
+            .select(
+                F.lit(label).alias("sampler"),
+                F.col("n").alias("n_docs"),
+                F.col("s").alias("sum_chars"),
+                F.expr("(s * bn * 1000000) div (n * bs)").cast("bigint").alias(
+                    "mean_vs_corpus_ppm"
+                ),
+            )
+        )
+
+    corpus_row = base.select(
+        F.lit("corpus").alias("sampler"),
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("sum_chars"),
+        F.lit(1000000).cast("bigint").alias("mean_vs_corpus_ppm"),
+    )
+    return (
+        corpus_row.unionAll(row("stratified_uniform", uni))
+        .unionAll(row("weighted_reservoir", wres))
+        .orderBy("sampler")
+    )
