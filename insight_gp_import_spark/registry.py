@@ -151,9 +151,13 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # fn_base64_roundtrip, graph_modularity_brand_partition,
 # ts_interrupted_series, ts_forecast_combination,
 # scan_wholetext_files, agg_storage_tiering_policy,
-# embed_anisotropy_score, agg_rounding_drift_audit — likewise registry
-# tail), then cycle the oldest-evidence blocks (round-1 set) ahead of
-# the round-2 set.
+# embed_anisotropy_score, agg_rounding_drift_audit,
+# dq_rare_categories, agg_new_vs_returning_aov, agg_boxplot_fences,
+# join_bridge_allocation, ts_mann_kendall, agg_monetary_unit_sampling,
+# dedup_sorted_neighborhood, ts_historical_var,
+# corpus_sampler_bias_check, dq_future_leakage_audit — likewise
+# registry tail), then cycle the oldest-evidence blocks (round-1 set)
+# ahead of the round-2 set.
 DRIVER_ORDER: list[str] = [
     # -- round-3 hash slots: oracled, no green driver row yet --
     "agg_funnel_conversion",
