@@ -2457,3 +2457,126 @@ def dq_future_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("leakage_ppm"),
     )
+
+
+@op(
+    "dq_capture_recapture",
+    oracle=f"""
+    WITH clean AS (
+        SELECT c_custkey AS ck, c_name AS nm, c_nationkey AS nk,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ), dirty AS (
+        SELECT c_custkey AS ck,
+               CASE WHEN c_custkey % 5 = 0 THEN c_name || 'X'
+                    ELSE c_name END AS nm,
+               c_nationkey AS nk,
+               CAST(round(c_acctbal * 100) AS BIGINT)
+                   + (c_custkey * 7919) % 21 - 10 AS bal_c
+        FROM customer
+    ), by_blocking AS (
+        -- detector A: nation blocking + exact-name match
+        SELECT c.ck FROM clean c JOIN dirty d
+          ON d.nk = c.nk AND d.ck = c.ck AND d.nm = c.nm
+    ), by_band AS (
+        -- detector B: balance-band blocking (bal div 500) + tolerant name
+        SELECT c.ck FROM clean c JOIN dirty d
+          ON d.ck = c.ck
+         AND d.bal_c // 500 = c.bal_c // 500
+         AND (d.nm = c.nm OR d.nm = c.nm || 'X')
+    ), stats AS (
+        SELECT
+          CAST((SELECT count(*) FROM by_blocking) AS BIGINT) AS n_a,
+          CAST((SELECT count(*) FROM by_band) AS BIGINT) AS n_b,
+          CAST((SELECT count(*) FROM by_blocking a
+                WHERE EXISTS (SELECT 1 FROM by_band b WHERE b.ck = a.ck))
+               AS BIGINT) AS n_both,
+          CAST((SELECT count(*) FROM clean) AS BIGINT) AS n_true
+    )
+    SELECT n_a, n_b, n_both, n_true,
+           CAST((n_a * n_b) // n_both AS BIGINT) AS lincoln_petersen_est,
+           CAST((((n_a * n_b) // n_both) * 1000000) // n_true AS BIGINT)
+               AS est_vs_truth_ppm
+    FROM stats
+    """,
+    category=CAT,
+)
+def dq_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Lincoln–Petersen) applied to dedup QA: two
+    INDEPENDENT duplicate detectors — nation-blocked exact-name and
+    balance-band tolerant-name — each find a subset of the true
+    duplicate pairs; N̂ = |A|·|B|/|A∩B| estimates the TOTAL
+    duplicate population from their overlap, exactly how ecologists
+    count fish and census bureaus estimate undercount. For dedup
+    operations this answers the unanswerable-looking question 'how
+    many duplicates did we MISS?' without ground truth — and because
+    THIS fixture has ground truth (the surrogate construction), the
+    estimator itself is validated: est_vs_truth_ppm near 10⁶ is
+    Lincoln–Petersen working; its bias when detector overlap is
+    correlated is the stated caveat (the detectors here differ by
+    blocking key AND matching rule precisely to de-correlate).
+
+    Both detector sets are equi-joins on the shared fixture
+    (per-pair truth by key identity keeps sets small); counts and
+    the estimate are pure BIGINT with `div`. One ≤|customers| pass
+    per detector.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    dirty = c.select(
+        F.col("c_custkey").alias("dck"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.concat(F.col("c_name"), F.lit("X"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("dnm"),
+        F.col("c_nationkey").alias("dnk"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("bigint")
+            + (F.col("c_custkey") * 7919) % 21
+            - 10
+        ).alias("dbal_c"),
+    )
+    by_a = clean.join(
+        dirty,
+        (F.col("dnk") == F.col("nk"))
+        & (F.col("dck") == F.col("ck"))
+        & (F.col("dnm") == F.col("nm")),
+    ).select("ck")
+    by_b = clean.join(
+        dirty,
+        (F.col("dck") == F.col("ck"))
+        & (F.expr("dbal_c div 500") == F.expr("bal_c div 500"))
+        & (
+            (F.col("dnm") == F.col("nm"))
+            | (F.col("dnm") == F.concat(F.col("nm"), F.lit("X")))
+        ),
+    ).select("ck")
+    n_a = by_a.agg(F.count("*").cast("bigint").alias("n_a"))
+    n_b = by_b.agg(F.count("*").cast("bigint").alias("n_b"))
+    n_both = by_a.join(by_b, "ck", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_both")
+    )
+    n_true = clean.agg(F.count("*").cast("bigint").alias("n_true"))
+    return (
+        n_a.crossJoin(F.broadcast(n_b))
+        .crossJoin(F.broadcast(n_both))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_a",
+            "n_b",
+            "n_both",
+            "n_true",
+            F.expr("(n_a * n_b) div n_both")
+            .cast("bigint")
+            .alias("lincoln_petersen_est"),
+            F.expr("(((n_a * n_b) div n_both) * 1000000) div n_true")
+            .cast("bigint")
+            .alias("est_vs_truth_ppm"),
+        )
+    )

@@ -3082,3 +3082,91 @@ def ts_historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(nb * 1000000) div n").cast("bigint").alias("breach_ppm"),
         )
     )
+
+
+@op(
+    "ts_record_days_rate",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1
+    ), runs AS (
+        SELECT d, x,
+               CAST(max(x) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS prior_max,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+        FROM daily
+    ), obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN prior_max IS NULL OR x > prior_max
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+               CAST(sum(1000000 // k) AS BIGINT) AS harmonic_micro
+        FROM runs
+    )
+    SELECT n, n_records,
+           CAST(harmonic_micro // 1000000 AS BIGINT)
+               AS expected_records_floor,
+           harmonic_micro,
+           CAST((n_records * 1000000000000) // harmonic_micro AS BIGINT)
+               AS obs_over_expected_ppm
+    FROM obs
+    """,
+    category=CAT,
+)
+def ts_record_days_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking days vs theory: the count of all-time-high
+    volume days against the i.i.d. expectation H(n) = Σ1/k (record
+    statistics: under exchangeability, day k sets a record with
+    probability exactly 1/k, so ~8 records are expected in 2 500
+    days NO MATTER the distribution) — the distribution-free trend
+    detector hiding in a trivia fact: observed ≫ H(n) is growth,
+    ≈ H(n) is stationarity, and the ratio needs no variance
+    estimate, no model, no parameter (Mann–Kendall uses all pairs;
+    this uses only the maxima chain — far blunter, but explainable
+    to anyone in one sentence, which has its own operational value).
+
+    Records come off one running-max window (current row excluded —
+    a day isn't its own prior record); the harmonic expectation is
+    Σ(10⁶ div k) — the quantized-series device making the float
+    series an exact integer sum (per-term truncation < n µ-units,
+    stated); the observed/expected ratio is one BIGINT division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = Window.orderBy("d")
+    runs = daily.select(
+        "d",
+        "x",
+        F.max("x")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("bigint")
+        .alias("prior_max"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+    )
+    obs = runs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("prior_max").isNull()
+                | (F.col("x") > F.col("prior_max")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_records"),
+        F.sum(F.expr("1000000 div k")).cast("bigint").alias("harmonic_micro"),
+    )
+    return obs.select(
+        "n",
+        "n_records",
+        F.expr("harmonic_micro div 1000000")
+        .cast("bigint")
+        .alias("expected_records_floor"),
+        "harmonic_micro",
+        F.expr("(n_records * 1000000000000) div harmonic_micro")
+        .cast("bigint")
+        .alias("obs_over_expected_ppm"),
+    )
