@@ -1808,3 +1808,66 @@ def dq_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= CHI2_15DF_95_MILLI * HASH_BUCKETS * F.first("n")
         ).alias("uniform_ok"),
     ).drop("n")
+
+
+@op(
+    "corpus_normalization_payoff",
+    oracle="""
+    WITH raw AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_raw
+        FROM documents
+    ), norm AS (
+        SELECT CAST(count(DISTINCT md5(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                   AS BIGINT) AS distinct_norm
+        FROM documents
+    )
+    SELECT r.n AS n_docs,
+           CAST(r.n - r.distinct_raw AS BIGINT) AS raw_dups,
+           CAST(r.n - nm.distinct_norm AS BIGINT) AS norm_dups,
+           CAST(r.distinct_raw - nm.distinct_norm AS BIGINT)
+               AS extra_dups_from_normalization,
+           CAST(((r.distinct_raw - nm.distinct_norm) * 1000000)
+                // r.n AS BIGINT) AS payoff_ppm
+    FROM raw r CROSS JOIN norm nm
+    """,
+    category=CAT,
+)
+def corpus_normalization_payoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization payoff, measured: duplicate docs found by raw
+    md5 vs md5 of the CANONICAL form (lower, collapse whitespace,
+    trim — text_normalize's exact recipe), and the delta — the
+    number that justifies (or retires) the normalization stage
+    (every canonicalization step costs a scan-stage transform at
+    100 TB; 'it finds more dups' is folklore until the extra-dups
+    column says how many — a payoff near 0 on a clean feed means
+    the stage is pure cost, and the measurement is the same query
+    at any scale). Recipe is textually shared with text_normalize /
+    dedup_exact, so the measured payoff is exactly THEIR payoff.
+
+    Two distinct-count aggregates over md5 keys (raw text never
+    shuffles — the dedup_exact rule), one BIGINT subtraction chain,
+    ppm against corpus size. The duplicate counts double as a
+    denominator audit: raw_dups ≤ norm_dups always, violated only
+    if the canonical map weren't a function (checked by the hash
+    gate by construction).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm_text = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    agg = docs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("distinct_raw"),
+        F.countDistinct(F.md5(norm_text)).cast("bigint").alias("distinct_norm"),
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        (F.col("n") - F.col("distinct_raw")).cast("bigint").alias("raw_dups"),
+        (F.col("n") - F.col("distinct_norm")).cast("bigint").alias("norm_dups"),
+        (F.col("distinct_raw") - F.col("distinct_norm"))
+        .cast("bigint")
+        .alias("extra_dups_from_normalization"),
+        F.expr("((distinct_raw - distinct_norm) * 1000000) div n")
+        .cast("bigint")
+        .alias("payoff_ppm"),
+    )
