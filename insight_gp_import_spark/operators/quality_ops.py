@@ -2651,3 +2651,86 @@ def dq_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check(o, "o_custkey", "orders.o_custkey"))
         .orderBy("col")
     )
+
+
+QSK_ACCURACY = 1000  # approx_percentile accuracy: rank error <= n/accuracy
+
+
+@op(
+    "dq_quantile_sketch_bound",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+    ), ranked AS (
+        SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM cents
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN v END) AS BIGINT)
+               AS exact_median_c,
+           true AS sketch_within_rank_bound
+    FROM ranked
+    """,
+    category=CAT,
+)
+def dq_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch validation: `approx_percentile`'s median must
+    sit within its DECLARED rank guarantee (|rank(v̂) − n/2| ≤
+    n/accuracy) of the exact median — the dq_hll_error_bound move
+    aimed at the OTHER sketch (Greenwald–Khanna's contract is a
+    RANK bound, not a value bound: on a gappy distribution the
+    returned value can sit far from the exact median in VALUE while
+    being one rank away — checking ranks, not values, is the only
+    honest test, and naive value-delta checks are the standard way
+    this validation is done wrong).
+
+    The rank of the sketch's answer is measured exactly (count of
+    values ≤ v̂ — one aggregate over the same cents projection);
+    the verdict is integer arithmetic against n/accuracy; the
+    declared relation carries the exact lower-median (selection
+    device) plus the verdict law — the sketch VALUE itself is
+    implementation-specific and never compared across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    approx = cents.agg(
+        F.expr(f"approx_percentile(v, 0.5, {QSK_ACCURACY})")
+        .cast("bigint")
+        .alias("vhat")
+    )
+    ranked = cents.select(
+        "v",
+        F.row_number().over(Window.orderBy("v")).cast("bigint").alias("rk"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    exact = ranked.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("v"))
+        )
+        .cast("bigint")
+        .alias("exact_median_c"),
+    )
+    rank_of_hat = (
+        cents.crossJoin(F.broadcast(approx))
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("vhat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rk_hat")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(rank_of_hat))
+        .select(
+            "n",
+            "exact_median_c",
+            (
+                F.abs(F.col("rk_hat") * 2 - F.col("n"))
+                * QSK_ACCURACY
+                <= 2 * F.col("n")
+            ).alias("sketch_within_rank_bound"),
+        )
+    )

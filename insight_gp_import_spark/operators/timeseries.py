@@ -3170,3 +3170,81 @@ def ts_record_days_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("obs_over_expected_ppm"),
     )
+
+
+@op(
+    "ts_max_gain_window",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(round(l_extendedprice)) AS BIGINT) AS rev_d
+        FROM lineitem GROUP BY 1
+    ), pre AS (
+        SELECT d, rev_d,
+               CAST(sum(rev_d) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM daily
+    ), anchored AS (
+        SELECT d, cum,
+               CAST(coalesce(min(cum) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS min_before
+        FROM pre
+    )
+    SELECT d AS run_end, CAST(cum - min_before AS BIGINT) AS max_run_d
+    FROM anchored
+    ORDER BY cum - min_before DESC, d
+    LIMIT 1
+    """,
+    category=CAT,
+)
+def ts_max_gain_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-sum contiguous run of daily revenue (Kadane's problem)
+    — the best consecutive stretch the business ever had, found
+    WITHOUT Kadane's sequential loop: max subarray ending at j is
+    prefix[j] − min(prefix[<j]), so the textbook O(n) scan becomes
+    one running-sum window plus one running-min window and an
+    argmax — the general lesson this op exists to teach (a large
+    class of 'inherently sequential' DP recurrences are prefix
+    reductions in disguise and therefore window-parallelizable;
+    agg_atp_allocation made the same move for greedy allocation,
+    win_max_drawdown is this op's mirror image on losses).
+
+    All integer (dollar sums, prefix sums, the min-before frame
+    excludes the current row so a single-day run is measured
+    against the zero prefix); the argmax is a total (value, date)
+    order with LIMIT 1. Day-scale after the rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.round("l_extendedprice")).cast("bigint").alias("rev_d")
+    )
+    w = Window.orderBy("d")
+    pre = daily.select(
+        "d",
+        F.sum("rev_d")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    anchored = pre.select(
+        "d",
+        "cum",
+        F.coalesce(
+            F.min("cum").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("min_before"),
+    )
+    return (
+        anchored.select(
+            F.col("d").alias("run_end"),
+            (F.col("cum") - F.col("min_before")).cast("bigint").alias(
+                "max_run_d"
+            ),
+        )
+        .orderBy(F.desc("max_run_d"), "run_end")
+        .limit(1)
+    )
