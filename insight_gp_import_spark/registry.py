@@ -155,7 +155,10 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # dq_rare_categories, agg_new_vs_returning_aov, agg_boxplot_fences,
 # join_bridge_allocation, ts_mann_kendall, agg_monetary_unit_sampling,
 # dedup_sorted_neighborhood, ts_historical_var,
-# corpus_sampler_bias_check, dq_future_leakage_audit — likewise
+# corpus_sampler_bias_check, dq_future_leakage_audit,
+# dq_capture_recapture, ts_record_days_rate,
+# corpus_normalization_payoff, dq_hll_error_bound,
+# dq_quantile_sketch_bound, ts_max_gain_window — likewise
 # registry tail), then cycle the oldest-evidence blocks (round-1 set)
 # ahead of the round-2 set.
 DRIVER_ORDER: list[str] = [
