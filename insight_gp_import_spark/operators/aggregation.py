@@ -6366,3 +6366,82 @@ def agg_monetary_unit_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+TRIM_PCT = 10  # trim 10 % from each tail
+
+
+@op(
+    "agg_trimmed_mean_exact",
+    oracle=f"""
+    WITH cents AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), ranked AS (
+        SELECT seg, v,
+               CAST(row_number() OVER (PARTITION BY seg ORDER BY v)
+                    AS BIGINT) AS rk,
+               CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+        FROM cents
+    ), kept AS (
+        SELECT seg, v, n FROM ranked
+        WHERE rk > (n * {TRIM_PCT}) // 100
+          AND rk <= n - (n * {TRIM_PCT}) // 100
+    )
+    SELECT seg,
+           CAST(max(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(v) AS BIGINT) AS kept_sum_c,
+           CAST((sum(v) * 1000000) // count(*) AS BIGINT)
+               AS trimmed_mean_microcents
+    FROM kept GROUP BY seg ORDER BY seg
+    """,
+    category=CAT,
+)
+def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {TRIM_PCT} %-trimmed mean per segment — the robust center
+    that completes the location family (mean is whale-dragged,
+    median throws away 98 % of the information, MAD is a SPREAD;
+    the trimmed mean is what rating systems and robust KPIs
+    actually use because it keeps 80 % of the data's efficiency
+    while bounding any single tail's influence — and trimmed vs
+    plain mean side by side is the two-second whale-influence
+    read).
+
+    Trim boundaries are integer rank arithmetic ((n·{TRIM_PCT}) div
+    100 from each end — floor on both sides, stated convention) over
+    a per-segment rank window; the kept sum is an exact BIGINT and
+    the mean is published in integer MICRO-CENTS via div (a round-9
+    double at ~10⁷ cents leaves sub-ulp digits exposed —
+    gate-caught, the ts_interrupted_series magnitude lesson; the
+    integer form is simply exact). Rank windows partition by
+    segment — the agg_median_exact shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    wseg = Window.partitionBy("seg")
+    ranked = cents.select(
+        "seg",
+        "v",
+        F.row_number().over(wseg.orderBy("v")).cast("bigint").alias("rk"),
+        F.count("*").over(wseg).cast("bigint").alias("n"),
+    )
+    cut = F.expr(f"(n * {TRIM_PCT}) div 100")
+    kept = ranked.filter((F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut))
+    return (
+        kept.groupBy("seg")
+        .agg(
+            F.max("n").cast("bigint").alias("n_total"),
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("v").cast("bigint").alias("kept_sum_c"),
+            F.expr("(sum(v) * 1000000) div count(*)")
+            .cast("bigint")
+            .alias("trimmed_mean_microcents"),
+        )
+        .orderBy("seg")
+    )

@@ -2426,3 +2426,103 @@ def corpus_sampler_bias_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("weighted_reservoir", wres))
         .orderBy("sampler")
     )
+
+
+JSD_SRC_A, JSD_SRC_B = "src0", "src1"
+JSD_LOG_SCALE = 1000000
+
+
+@op(
+    "text_source_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE source IN ('{JSD_SRC_A}', '{JSD_SRC_B}')
+    ), cell AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN source = '{JSD_SRC_A}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN source = '{JSD_SRC_B}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+        FROM cell
+    ), terms AS (
+        SELECT c.a, c.b, t.ta, t.tb,
+               CASE WHEN c.a > 0 THEN
+                   CAST(round(ln((c.a * 1.0 / t.ta)
+                        / (c.a * 1.0 / t.ta + c.b * 1.0 / t.tb) * 2)
+                        * {JSD_LOG_SCALE}) AS BIGINT) ELSE 0 END AS la,
+               CASE WHEN c.b > 0 THEN
+                   CAST(round(ln((c.b * 1.0 / t.tb)
+                        / (c.a * 1.0 / t.ta + c.b * 1.0 / t.tb) * 2)
+                        * {JSD_LOG_SCALE}) AS BIGINT) ELSE 0 END AS lb
+        FROM cell c CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(a * la) AS BIGINT) AS kl_a_num,
+           CAST(sum(b * lb) AS BIGINT) AS kl_b_num,
+           CAST((sum(a * la) // (2 * max(ta))
+                 + sum(b * lb) // (2 * max(tb))) AS BIGINT)
+               AS jsd_micronats
+    FROM terms
+    """,
+    category=CAT,
+)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two sources' token
+    distributions ({JSD_SRC_A} vs {JSD_SRC_B}), in micro-nats —
+    the DISTRIBUTIONAL distance corpus_source_overlap's set Jaccard
+    cannot see (two sources can share 100 % of their vocabulary and
+    still use it at wildly different rates; JSD is symmetric,
+    bounded by ln 2, and defined even where KL blows up on
+    zero-probability tokens — exactly why it, not raw KL, is the
+    standard corpus-pair distance).
+
+    JSD = ½KL(p‖m) + ½KL(q‖m) with m the average distribution:
+    per-token log-ratios against m are quantized to integer
+    micro-nats (the KL-op device; zero-count sides contribute 0 by
+    the 0·log 0 convention, stated) and weighted by INTEGER counts,
+    so both KL numerators are exact commutative BIGINTs; the final
+    ½-weighted normalization is two integer divs. |vocab| cells.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("source").isin(JSD_SRC_A, JSD_SRC_B)).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cell = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == JSD_SRC_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("source") == JSD_SRC_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    tot = cell.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+    )
+    t = cell.crossJoin(F.broadcast(tot))
+    pa = F.col("a") * 1.0 / F.col("ta")
+    pb = F.col("b") * 1.0 / F.col("tb")
+    la = F.when(
+        F.col("a") > 0,
+        F.round(F.log(pa / (pa + pb) * 2) * JSD_LOG_SCALE).cast("bigint"),
+    ).otherwise(0)
+    lb = F.when(
+        F.col("b") > 0,
+        F.round(F.log(pb / (pa + pb) * 2) * JSD_LOG_SCALE).cast("bigint"),
+    ).otherwise(0)
+    terms = t.select("a", "b", "ta", "tb", la.alias("la"), lb.alias("lb"))
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("a") * F.col("la")).cast("bigint").alias("kl_a_num"),
+        F.sum(F.col("b") * F.col("lb")).cast("bigint").alias("kl_b_num"),
+        (
+            F.expr("sum(a * la) div (2 * max(ta))")
+            + F.expr("sum(b * lb) div (2 * max(tb))")
+        )
+        .cast("bigint")
+        .alias("jsd_micronats"),
+    )
