@@ -3248,3 +3248,93 @@ def ts_max_gain_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_run_d"), "run_end")
         .limit(1)
     )
+
+
+AR1_LOG_SCALE = 1000000
+
+
+@op(
+    "ts_ar1_persistence",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type AS et, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT et, x AS y,
+               lag(x) OVER (PARTITION BY et ORDER BY d) AS xp
+        FROM daily
+    ), mom AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xp) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(xp * y) AS BIGINT) AS sxy,
+               CAST(sum(xp * xp) AS BIGINT) AS sxx
+        FROM lagged WHERE xp IS NOT NULL GROUP BY et
+    )
+    SELECT et, n,
+           round((n * sxy - sx * 1.0 * sy)
+                 / (n * sxx - sx * 1.0 * sx), 6) AS phi,
+           CASE WHEN (n * sxy - sx * 1.0 * sy)
+                     / (n * sxx - sx * 1.0 * sx) > 0
+                 AND (n * sxy - sx * 1.0 * sy)
+                     / (n * sxx - sx * 1.0 * sx) < 1
+                THEN CAST(round(-693147.0
+                     / round(ln((n * sxy - sx * 1.0 * sy)
+                                / (n * sxx - sx * 1.0 * sx))
+                             * {AR1_LOG_SCALE}) * {AR1_LOG_SCALE})
+                     AS BIGINT)
+                END AS shock_halflife_microdays
+    FROM mom ORDER BY et
+    """,
+    category=CAT,
+)
+def ts_ar1_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) persistence per event type: φ from the lag-1 OLS (the
+    agg_regression moments on (xₜ₋₁, xₜ)) plus the SHOCK HALF-LIFE
+    ln2/(−ln φ) in micro-days — the one number that says how long a
+    perturbation lingers (φ≈0: tomorrow forgets today, alert on
+    levels; φ→1: shocks compound toward a random walk, alert on
+    CHANGES — the ACF op shows the whole correlogram, φ compresses
+    its first lag into the operating decision, and the half-life
+    is the same fact in units an on-call understands).
+
+    φ comes from five BIGINT moments with one mirrored round-6
+    division (slope of a regression is scale-free, so round-6 is
+    magnitude-safe here); the half-life quantizes ln φ to integer
+    micro-nats FIRST (the KL device) and divides the exact
+    −ln 2·10⁶ constant by it — so the published half-life is a pure
+    integer computation on a quantized input, and φ outside (0,1)
+    yields NULL (no stationary half-life) rather than nonsense.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w = Window.partitionBy("et").orderBy("d")
+    lagged = daily.select(
+        "et", F.col("x").alias("y"), F.lag("x").over(w).alias("xp")
+    ).filter(F.col("xp").isNotNull())
+    mom = lagged.groupBy("et").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xp").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("xp") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xp") * F.col("xp")).cast("bigint").alias("sxx"),
+    )
+    phi_expr = "(n * sxy - sx * 1.0D * sy) / (n * sxx - sx * 1.0D * sx)"
+    return mom.select(
+        "et",
+        "n",
+        F.round(F.expr(phi_expr), 6).alias("phi"),
+        F.when(
+            (F.expr(phi_expr) > 0) & (F.expr(phi_expr) < 1),
+            F.round(
+                F.lit(-693147.0)
+                / F.round(
+                    F.log(F.expr(phi_expr)) * AR1_LOG_SCALE
+                )
+                * AR1_LOG_SCALE
+            ).cast("bigint"),
+        ).alias("shock_halflife_microdays"),
+    ).orderBy("et")

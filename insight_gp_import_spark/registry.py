@@ -158,7 +158,9 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # corpus_sampler_bias_check, dq_future_leakage_audit,
 # dq_capture_recapture, ts_record_days_rate,
 # corpus_normalization_payoff, dq_hll_error_bound,
-# dq_quantile_sketch_bound, ts_max_gain_window — likewise
+# dq_quantile_sketch_bound, ts_max_gain_window,
+# agg_trimmed_mean_exact, text_source_js_divergence,
+# ts_ar1_persistence — likewise
 # registry tail), then cycle the oldest-evidence blocks (round-1 set)
 # ahead of the round-2 set.
 DRIVER_ORDER: list[str] = [
