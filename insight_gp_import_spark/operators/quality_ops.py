@@ -2734,3 +2734,88 @@ def dq_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_rank_bound"),
         )
     )
+
+
+@op(
+    "dq_rollup_consistency",
+    oracle="""
+    WITH leaf AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS y, c.c_mktsegment AS seg,
+               CAST(sum(round(o.o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), mid AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS y,
+               CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ), top AS (
+        SELECT CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_c
+        FROM orders
+    ), leaf_up AS (
+        SELECT y, CAST(sum(rev_c) AS BIGINT) AS rev_c FROM leaf GROUP BY y
+    ), mid_check AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_years,
+               CAST(sum(CASE WHEN l.rev_c = m.rev_c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_consistent
+        FROM leaf_up l JOIN mid m ON m.y = l.y
+    )
+    SELECT mc.n_years, mc.n_consistent,
+           CAST((SELECT sum(rev_c) FROM mid) AS BIGINT) AS sum_mid_c,
+           t.rev_c AS top_c,
+           mc.n_consistent = mc.n_years
+               AND (SELECT sum(rev_c) FROM mid) = t.rev_c AS lattice_ok
+    FROM mid_check mc CROSS JOIN top t
+    """,
+    category=CAT,
+)
+def dq_rollup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-lattice additivity audit: leaf (year×segment) sums must
+    equal their year parents, and year sums must equal the grand
+    total — trivially true when the dimension mapping is a PARTITION
+    of the fact, and exactly what breaks when it isn't (a
+    many-to-many dim join double-counts, a null-key drop
+    under-counts, and both corrupt every dashboard built above the
+    leaf while each level still LOOKS plausible alone; finance
+    calls reconciling the levels 'tie-out', and the audit is the
+    automation of it — dq_header_detail_reconcile ties two TABLES,
+    this ties one fact against ITSELF across grains).
+
+    Three grains from the same cents expression (textually shared so
+    the audit can't self-corrupt), per-year equality counted and the
+    grand comparison exact — all BIGINT; one boolean verdict for
+    the scheduler. The leaf grain is the only fact-sized pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint")
+    leaf = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(F.year("o_orderdate").alias("y"), F.col("c_mktsegment"))
+        .agg(cents.alias("rev_c"))
+    )
+    mid = o.groupBy(F.year("o_orderdate").alias("y")).agg(cents.alias("rev_c"))
+    top = o.agg(cents.alias("rev_c"))
+    leaf_up = leaf.groupBy("y").agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    mid_check = leaf_up.join(
+        mid.withColumnRenamed("rev_c", "mid_c"), "y"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_years"),
+        F.sum(F.when(F.col("rev_c") == F.col("mid_c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_consistent"),
+    )
+    sum_mid = mid.agg(F.sum("rev_c").cast("bigint").alias("sum_mid_c"))
+    return (
+        mid_check.crossJoin(F.broadcast(sum_mid))
+        .crossJoin(F.broadcast(top.withColumnRenamed("rev_c", "top_c")))
+        .select(
+            "n_years",
+            "n_consistent",
+            "sum_mid_c",
+            "top_c",
+            (
+                (F.col("n_consistent") == F.col("n_years"))
+                & (F.col("sum_mid_c") == F.col("top_c"))
+            ).alias("lattice_ok"),
+        )
+    )

@@ -1290,3 +1290,52 @@ def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.alias("decoded"),
         F.octet_length(enc).cast("bigint").alias("b64_len"),
     ).orderBy("doc_id")
+
+
+@op(
+    "fn_split_regex_vs_literal",
+    oracle="""
+    WITH paths AS (
+        SELECT n.n_nationkey AS nk,
+               r.r_name || '.' || n.n_name AS dotted
+        FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT nk, dotted,
+           string_split(dotted, '.')[1] AS region_part,
+           string_split(dotted, '.')[2] AS nation_part,
+           CAST(len(string_split(dotted, '.')) AS INTEGER) AS n_parts
+    FROM paths ORDER BY nk
+    """,
+    category=CAT,
+)
+def fn_split_regex_vs_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-on-dot trap, demonstrated and defused: Spark's
+    `split` takes a REGEX (an unescaped '.' matches every character
+    and shreds the string into empties) while DuckDB's
+    `string_split` takes a LITERAL — one of the most-filed real-world
+    Spark bugs because the two-argument call LOOKS identical across
+    engines and differs silently. The op builds dotted
+    'REGION.nation' paths and splits them correctly on BOTH sides —
+    Spark with the escaped `\\.` pattern, DuckDB with the literal —
+    and the hash match is the proof the escaping is right (an
+    unescaped Spark pattern yields 26 empty parts and fails the
+    gate instantly, which is this op's regression value).
+
+    Pure scan-stage projection over the broadcast-joined dims;
+    n_parts is published so the degenerate-split failure mode is
+    visible as a number, not just a wrong string.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    paths = n.join(F.broadcast(r), r.r_regionkey == n.n_regionkey).select(
+        F.col("n_nationkey").alias("nk"),
+        F.concat(F.col("r_name"), F.lit("."), F.col("n_name")).alias("dotted"),
+    )
+    parts = F.split(F.col("dotted"), r"\.")
+    return paths.select(
+        "nk",
+        "dotted",
+        parts.getItem(0).alias("region_part"),
+        parts.getItem(1).alias("nation_part"),
+        F.size(parts).cast("int").alias("n_parts"),
+    ).orderBy("nk")
