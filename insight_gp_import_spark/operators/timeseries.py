@@ -3338,3 +3338,80 @@ def ts_ar1_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("shock_halflife_microdays"),
     ).orderBy("et")
+
+
+@op(
+    "ts_revenue_pacing_curve",
+    oracle="""
+    WITH daily AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS y,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(round(o_totalprice)) AS BIGINT) AS rev_d
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1996 AND 2000
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT y, d, rev_d,
+               CAST(sum(rev_d) OVER (PARTITION BY y ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c,
+               CAST(sum(rev_d) OVER (PARTITION BY y) AS BIGINT) AS tot
+        FROM daily
+    ), dec AS (SELECT unnest(range(1, 10)) AS k), hit AS (
+        SELECT c.y, dk.k, min(c.d) AS first_d
+        FROM cum c JOIN dec dk ON c.c * 10 >= dk.k * c.tot
+        GROUP BY 1, 2
+    )
+    SELECT y, k AS decile, first_d,
+           CAST(EXTRACT(doy FROM first_d) AS BIGINT) AS day_of_year
+    FROM hit ORDER BY y, decile
+    """,
+    category=CAT,
+)
+def ts_revenue_pacing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue pacing curve: per year, the first day cumulative
+    revenue crosses each decile of that year's total — the planning
+    artifact behind 'are we ahead of last year?' (comparing today's
+    cumulative against a target number answers nothing without the
+    SHAPE; the pacing table is the shape, and two years' day-of-year
+    columns side by side is the whole ahead/behind conversation —
+    ts_month_end_hockey_stick reads the within-month shape, this the
+    within-year one).
+
+    Decile crossing is exact cross-multiplication (cum·10 ≥ k·total
+    — no percentage float exists); the decile spine is a 9-row
+    literal joined with the inequality so each (year, k) takes its
+    MIN crossing date; per-year windows only. 45 rows out.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.year("o_orderdate").between(1996, 2000))
+        .groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.sum(F.round("o_totalprice")).cast("bigint").alias("rev_d"))
+    )
+    wy = Window.partitionBy("y")
+    cum = daily.select(
+        "y",
+        "d",
+        F.sum("rev_d")
+        .over(wy.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum("rev_d").over(wy).cast("bigint").alias("tot"),
+    )
+    dec = spark.range(1, 10).select(F.col("id").cast("bigint").alias("k"))
+    hit = (
+        cum.crossJoin(F.broadcast(dec))
+        .filter(F.col("c") * 10 >= F.col("k") * F.col("tot"))
+        .groupBy("y", "k")
+        .agg(F.min("d").alias("first_d"))
+    )
+    return hit.select(
+        "y",
+        F.col("k").alias("decile"),
+        "first_d",
+        F.dayofyear("first_d").cast("bigint").alias("day_of_year"),
+    ).orderBy("y", "decile")

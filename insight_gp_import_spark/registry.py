@@ -160,7 +160,8 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # corpus_normalization_payoff, dq_hll_error_bound,
 # dq_quantile_sketch_bound, ts_max_gain_window,
 # agg_trimmed_mean_exact, text_source_js_divergence,
-# ts_ar1_persistence — likewise
+# ts_ar1_persistence, dq_rollup_consistency,
+# fn_split_regex_vs_literal, ts_revenue_pacing_curve — likewise
 # registry tail), then cycle the oldest-evidence blocks (round-1 set)
 # ahead of the round-2 set.
 DRIVER_ORDER: list[str] = [
