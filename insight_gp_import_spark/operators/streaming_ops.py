@@ -388,7 +388,18 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_checkpoint_restart", oracle=None, category=CAT)
+@op(
+    "stream_checkpoint_restart",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM events WHERE event_id % 3 <> 2) AS BIGINT)
+               AS rows_phase1,
+           CAST(count(*) AS BIGINT) AS rows_total,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_ids,
+           CAST(count(*) AS BIGINT) AS rows_source
+    FROM events
+    """,
+    category=CAT,
+)
 def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crash-recovery contract of the ingest loop: stop the query, land
     a new staging file, RESTART FROM THE SAME CHECKPOINT — the new run
@@ -400,9 +411,13 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recovery state is O(files-seen) driver-side metadata —
     independent of data volume.
 
-    Rows-only: the observable is the recovery behavior itself (phase-1
-    row count strictly between 0 and total; final rows == source rows
-    with event_ids unique proves no replay after restart).
+    Oracled (round 4; previously rows-only): the staging split is
+    deterministic — ``_stage_events_files`` shards by ``event_id % 3``
+    and phase 1 processes shards 0 and 1, the restart picks up shard 2
+    — so the recovery observable (phase-1 count strictly between 0 and
+    total; final rows == source rows with event_ids unique, proving no
+    replay and no loss across the restart) is a pure SQL fact over
+    ``events``.
     """
     from insight_gp_import_spark.streaming import read_events_stream
 

@@ -1,0 +1,56 @@
+"""Contract-sync invariants (round-4 verdict item 2): the SURVEY.md §2
+operator inventory and the registry must be the SAME id set, so the
+documented contract can never drift from the code again, and
+DRIVER_ORDER must be a complete permutation of the registry (the
+rotation tool rewrites it; a dropped or misspelled id would silently
+shrink driver coverage).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+# §2 rows that document library surface, not registered operators.
+NON_OP_ROWS = {"resize_images"}
+
+
+def _survey_section2() -> str:
+    text = (REPO / "SURVEY.md").read_text()
+    start = text.index("\n## 2. Operator inventory")
+    end = text.index("\n## 3.", start)
+    return text[start:end]
+
+
+def _registry():
+    from insight_gp_import_spark.registry import REGISTRY, load_all_ops
+
+    load_all_ops()
+    return REGISTRY
+
+
+def test_survey_table_rows_match_registry():
+    """Every §2 table row's id is a registered op (or a declared
+    library row), and every registered op has a §2 table row."""
+    sec2 = _survey_section2()
+    table_ids = set(re.findall(r"^\| `([a-z0-9_]+)`", sec2, flags=re.M))
+    registry_ids = set(_registry())
+
+    ghost_rows = table_ids - registry_ids - NON_OP_ROWS
+    assert not ghost_rows, f"§2 table rows with no registered op: {sorted(ghost_rows)}"
+
+    undocumented = registry_ids - table_ids
+    assert not undocumented, f"registered ops with no §2 table row: {sorted(undocumented)}"
+
+
+def test_driver_order_is_registry_permutation():
+    from insight_gp_import_spark.registry import DRIVER_ORDER
+
+    registry_ids = set(_registry())
+    assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER)), "duplicate ids in DRIVER_ORDER"
+    unknown = set(DRIVER_ORDER) - registry_ids
+    assert not unknown, f"DRIVER_ORDER ids not in registry: {sorted(unknown)}"
+    missing = registry_ids - set(DRIVER_ORDER)
+    assert not missing, f"registry ops missing from DRIVER_ORDER: {sorted(missing)}"

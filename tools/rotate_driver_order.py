@@ -1,0 +1,141 @@
+"""Regenerate DRIVER_ORDER in registry.py from recorded driver evidence.
+
+The driver hashes only the first 50 ``queries()`` entries per round, so
+DRIVER_ORDER is a rotation queue: ops that still lack a driver-side
+hash row must come first.  This tool derives that queue from the ONLY
+authoritative inputs — the registry itself and the CORRECTNESS_r*.json
+artifacts the driver wrote — instead of a hand-maintained name list
+(round-3 ADVICE: the free-text TODO comment was the de-facto queue and
+easy to corrupt during manual edits).
+
+Policy (deterministic):
+  1. PRIORITY ops first (explicit judge/advice callouts for the round).
+  2. Oracled ops with no ``hash_match: true`` row in any
+     CORRECTNESS_r*.json, round-robin across operator categories so a
+     50-slot round samples every family instead of draining one module.
+  3. Rows-only ops the driver has never executed, then rows-only ops
+     it has (re-run them last).
+  4. Already-hashed ops, oldest evidence round first (re-confirmation
+     is the lowest-value slot).
+
+Usage:  python tools/rotate_driver_order.py [--check]
+  --check: verify registry.py is up to date (exit 1 if a rewrite would
+  change it) without writing.
+"""
+
+from __future__ import annotations
+
+import glob
+import itertools
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Explicit per-round promotions (judge "Next round" items). Keep short;
+# everything else is computed.
+PRIORITY: list[str] = [
+    # r4: only op with zero CORRECTNESS presence across r1-r3 (verdict
+    # gap #3); oracled this round, so slot 1 gives it a hash row.
+    "stream_checkpoint_restart",
+]
+
+
+def evidence() -> tuple[set[str], set[str], dict[str, int]]:
+    """(hashed, executed, first_round_seen) from CORRECTNESS_r*.json."""
+    hashed: set[str] = set()
+    executed: set[str] = set()
+    first_round: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            executed.add(name)
+            first_round.setdefault(name, rnd)
+            if row.get("hash_match") is True:
+                hashed.add(name)
+    return hashed, executed, first_round
+
+
+def build_order() -> list[str]:
+    import insight_gp_import_spark.operators  # noqa: F401  side-effect imports
+
+    from insight_gp_import_spark.registry import REGISTRY
+
+    hashed, executed, first_round = evidence()
+    order: list[str] = []
+    seen: set[str] = set()
+
+    def emit(names: list[str]) -> None:
+        for n in names:
+            if n not in seen and n in REGISTRY:
+                order.append(n)
+                seen.add(n)
+
+    emit(PRIORITY)
+
+    # 2. never-hashed oracled, round-robin over categories (REGISTRY
+    #    insertion order inside each category).
+    pending = [
+        o for o in REGISTRY.values()
+        if o.oracle is not None and o.name not in hashed and o.name not in seen
+    ]
+    by_cat: dict[str, list[str]] = {}
+    for o in pending:
+        by_cat.setdefault(o.category or "misc", []).append(o.name)
+    rr = [
+        n
+        for tier in itertools.zip_longest(*(by_cat[c] for c in sorted(by_cat)))
+        for n in tier
+        if n is not None
+    ]
+    emit(rr)
+
+    # 3. rows-only: never driver-executed first, then by first round seen.
+    rows_only = [o.name for o in REGISTRY.values() if o.oracle is None]
+    emit([n for n in rows_only if n not in executed])
+    emit(sorted((n for n in rows_only if n in executed),
+                key=lambda n: (first_round.get(n, 99), n)))
+
+    # 4. already-hashed, oldest evidence first.
+    emit(sorted((n for n in hashed if n in REGISTRY),
+                key=lambda n: (first_round.get(n, 99), n)))
+
+    emit(list(REGISTRY))  # safety net: anything not yet placed
+    assert len(order) == len(REGISTRY), (len(order), len(REGISTRY))
+    return order
+
+
+def rewrite(order: list[str], check: bool) -> int:
+    path = os.path.join(REPO, "insight_gp_import_spark", "registry.py")
+    with open(path) as f:
+        src = f.read()
+    lines = [f'    "{n}",' for n in order]
+    block = "DRIVER_ORDER: list[str] = [\n" + "\n".join(lines) + "\n]"
+    new_src, n_subs = re.subn(
+        r"DRIVER_ORDER: list\[str\] = \[.*?\n\]", block, src, count=1, flags=re.S
+    )
+    if n_subs != 1:
+        print("ERROR: DRIVER_ORDER block not found in registry.py")
+        return 2
+    if new_src == src:
+        print("registry.py DRIVER_ORDER already up to date")
+        return 0
+    if check:
+        print("STALE: registry.py DRIVER_ORDER differs from computed queue")
+        return 1
+    with open(path, "w") as f:
+        f.write(new_src)
+    print(f"rewrote DRIVER_ORDER ({len(order)} ops); first 50 slots:")
+    for i, n in enumerate(order[:50], 1):
+        print(f"  {i:2d}. {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(rewrite(build_order(), check="--check" in sys.argv))
