@@ -24,6 +24,7 @@ docstrings cite the *driver contract* (__spark_entry__.py, TESTDATA.md,
 BASELINE.md) and SURVEY.md sections instead of reference file:line.
 """
 
+from insight_gp_import_spark.dedup import embed_dup_pairs, near_dup_pairs  # noqa: F401
 from insight_gp_import_spark.registry import REGISTRY, op  # noqa: F401
 from insight_gp_import_spark.session import get_session  # noqa: F401
 from insight_gp_import_spark.tables import TABLES, load_table  # noqa: F401

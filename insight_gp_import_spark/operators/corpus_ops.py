@@ -600,7 +600,14 @@ def pipeline_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint) between stages — at test scale AQE's exchange
     reuse makes it moot.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return assemble_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def assemble_corpus(docs: DataFrame) -> DataFrame:
+    """The assembly chain over any (doc_id, source, text) frame — the
+    df-level entry the streaming ingest loop reuses (the foreachBatch
+    runtime test runs THIS over the exactly-once-landed bronze table
+    and must reproduce the batch op bit for bit)."""
     feats = docs.select(
         "doc_id",
         "source",

@@ -93,9 +93,10 @@ def _fetch_query_vector(sf_dir: str, vec_id: int) -> list[float]:
     return tuple(float(x) for x in tbl.column("embedding")[0].as_py())
 
 
-def _doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, arr sorted-distinct-token-array, k set-key, n set-size)."""
-    docs = load_table(spark, sf_dir, "documents")
+def token_sets_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, arr sorted-distinct-token-array, k set-key, n set-size)
+    from any (doc_id, text) frame — the df-level entry the library
+    dispatch (insight_gp_import_spark.dedup) builds on."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).distinct()
@@ -109,6 +110,10 @@ def _doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("arr").alias("n"),
         )
     )
+
+
+def _doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_sets_from_docs(load_table(spark, sf_dir, "documents"))
 
 
 @op(
@@ -230,8 +235,20 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is deliberately the NAIVE all-token-join formulation —
     an independent plan computing the same relation is a stronger
     differential check than a mirrored one.
+
+    Library note (round 4): this is the EXACT twin. The default
+    near-dup entry point is ``insight_gp_import_spark.dedup.
+    near_dup_pairs`` which dispatches to the MinHash-banded plan
+    unless ``exact=True`` — a 100 TB user cannot pick the
+    candidate-quadratic-on-hot-tokens plan by accident.
     """
-    base = _doc_token_sets(spark, sf_dir).withColumn("kh", F.md5("k"))
+    return allpairs_jaccard_pairs(_doc_token_sets(spark, sf_dir))
+
+
+def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
+    """Exact Jaccard > t pairs over a (doc_id, arr, k, n) token-set
+    frame (AllPairs prefix + length filtering; see the op docstring)."""
+    base = sets_in.withColumn("kh", F.md5("k"))
     sets = base.select("doc_id", "kh")
     # one representative row per distinct token-set (same kh ⇒ same arr/n)
     gs = base.groupBy("kh").agg(
@@ -337,8 +354,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic (md5, no RNG) so results are stable across runs and
     engines; declared rows-only because banding isn't SQL-portable.
+
+    Library note (round 4): this banded plan is the DEFAULT of
+    ``insight_gp_import_spark.dedup.near_dup_pairs``; the exact
+    AllPairs twin is opt-in via ``exact=True``.
     """
-    sets = _doc_token_sets(spark, sf_dir).select("doc_id", "arr")
+    return minhash_pairs(_doc_token_sets(spark, sf_dir))
+
+
+def minhash_pairs(sets_in: DataFrame) -> DataFrame:
+    """Banded-MinHash near-dup pairs over a (doc_id, arr) token-set
+    frame — the scale path (see the op docstring)."""
+    sets = sets_in.select("doc_id", "arr")
     mh = sets.select(
         "doc_id",
         "arr",

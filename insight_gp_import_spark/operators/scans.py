@@ -1997,43 +1997,48 @@ def scan_wholetext_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (law style: the writer/reader pair is certified without DuckDB
     touching a file).
 
-    Writing is one per-source aggregation (concat_ws over a
-    sort_array'd collect — deterministic doc order stated) and a
-    driver-side write of |sources| small files (dim-scale metadata
-    work, the manifest-op class); the wholetext read parallelizes
-    per file — which is precisely its scale CAVEAT: one task per
-    file, so at 100 TB you use it for many medium files, never one
-    giant one (stated).
+    Writing stays EXECUTOR-SIDE end to end (round-4 fix: the previous
+    formulation collected per-source blobs to the driver, bounded here
+    by |sources| but unbounded at 100 TB): repartition("source") +
+    sortWithinPartitions gives one deterministic doc_id-ordered task
+    per source, and write.partitionBy("source").text() emits exactly
+    one file per source with one doc per line — bytes never visit the
+    driver. The text sink terminates every line, so the readback
+    strips exactly ONE trailing newline to recover the
+    newline-JOINED form the law oracle prices. The wholetext read
+    parallelizes per file — which is precisely its scale CAVEAT: one
+    task per file, so at 100 TB you use it for many medium files,
+    never one giant one (stated).
     """
     docs = load_table(spark, sf_dir, "documents")
-    per_src = (
-        docs.groupBy("source")
-        .agg(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
-                ).getField("text"),
-                "\n",
-            ).alias("blob")
-        )
-        .collect()
-    )
+    # The join/split law assumes no document contains a newline;
+    # assert it loudly instead of letting a future multiline corpus
+    # surface as a confusing oracle count mismatch (round-3 advice).
+    assert (
+        docs.filter(F.col("text").contains("\n")).limit(1).count() == 0
+    ), "scan_wholetext_files: corpus gained multiline docs; the \\n-join law no longer holds"
     base = tempfile.mkdtemp(prefix="igis-wholetext-")
-    for row in per_src:
-        with open(os.path.join(base, f"{row['source']}.txt"), "w") as fh:
-            fh.write(row["blob"])
+    (
+        docs.select("source", "doc_id", F.col("text").alias("value"))
+        .repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .select("source", "value")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .text(base)
+    )
     # kwarg, NOT .option("wholetext", "true"): the string-valued option
     # is silently ignored in this lineage (the scan_modified_after
     # ignored-option trap again) — probed: option form yields one row
     # per LINE, kwarg yields one per file. The oracle's row count
     # would catch a regression either way.
     back = spark.read.text(base, wholetext=True)
-    import_path = F.input_file_name()
+    joined = F.when(
+        F.col("value").endswith("\n"),
+        F.expr("substring(value, 1, length(value) - 1)"),
+    ).otherwise(F.col("value"))
     return (
-        back.select(
-            F.regexp_extract(import_path, r"([^/]+)\.txt$", 1).alias("source"),
-            F.col("value"),
-        )
+        back.select(F.col("source").cast("string").alias("source"), joined.alias("value"))
         .select(
             "source",
             (F.size(F.split("value", "\n", -1))).alias("n_docs"),

@@ -577,9 +577,16 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     name = _qname("rate_src", sf_dir)
+    # 5000 rows/sec with a 20-row bar (round-3 advice): the invariant
+    # checked is structural (gapless unique prefix), not volume, so the
+    # bar only needs to prove the source emitted SOMETHING — a high
+    # rate + tiny threshold means the eligible batch exists by the
+    # first trigger and the op normally finishes in well under a
+    # second even on a loaded host, instead of flaking toward the 60s
+    # fail-loud deadline (which remains as the loud failure path).
     stream = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", 500)
+        .option("rowsPerSecond", 5000)
         .load()
     )
     with tempfile.TemporaryDirectory(prefix="igis-rate-ckpt-") as ckpt:
@@ -588,17 +595,17 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="250 milliseconds")
+            .trigger(processingTime="100 milliseconds")
             .start()
         )
         try:
             deadline = _time.time() + 60
             while _time.time() < deadline:
-                if spark.table(name).count() >= 100:
+                if spark.table(name).count() >= 20:
                     break
-                _time.sleep(0.5)
+                _time.sleep(0.1)
             else:
-                raise TimeoutError("rate source produced <100 rows in 60s")
+                raise TimeoutError("rate source produced <20 rows in 60s")
         finally:
             q.stop()
     got = spark.table(name)

@@ -133,8 +133,17 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact baseline ONLY — the registered 100 TB scale path is
     ``dedup_embed_lsh`` (same verify step, candidates blocked on shared
     LSH bucket codes instead of all pairs); this op exists as its
-    ground-truth oracle and for small corpora."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    ground-truth oracle and for small corpora.
+
+    Library note (round 4): ``insight_gp_import_spark.dedup.
+    embed_dup_pairs`` defaults to the LSH-blocked plan; this all-pairs
+    twin is opt-in via ``exact=True``."""
+    return embed_allpairs_cosine(load_table(spark, sf_dir, "embeddings"))
+
+
+def embed_allpairs_cosine(emb: DataFrame) -> DataFrame:
+    """Exact all-pairs cosine > threshold over a (vec_id, embedding)
+    frame — the quadratic ground-truth twin of ``embed_lsh_pairs``."""
     sides = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
     a = sides.select(
         F.col("vec_id").alias("v1"),

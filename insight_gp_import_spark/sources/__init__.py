@@ -5,4 +5,5 @@ from insight_gp_import_spark.sources.jdbc import (  # noqa: F401
     prepare_jdbc_write,
     read_jdbc_partitioned,
     write_jdbc,
+    write_jdbc_atomic,
 )

@@ -88,3 +88,67 @@ def read_jdbc_partitioned(
         numPartitions=cfg.num_partitions,
         properties=cfg.jdbc_properties(),
     )
+
+
+def _run_statements(spark, url: str, statements: list[str]) -> None:
+    """Execute DDL over a raw JDBC connection in ONE transaction (both
+    Derby and Greenplum/Postgres support transactional DDL, so the
+    swap below is all-or-nothing)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        for s in statements:
+            st.execute(s)
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def _table_exists(spark, url: str, table: str) -> bool:
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+        if rs.next():
+            return True
+        # case-sensitive dialects (Postgres/GP fold to lower)
+        rs = conn.getMetaData().getTables(None, None, table.lower(), None)
+        return bool(rs.next())
+    finally:
+        conn.close()
+
+
+def _rename_stmt(url: str, src: str, dst: str) -> str:
+    # Derby spells it RENAME TABLE; Greenplum/Postgres ALTER TABLE.
+    if url.startswith("jdbc:derby"):
+        return f"RENAME TABLE {src} TO {dst}"
+    return f"ALTER TABLE {src} RENAME TO {dst}"
+
+
+def write_jdbc_atomic(spark, df: DataFrame, cfg: JdbcSinkConfig) -> None:
+    """Staging-table swap: the crash-safe batch load (SURVEY §1.1 —
+    the reference's per-batch DB load must either fully land or fully
+    retry; a half-written live table is the one unacceptable state).
+
+    1. The batch is written to ``<table>__stage`` (overwrite — a
+       leftover stage from a crashed previous attempt is simply
+       clobbered, which is what makes RETRY idempotent).
+    2. The stage is swapped into place with DROP+RENAME in one DDL
+       transaction.
+
+    A failure during (1) — executor death, constraint violation,
+    network cut — leaves the LIVE table untouched: readers never see
+    a partial batch, and the retry path is "run the same call again".
+    The swap itself moves only catalog metadata, so the window where
+    work happens is all on the staging side. On Greenplum the same
+    two steps run with ALTER TABLE RENAME inside a transaction.
+    """
+    from dataclasses import replace
+
+    stage = f"{cfg.table}__stage"
+    write_jdbc(df, replace(cfg, table=stage, mode="overwrite"))
+    stmts = []
+    if _table_exists(spark, cfg.url, cfg.table):
+        stmts.append(f"DROP TABLE {cfg.table}")
+    stmts.append(_rename_stmt(cfg.url, stage, cfg.table))
+    _run_statements(spark, cfg.url, stmts)

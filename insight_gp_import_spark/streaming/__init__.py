@@ -13,7 +13,9 @@ the streaming transformations.
 """
 
 from insight_gp_import_spark.streaming.runtime import (  # noqa: F401
+    idempotent_parquet_writer,
     read_events_stream,
+    run_ingest_loop,
     run_to_memory,
     upsert_merge,
 )

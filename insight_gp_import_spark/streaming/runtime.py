@@ -140,3 +140,63 @@ def upsert_merge(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def idempotent_parquet_writer(target: str, fail_once_on: set[int] | None = None):
+    """foreachBatch writer with EXACTLY-ONCE semantics under replay.
+
+    foreachBatch alone is at-least-once: if the process dies after the
+    side-effect but before the checkpoint commit, the restart replays
+    the batch. The standard fix (Structured Streaming programming
+    guide, foreachBatch idempotence note) is to key the write by
+    ``batchId`` so a replay OVERWRITES its own previous attempt
+    instead of appending twice: dynamic partition overwrite on a
+    ``_batch`` partition column — replayed batch = same partition =
+    clobber, new batch = new partition = append. This is the
+    foreachBatch twin of the reference's per-batch load manifest.
+
+    ``fail_once_on``: batch ids that raise AFTER writing data on their
+    first attempt (chaos hook for the crash-replay runtime test;
+    mutates the set so the retry proceeds).
+    """
+    def _write(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(target)
+        )
+        if fail_once_on and batch_id in fail_once_on:
+            fail_once_on.discard(batch_id)
+            raise RuntimeError(f"simulated crash after writing batch {batch_id}")
+
+    return _write
+
+
+def run_ingest_loop(
+    stream_df: DataFrame,
+    checkpoint: str,
+    writer,
+    timeout_sec: int = 300,
+) -> None:
+    """The reference's core ingest loop, Spark-native: drain everything
+    currently in the watched source through ``foreachBatch`` with a
+    persistent checkpoint (exactly-once file tracking ACROSS calls —
+    unlike run_to_memory's throwaway checkpoint), then stop. Call again
+    after new files land; already-seen paths are never re-processed.
+    Same fail-loud timeout contract as run_to_memory."""
+    q = (
+        stream_df.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"ingest loop did not drain within {timeout_sec}s (availableNow)"
+        )

@@ -69,24 +69,51 @@ def _ensure_worker_importable(spark: SparkSession) -> None:
     reused workers pick it up."""
     if spark in _PYFILE_SESSIONS:
         return
+    import hashlib
     import os
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.gettempdir(), "igis_pkg_worker_import.zip"
+
+    # The zip is named by a CONTENT HASH of the package sources and
+    # lives in a per-user 0700 directory (round-3 advice): addPyFile
+    # zips land at worker sys.path[1], AHEAD of PYTHONPATH, so a
+    # stale fixed-name zip from an older checkout would silently
+    # shadow the live source in every Python worker — undermining the
+    # very parity gates this shipping exists for. A content-addressed
+    # name can never be stale, a 0700 private dir can't be pre-planted
+    # by another local user, and mkstemp + os.replace makes the
+    # install atomic under concurrent sessions.
+    srcs = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                srcs.append((os.path.relpath(full, os.path.dirname(pkg_dir)), full))
+    srcs.sort()
+    h = hashlib.md5()
+    for rel, full in srcs:
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"igis-pyfiles-{os.getuid()}"
     )
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    os.chmod(cache_dir, 0o700)
+    zpath = os.path.join(cache_dir, f"igis_pkg_{h.hexdigest()}.zip")
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
-        os.replace(tmp, zpath)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".zip.tmp")
+        try:
+            with os.fdopen(fd, "wb") as raw, zipfile.ZipFile(raw, "w") as zf:
+                for rel, full in srcs:
+                    zf.write(full, rel)
+            os.replace(tmp, zpath)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     spark.sparkContext.addPyFile(zpath)
     _PYFILE_SESSIONS.add(spark)
 

@@ -582,3 +582,32 @@ def test_modified_after_prunes_at_listing_time(spark):
     # NO Filter on a modification-time column (it never becomes a row
     # predicate) — only the partition/batch columns appear
     assert "modificationTime" not in plan
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dedup_dispatch_default_is_banded(spark):
+    """Round-4 verdict item 3: the library dedup entry points must
+    default to the banded/bucketed plan — no all-pairs self-join
+    (CartesianProduct / BroadcastNestedLoopJoin from a non-equi
+    v1<v2 condition) may appear unless exact=True is requested."""
+    from insight_gp_import_spark.dedup import embed_dup_pairs, near_dup_pairs
+    from insight_gp_import_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+
+    for df in (near_dup_pairs(docs), embed_dup_pairs(emb)):
+        plan = _plan_str(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    # sanity: the detector actually fires on the exact embedding twin
+    # (its v1 < v2 join condition has no equi key)
+    exact_plan = _plan_str(embed_dup_pairs(emb, exact=True))
+    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
