@@ -364,11 +364,20 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     """Banded-MinHash near-dup pairs over a (doc_id, arr) token-set
-    frame — the scale path (see the op docstring)."""
+    frame — the scale path (see the op docstring).
+
+    Shuffle discipline (round-4 fix, caught by the sf1 stress run):
+    the banding join carries ONLY (doc_id, band, bh) triples — token
+    arrays must never ride the candidate shuffle. A duplication-heavy
+    corpus collides identical docs in all 8 bands, so pre-dedup
+    candidate volume is ~8× the pair count; with array payloads
+    attached that blew executor memory at 10× scale (GCLocker
+    retries → OOM), while id-only candidates dedup cheaply and the
+    arrays join back once per SURVIVING pair for exact verification —
+    the same payload-last shape embed_lsh_pairs uses."""
     sets = sets_in.select("doc_id", "arr")
     mh = sets.select(
         "doc_id",
-        "arr",
         *[
             F.array_min(
                 F.transform("arr", lambda t, s=s: F.md5(F.concat(F.lit(f"{s}_"), t)))
@@ -379,7 +388,6 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     rows_per_band = N_MINHASH // N_BANDS
     bands = mh.select(
         "doc_id",
-        "arr",
         F.posexplode(
             F.array(
                 *[
@@ -404,15 +412,17 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("d1"),
             F.col("r.doc_id").alias("d2"),
-            F.col("l.arr").alias("arr1"),
-            F.col("r.arr").alias("arr2"),
         )
         .dropDuplicates(["d1", "d2"])
     )
+    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"))
     shared = F.size(F.array_intersect("arr1", "arr2"))
     union = F.size("arr1") + F.size("arr2") - shared
     return (
-        cand.select("d1", "d2", (shared / union).alias("j"))
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", (shared / union).alias("j"))
         .filter(F.col("j") > JACCARD_THRESHOLD)
         .select("d1", "d2", F.round("j", 4).alias("jaccard"))
     )

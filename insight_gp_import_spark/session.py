@@ -40,6 +40,14 @@ def get_session(
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local[*] runs executors INSIDE the driver JVM, whose default
+        # heap is 1g — fine at sf0.1, OOM (GCLocker retry storms) on
+        # 10x stress corpora. Start-time-only conf: applies when this
+        # factory creates the JVM, ignored on an already-running one.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config(
