@@ -611,3 +611,32 @@ def test_dedup_dispatch_default_is_banded(spark):
     # (its v1 < v2 join condition has no equi key)
     exact_plan = _plan_str(embed_dup_pairs(emb, exact=True))
     assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+
+
+def test_minhash_banding_shuffle_carries_ids_only(spark):
+    """sf1 stress lesson: the banding candidate join must never carry
+    token-array payload — arrays join back only for surviving
+    candidates. Guard: no exchange in the plan partitions on or
+    carries 'arr' before the first aggregate (dropDuplicates)."""
+    from insight_gp_import_spark.operators.llm import (
+        minhash_pairs,
+        token_sets_from_docs,
+    )
+    from insight_gp_import_spark.tables import load_table
+
+    import re
+
+    sets = token_sets_from_docs(load_table(spark, SF, "documents"))
+    plan = _plan_str(minhash_pairs(sets))
+    # every exchange that moves band/bh candidate rows must not also
+    # move the token array payload
+    band_exchanges = [
+        m.group(1)
+        for m in re.finditer(
+            r"\(\d+\) (?:Broadcast)?Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+        )
+        if "band#" in m.group(1) and "bh#" in m.group(1)
+    ]
+    assert band_exchanges, "detector lost the banding exchange — update the pattern"
+    for inputs in band_exchanges:
+        assert "arr" not in inputs, inputs
