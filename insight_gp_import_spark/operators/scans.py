@@ -137,12 +137,27 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.filter(F.col("_bad").isNull()).select("req_id", "status", "latency_ms")
 
 
-@op("sink_parquet_partitioned", oracle=None, category=CAT)
+@op(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events
+    GROUP BY 1
+    """,
+    category=CAT,
+)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned append sink: write events partitioned by day,
     read back, return per-partition counts. Partition pruning on the
     read-back is the 100 TB access path (a day-filter scans one dir);
-    the read-back here proves round-trip fidelity."""
+    the read-back here proves round-trip fidelity.
+
+    Oracled (round 4; previously rows-only): the read-back aggregate is
+    a pure fact of ``events`` — if the sink dropped, duplicated, or
+    mis-partitioned any row, per-day counts or distinct ids diverge
+    from the source relation and the hash fails."""
     out = tempfile.mkdtemp(prefix="igis-sink-")
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
@@ -280,7 +295,18 @@ def full_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETS = 8
 
 
-@op("sink_parquet_bucketed", oracle=None, category=CAT)
+@op(
+    "sink_parquet_bucketed",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           ROUND(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+               AS sum_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
 def sink_parquet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed tables + co-located join — the shuffle-free-join layout.
 
@@ -289,8 +315,16 @@ def sink_parquet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     against bucket i with NO exchange on either side (asserted in
     tests/test_plans.py). At 100 TB this is the canonical answer to
     "this join shuffles 100 TB every night": pay the shuffle once at
-    write time, never again at read time. Rows-only: the observable is
-    the plan shape; the returned aggregate doubles as a row-count check.
+    write time, never again at read time.
+
+    Oracled (round 4; previously rows-only): the co-located join's
+    aggregate is a pure fact of orders⋈lineitem, so any row the
+    bucketed write lost or duplicated fails the hash; the plan-shape
+    observable (zero Exchange/Sort under the merge join) stays
+    asserted in tests/test_plans.py. Prices sum as per-row-quantized
+    integer cents on BOTH sides — a raw double SUM over ~10⁵-row
+    groups carries order-of-addition drift right at the round-2
+    boundary (§2.X escalation rule).
     """
     import hashlib as _h
 
@@ -330,7 +364,13 @@ def sink_parquet_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("sum_price"),
         )
     )
 
@@ -389,7 +429,17 @@ SMALL_FILES = 40
 TARGET_FILES = 4
 
 
-@op("maintenance_compact", oracle=None, category=CAT)
+@op(
+    "maintenance_compact",
+    oracle=f"""
+    SELECT {SMALL_FILES} AS files_before,
+           {TARGET_FILES} AS files_after,
+           CAST(count(*) AS BIGINT) AS rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_ids
+    FROM events
+    """,
+    category=CAT,
+)
 def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the table-maintenance pass every
     streaming/batch-append table needs (each micro-batch or load writes
@@ -397,6 +447,15 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rewrite N small files into a few target-size files and prove
     nothing was lost. At 100 TB this runs per partition with
     target = maxPartitionBytes so scans get full-size splits.
+
+    Oracled (round 4; previously rows-only): the file counts are
+    deterministic — repartition({SMALL_FILES}) emits exactly
+    {SMALL_FILES} non-empty files on this corpus and
+    coalesce({TARGET_FILES}) exactly {TARGET_FILES} — and the
+    row/distinct counts are facts of ``events``, so a compaction that
+    lost or duplicated rows (or didn't actually compact) fails the
+    hash. The fs-measured values are returned, the oracle states the
+    law.
     """
     src = tempfile.mkdtemp(prefix="igis-compact-src-")
     dst = tempfile.mkdtemp(prefix="igis-compact-dst-")
@@ -759,7 +818,23 @@ def sink_parquet_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_partition_overwrite_dynamic", oracle=None, category=CAT)
+@op(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+    WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events),
+    t AS (SELECT min(day) AS target FROM d)
+    SELECT t.target AS target_day,
+           CAST((SELECT count(*) FROM d WHERE d.day = t.target) AS BIGINT)
+               AS rows_before,
+           CAST(2 * (SELECT count(*) FROM d WHERE d.day = t.target) AS BIGINT)
+               AS rows_after,
+           TRUE AS target_replaced,
+           TRUE AS others_intact,
+           TRUE AS days_preserved
+    FROM t
+    """,
+    category=CAT,
+)
 def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite — the incremental day-reload:
     rewriting one ingest day must replace ONLY that day's directory,
@@ -769,9 +844,13 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
     rewrite touches one partition's files; every other day is
     untouched bytes on disk.
 
-    Returns the verification summary (rows-only: fs layout): day-1
-    rows doubled by the re-load of a doubled batch, all other days
-    byte-identical counts, total days preserved.
+    Oracled (round 4; previously rows-only) in LAW style (the
+    dq_hll_error_bound pattern): the target day is deterministic
+    (min day), the measured post-rewrite counts must equal exactly 2×
+    the source day's rows, and the three verification booleans must
+    all come back true — a static-mode regression (other days
+    truncated) or a non-replacing append flips a measured value and
+    fails the hash.
     """
     out = tempfile.mkdtemp(prefix="igis-dynover-")
     ev = load_table(spark, sf_dir, "events").withColumn(
