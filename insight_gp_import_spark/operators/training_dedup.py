@@ -38,38 +38,38 @@ from insight_gp_import_spark.tables import load_table
 
 CAT = "training-dedup"
 
-SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 16 bits per band
+SIMHASH_BITS = 60  # 30 md5-nibble sign bits from each of two salted md5s
+SIMHASH_BANDS = 4  # 15 bits per band
 SIMHASH_MAX_HAMMING = 3
 
 
-@op("dedup_simhash", oracle=None, category=CAT)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin).
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 60-bit SimHash fingerprints.
 
-    Per doc: 64-bit fingerprint where bit b = sign of Σ_tokens ±1
-    (the sign taken from bit b of xxhash64(token)). Near-dups =
-    fingerprints within Hamming distance ≤ 3, found by LSH banding on
-    16-bit quarters (any identical quarter → candidate; a pair with
-    hamming ≤ 3 differs in ≤ 3 quarters, so ≥ 1 matches — banding is
-    LOSSLESS at this threshold, unlike MinHash banding).
-
-    One exploded-token aggregation computes all 64 bit-sums map-side
-    (partial agg); candidates self-join on (band, 16-bit chunk); the
-    final filter is one xor+bit_count. All JVM builtins.
+    Bit b = sign of the per-doc Sum of +-1 votes, where token t votes
+    +1 on bit b iff the b-th hex nibble of its salted md5 is >= '8'
+    (the nibble high bit): bits 0-29 read md5(t), bits 30-59 read
+    md5('simhash2:' || t). md5 nibbles are engine-portable (round-4:
+    the original xxhash64 formulation had no DuckDB twin, which is the
+    ONLY reason this op was rows-only), and 60 bits keeps every
+    shiftleft below the 1<<63 sign trap (embed_binary_sign_pack's
+    lesson). Term frequency weights votes (explode, no distinct) —
+    classic Charikar SimHash.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    # Σ ±1 per bit: (h >> b & 1)*2-1, aggregated per doc in one pass
-    bitsums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("m1", F.md5("tok"))
+        .withColumn("m2", F.md5(F.concat(F.lit("simhash2:"), F.col("tok"))))
     )
-    # fingerprint = Σ (s_b > 0) << b, assembled as a long
+
+    def vote(b: int):
+        src = "m1" if b < 30 else "m2"
+        pos = (b % 30) + 1
+        return F.when(F.substring(src, pos, 1) >= "8", 1).otherwise(-1)
+
+    bitsums = toks.groupBy("doc_id").agg(
+        *[F.sum(vote(b)).alias(f"s{b}") for b in range(SIMHASH_BITS)]
+    )
     fp = None
     for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
@@ -77,14 +77,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp + term
-    sigs = bitsums.select("doc_id", fp.alias("simhash"))
+    return bitsums.select("doc_id", fp.alias("simhash"))
+
+
+_SIMHASH_FP_SQL = f"""
+    WITH stoks AS (
+        SELECT doc_id,
+               md5(t) AS m1,
+               md5('simhash2:' || t) AS m2
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ), sums AS (
+        SELECT doc_id, b.i AS bit,
+               SUM(CASE WHEN substr(CASE WHEN b.i < 30 THEN m1 ELSE m2 END,
+                               (b.i % 30) + 1, 1) >= '8'
+                        THEN 1 ELSE -1 END) AS s
+        FROM stoks, (SELECT unnest(range({SIMHASH_BITS})) AS i) b
+        GROUP BY doc_id, b.i
+    ), fp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+                        ELSE 0 END) AS h
+        FROM sums GROUP BY doc_id
+    )
+"""
+
+
+@op(
+    "dedup_simhash",
+    oracle=f"""
+    {_SIMHASH_FP_SQL}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    category=CAT,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (oracled r4; was rows-only solely because
+    xxhash64 had no DuckDB twin — the fingerprint now reads md5-nibble
+    sign bits, identical on both engines, see simhash_signatures).
+
+    Near-dups = fingerprints within Hamming distance <= 3, found by
+    LSH banding on 15-bit quarters (any identical quarter -> candidate;
+    a pair with hamming <= 3 differs in <= 3 quarters, so >= 1 matches
+    — banding is LOSSLESS at this threshold, unlike MinHash banding).
+    The oracle is the NAIVE all-pairs hamming scan over independently
+    recomputed fingerprints — a banding bug (wrong chunk math, lost
+    candidates) hash-fails instantly.
+
+    One exploded-token aggregation computes all 60 bit-sums map-side
+    (partial agg); candidates self-join on (band, 15-bit chunk) with
+    ids+fingerprint only; the final filter is one xor+bit_count. All
+    JVM builtins.
+    """
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
     chunks = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright("simhash", 15 * i).bitwiseAND(F.lit(0x7FFF))
                     for i in range(SIMHASH_BANDS)
                 ]
             )
@@ -104,7 +159,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("d1", "d2", "hamming")
     )

@@ -23,27 +23,13 @@ def test_simhash_pairs_within_hamming(spark):
 
 
 def test_simhash_banding_is_lossless(spark):
-    """hamming ≤ 3 over 4 bands of 16 bits ⇒ ≥1 identical band, so LSH
+    """hamming ≤ 3 over 4 bands of 15 bits ⇒ ≥1 identical band, so LSH
     candidates must contain EVERY qualifying pair: verify against a
-    brute-force all-pairs hamming scan."""
+    brute-force all-pairs hamming scan over the shared signature
+    helper (the DuckDB oracle recomputes the fingerprints a THIRD way,
+    so signature bugs can't self-confirm here)."""
     docs = load_table(spark, SF, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    bitsums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
-            for b in range(td.SIMHASH_BITS)
-        ]
-    )
-    fp = None
-    for b in range(td.SIMHASH_BITS):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp + term
-    sigs = bitsums.select("doc_id", fp.alias("simhash"))
+    sigs = td.simhash_signatures(docs)
     a = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
     b_ = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
     brute = (
