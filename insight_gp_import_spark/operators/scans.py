@@ -69,13 +69,28 @@ CSV_GOOD_ROWS = 8
 CSV_BAD_ROWS = 2
 
 
-@op("scan_csv_tolerant", oracle=None, category=CAT)
+@op(
+    "scan_csv_tolerant",
+    oracle=f"""
+    SELECT CAST(r.range AS BIGINT) AS id,
+           'name_' || r.range AS name,
+           CAST(r.range * 10 AS BIGINT) AS amount
+    FROM range({CSV_GOOD_ROWS}) r
+    """,
+    category=CAT,
+)
 def scan_csv_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gzip-compressed CSV batch load with row-level error tolerance
     (the Greenplum SEGMENT REJECT LIMIT analog over ``.csv.gz`` staging
     batches): malformed rows are quarantined into a corrupt-record
     column, good rows survive. Returns the good rows; the bad ones stay
     inspectable via ``_bad IS NOT NULL``.
+
+    Oracled (round 4; previously rows-only): the staged batch is a
+    deterministic synthetic fixture, so the tolerant parse's REQUIRED
+    output — exactly the good rows, none of the two malformed ones —
+    is a closed-form relation; a parser that leaked a corrupt row or
+    dropped a good one hash-fails.
 
     The fixture is written as ``.csv.gz`` deliberately — Spark's text
     datasources decompress by file extension, so compressed staging
@@ -108,11 +123,24 @@ def scan_csv_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.filter(F.col("_bad").isNull()).select("id", "name", "amount")
 
 
-@op("scan_jsonl", oracle=None, category=CAT)
+@op(
+    "scan_jsonl",
+    oracle="""
+    SELECT CAST(r.range AS BIGINT) AS req_id,
+           CAST(200 + (r.range % 3) * 100 AS BIGINT) AS status,
+           CAST((r.range * 7) % 90 AS BIGINT) AS latency_ms
+    FROM range(10) r
+    """,
+    category=CAT,
+)
 def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines ingest with explicit schema (serverlogs analog).
     Schema is never inferred (inference is a correctness hazard);
-    unparseable lines quarantine into _bad like the CSV path."""
+    unparseable lines quarantine into _bad like the CSV path.
+
+    Oracled (round 4; previously rows-only): same closed-form-fixture
+    law as scan_csv_tolerant — the parse must yield exactly the ten
+    good log lines and quarantine the one broken one."""
     tmp = tempfile.mkdtemp(prefix="igis-jsonl-")
     path = os.path.join(tmp, "logs.jsonl")
     lines = [
@@ -768,7 +796,17 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sink_parquet_range_sorted", oracle=None, category=CAT)
+@op(
+    "sink_parquet_range_sorted",
+    oracle="""
+    SELECT 8 AS n_files,
+           CAST(count(*) AS BIGINT) AS rows_written,
+           CAST(count(*) AS BIGINT) AS rows_source,
+           TRUE AS globally_sorted
+    FROM lineitem
+    """,
+    category=CAT,
+)
 def sink_parquet_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Globally-sorted parquet output WITHOUT a single-task sort:
     repartitionByRange(l_shipdate) range-partitions the data (sampled
@@ -778,10 +816,12 @@ def sink_parquet_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB sorted/zone-mapped table; an orderBy().write would pull
     the sort into one task chain, and a coalesce(1) is a non-starter.
 
-    Returns the verification summary (rows-only: output layout is
-    filesystem-dependent): per-file [min,max] l_shipdate ranges must
-    be non-overlapping in file-range order, and the row total must
-    survive the round trip.
+    Oracled (round 4; previously rows-only) in LAW style: 8 explicit
+    range partitions over a ship-date domain dense at every SF means
+    exactly 8 non-empty files; the measured per-file [min,max]
+    non-overlap verdict and round-trip row counts must match the
+    source facts — a lost range file, an overlap (sort regression),
+    or dropped rows each flip a measured value and fail the hash.
     """
     out = tempfile.mkdtemp(prefix="igis-rangesort-")
     li = load_table(spark, sf_dir, "lineitem").select(
