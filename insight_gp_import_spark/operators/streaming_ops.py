@@ -242,13 +242,22 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_source_dir", oracle=None, category=CAT)
+@op(
+    "stream_source_dir",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+    FROM events
+    """,
+    category=CAT,
+)
 def stream_source_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core loop, native: watch a staging directory,
     process each new file exactly once (checkpoint-tracked file source,
-    availableNow trigger). Rows-only — the observable is the runtime
-    behavior itself; exactly-once is asserted by the distinct-count
-    columns in the returned summary (1 row: total == distinct ids)."""
+    availableNow trigger). Oracled (round 4; previously rows-only) in
+    LAW style: the streamed-in total and distinct-id counts must equal
+    the source table's facts exactly — a dropped file, a replayed file,
+    or a duplicated row all hash-fail."""
     from insight_gp_import_spark.streaming import read_events_stream, run_to_memory
 
     staged = _stage_events_files(spark, sf_dir)
