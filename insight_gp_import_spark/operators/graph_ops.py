@@ -863,3 +863,316 @@ def graph_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFr
             "modularity_q"
         ),
     )
+
+
+AA_TOP_K = 50
+AA_SCALE = 10**9
+
+
+def _pruned_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-pruned directed co-purchase edges (both directions kept),
+    shared by the link-prediction family. See graph_common_neighbors for
+    why min-support pruning is load-bearing at scale: every downstream
+    wedge/triangle stage is proportional to the SIGNAL graph (w>=2,
+    ~7k edges at sf0.1), not the noise graph (w>=1, 2.4M edges)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= CN_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+
+
+@op(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM pairs WHERE w >= {CN_MIN_SUPPORT}),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    wedge AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1 JOIN edges e2
+          ON e1.dst = e2.src AND e1.src < e2.dst
+    ),
+    scored AS (
+        SELECT w.a, w.c, CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(CAST(floor({AA_SCALE}.0 / ln(db.deg) + 0.5)
+                        AS BIGINT)) AS BIGINT) AS aa_q
+        FROM wedge w JOIN deg db ON db.node = w.b
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.src = s.a AND e.dst = s.c)
+    )
+    SELECT a, c, n_common, aa_q,
+           round(aa_q / {AA_SCALE}.0, 9) AS adamic_adar
+    FROM nonadj ORDER BY aa_q DESC, a, c LIMIT {AA_TOP_K}
+    """,
+    category=CAT,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the support-pruned co-purchase
+    graph: non-adjacent part pairs scored by SUM over common neighbors
+    of 1/ln(deg) — the rare-shared-neighbor weighting that beats raw
+    common-neighbor counts on hub-heavy graphs (a neighbor shared with
+    half the catalog says nothing; a neighbor of degree 2 says a lot).
+    Complements graph_common_neighbors (same candidate set, different
+    ranking law) the way TF-IDF complements TF.
+
+    Determinism: 1/ln(deg) is a FLOAT per wedge and float addition is
+    not associative, so each wedge's contribution is quantized to an
+    integer nano-score floor(1e9/ln(deg)+0.5) BEFORE the sum — the
+    cross-row fold is exact BIGINT arithmetic in any engine and any
+    aggregation order (§2.X), and the top-K order compares integers.
+    deg>=2 for every wedge middle (it has two distinct neighbors), so
+    ln(deg)>0 — no division hazard. Plan shape = common_neighbors:
+    wedge equi-join + anti-join on the pruned edge set, all stages
+    proportional to the signal graph.
+    """
+    edges = _pruned_directed_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.dst") == F.col("e2.src")) & (F.col("e1.src") < F.col("e2.dst")),
+    ).select(
+        F.col("e1.src").alias("a"),
+        F.col("e1.dst").alias("b"),
+        F.col("e2.dst").alias("c"),
+    )
+    scored = (
+        wedge.join(deg.withColumnRenamed("node", "b"), "b")
+        .groupBy("a", "c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(
+                F.floor(F.lit(float(AA_SCALE)) / F.log(F.col("deg")) + 0.5).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("aa_q"),
+        )
+    )
+    nonadj = scored.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    return (
+        nonadj.select(
+            "a",
+            "c",
+            "n_common",
+            "aa_q",
+            F.round(F.col("aa_q") / float(AA_SCALE), 9).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("aa_q"), "a", "c")
+        .limit(AA_TOP_K)
+    )
+
+
+LCC_TOP_K = 50
+
+
+@op(
+    "graph_local_clustering",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    dedges AS (SELECT src, dst FROM pairs WHERE w >= {CN_MIN_SUPPORT}),
+    e AS (SELECT src AS u, dst AS v FROM dedges WHERE src < dst),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+    ),
+    pernode AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+        (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri)
+        GROUP BY 1
+    )
+    SELECT d.node, d.deg, coalesce(p.n_tri, 0) AS n_tri,
+           round(2.0 * coalesce(p.n_tri, 0) / (d.deg * (d.deg - 1)), 9)
+               AS clustering
+    FROM deg d LEFT JOIN pernode p ON p.node = d.node
+    WHERE d.deg >= 2
+    ORDER BY n_tri DESC, clustering DESC, d.node
+    LIMIT {LCC_TOP_K}
+    """,
+    category=CAT,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the support-pruned
+    undirected co-purchase graph: 2T(v) / (deg(v)·(deg(v)−1)) — the
+    node-level density diagnostic behind community detection and
+    spam/bot neighborhood screening (graph_triangle_count gives the
+    GLOBAL count; this attributes each triangle to its three corners).
+
+    Each a<b<c triangle is found ONCE by the ordered wedge+closure
+    join (no overcount), then exploded to its three corners via
+    unionByName — a row-tripling of the TRIANGLE relation, which is
+    the small relation by construction. deg from both endpoint
+    directions of the u<v edge set. Coefficient is one display
+    division of two exact integers (round-9); ranking compares the
+    integers first, the rounded ratio second, node id last — a total
+    order. deg(deg-1) stays far from BIGINT limits (pruned degrees
+    are ~10^2).
+    """
+    dedges = _pruned_directed_edges(spark, sf_dir)
+    e = dedges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    closure = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(closure, ["a", "c"], "left_semi")
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.join(pernode, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+        )
+        .filter(F.col("deg") >= 2)
+        .withColumn(
+            "clustering",
+            F.round(
+                2.0 * F.col("n_tri") / (F.col("deg") * (F.col("deg") - 1)), 9
+            ),
+        )
+        .orderBy(F.desc("n_tri"), F.desc("clustering"), "node")
+        .limit(LCC_TOP_K)
+    )
+
+
+HITS_SCALE = 10**9
+HITS_TOP_K = 10
+
+
+@op(
+    "graph_hits_bipartite",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS auth FROM e GROUP BY 1),
+    a1n AS (SELECT p, CAST(auth * {HITS_SCALE} // (SELECT sum(auth) FROM a1) AS BIGINT)
+                AS auth FROM a1),
+    h1 AS (SELECT e.s, CAST(sum(a.auth) AS BIGINT) AS hub
+           FROM e JOIN a1n a ON a.p = e.p GROUP BY 1),
+    h1n AS (SELECT s, CAST(hub * {HITS_SCALE} // (SELECT sum(hub) FROM h1) AS BIGINT)
+                AS hub FROM h1),
+    a2 AS (SELECT e.p, CAST(sum(h.hub) AS BIGINT) AS auth
+           FROM e JOIN h1n h ON h.s = e.s GROUP BY 1),
+    a2n AS (SELECT p, CAST(auth * {HITS_SCALE} // (SELECT sum(auth) FROM a2) AS BIGINT)
+                AS auth FROM a2),
+    h2 AS (SELECT e.s, CAST(sum(a.auth) AS BIGINT) AS hub
+           FROM e JOIN a2n a ON a.p = e.p GROUP BY 1),
+    h2n AS (SELECT s, CAST(hub * {HITS_SCALE} // (SELECT sum(hub) FROM h2) AS BIGINT)
+                AS hub FROM h2)
+    SELECT side, node, score FROM (
+        SELECT 'part' AS side, p AS node, auth AS score FROM
+            (SELECT * FROM a2n ORDER BY auth DESC, p LIMIT {HITS_TOP_K})
+        UNION ALL
+        SELECT 'supplier', s, hub FROM
+            (SELECT * FROM h2n ORDER BY hub DESC, s LIMIT {HITS_TOP_K})
+    ) ORDER BY side, score DESC, node
+    """,
+    category=CAT,
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg '99) on the supplier→part bipartite supply
+    graph, 2 mutual-reinforcement rounds unrolled: an authoritative
+    part is supplied by strong hubs, a strong hub supplies
+    authoritative parts. Distinct from graph_pagerank_unrolled the way
+    HITS is distinct from PageRank — two coupled scores on a directed
+    bipartite structure vs one score on a homogeneous walk; top hubs
+    and top authorities ship in one tall result.
+
+    Determinism = the module's fixed-point contract: scores live at
+    integer scale 10^9, every normalization is `score·SCALE div total`
+    (exact BIGINT: score ≤ total keeps the product ≤ 10^18 < 2^63 —
+    the overflow ceiling is why SCALE is 10^9, not the module's 10^12
+    rank mass), every superstep is an integer-sum equi-join. No float
+    exists anywhere, so the 2-round walk hash-matches DuckDB exactly.
+    Scale shape: supersteps are edge⋈score equi-joins (shuffle on the
+    ~|nodes| score relation, edges scan in place); totals are 1-row
+    aggregates broadcast back — the same plan a 1000-executor Pregel
+    round would run. Top-K per side = TakeOrderedAndProject, no
+    global window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+
+    def normalize(scores: DataFrame, col: str) -> DataFrame:
+        tot = scores.agg(F.sum(col).cast("bigint").alias("tot"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            scores.columns[0],
+            F.expr(f"{col} * {HITS_SCALE} div tot").cast("bigint").alias(col),
+        )
+
+    a1 = e.groupBy("p").agg(F.count("*").cast("bigint").alias("auth"))
+    a1n = normalize(a1, "auth")
+    h1 = e.join(a1n, "p").groupBy("s").agg(F.sum("auth").cast("bigint").alias("hub"))
+    h1n = normalize(h1, "hub")
+    a2 = e.join(h1n, "s").groupBy("p").agg(F.sum("hub").cast("bigint").alias("auth"))
+    a2n = normalize(a2, "auth")
+    h2 = e.join(a2n, "p").groupBy("s").agg(F.sum("auth").cast("bigint").alias("hub"))
+    h2n = normalize(h2, "hub")
+
+    top_parts = (
+        a2n.orderBy(F.desc("auth"), "p")
+        .limit(HITS_TOP_K)
+        .select(F.lit("part").alias("side"), F.col("p").alias("node"),
+                F.col("auth").alias("score"))
+    )
+    top_supps = (
+        h2n.orderBy(F.desc("hub"), "s")
+        .limit(HITS_TOP_K)
+        .select(F.lit("supplier").alias("side"), F.col("s").alias("node"),
+                F.col("hub").alias("score"))
+    )
+    return top_parts.unionAll(top_supps).orderBy("side", F.desc("score"), "node")
