@@ -6445,3 +6445,122 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+THEIL_SCALE = 10**9
+
+
+@op(
+    "agg_theil_index",
+    oracle=f"""
+    WITH x AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s FROM x),
+    seg AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
+                   CAST(sum(cents) AS BIGINT) AS s_g FROM x GROUP BY 1),
+    within AS (
+      SELECT x.seg,
+             CAST(sum(CAST(floor((x.cents * g.n_g / (1.0 * g.s_g))
+                  * ln(x.cents * g.n_g / (1.0 * g.s_g))
+                  * {THEIL_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS twq
+      FROM x JOIN seg g ON g.seg = x.seg GROUP BY x.seg),
+    overall AS (
+      SELECT CAST(sum(CAST(floor((x.cents * t.n / (1.0 * t.s))
+                  * ln(x.cents * t.n / (1.0 * t.s))
+                  * {THEIL_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS tq
+      FROM x CROSS JOIN tot t)
+    SELECT g.seg, g.n_g, g.s_g,
+           round(w.twq / (g.n_g * {THEIL_SCALE}.0), 9) AS theil_within,
+           round((g.s_g * 1.0 / t.s)
+                 * ln((g.s_g * 1.0 / t.s) / (g.n_g * 1.0 / t.n)), 9)
+               AS between_term,
+           round(o.tq / (t.n * {THEIL_SCALE}.0), 9) AS theil_overall
+    FROM seg g, tot t, within w, overall o
+    WHERE w.seg = g.seg
+    ORDER BY g.seg
+    """,
+    category=CAT,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of per-customer spend, DECOMPOSED into
+    within-segment and between-segment components — the additive
+    decomposition is why Theil beats Gini for cohort diagnostics
+    (agg_gini_activity ranks overall inequality; Theil answers WHERE
+    it lives: T = Σ share_g·T_g + Σ share_g·ln(mean_g/mean)). Here
+    between_term ≈ 0 at both SFs — market segment explains basically
+    none of the spend inequality, itself the finding.
+
+    Determinism: spend quantized to integer cents at the row
+    (the float fold over o_totalprice never exists); each customer's
+    (x/μ)·ln(x/μ) term is a per-row float quantized to nano units
+    floor(t·10⁹+0.5) BEFORE the cross-row sum, so every aggregate is
+    exact BIGINT in any order (§2.X); the ≤5 published numbers are
+    single rounded divisions of agreed integers. x>0 for every
+    grouped customer (they exist because they ordered), so ln is
+    total. Plan: one fact-side groupBy, 1-row/5-row broadcast
+    aggregates joined back — no second fact scan, no skew exposure.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    x = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    seg = x.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+    )
+
+    def term_q(num, den):
+        ratio = F.col("cents") * num / (1.0 * den)
+        return F.floor(ratio * F.log(ratio) * THEIL_SCALE + 0.5).cast("bigint")
+
+    within = (
+        x.join(F.broadcast(seg), "seg")
+        .groupBy("seg")
+        .agg(F.sum(term_q(F.col("n_g"), F.col("s_g"))).cast("bigint").alias("twq"))
+    )
+    overall = (
+        x.crossJoin(F.broadcast(tot))
+        .agg(F.sum(term_q(F.col("n"), F.col("s"))).cast("bigint").alias("tq"))
+    )
+    return (
+        seg.join(within, "seg")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "seg",
+            "n_g",
+            "s_g",
+            F.round(F.col("twq") / (F.col("n_g") * float(THEIL_SCALE)), 9).alias(
+                "theil_within"
+            ),
+            F.round(
+                (F.col("s_g") * 1.0 / F.col("s"))
+                * F.log(
+                    (F.col("s_g") * 1.0 / F.col("s"))
+                    / (F.col("n_g") * 1.0 / F.col("n"))
+                ),
+                9,
+            ).alias("between_term"),
+            F.round(F.col("tq") / (F.col("n") * float(THEIL_SCALE)), 9).alias(
+                "theil_overall"
+            ),
+        )
+        .orderBy("seg")
+    )

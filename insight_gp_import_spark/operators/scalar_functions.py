@@ -1339,3 +1339,112 @@ def fn_split_regex_vs_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).alias("nation_part"),
         F.size(parts).cast("int").alias("n_parts"),
     ).orderBy("nk")
+
+
+# Haversine band thresholds, precomputed in Q-space (integer micro-units
+# of the haversine kernel h = sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2)) so band
+# membership is an INTEGER compare in both engines:
+#   q_T = floor(sin²(d_km / (2R)) · 10⁶ + 0.5)  for d ∈ {1000,2500,5000,10000}
+HAV_R_KM = 6371.0088
+HAV_QT = {1000: 6147, 2500: 38004, 5000: 146237, 10000: 499407}
+
+
+@op(
+    "fn_haversine",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+        ((c_custkey * 37) % 18000) / 100.0 - 90.0 AS lat1,
+        ((c_custkey * 73) % 36000) / 100.0 - 180.0 AS lon1,
+        ((c_nationkey * 41 + 7) % 18000) / 100.0 - 90.0 AS lat2,
+        ((c_nationkey * 97 + 13) % 36000) / 100.0 - 180.0 AS lon2
+      FROM customer),
+    hq AS (
+      SELECT c_custkey,
+        CAST(floor((sin(radians(lat2 - lat1) / 2) ^ 2
+          + cos(radians(lat1)) * cos(radians(lat2))
+            * sin(radians(lon2 - lon1) / 2) ^ 2) * 1000000 + 0.5)
+          AS BIGINT) AS q
+      FROM pts),
+    banded AS (
+      SELECT q, CASE WHEN q < {HAV_QT[1000]} THEN '0_under_1000km'
+                     WHEN q < {HAV_QT[2500]} THEN '1_1000_2500km'
+                     WHEN q < {HAV_QT[5000]} THEN '2_2500_5000km'
+                     WHEN q < {HAV_QT[10000]} THEN '3_5000_10000km'
+                     ELSE '4_over_10000km' END AS band
+      FROM hq)
+    SELECT band, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q,
+           round(2 * {HAV_R_KM} * asin(sqrt(min(q) / 1000000.0)), 3) AS km_min,
+           round(2 * {HAV_R_KM} * asin(sqrt(max(q) / 1000000.0)), 3) AS km_max
+    FROM banded GROUP BY band ORDER BY band
+    """,
+    category=CAT,
+)
+def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig family themed query: great-circle (haversine) distance
+    banding between key-derived coordinate pairs — radians/sin/cos/
+    sqrt/asin exercised end-to-end, the geo-distance primitive behind
+    shipping-radius and nearest-facility analytics (join_spatial_grid
+    buckets by coordinates; this measures the sphere distance itself).
+
+    Cross-engine trig determinism (the reason a naive version can't
+    hash-match): libm sin/cos differ between engines in the last ulp,
+    so per-row floats are quantized the instant trig output exists —
+    the haversine KERNEL h∈[0,1] goes to integer micro-units q =
+    floor(h·10⁶+0.5) (quantization step dwarfs any ulp disagreement;
+    ts_periodogram_quantized's trick), band edges are PRECOMPUTED
+    integer literals in q-space (membership = integer compare, never
+    a float compare), and asin/sqrt run only per BAND on the already-
+    agreed integer min/max (5 calls, not 10⁵; round-3 km display
+    absorbs their ulp). Counts/min/max are exact; everything is one
+    scan + one 5-group aggregate, no shuffle beyond the rollup.
+    Coordinates are key-derived exact rationals (integer % then /100),
+    bit-identical in any engine.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 18000) / 100.0 - 90.0).alias("lat1"),
+        (((F.col("c_custkey") * 73) % 36000) / 100.0 - 180.0).alias("lon1"),
+        (((F.col("c_nationkey") * 41 + 7) % 18000) / 100.0 - 90.0).alias("lat2"),
+        (((F.col("c_nationkey") * 97 + 13) % 36000) / 100.0 - 180.0).alias("lon2"),
+    )
+    half_dlat = F.radians(F.col("lat2") - F.col("lat1")) / 2
+    half_dlon = F.radians(F.col("lon2") - F.col("lon1")) / 2
+    h = (
+        F.sin(half_dlat) * F.sin(half_dlat)
+        + F.cos(F.radians("lat1"))
+        * F.cos(F.radians("lat2"))
+        * F.sin(half_dlon)
+        * F.sin(half_dlon)
+    )
+    hq = pts.select(
+        "c_custkey", F.floor(h * 1000000 + 0.5).cast("bigint").alias("q")
+    )
+    band = (
+        F.when(F.col("q") < HAV_QT[1000], "0_under_1000km")
+        .when(F.col("q") < HAV_QT[2500], "1_1000_2500km")
+        .when(F.col("q") < HAV_QT[5000], "2_2500_5000km")
+        .when(F.col("q") < HAV_QT[10000], "3_5000_10000km")
+        .otherwise("4_over_10000km")
+    )
+    def km(qcol):
+        return F.round(
+            2 * HAV_R_KM * F.asin(F.sqrt(qcol / 1000000.0)), 3
+        )
+    return (
+        hq.select(F.col("q"), band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("q").cast("bigint").alias("min_q"),
+            F.max("q").cast("bigint").alias("max_q"),
+        )
+        .select(
+            "band", "n", "min_q", "max_q",
+            km(F.col("min_q")).alias("km_min"),
+            km(F.col("max_q")).alias("km_max"),
+        )
+        .orderBy("band")
+    )
