@@ -597,3 +597,73 @@ def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nx * PATCH_PX - F.col("width")).cast("bigint").alias("pad_x"),
         (ny * PATCH_PX - F.col("height")).cast("bigint").alias("pad_y"),
     )
+
+
+@op(
+    "mm_modality_balance",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             octet_length(encode(text)) AS nb
+      FROM documents),
+    agg AS (SELECT source, modality, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nb) AS BIGINT) AS n_bytes
+            FROM m GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(n_bytes) AS BIGINT) AS tot_bytes
+            FROM agg GROUP BY 1)
+    SELECT a.source, a.modality, a.n_docs, a.n_bytes,
+           CAST(a.n_bytes * 1000000 // t.tot_bytes AS BIGINT)
+               AS byte_share_ppm
+    FROM agg a JOIN tot t ON t.source = a.source
+    ORDER BY a.source, a.modality
+    """,
+    category=CAT,
+)
+def mm_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source modality budget table: docs and PAYLOAD BYTES per
+    (source, modality) with byte-share in ppm — the mix report a
+    multimodal training pipeline reads before sampling (corpus mix
+    ops weigh text tokens; multimodal budgets are BYTE-dominated:
+    one video outweighs a thousand captions, so doc-count balance is
+    the wrong dial and this table shows both). Modality here is the
+    deterministic doc_id%3 tag (the corpus has no real media typed
+    column); on a real corpus it is the media_type metadata column —
+    same plan.
+
+    Bytes measured on the UTF-8 payload (octet_length ≠ char count
+    on non-ASCII — the mistake that undercounts every non-English
+    byte budget). Integer ppm shares via `div` against the
+    broadcast per-source totals; one scan, one small rollup, no
+    float anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("nb"),
+    )
+    agg = m.groupBy("source", "modality").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("n_bytes"),
+    )
+    tot = agg.groupBy("source").agg(
+        F.sum("n_bytes").cast("bigint").alias("tot_bytes")
+    )
+    return (
+        agg.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "modality",
+            "n_docs",
+            "n_bytes",
+            F.expr("n_bytes * 1000000 div tot_bytes")
+            .cast("bigint")
+            .alias("byte_share_ppm"),
+        )
+        .orderBy("source", "modality")
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -270,4 +271,74 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars", wkey.alias("wkey"))
         .orderBy(F.desc("wkey"), "doc_id")
         .limit(RESERVOIR_K)
+    )
+
+
+_SYS_HEX = "0123456789abcdef"
+SYS_STRIDE = 10
+
+
+@op(
+    "sample_systematic",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_id,
+             md5('sys:' || CAST(event_id AS VARCHAR)) AS mk FROM events),
+    b AS (SELECT *, strpos('{_SYS_HEX}', substr(mk, 1, 1)) - 1 AS bucket
+          FROM keyed),
+    rn AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                        ORDER BY mk, event_id) AS r FROM b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(event_id) AS BIGINT) AS first_id,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM rn WHERE r % {SYS_STRIDE} = 1
+    GROUP BY bucket ORDER BY bucket
+    """,
+    category=CAT,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling in hash order — the fourth
+    sampling design next to Bernoulli (sample_deterministic),
+    stratified (sample_stratified) and weighted reservoir: EXACTLY
+    ⌈n/k⌉ rows per bucket by construction (Bernoulli's rate is only
+    an expectation — its realized size varies; auditors and fixed-
+    budget evals want the guarantee), unbiased because the order is a
+    salted md5, i.e. independent of every payload attribute.
+
+    Distributed shape: the stride needs ROW POSITION, which is only
+    well-defined under an order — so the corpus is bucketed by the
+    hash's first nibble (16 shuffle-partition-friendly groups) and
+    the row_number window runs PER BUCKET (never a global
+    single-partition window — the §2.X plan rule); each bucket
+    yields its own every-k-th rows, preserving the exact-count and
+    independence properties per bucket. Summarized per bucket with
+    an id checksum so the driver hash certifies the SELECTED SET,
+    not just its size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.md5(F.concat(F.lit("sys:"), F.col("event_id").cast("string"))).alias(
+            "mk"
+        ),
+    )
+    b = keyed.select(
+        "event_id",
+        "mk",
+        (F.instr(F.lit(_SYS_HEX), F.substring("mk", 1, 1)) - 1).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("mk", "event_id")
+    rn = b.select("*", F.row_number().over(w).alias("r"))
+    return (
+        rn.filter(F.col("r") % SYS_STRIDE == 1)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.min("event_id").cast("bigint").alias("first_id"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"),
+                "n_sampled", "first_id", "id_checksum")
+        .orderBy("bucket")
     )

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -289,3 +290,59 @@ def udtf_arrow_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.w
         ORDER BY n DESC, t.w LIMIT {BIGRAM_TOP_K}
     """)
+
+
+@op(
+    "udf_pandas_window_agg",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id,
+           round(sum(cents) OVER w * 1.0 / count(*) OVER w / 100.0, 6)
+               AS rolling_avg
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    category=CAT,
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDF evaluated OVER A BOUNDED WINDOW — the
+    least-known corner of the §2.I UDF surface (udf_pandas is scalar,
+    udaf_grouped_pandas is groupBy-wide): Spark ships each 3-row frame
+    to the Python worker as an Arrow batch and the UDF returns one
+    scalar per frame. This is the extension point for rolling custom
+    statistics no builtin covers (rolling robust M-estimators etc.);
+    demonstrated with a rolling sum so correctness is provable.
+
+    Determinism across the Python/JVM/DuckDB triple: the UDF sums
+    INTEGER cents (quantized before the window; int64-exact in
+    pandas), the mean is one division of two agreed integers outside
+    the UDF, round-6. Frame order is total via (ts, event_id).
+    Scale: bounded frames keep each Arrow batch O(frame), and the
+    window partitions by user — same shuffle as the builtin path; the
+    Python hop costs ~10× a builtin sum (documented), which is the
+    price of arbitrary logic, not of this formulation.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+
+    @F.pandas_udf("long")
+    def frame_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(
+            frame_sum("cents").over(w) * 1.0 / F.count("*").over(w) / 100.0, 6
+        ).alias("rolling_avg"),
+    )
