@@ -2170,3 +2170,70 @@ def scan_wholetext_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@op(
+    "scan_parquet_merge_schema",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE 'current' END
+               AS generation,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    category=CAT,
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema-merge read (``mergeSchema=true``): one dataset
+    whose files were written by TWO generations of a producer — legacy
+    files lack the ``event_type`` column, current files carry it — read
+    back as ONE DataFrame with the union schema and NULLs where a file
+    predates the column. This is the reader-side half of schema
+    evolution (schema_evolution_union solves it when you can enumerate
+    and align the frames yourself; mergeSchema is what you reach for
+    when the files simply coexist in a directory, the normal state of
+    a years-old 100-TB lake).
+
+    The LAW oracle: merged row count, per-generation NULL-column
+    counts and user cardinality must equal facts computed from the
+    source directly — a reader that dropped legacy rows, defaulted the
+    missing column to anything but NULL, or double-read a footer all
+    hash-fail. mergeSchema costs a footer read per file (documented:
+    that is why it is off by default; at 100 TB you turn it on once,
+    resolve, and write back a pinned schema).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="igis-merge-")
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id").write.parquet(
+        f"{root}/gen=legacy"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{root}/gen=current")
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(root)
+    assert set(merged.columns) == {"event_id", "user_id", "event_type"}, (
+        "mergeSchema must surface the union schema"
+    )
+    return (
+        merged.select(
+            F.when(F.col("event_id") % 2 == 0, "legacy")
+            .otherwise("current")
+            .alias("generation"),
+            "user_id",
+            "event_type",
+        )
+        .groupBy("generation")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_type"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("generation")
+    )

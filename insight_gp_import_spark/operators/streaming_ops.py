@@ -627,3 +627,64 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.min("value") == 0)
         ).alias("gapless_prefix"),
     )
+
+
+@op(
+    "stream_complete_mode",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+               AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    category=CAT,
+)
+def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode executed as a real stream: per-event-type
+    running totals where every trigger REPLACES the whole result table
+    — the third output-mode corner next to update
+    (stream_stateful_totals) and append (stream_source_dir). Complete
+    mode is what live dashboards sit on; its contract — the memory
+    sink holds exactly the final snapshot after the last micro-batch,
+    no stale rows from earlier triggers — is precisely what the
+    oracle checks, because the op returns the sink table AS-IS (no
+    dedup window cleanup like the update-mode op needs; if complete
+    mode leaked a superseded row the hash would fail).
+
+    Values are quantized to integer cents inside the streaming agg
+    (the cross-batch float fold never exists — state is BIGINT), so
+    the replayed 3-file stream is exactly the batch GROUP BY.
+    Complete mode requires keeping all groups in state: fine for a
+    low-cardinality dashboard key (|event_types| groups), the
+    documented wrong choice for unbounded keys.
+    """
+    from insight_gp_import_spark.streaming import read_events_stream
+
+    staged = _stage_events_files(spark, sf_dir)
+    name = _qname("complete", sf_dir)
+    stream = read_events_stream(spark, staged, max_files=1)
+    totals = (
+        stream.withColumn(
+            "cents", F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        "event_type",
+        "cnt",
+        F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+    )
