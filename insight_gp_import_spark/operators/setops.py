@@ -982,3 +982,115 @@ def sql_order_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@op(
+    "sql_function_declared",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                        * 100 + 0.5) AS BIGINT) AS net_c
+      FROM lineitem)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(net_c) AS BIGINT) AS net_cents
+    FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    category=CAT,
+)
+def sql_function_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared scalar function (CREATE TEMPORARY FUNCTION ...
+    RETURNS ... RETURN expr, Spark 3.5+/4 SQL UDFs, SPARK-28521
+    lineage): the net-price business rule declared ONCE in pure SQL
+    and reused by name — the governance middle ground the §2.I Python
+    UDFs can't offer (a SQL UDF is inlined into the plan by Catalyst:
+    whole-stage codegen, pushdown, zero Python boundary — it is an
+    expression MACRO, not a foreign function; `EXPLAIN` shows no
+    BatchEvalPython). This is how shared business logic should ship
+    on a 100-TB warehouse: one vetted definition, native speed.
+
+    The declaration is CREATE OR REPLACE + session-scoped (idempotent
+    per driver call, no catalog litter); determinism via the house
+    per-row cents quantization INSIDE the aggregate's input (the raw
+    float fold never exists). Oracle inlines the same expression —
+    equality proves the macro expansion is semantically the
+    declaration.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION igis_net_price(
+            p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE
+        RETURN p * (1.0D - d) * (1.0D + t)
+        """
+    )
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT l_returnflag,
+                 CAST(floor(igis_net_price(l_extendedprice, l_discount, l_tax)
+                            * 100 + 0.5D) AS BIGINT) AS net_c
+          FROM {li})
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(net_c) AS BIGINT) AS net_cents
+        FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        li=li,
+    )
+
+
+SQL_VAR_WINDOW_DAYS = 90
+
+
+@op(
+    "sql_session_variable",
+    oracle=f"""
+    WITH cut AS (
+      SELECT max(o_orderdate) - INTERVAL {SQL_VAR_WINDOW_DAYS} DAY AS cutoff
+      FROM orders)
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_recent,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders o CROSS JOIN cut
+    WHERE o.o_orderdate > cut.cutoff
+    GROUP BY 1 ORDER BY 1
+    """,
+    category=CAT,
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE VARIABLE / SET VAR, Spark 4,
+    SPARK-42849): a data-derived scalar — the trailing-90-day cutoff —
+    computed ONCE by `SET VAR x = (scalar subquery)` and then used as
+    a plain constant in downstream queries. This is the SQL-native
+    form of the fetch-scalar-then-parameterize loop every dashboard
+    script writes (sql_parameterized binds CLIENT-supplied values;
+    variables hold SERVER-computed ones — no round-trip through the
+    driver, no string formatting, and the constant folds into
+    partition/predicate pushdown exactly like a literal).
+
+    DECLARE OR REPLACE keeps the op idempotent per session. The
+    oracle recomputes the same cutoff as a CTE — equality proves the
+    variable held exactly the scalar the subquery produced. Revenue
+    in per-row-quantized cents (§2.X).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("igis_var_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE igis_cutoff TIMESTAMP")
+    spark.sql(
+        f"""SET VAR igis_cutoff =
+            (SELECT max(o_orderdate) - INTERVAL {SQL_VAR_WINDOW_DAYS} DAY
+             FROM igis_var_orders)"""
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_recent,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM igis_var_orders o
+        WHERE o_orderdate > igis_cutoff
+        GROUP BY 1 ORDER BY 1
+        """
+    )
