@@ -1,0 +1,124 @@
+"""Structural-law unit tests for the round-4 operator additions.
+
+The parity gates prove hash-equality with the DuckDB oracle; these
+tests pin the PROPERTIES that make each op meaningful (exact-count
+sampling law, normalization bounds, decomposition identity, output-mode
+snapshot semantics) so a future refactor can't keep the hash green
+while silently changing the contract the docstring sells.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from insight_gp_import_spark.registry import load_all_ops
+from insight_gp_import_spark.tables import load_table
+
+SF01 = "/root/testdata/sf0.01"
+
+OPS = load_all_ops()
+
+
+def test_sample_systematic_exact_count_law(spark):
+    """Systematic sampling's selling point: exactly ceil(n_b/k) rows
+    per bucket — not an expectation, a guarantee."""
+    from insight_gp_import_spark.operators.projection import (
+        _SYS_HEX,
+        SYS_STRIDE,
+    )
+
+    out = {r["bucket"]: r["n_sampled"]
+           for r in OPS["sample_systematic"].fn(spark, SF01).collect()}
+    ev = load_table(spark, SF01, "events")
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in ev.select(
+            (
+                F.instr(
+                    F.lit(_SYS_HEX),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("sys:"), F.col("event_id").cast("string")
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                - 1
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(sizes)
+    for b, n in sizes.items():
+        assert out[b] == math.ceil(n / SYS_STRIDE), (b, n, out[b])
+
+
+def test_hits_scores_normalized_and_paired(spark):
+    rows = OPS["graph_hits_bipartite"].fn(spark, SF01).collect()
+    assert len(rows) == 20
+    sides = {r["side"] for r in rows}
+    assert sides == {"part", "supplier"}
+    for r in rows:
+        # normalized fixed-point scores live in (0, SCALE]
+        assert 0 < r["score"] <= 10**9
+
+
+def test_haversine_bands_partition_all_customers(spark):
+    rows = OPS["fn_haversine"].fn(spark, SF01).collect()
+    n_customers = load_table(spark, SF01, "customer").count()
+    assert sum(r["n"] for r in rows) == n_customers
+    for r in rows:
+        assert 0 <= r["min_q"] <= r["max_q"] <= 10**6
+        assert 0.0 <= r["km_min"] <= r["km_max"]
+
+
+def test_theil_decomposition_identity(spark):
+    """T_overall = Σ s_g·T_g + Σ between_g — the additivity that is
+    Theil's whole advantage over Gini (within quantization tolerance)."""
+    rows = OPS["agg_theil_index"].fn(spark, SF01).collect()
+    s_tot = sum(r["s_g"] for r in rows)
+    overall = rows[0]["theil_overall"]
+    recomposed = sum(
+        (r["s_g"] / s_tot) * r["theil_within"] + r["between_term"] for r in rows
+    )
+    assert abs(recomposed - overall) < 1e-6, (recomposed, overall)
+    assert overall >= 0
+
+
+def test_allen_shares_sum_to_one(spark):
+    rows = OPS["join_allen_interval_relations"].fn(spark, SF01).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+    assert {r["relation"] for r in rows} <= {
+        "before", "meets", "equals", "starts", "started_by",
+        "overlaps", "finished_by", "contains",
+    }
+
+
+def test_merge_schema_legacy_rows_all_null(spark):
+    rows = {r["generation"]: r
+            for r in OPS["scan_parquet_merge_schema"].fn(spark, SF01).collect()}
+    assert rows["legacy"]["n_null_type"] == rows["legacy"]["n"]
+    assert rows["current"]["n_null_type"] == 0
+
+
+def test_complete_mode_snapshot_has_no_stale_rows(spark):
+    """Complete mode's contract: the memory sink is exactly the final
+    snapshot — one row per group, not one per (group, trigger)."""
+    out = OPS["stream_complete_mode"].fn(spark, SF01)
+    n_types = (
+        load_table(spark, SF01, "events").select("event_type").distinct().count()
+    )
+    assert out.count() == n_types
+
+
+def test_pandas_window_agg_covers_every_event(spark):
+    out = OPS["udf_pandas_window_agg"].fn(spark, SF01)
+    n_events = load_table(spark, SF01, "events").count()
+    assert out.count() == n_events
