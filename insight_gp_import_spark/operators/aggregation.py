@@ -6516,7 +6516,7 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
-    )
+    ).persist()  # reused by tot/seg/within/overall: one fact scan, not four
     tot = x.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("s"),

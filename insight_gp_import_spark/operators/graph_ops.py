@@ -1145,7 +1145,11 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    e = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    e = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()  # every superstep re-joins e: materialize the dedup once
+    )
 
     def normalize(scores: DataFrame, col: str) -> DataFrame:
         tot = scores.agg(F.sum(col).cast("bigint").alias("tot"))
