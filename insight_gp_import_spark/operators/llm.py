@@ -1465,3 +1465,115 @@ def embed_anisotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+PROTO_TOP_K = 3
+
+
+@op(
+    "embed_prototype_selection",
+    oracle=f"""
+    WITH comp AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                          * {CENTROID_Q_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM embeddings),
+    cent AS (
+        SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s
+        FROM comp GROUP BY 1, 2),
+    c2 AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS c2
+           FROM cent GROUP BY 1),
+    member AS (
+        SELECT comp.vec_id, comp.label,
+               CAST(sum(comp.qv * cent.s) AS BIGINT) AS dot,
+               CAST(sum(comp.qv * comp.qv) AS BIGINT) AS q2
+        FROM comp JOIN cent
+          ON cent.label = comp.label AND cent.dim = comp.dim
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT m.label, m.vec_id,
+               round(m.dot / (sqrt(m.q2 * 1.0) * sqrt(c.c2 * 1.0)), 6)
+                   AS proto_cos
+        FROM member m JOIN c2 c ON c.label = m.label),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY proto_cos DESC, vec_id) AS rank
+        FROM scored)
+    SELECT CAST(label AS BIGINT) AS label, CAST(rank AS BIGINT) AS rank,
+           vec_id, proto_cos
+    FROM ranked WHERE rank <= {PROTO_TOP_K} ORDER BY label, rank
+    """,
+    category=CAT,
+)
+def embed_prototype_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label PROTOTYPE selection: the top-K members closest (by
+    cosine) to their own label centroid — the curation primitive
+    behind 'show me what this cluster IS' (dataset cards, labeling
+    QA, few-shot exemplar picking, and the seed step of
+    prototype-based classifiers). Complements the diagnostics
+    (centroid_separation says labels differ; anisotropy says
+    directions aren't collapsed; THIS hands you the exemplars).
+
+    Determinism end-to-end: components floor-quantized to integers at
+    scale {CENTROID_Q_SCALE} (after the float32→DOUBLE cast — the
+    promotion trap), centroids are exact integer component SUMS
+    (never a float mean), member·centroid dot and both norms are
+    exact BIGINT quadratic forms (bounds audited: |s|≤n·10⁴,
+    Σs²·dims ≪ 2⁶³), and the only float is one cos division of
+    agreed integers, round-6 BEFORE the rank with vec_id tie-break.
+    Plan: posexplode in the scan stage, two (label,dim)-key
+    aggregates, centroid broadcast back (10 labels × 64 dims), and
+    a per-label window — no pairwise joins anywhere, linear in
+    corpus size, which is what makes prototypes cheap even where
+    all-pairs similarity is not.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * CENTROID_Q_SCALE + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum("qv").cast("bigint").alias("s")
+    )
+    c2 = cent.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("c2")
+    )
+    member = (
+        comp.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("qv") * F.col("s")).cast("bigint").alias("dot"),
+            F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("q2"),
+        )
+    )
+    scored = member.join(F.broadcast(c2), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("q2") * 1.0) * F.sqrt(F.col("c2") * 1.0)),
+            6,
+        ).alias("proto_cos"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("proto_cos"), "vec_id")
+    return (
+        scored.select(
+            "*", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= PROTO_TOP_K)
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            "proto_cos",
+        )
+        .orderBy("label", "rank")
+    )
