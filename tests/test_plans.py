@@ -640,3 +640,51 @@ def test_minhash_banding_shuffle_carries_ids_only(spark):
     assert band_exchanges, "detector lost the banding exchange — update the pattern"
     for inputs in band_exchanges:
         assert "arr" not in inputs, inputs
+
+
+def test_adamic_adar_no_cartesian_and_pruned_wedge(spark):
+    plan = plan_of(spark, "graph_adamic_adar")
+    assert "CartesianProduct" not in plan
+    # support pruning must precede the wedge join: the w>=2 filter
+    # applies to an aggregate, so a Filter over count appears
+    assert "w#" in plan or "Filter" in plan
+
+
+def test_hits_topk_is_take_ordered_no_global_window(spark):
+    plan = plan_of(spark, "graph_hits_bipartite")
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan.split("Window")[0] or "Window" not in plan
+
+
+def test_sample_systematic_window_is_per_bucket(spark):
+    plan = plan_of(spark, "sample_systematic")
+    # the row_number window must run over hashpartitioning(bucket),
+    # never a single global partition
+    assert "row_number" in plan
+    assert "hashpartitioning(bucket" in plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0].split("AdaptiveSparkPlan")[-1].split("HashAggregate(keys=[]")[0]
+
+
+def test_pandas_window_udf_shares_one_exchange(spark):
+    plan = plan_of(spark, "udf_pandas_window_agg")
+    # ArrowWindowPython (the pandas frame UDF) and the builtin count
+    # window must share the user_id partitioning: exactly one
+    # hashpartitioning(user_id) exchange in the plan
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "ArrowWindowPython" in plan or "WindowInPandas" in plan
+
+
+def test_sql_function_declared_is_macro_not_python(spark):
+    plan = plan_of(spark, "sql_function_declared")
+    # a SQL UDF must inline into the plan - any Python eval node means
+    # the governance story (codegen-speed shared logic) is broken
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_prototype_selection_has_no_pairwise_join(spark):
+    plan = plan_of(spark, "embed_prototype_selection")
+    # prototypes are linear: member-centroid join is an equi-join on
+    # (label, dim); no cross/cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
