@@ -340,7 +340,39 @@ N_MINHASH = 32
 N_BANDS = 8  # 4 rows per band
 
 
-@op("dedup_near_minhash", oracle=None, category=CAT)
+MINHASH_PAIRS_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, list_sort(list(tok)) AS arr, count(*) AS n
+        FROM toks GROUP BY doc_id
+    ), mins AS (
+        SELECT t.doc_id, s.s,
+               min(md5(CAST(s.s AS VARCHAR) || '_' || t.tok)) AS mh
+        FROM toks t CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS s) s
+        GROUP BY 1, 2
+    ), bands AS (
+        SELECT doc_id, CAST(s // {N_MINHASH // N_BANDS} AS INT) AS band,
+               md5(string_agg(mh, '|' ORDER BY s)) AS bh
+        FROM mins GROUP BY doc_id, s // {N_MINHASH // N_BANDS}
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+        FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+        WHERE l.doc_id < r.doc_id
+    ), verified AS (
+        SELECT c.d1, c.d2,
+               len(list_intersect(s1.arr, s2.arr)) * 1.0
+                 / (s1.n + s2.n - len(list_intersect(s1.arr, s2.arr))) AS j
+        FROM cand c JOIN sets s1 ON s1.doc_id = c.d1
+                    JOIN sets s2 ON s2.doc_id = c.d2
+    )
+    SELECT d1, d2, round(j, 4) AS jaccard
+    FROM verified WHERE j > {JACCARD_THRESHOLD}
+    """
+
+
+@op("dedup_near_minhash", oracle=MINHASH_PAIRS_SQL, category=CAT)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — the 100 TB scale path (rows-only).
 
@@ -353,7 +385,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication, not corpus² — that is the whole point of LSH.
 
     Deterministic (md5, no RNG) so results are stable across runs and
-    engines; declared rows-only because banding isn't SQL-portable.
+    engines — and therefore ORACLED (round 4, upgraded from rows-only):
+    the DuckDB twin recomputes the same 32 md5 permutation-hashes, the
+    same 8 band hashes, the same candidate equi-join and the same exact
+    verification, so the driver hash certifies the ENTIRE LSH pipeline
+    (a changed permutation seed, band layout, or a lost candidate all
+    hash-fail). Oracling this op is what exposed the two-arg-lambda
+    arity trap in the minhash builder (see _perm_hash).
 
     Library note (round 4): this banded plan is the DEFAULT of
     ``insight_gp_import_spark.dedup.near_dup_pairs``; the exact
@@ -376,12 +414,22 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     arrays join back once per SURVIVING pair for exact verification —
     the same payload-last shape embed_lsh_pairs uses."""
     sets = sets_in.select("doc_id", "arr")
+
+    def _perm_hash(s: int):
+        # A FACTORY, not `lambda t, s=s: ...`: PySpark decides a HOF
+        # lambda's arity from its FULL signature, so a defaulted second
+        # parameter turns transform's lambda into the (element, index)
+        # form and the index Column OVERRIDES the default — the prefix
+        # then stringifies a Column object whose auto-generated name
+        # depends on a session-global counter (gate-caught while
+        # oracling this op: the minhashes silently depended on how many
+        # lambdas the session had built before).
+        return lambda t: F.md5(F.concat(F.lit(f"{s}_"), t))
+
     mh = sets.select(
         "doc_id",
         *[
-            F.array_min(
-                F.transform("arr", lambda t, s=s: F.md5(F.concat(F.lit(f"{s}_"), t)))
-            ).alias(f"mh{s}")
+            F.array_min(F.transform("arr", _perm_hash(s))).alias(f"mh{s}")
             for s in range(N_MINHASH)
         ],
     )
