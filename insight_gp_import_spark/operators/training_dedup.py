@@ -447,17 +447,30 @@ LSH_BITS = 8
 _LSH_DIM = 64
 
 
-def _lsh_planes() -> list[list[float]]:
+LSH_Q_SCALE = 10**6  # per-component quantization for integer-exact dots
+# components quantized ONCE, then every hyperplane dot is an exact
+# BIGINT sum of +-qv — the sign can never depend on float summation
+# order, which is what makes the bucket codes portable enough to
+# oracle (round-4 upgrade; raw-float dots were summation-order-
+# dependent in principle even though md5 planes were deterministic)
+_LSH_QV_SQL = (
+    "transform(embedding, x -> "
+    f"cast(floor(cast(x as double) * {LSH_Q_SCALE} + 0.5D) as bigint))"
+)
+
+
+def _lsh_planes() -> list[list[int]]:
     """LSH_TABLES x LSH_BITS deterministic +-1 hyperplanes, derived from
     md5 so every run (and every engine) sees the same planes — no RNG
-    (SURVEY.md §2.X rule 5)."""
+    (SURVEY.md §2.X rule 5). Integer-valued: dots against quantized
+    components stay in exact BIGINT arithmetic."""
     import hashlib
 
     return [
         [
-            1.0
+            1
             if hashlib.md5(f"lsh:{t}:{b}:{d}".encode()).digest()[0] % 2 == 0
-            else -1.0
+            else -1
             for d in range(_LSH_DIM)
         ]
         for t in range(LSH_TABLES)
@@ -465,18 +478,23 @@ def _lsh_planes() -> list[list[float]]:
     ]
 
 
-def _lsh_code_cols(planes: list[list[float]]) -> list:
+def _lsh_code_cols(planes: list[list[int]]) -> list:
     """One LSH bucket-code column per table: bit b of table t's code =
-    sign(embedding · plane[t*B+b]). All JVM-side expressions."""
+    sign(qv · plane[t*B+b]) over the ``lsh_qv`` quantized-component
+    column (callers add it via ``_LSH_QV_SQL``). All JVM-side
+    expressions; every dot is an exact BIGINT fold."""
     cols = []
     for t in range(LSH_TABLES):
         code = F.lit(0).cast("long")
         for b in range(LSH_BITS):
             plane = planes[t * LSH_BITS + b]
+            sgn = "array(" + ", ".join(f"{x}L" for x in plane) + ")"
+            dot = F.expr(
+                f"aggregate(zip_with(lsh_qv, {sgn}, (p, q) -> p * q),"
+                " 0L, (acc, v) -> acc + v)"
+            )
             code = code + (
-                F.when(_dot("embedding", _lit_vec_sql(plane)) > 0, F.lit(1 << b))
-                .otherwise(0)
-                .cast("long")
+                F.when(dot > 0, F.lit(1 << b)).otherwise(0).cast("long")
             )
         cols.append(code.alias(f"lsh_code{t}"))
     return cols
@@ -488,18 +506,23 @@ def lsh_topk(
     """Library form of ann_lsh_topk with a ``probe_all`` escape hatch:
     True disables bucket pruning, making the result provably identical
     to brute-force ``sim_search_topk`` (unit-tested)."""
+    import math
+
     planes = _lsh_planes()
     qvec = _fetch_query_vector(sf_dir, QUERY_VEC_ID)
+    qq = [math.floor(x * LSH_Q_SCALE + 0.5) for x in qvec]
     qcodes = [
         sum(
             (1 << b)
             for b in range(LSH_BITS)
-            if sum(a * c for a, c in zip(qvec, planes[t * LSH_BITS + b])) > 0
+            if sum(a * c for a, c in zip(qq, planes[t * LSH_BITS + b])) > 0
         )
         for t in range(LSH_TABLES)
     ]
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = emb.select("vec_id", "label", "embedding", *_lsh_code_cols(planes))
+    coded = emb.withColumn("lsh_qv", F.expr(_LSH_QV_SQL)).select(
+        "vec_id", "label", "embedding", *_lsh_code_cols(planes)
+    )
     if probe_all:
         cand = coded
     else:
@@ -522,7 +545,50 @@ def lsh_topk(
     )
 
 
-@op("ann_lsh_topk", oracle=None, category=CAT)
+_LSH_CODES_CTE = f"""
+    planes AS (
+        SELECT t.range AS t, b.range AS b, d.range AS d,
+               CASE WHEN substr(md5('lsh:' || t.range || ':' || b.range
+                                    || ':' || d.range), 2, 1)
+                    IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1
+                    END AS sgn
+        FROM range({LSH_TABLES}) t, range({LSH_BITS}) b, range({_LSH_DIM}) d
+    ), comp AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {LSH_Q_SCALE}
+                          + 0.5) AS BIGINT) AS qv
+        FROM embeddings
+    ), bits AS (
+        SELECT c.vec_id, p.t, p.b, CAST(sum(p.sgn * c.qv) AS BIGINT) AS s
+        FROM comp c JOIN planes p ON p.d = c.d
+        GROUP BY 1, 2, 3
+    ), codes AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS code
+        FROM bits GROUP BY 1, 2
+    )"""
+
+
+ANN_LSH_TOPK_SQL = f"""
+    WITH {_LSH_CODES_CTE},
+    qcodes AS (SELECT t, code FROM codes WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT DISTINCT c.vec_id
+        FROM codes c JOIN qcodes q ON q.t = c.t AND q.code = c.code
+        WHERE c.vec_id != {QUERY_VEC_ID}
+    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           round(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                      AS DOUBLE), 4) AS sim
+    FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY CAST(list_cosine_similarity(e.embedding, q.embedding)
+                  AS DOUBLE) DESC, e.vec_id
+    LIMIT {TOPK}
+    """
+
+
+@op("ann_lsh_topk", oracle=ANN_LSH_TOPK_SQL, category=CAT)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via signed-random-projection LSH (rows-only: bucket
     pruning is approximate by design, so no SQL oracle).
@@ -556,7 +622,9 @@ def embed_lsh_pairs(emb: DataFrame, *, probe_all: bool = False) -> DataFrame:
     (unit-tested) — the same escape hatch ``lsh_topk`` exposes.
     """
     planes = _lsh_planes()
-    coded = emb.select("vec_id", *_lsh_code_cols(planes))
+    coded = emb.withColumn("lsh_qv", F.expr(_LSH_QV_SQL)).select(
+        "vec_id", *_lsh_code_cols(planes)
+    )
     if probe_all:
         a = coded.select(F.col("vec_id").alias("v1"))
         b = coded.select(F.col("vec_id").alias("v2"))
@@ -599,7 +667,25 @@ def embed_lsh_pairs(emb: DataFrame, *, probe_all: bool = False) -> DataFrame:
     )
 
 
-@op("dedup_embed_lsh", oracle=None, category=CAT)
+DEDUP_EMBED_LSH_SQL = f"""
+    WITH {_LSH_CODES_CTE},
+    cand AS (
+        SELECT DISTINCT l.vec_id AS v1, r.vec_id AS v2
+        FROM codes l JOIN codes r
+          ON l.t = r.t AND l.code = r.code AND l.vec_id < r.vec_id
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                      AS DOUBLE), 4) AS sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.v1
+    JOIN embeddings b ON b.vec_id = c.v2
+    WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+          > {EMBED_DUP_THRESHOLD}
+    """
+
+
+@op("dedup_embed_lsh", oracle=DEDUP_EMBED_LSH_SQL, category=CAT)
 def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with LSH bucket blocking — the
     registered 100 TB scale path for semantic dedup (rows-only: bucket

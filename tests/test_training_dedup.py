@@ -96,14 +96,21 @@ def test_lsh_retrieves_planted_near_duplicate(spark):
     far = [-x for x in qvec]
     planes = td._lsh_planes()
     rows = [(1001, 0, near), (1002, 1, far)]
-    corpus = spark.createDataFrame(
-        rows, "vec_id BIGINT, label INT, embedding ARRAY<FLOAT>"
-    ).select("vec_id", "label", "embedding", *td._lsh_code_cols(planes))
+    corpus = (
+        spark.createDataFrame(
+            rows, "vec_id BIGINT, label INT, embedding ARRAY<FLOAT>"
+        )
+        .withColumn("lsh_qv", F.expr(td._LSH_QV_SQL))
+        .select("vec_id", "label", "embedding", *td._lsh_code_cols(planes))
+    )
+    import math
+
+    qq = [math.floor(x * td.LSH_Q_SCALE + 0.5) for x in qvec]
     qcodes = [
         sum(
             (1 << b)
             for b in range(td.LSH_BITS)
-            if sum(a * c for a, c in zip(qvec, planes[t * td.LSH_BITS + b])) > 0
+            if sum(a * c for a, c in zip(qq, planes[t * td.LSH_BITS + b])) > 0
         )
         for t in range(td.LSH_TABLES)
     ]
