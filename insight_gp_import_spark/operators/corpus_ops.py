@@ -1878,3 +1878,118 @@ def corpus_normalization_payoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("payoff_ppm"),
     )
+
+
+FUNNEL_LANGS = ("en", "de", "fr", "es")
+FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS = 100, 500
+FUNNEL_MIN_LEXDIV_PPK = 350
+
+
+@op(
+    "corpus_quality_filter_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ck,
+             len(list_distinct(string_split(text, ' '))) * 1000
+               // len(string_split(text, ' ')) AS lexdiv_ppk
+      FROM documents),
+    g1 AS (SELECT * FROM base WHERE lang IN {FUNNEL_LANGS!r}),
+    g2 AS (SELECT * FROM g1
+           WHERE n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS}),
+    g3 AS (SELECT * FROM g2 WHERE lexdiv_ppk >= {FUNNEL_MIN_LEXDIV_PPK}),
+    g4 AS (SELECT * FROM g3
+           WHERE doc_id = (SELECT min(doc_id) FROM g3 x WHERE x.ck = g3.ck)),
+    stages AS (
+      SELECT 0 AS stage, 'ingest' AS gate,
+             CAST(count(*) AS BIGINT) AS survivors FROM base
+      UNION ALL SELECT 1, 'lang', CAST(count(*) AS BIGINT) FROM g1
+      UNION ALL SELECT 2, 'length', CAST(count(*) AS BIGINT) FROM g2
+      UNION ALL SELECT 3, 'lexical_diversity', CAST(count(*) AS BIGINT)
+                FROM g3
+      UNION ALL SELECT 4, 'exact_dedup', CAST(count(*) AS BIGINT) FROM g4)
+    SELECT s.stage, s.gate, s.survivors,
+           CAST(coalesce(s.survivors - nxt.survivors, 0) AS BIGINT)
+               AS dropped_by_next,
+           CAST(s.survivors * 1000000
+                // (SELECT survivors FROM stages WHERE stage = 0)
+                AS BIGINT) AS survival_ppm
+    FROM stages s LEFT JOIN stages nxt ON nxt.stage = s.stage + 1
+    ORDER BY s.stage
+    """,
+    category=CAT,
+)
+def corpus_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE corpus-curation funnel table: ingest → language gate →
+    length gate → lexical-diversity gate → exact-dedup survivors, with
+    per-stage survivor counts, next-stage drop counts and ppm survival
+    — the first artifact every training-data report leads with,
+    because it answers 'where did my corpus go?' before any quality
+    debate starts (a 40% drop at the language gate and a 40% drop at
+    dedup are completely different problems). The individual gates
+    exist as standalone ops (text_langid, text_quality, dedup_exact);
+    this op is their COMPOSITION in filter order, counted.
+
+    Gates are cheap scan-stage predicates computed ONCE on a persisted
+    base (lang dim, n_chars bounds, integer per-mille lexical
+    diversity via `div` — no float ratios), dedup survivorship =
+    min-doc_id per normalized-content md5 group (a groupBy join, no
+    window); the five counts are aggregates over progressively
+    filtered views of the SAME cached base, so the text is scanned
+    once, not five times. Drop attribution via stage self-join — no
+    global window anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("ck"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000"
+            " div size(split(text, ' '))"
+        ).alias("lexdiv_ppk"),
+    ).persist()
+    g1 = base.filter(F.col("lang").isin(*FUNNEL_LANGS))
+    g2 = g1.filter(F.col("n_chars").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS))
+    g3 = g2.filter(F.col("lexdiv_ppk") >= FUNNEL_MIN_LEXDIV_PPK)
+    surv = g3.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+    g4 = g3.join(surv, ["ck", "doc_id"], "left_semi")
+
+    def count_stage(df: DataFrame, stage: int, gate: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("survivors")).select(
+            F.lit(stage).alias("stage"), F.lit(gate).alias("gate"), "survivors"
+        )
+
+    stages = (
+        count_stage(base, 0, "ingest")
+        .unionAll(count_stage(g1, 1, "lang"))
+        .unionAll(count_stage(g2, 2, "length"))
+        .unionAll(count_stage(g3, 3, "lexical_diversity"))
+        .unionAll(count_stage(g4, 4, "exact_dedup"))
+    )
+    nxt = stages.select(
+        (F.col("stage") - 1).alias("stage"),
+        F.col("survivors").alias("nxt_survivors"),
+    )
+    total = stages.filter(F.col("stage") == 0).select(
+        F.col("survivors").alias("n0")
+    )
+    return (
+        stages.join(nxt, "stage", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "gate",
+            "survivors",
+            F.coalesce(F.col("survivors") - F.col("nxt_survivors"), F.lit(0))
+            .cast("bigint")
+            .alias("dropped_by_next"),
+            F.expr("survivors * 1000000 div n0").cast("bigint").alias(
+                "survival_ppm"
+            ),
+        )
+        .orderBy("stage")
+    )
