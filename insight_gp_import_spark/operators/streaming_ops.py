@@ -688,3 +688,57 @@ def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round(F.col("cents") / 100.0, 2).alias("total_value"),
     )
+
+
+@op(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_events
+    FROM events GROUP BY event_type
+    """,
+    category=CAT,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+) as a real
+    replayed stream WITH AN INJECTED RE-UPLOAD: the staging dir gets a
+    byte-identical copy of its first file appended as a fourth batch —
+    the reference's at-least-once delivery failure made concrete — and
+    the streamed output must still contain each event exactly once.
+
+    Why this API and not plain ``dropDuplicates`` (stream_dedup's
+    runtime twin): plain dedup keys state FOREVER (unbounded state for
+    an unbounded key like event_id — the 100 TB non-starter);
+    WithinWatermark bounds state to the watermark horizon, which is
+    the only shape that survives an infinite stream. Here the horizon
+    (365 days) spans the whole corpus so the dedup guarantee is total
+    and the output is deterministic: per-type counts must equal the
+    SOURCE's per-type counts exactly — without the dedup the re-upload
+    would inflate every count by ~1/3 and hash-fail. The law oracle
+    certifies end-to-end exactly-once through a real
+    readStream → stateful-dedup → availableNow → memory-sink run.
+    """
+    import shutil as _sh
+
+    from insight_gp_import_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    staged = _stage_events_files(spark, sf_dir)
+    # the re-upload: batch 0 lands again, byte-identical, as batch 3
+    _sh.copy(
+        os.path.join(staged, "batch_0.parquet"),
+        os.path.join(staged, "batch_3.parquet"),
+    )
+    name = _qname("dedup_wm", sf_dir)
+    deduped = (
+        read_events_stream(spark, staged, max_files=1)
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    run_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_unique_events"))
+    )
