@@ -6564,3 +6564,81 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+CRAMER_SCALE = 10**9
+
+
+@op(
+    "agg_cramers_v",
+    oracle=f"""
+    WITH obs AS (
+      SELECT l_returnflag AS r, l_linestatus AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY 1, 2),
+    marg_r AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM obs GROUP BY 1),
+    marg_c AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT r) AS BIGINT) AS nrow,
+                   CAST(count(DISTINCT c) AS BIGINT) AS ncol FROM obs),
+    cells AS (
+      SELECT CAST(floor((o.o - mr.nr * mc.nc / (1.0 * t.n)) ^ 2
+                  / (mr.nr * mc.nc / (1.0 * t.n))
+                  * {CRAMER_SCALE} + 0.5) AS BIGINT) AS chi_q
+      FROM obs o JOIN marg_r mr ON mr.r = o.r
+                 JOIN marg_c mc ON mc.c = o.c
+                 CROSS JOIN tot t)
+    SELECT t.n, t.nrow, t.ncol,
+           CAST(sum(c.chi_q) AS BIGINT) AS chi2_q,
+           round(sqrt(sum(c.chi_q) / {CRAMER_SCALE}.0
+                 / (t.n * least(t.nrow - 1, t.ncol - 1))), 9) AS cramers_v
+    FROM cells c CROSS JOIN tot t
+    GROUP BY t.n, t.nrow, t.ncol
+    """,
+    category=CAT,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for returnflag × linestatus — the EFFECT-SIZE
+    normalization agg_chi_square lacks: at 600 k rows a χ² of 1.86 is
+    'significant' at any α while V = 0.0018 says the association is
+    practically nil — the p-value-vs-effect-size distinction as a
+    query (big-data χ² is ALWAYS significant; V is what you act on).
+
+    χ² clears to per-cell quantized nano-terms summed as exact BIGINTs
+    (contingency cells are the only rows; the float fold never exists
+    at data scale — the fact table dies in the first groupBy);
+    marginals/total are broadcast-size relations; V is one sqrt of an
+    agreed integer ratio, round-9. One fact scan, one shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("r"), F.col("l_linestatus").alias("c")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    marg_r = obs.groupBy("r").agg(F.sum("o").cast("bigint").alias("nr"))
+    marg_c = obs.groupBy("c").agg(F.sum("o").cast("bigint").alias("nc"))
+    tot = obs.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("r").cast("bigint").alias("nrow"),
+        F.countDistinct("c").cast("bigint").alias("ncol"),
+    )
+    expected = F.col("nr") * F.col("nc") / (1.0 * F.col("n"))
+    chi_q = F.floor(
+        F.pow(F.col("o") - expected, 2) / expected * CRAMER_SCALE + 0.5
+    ).cast("bigint")
+    cells = (
+        obs.join(F.broadcast(marg_r), "r")
+        .join(F.broadcast(marg_c), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(chi_q.alias("chi_q"), "n", "nrow", "ncol")
+    )
+    return cells.groupBy("n", "nrow", "ncol").agg(
+        F.sum("chi_q").cast("bigint").alias("chi2_q"),
+        F.round(
+            F.sqrt(
+                F.sum("chi_q")
+                / float(CRAMER_SCALE)
+                / (F.col("n") * F.least(F.col("nrow") - 1, F.col("ncol") - 1))
+            ),
+            9,
+        ).alias("cramers_v"),
+    )
