@@ -11,6 +11,8 @@ move is bucketing both tables on the key at write time (see
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+import tempfile
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2743,3 +2745,77 @@ def join_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("n_pairs"), "relation")
     )
+
+
+DPP_ERA_SPLIT = 1997
+DPP_DIM_YEARS = (1990, 2005)  # half-open
+
+
+@op(
+    "join_dynamic_partition_pruning",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty_c
+    FROM lineitem
+    WHERE year(l_shipdate) >= {DPP_ERA_SPLIT}
+      AND year(l_shipdate) < {DPP_DIM_YEARS[1]}
+    GROUP BY 1 ORDER BY 1
+    """,
+    category=CAT,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP, Spark 3.0+): the fact table is
+    laid out partitioned by ship_year, the era dim is filtered at
+    RUNTIME, and Catalyst injects a subquery-broadcast partition filter
+    into the fact SCAN — only the matching year directories are ever
+    read. This is THE access-path feature for star joins on a
+    partitioned 100 TB lake: the static-pruning op
+    (scan_partitioned_pruned) needs the literal in the query; DPP
+    covers the real case where the partition set comes out of a dim
+    filter the planner can't see statically.
+
+    The op ASSERTS `dynamicpruning` is present in the executed plan —
+    if a refactor or conf change silently degrades to a full scan, the
+    op fails rather than quietly reading everything. Gate-caught
+    nuance baked in: DPP's `isLikelySelective` heuristic does NOT
+    treat a bare boolean attribute filter as selective — the dim
+    filter must be a comparison (era = 'recent'), which is why the
+    dim carries a string era column rather than a boolean flag.
+    Quantities per-row cents-quantized (§2.X); result is the same
+    relation as a static year filter, which is the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", F.year("l_shipdate").alias("ship_year")
+    )
+    fact_dir = tempfile.mkdtemp(prefix="igis-dpp-fact-")
+    li.write.partitionBy("ship_year").parquet(fact_dir, mode="overwrite")
+    dim_dir = tempfile.mkdtemp(prefix="igis-dpp-dim-")
+    spark.createDataFrame(
+        [
+            (y, "recent" if y >= DPP_ERA_SPLIT else "old")
+            for y in range(*DPP_DIM_YEARS)
+        ],
+        "ship_year int, era string",
+    ).write.parquet(dim_dir, mode="overwrite")
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("era") == "recent")
+    joined = (
+        fact.join(dim, "ship_year")
+        .groupBy("ship_year")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("qty_c"),
+        )
+        .orderBy("ship_year")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "dynamic partition pruning did not engage - the fact scan would "
+        "read every partition"
+    )
+    return joined
