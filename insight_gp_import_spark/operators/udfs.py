@@ -346,3 +346,54 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             frame_sum("cents").over(w) * 1.0 / F.count("*").over(w) / 100.0, 6
         ).alias("rolling_avg"),
     )
+
+
+@op(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY event_type
+    """,
+    category=CAT,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the ZERO-COPY corner of the §2.I surface: the
+    Python function receives raw ``pyarrow.RecordBatch``es and returns
+    RecordBatches, with no Arrow→pandas conversion on either side
+    (udf_pandas pays that conversion both ways; for wide batches the
+    pandas materialization is the dominant cost and mapInArrow is the
+    escape hatch — it is also the integration point for any
+    Arrow-native library: polars, duckdb-wasm-style kernels, custom C
+    extensions).
+
+    The demo transform quantizes value to integer cents using
+    pyarrow.compute kernels (vectorized C++, no Python per-row work),
+    and the result is rolled up per event type JVM-side — so the
+    oracle is the plain quantized aggregate and any batch dropped,
+    duplicated or mis-cast by the Arrow hop hash-fails. floor(x·100
+    + 0.5) in pc kernels matches the engines' float semantics (same
+    IEEE doubles in, same out).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def quantize(batches):
+        for b in batches:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_type"), cents], names=["event_type", "cents"]
+            )
+
+    mapped = ev.mapInArrow(quantize, "event_type string, cents long")
+    return mapped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
