@@ -1634,3 +1634,82 @@ def win_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+MILESTONE_NS = (2, 3, 5)
+
+
+@op(
+    "win_time_to_nth_purchase",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    firsts AS (SELECT o_custkey, o_orderdate AS d1 FROM seq WHERE rn = 1),
+    nth AS (
+      SELECT s.rn AS n, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(date_diff('day', f.d1, s.o_orderdate)) AS BIGINT)
+                 AS sum_days,
+             CAST(max(date_diff('day', f.d1, s.o_orderdate)) AS BIGINT)
+                 AS max_days
+      FROM seq s JOIN firsts f USING (o_custkey)
+      WHERE s.rn IN {MILESTONE_NS} GROUP BY 1)
+    SELECT n, n_users, sum_days, max_days,
+           round(sum_days * 1.0 / n_users, 9) AS avg_days
+    FROM nth ORDER BY n
+    """,
+    category=CAT,
+)
+def win_time_to_nth_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-Nth-purchase milestones (N ∈ {MILESTONE_NS}): how many
+    customers ever reach their 2nd/3rd/5th order and how long it takes
+    from the first — the 'aha-moment' habit-formation metric growth
+    teams steer by (retention cohorts measure WHETHER users return;
+    this measures the VELOCITY of repeat behavior, which is what
+    lifecycle-marketing timing is tuned against).
+
+    One row_number window per customer (total order via date +
+    orderkey) serves every milestone — rank once, filter thrice; the
+    first-order date joins back by customer key (broadcast-size per
+    group, equi-join, no second window). Day gaps are exact integers;
+    the only float is the per-milestone average, one rounded division
+    of two agreed BIGINTs. At 100 TB the window partitions by
+    customer — the natural key the orders feed is already distributed
+    by.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    firsts = seq.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    gaps = (
+        seq.filter(F.col("rn").isin(*MILESTONE_NS))
+        .join(firsts, "o_custkey")
+        .select(
+            F.col("rn").alias("n"),
+            F.datediff(F.col("o_orderdate"), F.col("d1")).alias("days"),
+        )
+    )
+    return (
+        gaps.groupBy("n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("days").cast("bigint").alias("sum_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+        )
+        .select(
+            "n",
+            "n_users",
+            "sum_days",
+            "max_days",
+            F.round(F.col("sum_days") * 1.0 / F.col("n_users"), 9).alias(
+                "avg_days"
+            ),
+        )
+        .orderBy("n")
+    )
