@@ -1625,3 +1625,88 @@ def embed_prototype_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rank")
     )
+
+
+DIMVAR_TOP_K = 16
+
+
+@op(
+    "embed_dims_variance_ranking",
+    oracle=f"""
+    WITH comp AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                          * {CENTROID_Q_SCALE} + 0.5) AS BIGINT) AS qv
+        FROM embeddings),
+    m AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qv) AS BIGINT) AS s,
+               CAST(sum(qv * qv) AS BIGINT) AS ss
+        FROM comp GROUP BY 1),
+    v AS (SELECT dim, n, CAST(n * ss - s * s AS BIGINT) AS var_num FROM m)
+    SELECT CAST(dim AS BIGINT) AS dim, var_num,
+           round(var_num / (1.0 * n * n)
+                 / {CENTROID_Q_SCALE * CENTROID_Q_SCALE}.0, 9) AS variance,
+           CAST(row_number() OVER (ORDER BY var_num DESC, dim) AS BIGINT)
+               AS var_rank
+    FROM v ORDER BY var_rank LIMIT {DIMVAR_TOP_K}
+    """,
+    category=CAT,
+)
+def embed_dims_variance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION variance ranking of the embedding space — which
+    coordinates carry signal. This is the measurement behind every
+    truncation decision the embed family acts on:
+    embed_truncate_renorm / matryoshka assume the PREFIX dims matter
+    most; this table says whether that holds for a given model (if
+    high-variance dims scatter across the index, prefix truncation is
+    the wrong compression and dimension SELECTION beats it).
+
+    Exact integer statistics: components quantized once (scale
+    {CENTROID_Q_SCALE}), per-dim variance numerator n·Σq² − (Σq)² is
+    an exact BIGINT identity — no float mean ever subtracted (the
+    numerically-dumb-but-quantized-exact formulation; bound audited:
+    n·Σq² ≈ 4·10¹⁵ at sf0.1, widen the quantization scale down before
+    2⁶³ ever nears). The ranking window is over the 64-row per-dim
+    aggregate — bounded by SCHEMA WIDTH, not data, so the
+    single-partition rank is O(dims) by construction (the §2.X plan
+    rule bans data-sized global windows, not schema-sized ones).
+    Variance display = one rounded division of agreed integers.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * CENTROID_Q_SCALE + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    m = comp.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("ss"),
+    )
+    v = m.select(
+        "dim",
+        "n",
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("bigint")
+        .alias("var_num"),
+    )
+    w = Window.orderBy(F.desc("var_num"), "dim")  # 64-row relation
+    return (
+        v.select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "var_num",
+            F.round(
+                F.col("var_num")
+                / (1.0 * F.col("n") * F.col("n"))
+                / float(CENTROID_Q_SCALE) ** 2,
+                9,
+            ).alias("variance"),
+            F.row_number().over(w).cast("bigint").alias("var_rank"),
+        )
+        .orderBy("var_rank")
+        .limit(DIMVAR_TOP_K)
+    )
