@@ -2237,3 +2237,50 @@ def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("generation")
     )
+
+
+MCSV_ROWS = 12
+MCSV_SEP = "||"
+
+
+@op(
+    "scan_csv_multichar_delimiter",
+    oracle=f"""
+    SELECT CAST(r.range AS BIGINT) AS id,
+           'desc_' || r.range || ', with | pipe' AS description,
+           CAST(r.range * 7 AS BIGINT) AS qty
+    FROM range({MCSV_ROWS}) r
+    """,
+    category=CAT,
+)
+def scan_csv_multichar_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-character delimiter CSV read (``sep='||'``, Spark 3.0+,
+    SPARK-24540): the export format legacy feeds actually use when
+    their text values contain commas AND single pipes — a single-char
+    separator would shred the description field here, which is exactly
+    what the fixture proves (every value embeds ', with | pipe': both
+    a comma and a LONE pipe, so only the true two-char separator
+    parses the row at the right arity).
+
+    Closed-form fixture law like the other scan fixtures: the parse
+    must reproduce the generator relation exactly — a reader that
+    split on single '|', trimmed the embedded comma, or dropped a row
+    hash-fails. Schema is explicit (inference over exotic delimiters
+    is the classic silent-string-everything trap, documented).
+    """
+    tmp = tempfile.mkdtemp(prefix="igis-mcsv-")
+    path = os.path.join(tmp, "export.csv")
+    lines = [
+        MCSV_SEP.join([str(i), f"desc_{i}, with | pipe", str(i * 7)])
+        for i in range(MCSV_ROWS)
+    ]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+    return spark.read.csv(path, schema=schema, sep=MCSV_SEP)
