@@ -3534,3 +3534,92 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hq").cast("double") / 1e9 / float(SPECENT_LN_K), 9
         ).alias("spectral_entropy_norm"),
     )
+
+
+@op(
+    "agg_session_bounce_rate",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ordered
+    ), numbered AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS sid
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY 1, 2
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess)
+    SELECT CAST(count(*) FILTER (n_events = 1) AS BIGINT) AS bounced,
+           t.n_sessions,
+           CAST(count(*) FILTER (n_events = 1) * 1000000 // t.n_sessions
+                AS BIGINT) AS bounce_ppm,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM sess CROSS JOIN tot t GROUP BY t.n_sessions
+    """,
+    category="aggregation",
+)
+def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over gap-sessionized events: the share of sessions
+    containing exactly ONE event — the engagement-quality headline
+    sitting one aggregation above sessionize_gap (which emits the
+    sessions; this judges them). 95% single-event sessions at both SFs
+    is itself the reading: this event stream is ping-like, and any
+    funnel math over 'sessions' here is really counting solo events —
+    the kind of corpus fact a growth report must state before quoting
+    per-session metrics.
+
+    Same lag→flag→running-sum sessionization as sessionize_gap (one
+    user_id shuffle serves both windows and the session rollup);
+    bounce share in integer ppm via `div` against the broadcast
+    session total — counts exact, no float anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    numbered = flagged.select(
+        "user_id", F.sum("new_s").over(w2).alias("sid")
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    tot = sess.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    return (
+        sess.crossJoin(F.broadcast(tot))
+        .groupBy("n_sessions")
+        .agg(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("bounced"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+        )
+        .select(
+            "bounced",
+            "n_sessions",
+            F.expr("bounced * 1000000 div n_sessions")
+            .cast("bigint")
+            .alias("bounce_ppm"),
+            "max_session_events",
+        )
+    )
