@@ -2526,3 +2526,92 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("jsd_micronats"),
     )
+
+
+BIGRAM_LP_SCALE = 10**6
+BIGRAM_SURPRISE_Q = -45000  # avg logprob threshold in 1e-4 units
+
+
+@op(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH comp AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS i, unnest(arr) AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+    ), big AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM comp a JOIN comp b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ), freq2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY 1, 2
+    ), ctx AS (
+        SELECT w1, CAST(sum(n) AS BIGINT) AS ndot FROM freq2 GROUP BY 1
+    ), scored AS (
+        SELECT g.doc_id,
+               CAST(floor(ln(CAST(f.n AS DOUBLE) / c.ndot)
+                          * {BIGRAM_LP_SCALE} + 0.5) AS BIGINT) AS lpq
+        FROM big g JOIN freq2 f USING (w1, w2) JOIN ctx c USING (w1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(floor(sum(lpq) * 10000.0
+                / ({BIGRAM_LP_SCALE} * count(*)) + 0.5) AS BIGINT) / 10000.0
+               AS avg_logprob,
+           (CAST(floor(sum(lpq) * 10000.0
+                 / ({BIGRAM_LP_SCALE} * count(*)) + 0.5) AS BIGINT)
+            < {BIGRAM_SURPRISE_Q}) AS is_surprising
+    FROM scored GROUP BY doc_id
+    """,
+    category=CAT,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average BIGRAM log-probability under the corpus's own
+    MLE bigram model P(w₂|w₁) = c(w₁w₂)/c(w₁·) — the context-sensitive
+    upgrade of text_unigram_logprob (which scores words in isolation:
+    a doc of common words in an uncommon ORDER looks fine to the
+    unigram scorer and surprising here; exactly the scrambled-text /
+    template-spam signature curation filters want).
+
+    Bigrams are built IN THE SCAN STAGE as an index-aware array
+    transform (element i paired with element i+1 — no positional
+    self-join on the Spark side; the oracle uses the join formulation
+    deliberately as an independent plan computing the same relation).
+    Model counts are corpus aggregates joined back by (w1,w2)/(w1);
+    each bigram's ln P is per-row micro-quantized BEFORE the per-doc
+    sum (§2.X — the cross-row float fold never exists), and the
+    per-doc average is one rounded division of agreed integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (x, i) -> struct(x AS w1, split(text, ' ')[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    freq2 = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n"))
+    ctx = freq2.groupBy("w1").agg(F.sum("n").cast("bigint").alias("ndot"))
+    scored = (
+        big.join(F.broadcast(freq2), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.col("n").cast("double") / F.col("ndot"))
+                * BIGRAM_LP_SCALE
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lpq"),
+        )
+    )
+    # round() half-ties diverge across engines (§2.X) — the average is
+    # floor-quantized to 1e-4 units as an integer, then displayed
+    avg_q = F.floor(
+        F.sum("lpq") * 10000.0 / (BIGRAM_LP_SCALE * F.count("*")) + 0.5
+    ).cast("bigint")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (avg_q / 10000.0).alias("avg_logprob"),
+        (avg_q < BIGRAM_SURPRISE_Q).alias("is_surprising"),
+    )
