@@ -188,3 +188,32 @@ def test_lsh_codes_are_integer_exact(spark):
             if sum(a * c for a, c in zip(qq, planes[t * td.LSH_BITS + b])) > 0
         )
         assert row[f"lsh_code{t}"] == code, t
+
+
+def test_timezone_histograms_conserve_events(spark):
+    """Every event lands in exactly one local-hour bucket per zone —
+    a tzdata or conversion bug would lose or double-count rows."""
+    rows = OPS["fn_timezone_convert"].fn(spark, SF01).collect()
+    n_events = load_table(spark, SF01, "events").count()
+    per_zone = {}
+    for r in rows:
+        per_zone[r["zone"]] = per_zone.get(r["zone"], 0) + r["n"]
+    assert set(per_zone) == {"Asia/Tokyo", "America/New_York", "Europe/Berlin"}
+    assert all(v == n_events for v in per_zone.values()), per_zone
+
+
+def test_bigram_counts_are_tokens_minus_one(spark):
+    """A doc with T tokens has exactly T-1 bigrams — shredded or
+    duplicated pairs break the law."""
+    out = {r["doc_id"]: r["n_bigrams"]
+           for r in OPS["text_bigram_logprob"].fn(spark, SF01)
+           .filter("doc_id < 20").collect()}
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, SF01, "documents")
+        .filter("doc_id < 20")
+        .select("doc_id", F.size(F.split("text", " ")).alias("t"))
+        .collect()
+    }
+    for d, t in toks.items():
+        assert out[d] == t - 1, (d, t, out[d])
