@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table
 
 CAT = "aggregation"
@@ -6516,7 +6516,8 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
-    ).persist()  # reused by tot/seg/within/overall: one fact scan, not four
+    )
+    x = tracked_persist(x)  # reused by tot/seg/within/overall: one fact scan, not four
     tot = x.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("s"),

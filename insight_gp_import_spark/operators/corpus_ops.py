@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table
 
 CAT = "training-corpus"
@@ -1951,7 +1951,8 @@ def corpus_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(array_distinct(split(text, ' '))) * 1000"
             " div size(split(text, ' '))"
         ).alias("lexdiv_ppk"),
-    ).persist()
+    )
+    base = tracked_persist(base)
     g1 = base.filter(F.col("lang").isin(*FUNNEL_LANGS))
     g2 = g1.filter(F.col("n_chars").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS))
     g3 = g2.filter(F.col("lexdiv_ppk") >= FUNNEL_MIN_LEXDIV_PPK)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table
 
 CAT = "graph"
@@ -1145,10 +1145,10 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    e = (
+    e = tracked_persist(
+        # every superstep re-joins e: materialize the dedup once
         li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
-        .persist()  # every superstep re-joins e: materialize the dedup once
     )
 
     def normalize(scores: DataFrame, col: str) -> DataFrame:

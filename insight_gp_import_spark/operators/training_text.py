@@ -2591,9 +2591,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     freq2 = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n"))
     ctx = freq2.groupBy("w1").agg(F.sum("n").cast("bigint").alias("ndot"))
+    # No broadcast hints here: the bigram vocabulary grows ~linearly
+    # with corpus tokens, so forcing freq2/ctx driver-side would OOM at
+    # large SF. AQE picks broadcast when the model fits and a shuffle
+    # join (co-partitioned on w1) when it doesn't.
     scored = (
-        big.join(F.broadcast(freq2), ["w1", "w2"])
-        .join(F.broadcast(ctx), "w1")
+        big.join(freq2, ["w1", "w2"])
+        .join(ctx, "w1")
         .select(
             "doc_id",
             F.floor(

@@ -90,11 +90,29 @@ def read_jdbc_partitioned(
     )
 
 
-def _run_statements(spark, url: str, statements: list[str]) -> None:
+def _get_connection(spark, cfg: "JdbcSinkConfig"):
+    """Raw JDBC connection that honors cfg credentials. The stage write
+    goes through df.write.jdbc (which passes properties), so the DDL
+    helpers must too — user/password/driver in cfg.properties would
+    otherwise be silently dropped and the swap would fail auth on any
+    credentialed server (the actual Greenplum/Postgres target)."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in cfg.jdbc_properties().items():
+        props.setProperty(k, v)
+    driver = cfg.properties.get("driver")
+    if driver:
+        # Ensure the driver class registers with DriverManager even when
+        # only Spark's isolated classloader has seen the jar so far.
+        jvm.java.lang.Class.forName(driver)
+    return jvm.java.sql.DriverManager.getConnection(cfg.url, props)
+
+
+def _run_statements(spark, cfg: "JdbcSinkConfig", statements: list[str]) -> None:
     """Execute DDL over a raw JDBC connection in ONE transaction (both
     Derby and Greenplum/Postgres support transactional DDL, so the
     swap below is all-or-nothing)."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    conn = _get_connection(spark, cfg)
     try:
         conn.setAutoCommit(False)
         st = conn.createStatement()
@@ -105,15 +123,31 @@ def _run_statements(spark, url: str, statements: list[str]) -> None:
         conn.close()
 
 
-def _table_exists(spark, url: str, table: str) -> bool:
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+def _table_exists(spark, cfg: "JdbcSinkConfig", table: str) -> bool:
+    conn = _get_connection(spark, cfg)
     try:
-        rs = conn.getMetaData().getTables(None, None, table.upper(), None)
-        if rs.next():
-            return True
-        # case-sensitive dialects (Postgres/GP fold to lower)
-        rs = conn.getMetaData().getTables(None, None, table.lower(), None)
-        return bool(rs.next())
+        md = conn.getMetaData()
+        # getTables takes a LIKE pattern: '_'/'%' are wildcards, so e.g.
+        # 'live_batch' would otherwise match 'liveXbatch' and the false
+        # positive would emit DROP TABLE for a non-existent table,
+        # aborting the swap. Escape when the dialect supports it, but
+        # some (Derby: getSearchStringEscape() == "") don't — so always
+        # re-check each candidate's TABLE_NAME against the literal name.
+        esc = md.getSearchStringEscape()
+        pat = table
+        if esc:
+            pat = (
+                table.replace(esc, esc + esc)
+                .replace("_", esc + "_")
+                .replace("%", esc + "%")
+            )
+        # upper for folding dialects (Derby), lower for Postgres/GP.
+        for cand in (pat.upper(), pat.lower()):
+            rs = md.getTables(None, None, cand, None)
+            while rs.next():
+                if rs.getString("TABLE_NAME").lower() == table.lower():
+                    return True
+        return False
     finally:
         conn.close()
 
@@ -148,7 +182,7 @@ def write_jdbc_atomic(spark, df: DataFrame, cfg: JdbcSinkConfig) -> None:
     stage = f"{cfg.table}__stage"
     write_jdbc(df, replace(cfg, table=stage, mode="overwrite"))
     stmts = []
-    if _table_exists(spark, cfg.url, cfg.table):
+    if _table_exists(spark, cfg, cfg.table):
         stmts.append(f"DROP TABLE {cfg.table}")
     stmts.append(_rename_stmt(cfg.url, stage, cfg.table))
-    _run_statements(spark, cfg.url, stmts)
+    _run_statements(spark, cfg, stmts)

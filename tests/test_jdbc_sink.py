@@ -68,7 +68,7 @@ def test_jdbc_round_trip_derby(spark):
 def _read_live(spark, cfg):
     from insight_gp_import_spark.sources.jdbc import _table_exists
 
-    if not _table_exists(spark, cfg.url, cfg.table):
+    if not _table_exists(spark, cfg, cfg.table):
         return None
     return {
         (r.k, r.v)
@@ -76,6 +76,27 @@ def _read_live(spark, cfg):
             url=cfg.url, table=cfg.table, properties=cfg.jdbc_properties()
         ).collect()
     }
+
+
+def test_table_exists_escapes_like_wildcards(spark, tmp_path):
+    """'_' in a table name is a single-char LIKE wildcard in
+    DatabaseMetaData.getTables — unescaped, 'live_batch' would match a
+    table named 'liveXbatch' and the swap would DROP a non-existent
+    table. The helper must escape, so only the literal name matches."""
+    from pyspark.sql import functions as F
+
+    from insight_gp_import_spark.sources import JdbcSinkConfig, write_jdbc
+    from insight_gp_import_spark.sources.jdbc import _table_exists
+
+    cfg = JdbcSinkConfig(
+        url=f"jdbc:derby:{tmp_path}/escdb;create=true",
+        table="liveXbatch",
+        num_partitions=1,
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    write_jdbc(spark.range(3).select(F.col("id").alias("k")), cfg)
+    assert _table_exists(spark, cfg, "liveXbatch")
+    assert not _table_exists(spark, cfg, "live_batch")
 
 
 def test_jdbc_atomic_swap_and_crash_mid_write(spark, tmp_path):

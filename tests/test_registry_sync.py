@@ -54,3 +54,22 @@ def test_driver_order_is_registry_permutation():
     assert not unknown, f"DRIVER_ORDER ids not in registry: {sorted(unknown)}"
     missing = registry_ids - set(DRIVER_ORDER)
     assert not missing, f"registry ops missing from DRIVER_ORDER: {sorted(missing)}"
+
+
+def test_driver_order_matches_generator_check():
+    """ADVICE r4: the DRIVER_ORDER header's GENERATED claim is enforced —
+    rotate_driver_order.py --check must report the committed block is
+    exactly what the generator would write from the current registry +
+    CORRECTNESS_r*.json artifacts (exit 0), so a stale or hand-edited
+    rotation can't pass CI."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "rotate_driver_order.py"), "--check"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
