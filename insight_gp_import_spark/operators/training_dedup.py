@@ -221,37 +221,113 @@ def embed_allpairs_cosine(emb: DataFrame) -> DataFrame:
 N_CENTROIDS = 16
 N_PROBE = 4
 
+IVF_Q_SCALE = 10**6  # per-component quantization — integer-exact dots
+IVF_SIM_SCALE = 10**9  # assignment-similarity quantization (round-9)
 
-def _ivf_assign(emb: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest coarse centroid.
+_IVF_QV_SQL = (
+    "transform(embedding, x -> "
+    f"cast(floor(cast(x as double) * {IVF_Q_SCALE} + 0.5D) as bigint))"
+)
+# (dot/s)*scale evaluated left-to-right: identical double ops in both
+# engines given identical integer inputs (int->double exact < 2^53,
+# *, /, sqrt all correctly rounded IEEE).
+_IVF_SIMQ_SPARK = (
+    "cast(floor(dot / sqrt(cast(nsq as double) * cast(cnsq as double))"
+    f" * {IVF_SIM_SCALE}.0D + 0.5D) as bigint)"
+)
 
-    Centroids here are the first N_CENTROIDS corpus vectors — the
-    deterministic stand-in for an offline k-means (the assignment /
-    probe machinery is identical). Broadcast centroids; one window to
-    pick the argmax-cosine cluster per vector.
+_IVF_ASSIGN_CTE = f"""
+    comp AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {IVF_Q_SCALE}
+                          + 0.5) AS BIGINT) AS qv
+        FROM embeddings
+    ), vnorm AS (
+        SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nsq
+        FROM comp GROUP BY 1
+    ), cdots AS (
+        SELECT v.vec_id, c.vec_id AS centroid_id,
+               CAST(sum(v.qv * c.qv) AS BIGINT) AS dot
+        FROM comp v JOIN comp c ON c.d = v.d AND c.vec_id < {N_CENTROIDS}
+        GROUP BY 1, 2
+    ), csims AS (
+        SELECT t.vec_id, t.centroid_id,
+               CAST(floor(t.dot / sqrt(CAST(nv.nsq AS DOUBLE)
+                                       * CAST(nc.nsq AS DOUBLE))
+                          * {IVF_SIM_SCALE}.0 + 0.5) AS BIGINT) AS simq
+        FROM cdots t
+        JOIN vnorm nv ON nv.vec_id = t.vec_id
+        JOIN vnorm nc ON nc.vec_id = t.centroid_id
+    )"""
+
+ANN_IVF_TOPK_SQL = f"""
+    WITH {_IVF_ASSIGN_CTE},
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY simq DESC, centroid_id) AS rk
+            FROM csims) WHERE rk = 1
+    ), probe AS (
+        SELECT centroid_id FROM csims WHERE vec_id = {QUERY_VEC_ID}
+        ORDER BY simq DESC, centroid_id LIMIT {N_PROBE}
+    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           round(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                      AS DOUBLE), 4) AS sim
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+                 AND a.centroid_id IN (SELECT centroid_id FROM probe)
+    CROSS JOIN q
+    WHERE e.vec_id != {QUERY_VEC_ID}
+    ORDER BY CAST(list_cosine_similarity(e.embedding, q.embedding)
+                  AS DOUBLE) DESC, e.vec_id
+    LIMIT {TOPK}
     """
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+
+
+def _ivf_csims(emb: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, simq): quantized cosine of every vector
+    against every coarse centroid, as an exact BIGINT sort key.
+
+    Centroids are the first N_CENTROIDS corpus vectors — the
+    deterministic stand-in for an offline k-means (the assignment /
+    probe machinery is identical; Lloyd iterations would only move the
+    centroid VALUES). Components are quantized to integers once, so
+    each dot is an exact BIGINT fold whose value cannot depend on
+    summation order, and the one float step (divide by the norm
+    product, scale, floor) maps identical integers through identical
+    IEEE ops in Spark, DuckDB, and driver-side Python — that is what
+    makes bucket assignment oracle-able (round-5 upgrade of the
+    former rows-only float-argmax version).
+
+    Scale shape: the candidate relation carries (vec_id, centroid_id,
+    simq) ONLY — embeddings never fan out 16x; the 16-row centroid
+    side broadcasts.
+    """
+    q = emb.select("vec_id", F.expr(_IVF_QV_SQL).alias("qv")).withColumn(
+        "nsq",
+        F.expr("aggregate(zip_with(qv, qv, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"),
+    )
+    cents = q.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cv"),
-        _norm("embedding").alias("cn"),
+        F.col("qv").alias("cqv"),
+        F.col("nsq").alias("cnsq"),
     )
-    vecs = emb.select(
-        "vec_id", "label", "embedding", _norm("embedding").alias("vn")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "centroid_id")
     return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("csim", _dot("embedding", "cv") / (F.col("vn") * F.col("cn")))
-        .withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "label", "embedding", "vn", "centroid_id")
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(qv, cqv, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"),
+        )
+        .withColumn("simq", F.expr(_IVF_SIMQ_SPARK))
+        .select("vec_id", "centroid_id", "simq")
     )
 
 
-@op("ann_ivf_topk", oracle=None, category=CAT)
+@op("ann_ivf_topk", oracle=ANN_IVF_TOPK_SQL, category=CAT)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest-neighbor top-k (rows-only; the
-    recall-vs-brute-force contract is unit-tested instead of oracled).
+    """IVF-style approximate nearest-neighbor top-k.
 
     Scale path for sim_search_topk: vectors are bucketed by nearest
     coarse centroid (inverted file); the query probes only its
@@ -259,39 +335,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus. At 100 TB the assignment is precomputed at ingest
     and the probe is a partition-pruned scan (bucket = partition key),
     so query cost is independent of corpus size growth across buckets.
+
+    Assignment/probe use integer-quantized similarity (_ivf_csims) so
+    the bucket structure is exactly reproducible in the DuckDB oracle;
+    the FINAL ranking of probed candidates is the raw-float cosine —
+    bit-identical to brute-force sim_search_topk, so probing all
+    centroids provably reproduces exact search (unit-tested).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _ivf_assign(emb)
-    qvec = _fetch_query_vector(sf_dir, QUERY_VEC_ID)
-    qn = sum(x * x for x in qvec) ** 0.5
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cv"),
-        _norm("embedding").alias("cn"),
-    )
+    csims = _ivf_csims(emb)
     probe_ids = [
         r.centroid_id
-        for r in cents.withColumn(
-            "qsim",
-            F.expr(
-                f"aggregate(zip_with(cv, {_lit_vec_sql(qvec)},"
-                " (p, q) -> cast(p as double) * cast(q as double)),"
-                " 0.0D, (acc, v) -> acc + v)"
-            )
-            / (F.col("cn") * F.lit(qn)),
-        )
-        .orderBy(F.desc("qsim"), "centroid_id")
+        for r in csims.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.desc("simq"), "centroid_id")
         .limit(N_PROBE)
         .collect()
     ]
-    sim = F.expr(
-        f"aggregate(zip_with(embedding, {_lit_vec_sql(qvec)},"
-        " (p, q) -> cast(p as double) * cast(q as double)),"
-        " 0.0D, (acc, v) -> acc + v)"
-    ) / (F.col("vn") * F.lit(qn))
-    return (
-        assigned.filter(F.col("centroid_id").isin(probe_ids))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("simq"), "centroid_id")
+    cand_ids = (
+        csims.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .filter(F.col("centroid_id").isin(probe_ids))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    qvec = _fetch_query_vector(sf_dir, QUERY_VEC_ID)
+    qn = sum(x * x for x in qvec) ** 0.5
+    sim = F.expr(
+        f"{_dot_sql('embedding', _lit_vec_sql(qvec))}"
+        f" / (sqrt({_dot_sql('embedding', 'embedding')}) * {qn!r}D)"
+    )
+    return (
+        emb.join(cand_ids, "vec_id")
         .withColumn("raw_sim", sim)
         .orderBy(F.desc("raw_sim"), "vec_id")
         .limit(TOPK)
