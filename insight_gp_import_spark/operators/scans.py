@@ -931,23 +931,71 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@op("sink_parquet_zorder", oracle=None, category=CAT)
+ZORDER_FILES = 16  # 4 z-bits -> 2 bits per dimension -> 4x4 rectangles
+
+ZORDER_SQL = f"""
+    WITH b AS (
+        SELECT CAST(min(l_partkey) AS BIGINT) AS mnx,
+               CAST(max(l_partkey) AS BIGINT) AS mxx,
+               CAST(min(l_suppkey) AS BIGINT) AS mny,
+               CAST(max(l_suppkey) AS BIGINT) AS mxy
+        FROM lineitem
+    ), src AS (
+        SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+               mnx, mxx, mny, mxy FROM lineitem CROSS JOIN b
+    ), coords AS (
+        SELECT pk, sk, mnx, mxx, mny, mxy,
+               (pk - mnx) * 4 // (mxx - mnx + 1) AS xb,
+               (sk - mny) * 4 // (mxy - mny + 1) AS yb
+        FROM src
+    ), tagged AS (
+        SELECT 'zorder' AS layout,
+               (yb // 2) % 2 * 8 + (xb // 2) % 2 * 4 + yb % 2 * 2 + xb % 2
+                   AS bucket,
+               pk, sk, mnx, mxx, mny, mxy
+        FROM coords
+        UNION ALL
+        SELECT 'linear' AS layout,
+               (pk - mnx) * {ZORDER_FILES} // (mxx - mnx + 1) AS bucket,
+               pk, sk, mnx, mxx, mny, mxy
+        FROM src
+    )
+    SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST((max(pk) - min(pk)) * 10000
+                // greatest(max(mxx) - max(mnx), 1) AS BIGINT)
+               AS width_partkey_bp,
+           CAST((max(sk) - min(sk)) * 10000
+                // greatest(max(mxy) - max(mny), 1) AS BIGINT)
+               AS width_suppkey_bp
+    FROM tagged GROUP BY 1, 2
+    """
+
+
+@op("sink_parquet_zorder", oracle=ZORDER_SQL, category=CAT)
 def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order-clustered parquet layout: interleave the bits of TWO
-    filter columns (l_partkey, l_suppkey) into one Morton key, range-
-    partition + sort on it, and every file becomes a small rectangle in
-    (partkey, suppkey) space — parquet footer min/max stats then prune
-    files for predicates on EITHER column. A plain sort clusters one
-    column and leaves the other spread across the full domain in every
-    file (no skipping possible); that contrast is measured below, not
-    assumed. This is the layout play for 100 TB point/range lookups on
-    two keys with ONE copy of the data: the z-key is a scan-stage
-    projection, the only exchange is the same repartitionByRange a
-    single-column sorted sink needs.
+    filter columns (l_partkey, l_suppkey) into one Morton key, cluster
+    files by its top bits and sort within each file by the full key —
+    every file becomes a small rectangle in (partkey, suppkey) space,
+    so parquet footer min/max stats prune files for predicates on
+    EITHER column. A plain sort clusters one column and leaves the
+    other spread across the full domain in every file (no skipping
+    possible); that contrast is measured below, not assumed.
 
-    Rows-only (fs layout): returns per-dimension mean file-range widths
-    (fraction of domain) for the z-order layout vs a single-column-sort
-    baseline, plus round-trip row counts.
+    Oracled (round 5; previously rows-only): file boundaries are the
+    EXPLICIT top-4 Morton bits — pure integer expressions of the
+    integer key bounds — instead of repartitionByRange's sampled
+    boundaries, so the file->rowset mapping is a deterministic
+    function of the data. The op measures (rows, min/max per
+    dimension) from the files it actually WROTE (read-back scan); the
+    oracle recomputes the same stats from the source relation. Hash
+    equality therefore proves the sink placed exactly the right rows
+    in every file — the footer-stats skipping law, not just a row
+    count. Scale: the z-key/bucket are scan-stage projections and the
+    only exchange is one hash repartition on the bucket id (same cost
+    as any clustered sink); with skewed keys you'd deepen the bucket
+    bits or split hot buckets — boundaries stay explicit either way.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
@@ -958,14 +1006,11 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey"), F.max("l_suppkey"),
     ).collect()[0]
     mnx, mxx, mny, mxy = int(b[0]), int(b[1]), int(b[2]), int(b[3])
-
-    def scale16(c, mn, mx):  # map to [0, 65535]
-        return F.least(
-            F.lit(65535),
-            ((c - F.lit(mn)).cast("long") * 65535 / F.lit(max(mx - mn, 1))).cast("int"),
-        )
-
-    xb, yb = scale16(F.col("l_partkey"), mnx, mxx), scale16(F.col("l_suppkey"), mny, mxy)
+    dx, dy = mxx - mnx + 1, mxy - mny + 1
+    # 16-bit coords via integer div: xb>>14 provably equals the oracle's
+    # 2-bit coord ((a div b) div c == a div (b*c) for positive ints).
+    xb = F.expr(f"((cast(l_partkey as bigint) - {mnx}) * 65536) div {dx}")
+    yb = F.expr(f"((cast(l_suppkey as bigint) - {mny}) * 65536) div {dy}")
     z = F.lit(0).cast("long")
     for i in range(16):  # Morton interleave, pure JVM bit math
         z = z.bitwiseOR(
@@ -973,49 +1018,40 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).bitwiseOR(
             F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
         )
-    n_files = 16
 
-    def file_widths(df: DataFrame, out: str) -> DataFrame:
-        back = spark.read.parquet(out).withColumn(
-            "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    def write_and_measure(df: DataFrame, bucket, order_cols, out: str, layout: str) -> DataFrame:
+        (
+            df.withColumn("bucket", bucket.cast("long"))
+            .repartition(ZORDER_FILES, "bucket")
+            .sortWithinPartitions("bucket", *order_cols)
+            .select("l_orderkey", "l_partkey", "l_suppkey", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
         )
-        return back.groupBy("file").agg(
-            ((F.max("l_partkey") - F.min("l_partkey")) / F.lit(max(mxx - mnx, 1))).alias("wx"),
-            ((F.max("l_suppkey") - F.min("l_suppkey")) / F.lit(max(mxy - mny, 1))).alias("wy"),
-            F.count("*").alias("n"),
-        )
+        back = spark.read.parquet(out)
+        return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr(
+                "(cast(max(l_partkey) as bigint) - min(l_partkey)) * 10000"
+                f" div {max(mxx - mnx, 1)}"
+            ).alias("width_partkey_bp"),
+            F.expr(
+                "(cast(max(l_suppkey) as bigint) - min(l_suppkey)) * 10000"
+                f" div {max(mxy - mny, 1)}"
+            ).alias("width_suppkey_bp"),
+        ).select(F.lit(layout).alias("layout"), "*")
 
     out_z = tempfile.mkdtemp(prefix="igis-zorder-")
-    (
-        li.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite").parquet(out_z)
+    zstats = write_and_measure(
+        li.withColumn("__z", z), F.shiftright(F.col("__z"), 28), ["__z"], out_z, "zorder"
+    )
+    lbucket = F.expr(
+        f"((cast(l_partkey as bigint) - {mnx}) * {ZORDER_FILES}) div {dx}"
     )
     out_lin = tempfile.mkdtemp(prefix="igis-linsort-")
-    (
-        li.repartitionByRange(n_files, "l_partkey")
-        .sortWithinPartitions("l_partkey")
-        .write.mode("overwrite").parquet(out_lin)
-    )
-    wz = file_widths(li, out_z).agg(
-        F.avg("wx").alias("z_wx"), F.avg("wy").alias("z_wy"),
-        F.sum("n").alias("rows_z"), F.count("*").alias("files_z"),
-    ).collect()[0]
-    wl = file_widths(li, out_lin).agg(
-        F.avg("wx").alias("l_wx"), F.avg("wy").alias("l_wy")
-    ).collect()[0]
-    return spark.createDataFrame(
-        [(
-            int(wz["files_z"]), int(wz["rows_z"]), int(li.count()),
-            round(float(wz["z_wx"]), 4), round(float(wz["z_wy"]), 4),
-            round(float(wl["l_wx"]), 4), round(float(wl["l_wy"]), 4),
-        )],
-        "n_files int, rows_written long, rows_source long, "
-        "zorder_width_partkey double, zorder_width_suppkey double, "
-        "linear_width_partkey double, linear_width_suppkey double",
-    )
+    lstats = write_and_measure(li, lbucket, ["l_partkey"], out_lin, "linear")
+    return zstats.unionByName(lstats)
 
 
 @op(

@@ -126,11 +126,17 @@ def test_zorder_sink_clusters_both_dims(spark):
     """Z-order layout: every file covers a small rectangle in
     (partkey, suppkey) space — both dims prunable; a single-column
     sort leaves the second dim spread across the full domain."""
-    r = OPS["sink_parquet_zorder"].fn(spark, SF).collect()[0]
-    assert r.rows_written == r.rows_source
-    assert r.zorder_width_partkey < 0.6
-    assert r.zorder_width_suppkey < 0.6
-    assert r.linear_width_suppkey > 0.9  # the contrast z-order removes
+    rows = OPS["sink_parquet_zorder"].fn(spark, SF).collect()
+    z = [r for r in rows if r.layout == "zorder"]
+    lin = [r for r in rows if r.layout == "linear"]
+    assert z and lin
+    # every row of the source lands in exactly one file of each layout
+    assert sum(r.n_rows for r in z) == sum(r.n_rows for r in lin)
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    # top-4 Morton bits = 4x4 grid: ~2500bp rectangles (+1 discretization)
+    assert mean([r.width_partkey_bp for r in z]) < 6000
+    assert mean([r.width_suppkey_bp for r in z]) < 6000
+    assert mean([r.width_suppkey_bp for r in lin]) > 9000  # the contrast
 
 
 def test_hll_partial_merge_invariants(spark):
