@@ -15,12 +15,35 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import hashlib
+import json
 import math
+import os
 from dataclasses import dataclass
 
 import duckdb
 
 from insight_gp_import_spark.tables import TABLES
+
+# Certified oracle outputs (tools/certify_oracle.py): for oracles too
+# slow to re-run every sweep (~1 h DuckDB recursive CTEs at sf0.1),
+# compare() checks the Spark side against a committed digest of the
+# oracle's normalized output instead of re-executing the SQL. The
+# certificate is keyed by sha256 of the oracle text — any edit to the
+# SQL invalidates it and compare() falls back to the live oracle.
+_CERT_PATH = os.path.join(os.path.dirname(__file__), "certified_oracles.json")
+_CERTS: dict | None = None
+
+
+def _certificates() -> dict:
+    global _CERTS
+    if _CERTS is None:
+        try:
+            with open(_CERT_PATH) as f:
+                _CERTS = json.load(f)
+        except FileNotFoundError:
+            _CERTS = {}
+    return _CERTS
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -144,11 +167,37 @@ class ParityResult:
     detail: str = ""
 
 
+def _compare_certified(name: str, cert: dict, s_cols, s_types, s_rows) -> ParityResult:
+    sc, sr = normalize(s_cols, s_rows)
+    if sc != cert["cols"]:
+        return ParityResult(
+            name, False, f"schema mismatch vs certificate: spark={sc} cert={cert['cols']}"
+        )
+    s_fams = [type_family(s_types[c]) for c in sc]
+    if s_fams != cert["type_families"]:
+        return ParityResult(
+            name, False,
+            f"declared-type mismatch vs certificate: spark={s_fams} "
+            f"cert={cert['type_families']}",
+        )
+    if len(sr) != cert["rows"]:
+        return ParityResult(
+            name, False, f"row-count mismatch: spark={len(sr)} cert={cert['rows']}"
+        )
+    payload = repr((sc, cert["type_families"], sr)).encode()
+    if hashlib.sha256(payload).hexdigest() != cert["sha256"]:
+        return ParityResult(name, False, "value-hash mismatch vs certificate")
+    return ParityResult(name, True, f"{len(sr)} rows (certified oracle)")
+
+
 def compare(name: str, spark_df, oracle: str, sf_dir: str) -> ParityResult:
     """Run the Spark DataFrame and the DuckDB oracle; compare like the driver."""
     s_cols = spark_df.columns
     s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
     s_rows = [tuple(r) for r in spark_df.collect()]
+    cert = _certificates().get(name, {}).get(os.path.basename(sf_dir.rstrip("/")))
+    if cert and cert["sql_sha256"] == hashlib.sha256(oracle.encode()).hexdigest():
+        return _compare_certified(name, cert, s_cols, s_types, s_rows)
     con = duckdb_connect(sf_dir)
     try:
         d_types = declared_types(con, oracle)

@@ -1,0 +1,77 @@
+"""Certified-oracle mechanism (round-4 verdict item 5): slow DuckDB
+oracles (~1 h recursive CTEs at sf0.1) are run once by
+tools/certify_oracle.py and their normalized-output digest committed;
+compare() checks Spark against the digest instead of re-running the
+SQL. These tests pin the trust chain:
+
+- a committed certificate can never outlive an edited oracle
+  (sql_sha256 must match the registry's CURRENT oracle text);
+- the certificate fast path accepts exactly what the live comparison
+  accepts and rejects value changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+CERT_PATH = REPO / "insight_gp_import_spark" / "certified_oracles.json"
+SF = "/root/testdata/sf0.001"
+
+
+def _registry():
+    from insight_gp_import_spark.registry import REGISTRY, load_all_ops
+
+    load_all_ops()
+    return REGISTRY
+
+
+def test_certificates_match_current_oracle_sql():
+    if not CERT_PATH.exists():
+        return
+    reg = _registry()
+    certs = json.loads(CERT_PATH.read_text())
+    for op_name, by_sf in certs.items():
+        assert op_name in reg, f"certificate for unknown op {op_name}"
+        want = hashlib.sha256(reg[op_name].oracle.encode()).hexdigest()
+        for sf, cert in by_sf.items():
+            assert cert["sql_sha256"] == want, (
+                f"{op_name}@{sf}: certificate is STALE (oracle SQL changed; "
+                f"re-run tools/certify_oracle.py {op_name})"
+            )
+            assert cert["rows"] >= 1 and len(cert["sha256"]) == 64
+
+
+def test_certificate_fast_path_round_trip(spark, tmp_path, monkeypatch):
+    """Certify a cheap op into a temp store, then prove compare() takes
+    the certificate path, passes on the true result, and fails when the
+    certified digest differs."""
+    import insight_gp_import_spark.compare as cmp
+
+    REGISTRY = _registry()
+    sf_dir = "/root/testdata/sf0.01"
+    out = tmp_path / "certs.json"
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "certify_oracle.py"),
+         "agg_global", "--sf", "sf0.01", "--out", str(out)],
+        check=True, cwd=REPO, capture_output=True, timeout=300,
+    )
+    certs = json.loads(out.read_text())
+    o = REGISTRY["agg_global"]
+    monkeypatch.setattr(cmp, "_CERTS", certs)
+    res = cmp.compare("agg_global", o.fn(spark, sf_dir), o.oracle, sf_dir)
+    assert res.ok and "certified" in res.detail
+
+    certs["agg_global"]["sf0.01"]["sha256"] = "0" * 64
+    res2 = cmp.compare("agg_global", o.fn(spark, sf_dir), o.oracle, sf_dir)
+    assert not res2.ok and "certificate" in res2.detail
+
+    # unknown sf or edited SQL -> transparent fall back to the live oracle
+    res3 = cmp.compare(
+        "agg_global", o.fn(spark, sf_dir), o.oracle + " ", sf_dir
+    )
+    assert res3.ok and "certified" not in res3.detail

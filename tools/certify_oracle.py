@@ -1,0 +1,138 @@
+"""Certify slow DuckDB oracles (round-4 verdict item 5).
+
+The three dedup-cluster ops' oracles are DuckDB recursive CTEs that
+take ~1 h EACH at sf0.1 (PARITY_r04.md) — 3+ h of every full parity
+sweep is oracle-side, not Spark-side. This tool runs such an oracle
+ONCE, normalizes its output exactly like the live comparison
+(compare.normalize / type_family), and commits the result digest to
+``insight_gp_import_spark/certified_oracles.json`` keyed by the
+sha256 of the oracle SQL itself.
+
+``compare.compare`` then uses the certificate INSTEAD of re-running
+the oracle — same evidence (row count + schema family + value hash
+of the identical normalized form), minutes instead of hours — and
+falls back to the live oracle automatically the moment the SQL text
+changes (sql_sha256 mismatch), so a certificate can never mask an
+edited oracle.
+
+Usage:
+  python tools/certify_oracle.py <op> [<op> ...] [--sf sf0.01 sf0.1]
+  python tools/certify_oracle.py --verify          # re-run + check all
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CERT_PATH = os.path.join(
+    REPO, "insight_gp_import_spark", "certified_oracles.json"
+)
+
+
+def sql_sha(oracle: str) -> str:
+    return hashlib.sha256(oracle.encode()).hexdigest()
+
+
+def run_oracle(oracle: str, sf_dir: str) -> dict:
+    from insight_gp_import_spark.compare import (
+        declared_types,
+        duckdb_connect,
+        normalize,
+        type_family,
+    )
+
+    t0 = time.time()
+    con = duckdb_connect(sf_dir)
+    try:
+        d_types = declared_types(con, oracle)
+        cur = con.execute(oracle)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+    finally:
+        con.close()
+    nc, nr = normalize(cols, rows)
+    fams = [type_family(d_types[c]) for c in nc]
+    payload = repr((nc, fams, nr)).encode()
+    return {
+        "rows": len(nr),
+        "cols": nc,
+        "type_families": fams,
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "oracle_secs": round(time.time() - t0, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ops", nargs="*")
+    ap.add_argument("--sf", nargs="+", default=["sf0.01", "sf0.1"])
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--out", default=CERT_PATH,
+                    help="write certificates here instead (for concurrent "
+                         "certification runs; merge shards with --merge)")
+    ap.add_argument("--merge", nargs="+", default=None,
+                    help="merge these shard json files into --out")
+    args = ap.parse_args()
+
+    import insight_gp_import_spark.operators  # noqa: F401
+
+    from insight_gp_import_spark.registry import REGISTRY
+
+    certs: dict = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            certs = json.load(f)
+
+    if args.merge:
+        for shard in args.merge:
+            with open(shard) as f:
+                for op_name, by_sf in json.load(f).items():
+                    certs.setdefault(op_name, {}).update(by_sf)
+        with open(args.out, "w") as f:
+            json.dump(certs, f, indent=1, sort_keys=True)
+        print(f"merged {len(args.merge)} shards -> {args.out}")
+        return 0
+
+    if args.verify:
+        bad = 0
+        for op_name, by_sf in certs.items():
+            oracle = REGISTRY[op_name].oracle
+            for sf, cert in by_sf.items():
+                if cert["sql_sha256"] != sql_sha(oracle):
+                    print(f"STALE {op_name}@{sf}: oracle SQL changed")
+                    bad += 1
+                    continue
+                got = run_oracle(oracle, f"/root/testdata/{sf}")
+                ok = got["sha256"] == cert["sha256"] and got["rows"] == cert["rows"]
+                print(f"{'OK   ' if ok else 'DIFF '}{op_name}@{sf} "
+                      f"[{got['oracle_secs']}s]")
+                bad += 0 if ok else 1
+        return 1 if bad else 0
+
+    for op_name in args.ops:
+        o = REGISTRY[op_name]
+        assert o.oracle, f"{op_name} has no oracle"
+        for sf in args.sf:
+            cert = run_oracle(o.oracle, f"/root/testdata/{sf}")
+            cert["sql_sha256"] = sql_sha(o.oracle)
+            cert["certified_utc"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+            certs.setdefault(op_name, {})[sf] = cert
+            with open(args.out, "w") as f:
+                json.dump(certs, f, indent=1, sort_keys=True)
+            print(f"certified {op_name}@{sf}: {cert['rows']} rows, "
+                  f"oracle took {cert['oracle_secs']}s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
