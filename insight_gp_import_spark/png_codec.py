@@ -1,0 +1,171 @@
+"""Pure-stdlib PNG codec (round-4 verdict item 4).
+
+The container has no image library (no PIL/opencv), but PNG is just
+zlib + per-row byte filters — both stdlib territory — so the
+"real decode" path of the media operators doesn't have to be a stub.
+This module implements:
+
+- ``decode_png``: 8-bit gray/RGB/RGBA (+alpha-gray), all five PNG
+  scanline filters (None/Sub/Up/Average/Paeth), CRC-checked chunks,
+  non-interlaced (the overwhelmingly common layout; Adam7 raises).
+- ``encode_png``: filter-0 rows + zlib, the simplest valid encoder.
+- ``resize_nearest``: deterministic nearest-neighbor resampling.
+- ``gray_u8`` / ``ahash64``: integer BT.601 luma + 8x8 average-hash —
+  the same perceptual-hash construction ``mm_image_phash`` applies to
+  its SQL-expressible fake pixels, here over REAL decoded pixels.
+
+Everything is numpy-vectorized where the filter semantics allow
+(None/Sub/Up are whole-row ops; Average/Paeth are inherently
+sequential along x and fall back to a scalar loop). Decode runs
+inside Arrow-batched mapInPandas workers, so per-image Python cost
+is the honest price of a real codec, paid executor-side in parallel.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_CHANNELS_COLOR = {1: 0, 3: 2, 2: 4, 4: 6}
+
+
+def is_png(data: bytes) -> bool:
+    return bytes(data[:8]) == PNG_SIG
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array of shape (height, width, channels)."""
+    if not is_png(data):
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: bad CRC")
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not supported")
+    if color not in _COLOR_CHANNELS:
+        raise NotImplementedError(f"color type {color} (palette unsupported)")
+    c = _COLOR_CHANNELS[color]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        row = row.astype(np.int32)
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: cumulative along x per channel
+            cur = np.cumsum(row.reshape(w, c), axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} at row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, c) array → PNG bytes (filter 0, max compression)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = _CHANNELS_COLOR[c]
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(arr: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize: source index = i*src//dst
+    (pure integer math — no rounding-mode ambiguity)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return arr[ys][:, xs]
+
+
+def gray_u8(arr: np.ndarray) -> np.ndarray:
+    """(h, w, c) → (h, w) integer BT.601 luma (exact: no float round)."""
+    if arr.shape[2] == 1:
+        return arr[:, :, 0]
+    if arr.shape[2] == 2:  # gray+alpha
+        return arr[:, :, 0]
+    r = arr[:, :, 0].astype(np.int64)
+    g = arr[:, :, 1].astype(np.int64)
+    b = arr[:, :, 2].astype(np.int64)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """64-bit average hash: 8x8 block-mean grayscale, bit = pixel > mean.
+
+    Integer throughout (sums and floor divisions), so the hash is a
+    deterministic function of the pixels on every platform — the same
+    construction mm_image_phash applies to its fake pixels.
+    """
+    g = gray_u8(arr).astype(np.int64)
+    h, w = g.shape
+    cells = np.zeros((8, 8), dtype=np.int64)
+    for by in range(8):
+        y0, y1 = (by * h) // 8, max(((by + 1) * h) // 8, (by * h) // 8 + 1)
+        for bx in range(8):
+            x0, x1 = (bx * w) // 8, max(((bx + 1) * w) // 8, (bx * w) // 8 + 1)
+            block = g[y0:y1, x0:x1]
+            cells[by, bx] = int(block.sum()) // block.size
+    mean = int(cells.sum()) // 64
+    bits = 0
+    for i, v in enumerate(cells.reshape(64)):
+        if int(v) > mean:
+            bits |= 1 << i
+    return bits
