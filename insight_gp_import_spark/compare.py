@@ -46,6 +46,27 @@ def _certificates() -> dict:
     return _CERTS
 
 
+def sf_dir_digest(sf_dir: str) -> str:
+    """Fingerprint of the input parquet a certificate was minted against.
+
+    Certificates key on (op, sf, oracle-SQL sha) — but the oracle's
+    OUTPUT also depends on the INPUT data. If testdata is ever
+    regenerated, a certificate would silently assert the stale output;
+    binding each certificate to a digest of the parquet files
+    (name, size, mtime_ns — cheap, no file reads) makes the fast path
+    fall back to the live oracle the moment the data changes.
+    """
+    entries = []
+    for t in sorted(TABLES):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            entries.append((t, st.st_size, st.st_mtime_ns))
+        except FileNotFoundError:
+            entries.append((t, -1, -1))
+    return hashlib.sha256(repr(entries).encode()).hexdigest()
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """In-process DuckDB with the driver's view names over the same parquet."""
     con = duckdb.connect()
@@ -186,7 +207,12 @@ def _compare_certified(name: str, cert: dict, s_cols, s_types, s_rows) -> Parity
         )
     payload = repr((sc, cert["type_families"], sr)).encode()
     if hashlib.sha256(payload).hexdigest() != cert["sha256"]:
-        return ParityResult(name, False, "value-hash mismatch vs certificate")
+        return ParityResult(
+            name, False,
+            "value-hash mismatch vs certificate (the certificate may be "
+            "stale — re-check with `python tools/certify_oracle.py "
+            "--verify`, which re-runs the live oracle)",
+        )
     return ParityResult(name, True, f"{len(sr)} rows (certified oracle)")
 
 
@@ -196,7 +222,13 @@ def compare(name: str, spark_df, oracle: str, sf_dir: str) -> ParityResult:
     s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
     s_rows = [tuple(r) for r in spark_df.collect()]
     cert = _certificates().get(name, {}).get(os.path.basename(sf_dir.rstrip("/")))
-    if cert and cert["sql_sha256"] == hashlib.sha256(oracle.encode()).hexdigest():
+    if (
+        cert
+        and cert["sql_sha256"] == hashlib.sha256(oracle.encode()).hexdigest()
+        and cert.get("sf_digest") == sf_dir_digest(sf_dir)
+        # either guard failing (edited SQL / regenerated testdata / old
+        # digest-less certificate) falls through to the live oracle below
+    ):
         return _compare_certified(name, cert, s_cols, s_types, s_rows)
     con = duckdb_connect(sf_dir)
     try:

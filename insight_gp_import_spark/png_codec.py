@@ -5,9 +5,10 @@ zlib + per-row byte filters — both stdlib territory — so the
 "real decode" path of the media operators doesn't have to be a stub.
 This module implements:
 
-- ``decode_png``: 8-bit gray/RGB/RGBA (+alpha-gray), all five PNG
-  scanline filters (None/Sub/Up/Average/Paeth), CRC-checked chunks,
-  non-interlaced (the overwhelmingly common layout; Adam7 raises).
+- ``decode_png``: 8-bit gray/RGB/RGBA (+alpha-gray) and 8-bit palette
+  (color type 3, PLTE lookup → RGB), all five PNG scanline filters
+  (None/Sub/Up/Average/Paeth), CRC-checked chunks, non-interlaced
+  (the overwhelmingly common layout; Adam7 raises).
 - ``encode_png``: filter-0 rows + zlib, the simplest valid encoder.
 - ``resize_nearest``: deterministic nearest-neighbor resampling.
 - ``gray_u8`` / ``ahash64``: integer BT.601 luma + 8x8 average-hash —
@@ -42,7 +43,7 @@ def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array of shape (height, width, channels)."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
@@ -52,6 +53,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r}: bad CRC")
         if ctype == b"IHDR":
             ihdr = chunk
+        elif ctype == b"PLTE":
+            plte = chunk
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
@@ -64,9 +67,14 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
     if interlace != 0:
         raise NotImplementedError("Adam7 interlace not supported")
-    if color not in _COLOR_CHANNELS:
-        raise NotImplementedError(f"color type {color} (palette unsupported)")
-    c = _COLOR_CHANNELS[color]
+    if color == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
+        c = 1  # one palette index per pixel in the filtered stream
+    elif color in _COLOR_CHANNELS:
+        c = _COLOR_CHANNELS[color]
+    else:
+        raise NotImplementedError(f"color type {color} unsupported")
     stride = w * c
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
@@ -101,6 +109,12 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter {f} at row {y}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        return pal[idx]  # (h, w, 3) RGB lookup
     return out.reshape(h, w, c)
 
 

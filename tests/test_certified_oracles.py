@@ -44,6 +44,18 @@ def test_certificates_match_current_oracle_sql():
                 f"re-run tools/certify_oracle.py {op_name})"
             )
             assert cert["rows"] >= 1 and len(cert["sha256"]) == 64
+            # round-6: certificates must be bound to the data they were
+            # minted on, and that data must be the CURRENT testdata —
+            # otherwise the fast path would assert stale oracle output
+            from insight_gp_import_spark.compare import sf_dir_digest
+
+            assert cert.get("sf_digest") == sf_dir_digest(
+                f"/root/testdata/{sf}"
+            ), (
+                f"{op_name}@{sf}: certificate minted against different "
+                f"parquet inputs (testdata regenerated?); re-run "
+                f"tools/certify_oracle.py {op_name}"
+            )
 
 
 def test_certificate_fast_path_round_trip(spark, tmp_path, monkeypatch):
@@ -75,3 +87,9 @@ def test_certificate_fast_path_round_trip(spark, tmp_path, monkeypatch):
         "agg_global", o.fn(spark, sf_dir), o.oracle + " ", sf_dir
     )
     assert res3.ok and "certified" not in res3.detail
+
+    # regenerated testdata (sf_digest mismatch) -> fall back to live oracle
+    certs["agg_global"]["sf0.01"]["sha256"] = "0" * 64  # poison the cert...
+    certs["agg_global"]["sf0.01"]["sf_digest"] = "deadbeef"  # ...but detach it
+    res4 = cmp.compare("agg_global", o.fn(spark, sf_dir), o.oracle, sf_dir)
+    assert res4.ok and "certified" not in res4.detail  # live path, not cert

@@ -104,6 +104,12 @@ def main() -> int:
     if args.verify:
         bad = 0
         for op_name, by_sf in certs.items():
+            if op_name not in REGISTRY:
+                # a certificate left behind by a renamed/removed op is
+                # stale evidence, not a crash (mirrors the sql-sha branch)
+                print(f"STALE {op_name}: op no longer registered")
+                bad += 1
+                continue
             oracle = REGISTRY[op_name].oracle
             for sf, cert in by_sf.items():
                 if cert["sql_sha256"] != sql_sha(oracle):
@@ -121,8 +127,11 @@ def main() -> int:
         o = REGISTRY[op_name]
         assert o.oracle, f"{op_name} has no oracle"
         for sf in args.sf:
+            from insight_gp_import_spark.compare import sf_dir_digest
+
             cert = run_oracle(o.oracle, f"/root/testdata/{sf}")
             cert["sql_sha256"] = sql_sha(o.oracle)
+            cert["sf_digest"] = sf_dir_digest(f"/root/testdata/{sf}")
             cert["certified_utc"] = time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             )
