@@ -17,6 +17,8 @@ dedup toolbox a training-data pipeline needs:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -271,17 +273,28 @@ ANN_IVF_TOPK_SQL = f"""
     ), probe AS (
         SELECT centroid_id FROM csims WHERE vec_id = {QUERY_VEC_ID}
         ORDER BY simq DESC, centroid_id LIMIT {N_PROBE}
-    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    ), qdots AS (
+        SELECT v.vec_id, CAST(sum(v.qv * q.qv) AS BIGINT) AS dot
+        FROM comp v JOIN comp q ON q.d = v.d AND q.vec_id = {QUERY_VEC_ID}
+        GROUP BY 1
+    ), qsims AS (
+        SELECT t.vec_id,
+               CAST(floor(t.dot / sqrt(CAST(nv.nsq AS DOUBLE)
+                                       * CAST(nq.nsq AS DOUBLE))
+                          * {IVF_SIM_SCALE}.0 + 0.5) AS BIGINT) AS qsimq
+        FROM qdots t
+        JOIN vnorm nv ON nv.vec_id = t.vec_id
+        JOIN vnorm nq ON nq.vec_id = {QUERY_VEC_ID}
+    )
     SELECT e.vec_id, e.label,
-           round(CAST(list_cosine_similarity(e.embedding, q.embedding)
-                      AS DOUBLE), 4) AS sim
+           CAST(floor(qs.qsimq / {IVF_SIM_SCALE // 10**4}.0 + 0.5) AS BIGINT)
+               / 10000.0 AS sim
     FROM embeddings e
     JOIN assign a ON a.vec_id = e.vec_id
                  AND a.centroid_id IN (SELECT centroid_id FROM probe)
-    CROSS JOIN q
+    JOIN qsims qs ON qs.vec_id = e.vec_id
     WHERE e.vec_id != {QUERY_VEC_ID}
-    ORDER BY CAST(list_cosine_similarity(e.embedding, q.embedding)
-                  AS DOUBLE) DESC, e.vec_id
+    ORDER BY qs.qsimq DESC, e.vec_id
     LIMIT {TOPK}
     """
 
@@ -336,11 +349,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the probe is a partition-pruned scan (bucket = partition key),
     so query cost is independent of corpus size growth across buckets.
 
-    Assignment/probe use integer-quantized similarity (_ivf_csims) so
-    the bucket structure is exactly reproducible in the DuckDB oracle;
-    the FINAL ranking of probed candidates is the raw-float cosine —
-    bit-identical to brute-force sim_search_topk, so probing all
-    centroids provably reproduces exact search (unit-tested).
+    Assignment, probe, AND the final candidate ranking all use the
+    integer-quantized similarity (_ivf_csims construction): quantized
+    components make every dot an exact BIGINT, and the single float
+    step maps identical integers through identical IEEE ops in both
+    engines — so top-k MEMBERSHIP is exactly reproducible, not just
+    the structure (round-6 advice: the former raw-float final ranking
+    could flip the selected set on sub-1e-7 boundary ties between
+    Spark doubles and DuckDB float32 cosines). The displayed sim is a
+    round-4 view derived FROM the quantized key (floor-div in integer
+    space), never a separately-computed float. Probing all centroids
+    still reproduces brute-force top-k at 4-dp resolution
+    (unit-tested); quantization error is ~1e-6 per component, three
+    orders below the display precision.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     csims = _ivf_csims(emb)
@@ -360,17 +381,47 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     qvec = _fetch_query_vector(sf_dir, QUERY_VEC_ID)
-    qn = sum(x * x for x in qvec) ** 0.5
-    sim = F.expr(
-        f"{_dot_sql('embedding', _lit_vec_sql(qvec))}"
-        f" / (sqrt({_dot_sql('embedding', 'embedding')}) * {qn!r}D)"
-    )
+    # quantize the query exactly as the engines quantize stored vectors:
+    # floor(double(x) * SCALE + 0.5) — identical IEEE ops driver-side
+    qq = [math.floor(float(x) * IVF_Q_SCALE + 0.5) for x in qvec]
+    qnsq = sum(v * v for v in qq)
+    qlit = "array(" + ",".join(f"{v}L" for v in qq) + ")"
+    disp_div = IVF_SIM_SCALE // 10**4
     return (
-        emb.join(cand_ids, "vec_id")
-        .withColumn("raw_sim", sim)
-        .orderBy(F.desc("raw_sim"), "vec_id")
+        emb.select("vec_id", "label", F.expr(_IVF_QV_SQL).alias("qv"))
+        .withColumn(
+            "nsq",
+            F.expr(
+                "aggregate(zip_with(qv, qv, (p, q) -> p * q),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .join(cand_ids, "vec_id")
+        .withColumn(
+            "dot",
+            F.expr(
+                f"aggregate(zip_with(qv, {qlit}, (p, q) -> p * q),"
+                " 0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn(
+            "qsimq",
+            F.expr(
+                "cast(floor(dot / sqrt(cast(nsq as double)"
+                f" * cast({qnsq}L as double))"
+                f" * {IVF_SIM_SCALE}.0D + 0.5D) as bigint)"
+            ),
+        )
+        .orderBy(F.desc("qsimq"), "vec_id")
         .limit(TOPK)
-        .select("vec_id", "label", F.round("raw_sim", 4).alias("sim"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                f"cast(floor(qsimq / {disp_div}.0D + 0.5D) as bigint)"
+                " / 10000.0D"
+            ).alias("sim"),
+        )
     )
 
 

@@ -34,21 +34,38 @@ REGISTRY: dict[str, Op] = {}
 # caches. Instead ops register them via tracked_persist() and the NEXT op
 # invocation flushes them — bounding block-manager growth to one op's
 # caches during a ~500-op driver sweep instead of accumulating all of them.
+#
+# CALLER CONTRACT (round-5 advice): materialize each op's returned plan
+# BEFORE invoking the next op. Building several ops' plans first and
+# collecting later stays CORRECT (unpersist only drops caching; Spark
+# recomputes the subtree) but silently loses the caching benefit, since
+# op B's invocation unpersists op A's still-unmaterialized caches. The
+# driver, parity sweep, and pytest all follow call-then-materialize.
+# The lock below makes flush/registration safe if a harness ever runs
+# ops concurrently in one process (e.g. a threaded sweep).
+import threading as _threading
+
 _TRACKED_PERSISTS: list[DataFrame] = []
 _OP_DEPTH = 0
+_PERSIST_LOCK = _threading.Lock()
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() a DataFrame and register it for flush at the next op call."""
     df = df.persist()
-    _TRACKED_PERSISTS.append(df)
+    with _PERSIST_LOCK:
+        _TRACKED_PERSISTS.append(df)
     return df
 
 
 def flush_tracked_persists() -> None:
-    while _TRACKED_PERSISTS:
+    while True:
+        with _PERSIST_LOCK:
+            if not _TRACKED_PERSISTS:
+                return
+            df = _TRACKED_PERSISTS.pop()
         try:
-            _TRACKED_PERSISTS.pop().unpersist()
+            df.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
 

@@ -128,6 +128,24 @@ def rewrite(order: list[str], check: bool) -> int:
         return 0
     if check:
         print("STALE: registry.py DRIVER_ORDER differs from computed queue")
+        # name the evidence files consumed (a freshly-landed
+        # CORRECTNESS_r*.json is the usual cause of drift) and show the
+        # first differing slots so the fix — re-run this tool — is obvious
+        consumed = sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        )
+        print(f"  evidence consumed: {', '.join(consumed) or '(none)'}")
+        m = re.search(r"DRIVER_ORDER: list\[str\] = \[(.*?)\n\]", src, flags=re.S)
+        committed = re.findall(r'"([^"]+)"', m.group(1)) if m else []
+        diffs = [
+            (i + 1, c, w)
+            for i, (c, w) in enumerate(zip(committed, order))
+            if c != w
+        ][:5]
+        for slot, have, want in diffs:
+            print(f"  slot {slot}: committed={have} computed={want}")
+        print("  fix: python tools/rotate_driver_order.py && git add/commit")
         return 1
     with open(path, "w") as f:
         f.write(new_src)
