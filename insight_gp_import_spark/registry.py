@@ -122,7 +122,7 @@ DRIVER_ORDER: list[str] = [
     "sql_pivot_keyword",
     "ts_seasonal_naive_forecast",
     "corpus_budget_apportion",
-    "embed_centroid_drift",
+    "embed_kmeans_lloyd",
     "text_langid_ngram",
     "win_rolling_wau",
     "agg_argmax",
@@ -135,7 +135,7 @@ DRIVER_ORDER: list[str] = [
     "sql_unpivot_keyword",
     "ts_business_day_lag",
     "corpus_span_corruption",
-    "dedup_survivor_quality",
+    "embed_pca_power",
     "text_zipf_slope",
     "win_max_drawdown",
     "agg_skew_kurtosis",
@@ -148,7 +148,7 @@ DRIVER_ORDER: list[str] = [
     "sql_limit_offset",
     "ts_sma_crossover",
     "corpus_epoch_reshuffle",
-    "embed_dedup_threshold_sweep",
+    "embed_centroid_drift",
     "text_confusable_normalize",
     "win_running_vwap",
     "agg_bitmask_profile",
@@ -161,7 +161,7 @@ DRIVER_ORDER: list[str] = [
     "sql_values_inline_dim",
     "ts_largest_silences",
     "corpus_dataset_card",
-    "dedup_sorted_neighborhood",
+    "dedup_survivor_quality",
     "text_boilerplate_sentences",
     "win_group_standardize",
     "agg_cohort_ltv",
@@ -174,6 +174,7 @@ DRIVER_ORDER: list[str] = [
     "setop_except_all",
     "ts_wow_aligned",
     "corpus_lsh_tuning_table",
+    "embed_dedup_threshold_sweep",
     "text_char_entropy",
     "win_reorder_gap",
     "agg_gini_activity",
@@ -185,6 +186,7 @@ DRIVER_ORDER: list[str] = [
     "sql_distribute_sort_by",
     "ts_seasonal_index_monthly",
     "corpus_source_overlap",
+    "dedup_sorted_neighborhood",
     "text_prefix_dup_groups",
     "win_ratio_to_report",
     "agg_boolean_aggregates",
@@ -372,8 +374,6 @@ DRIVER_ORDER: list[str] = [
     "agg_session_bounce_rate",
     "agg_hll_partial_merge",
     "stream_rate_source",
-    "embed_kmeans_lloyd",
-    "embed_pca_power",
     "agg_approx_distinct",
     "agg_approx_quantile",
     "stream_watermark_late",

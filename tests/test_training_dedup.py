@@ -272,3 +272,40 @@ def test_pca_power_matches_numpy(spark):
     # above lambda_3 (top ~5% of the 64-value spectrum) shows the
     # iterate concentrated in the top subspace.
     assert rvals[-3] - 1e-9 <= req <= rvals[-1] + 1e-9, (req, rvals[-3:])
+
+
+def test_kmeans_quantized_matches_float(spark):
+    """The oracled integer-quantized Lloyd (round-6) must agree with the
+    float library path: identical cluster sizes, inertia within the
+    quantization error envelope (~1e-4 relative)."""
+    q = OPS["embed_kmeans_lloyd"].fn(spark, SF).collect()
+    f_assigned, f_inertias = td.kmeans_lloyd_iterations(spark, SF)
+    f_sizes = {
+        r.cluster_id: r.n for r in
+        f_assigned.groupBy("cluster_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert {r.cluster_id: r.n_members for r in q} == f_sizes
+    q_total = sum(r.inertia for r in q)
+    # f_inertias[-1] is the objective of the PREVIOUS iterate's centroids;
+    # compare against the float assignment's actual final d2 sum instead
+    f_total = f_assigned.agg(F.sum("d2").alias("s")).collect()[0].s
+    assert abs(q_total - f_total) / f_total < 1e-3, (q_total, f_total)
+
+
+def test_pca_quantized_matches_float(spark):
+    """Quantized power iteration (oracled, round-6) vs the float library
+    path: Rayleigh quotient within 1% relative and strongly-parallel
+    final iterates. Bounds are loose because the corpus spectrum is
+    near-degenerate (top eigenvalues within 1.3%), so the tiny
+    quantization perturbation legitimately shifts the slow-converging
+    iterate between the leading directions."""
+    import math
+
+    row = OPS["embed_pca_power"].fn(spark, SF).collect()[0]
+    v, eigval, n = td.pca_power_top_component(spark, SF)
+    assert row.n_vectors == n
+    assert abs(row.top_eigenvalue - eigval) / eigval < 1e-2
+    qv, ss, nq, nq_n = td.pca_power_quantized(spark, SF)
+    dot = sum((q / td.PCA_V_SCALE) * x for q, x in zip(qv, v))
+    qn = math.sqrt(sum((q / td.PCA_V_SCALE) ** 2 for q in qv))
+    assert abs(dot) / qn > 0.99, (dot, qn)
