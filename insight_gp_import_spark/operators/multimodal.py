@@ -148,18 +148,27 @@ def resize_images(
     """Resize binary image payloads → binary (mapInPandas, binary-in
     binary-out — the shape every media transform shares).
 
-    REAL path (round 5): PNG payloads are decoded with the repo's
-    pure-stdlib codec (png_codec.decode_png — zlib inflate + all five
-    scanline unfilters), nearest-neighbor resampled, and re-encoded
-    as PNG. Non-PNG formats (JPEG etc.) still need a codec library the
-    environment doesn't have and raise NotImplementedError honestly.
-    ``fake=True`` keeps the deterministic stand-in (truncate/pad to
-    width*height bytes) for plumbing tests on non-image payloads.
+    REAL path (round 5, widened round 6): PNG payloads are decoded with
+    the repo's pure-stdlib codec (png_codec.decode_png — zlib inflate +
+    all five scanline unfilters + PLTE palettes), JPEG payloads with the
+    pure stdlib+numpy baseline codec (jpeg_codec.decode_jpeg — Huffman +
+    dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers); both are
+    nearest-neighbor resampled and re-encoded in their own format.
+    Remaining honest NotImplementedError surface: other formats (GIF,
+    WebP, TIFF) and the codecs' documented gaps (progressive JPEG,
+    16-bit/interlaced PNG). ``fake=True`` keeps the deterministic
+    stand-in (truncate/pad to width*height bytes) for plumbing tests on
+    non-image payloads.
     """
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         if not fake:
+            from insight_gp_import_spark.jpeg_codec import (
+                decode_jpeg,
+                encode_jpeg,
+                is_jpeg,
+            )
             from insight_gp_import_spark.png_codec import (
                 decode_png,
                 encode_png,
@@ -169,12 +178,19 @@ def resize_images(
 
             def _resize(b):
                 b = bytes(b)
-                if not is_png(b):
-                    raise NotImplementedError(
-                        "non-PNG image resize requires an image library "
-                        "(PIL/opencv) not present in this environment"
+                if is_png(b):
+                    return encode_png(
+                        resize_nearest(decode_png(b), width, height)
                     )
-                return encode_png(resize_nearest(decode_png(b), width, height))
+                if is_jpeg(b):
+                    return encode_jpeg(
+                        resize_nearest(decode_jpeg(b), width, height)
+                    )
+                raise NotImplementedError(
+                    "image format not supported by the built-in PNG/JPEG "
+                    "codecs (GIF/WebP/TIFF need an image library not "
+                    "present in this environment)"
+                )
 
         for pdf in batches:
             if fake:
@@ -202,12 +218,14 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
     """
 
     def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from insight_gp_import_spark.jpeg_codec import decode_jpeg, is_jpeg
         from insight_gp_import_spark.png_codec import ahash64, decode_png
 
         for pdf in batches:
             ws, hs, hashes = [], [], []
             for b in pdf["payload"]:
-                arr = decode_png(bytes(b))
+                b = bytes(b)
+                arr = decode_jpeg(b) if is_jpeg(b) else decode_png(b)
                 ws.append(arr.shape[1])
                 hs.append(arr.shape[0])
                 hashes.append(f"{ahash64(arr):016x}")

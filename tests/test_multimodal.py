@@ -141,3 +141,63 @@ def test_image_phash_real_deterministic_rerun(spark):
     a = sorted(map(tuple, image_phash_real(_png_df(spark)).collect()))
     b = sorted(map(tuple, image_phash_real(_png_df(spark)).collect()))
     assert a == b
+
+
+def test_resize_real_jpeg_end_to_end(spark):
+    """Round-6: JPEG payloads through the real mapInPandas resize path —
+    output is a valid JPEG of the target geometry whose pixels match a
+    driver-side resize of the decoded source (JPEG re-encode is lossy,
+    so compare against the same encode driver-side, exactly)."""
+    import numpy as np
+
+    from insight_gp_import_spark.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        is_jpeg,
+    )
+    from insight_gp_import_spark.png_codec import resize_nearest
+
+    def frame(seed):
+        rng = np.random.RandomState(seed)
+        x = np.linspace(0, 255, 32)
+        g = (np.add.outer(x, x) / 2 + rng.randint(0, 30, (32, 32))).clip(0, 255)
+        return encode_jpeg(
+            np.stack([g, g.T, 255 - g], axis=2).astype(np.uint8), 90
+        )
+
+    df = spark.createDataFrame(
+        [(i, bytearray(frame(i))) for i in range(4)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: bytes(r.payload)
+           for r in resize_images(df, 12, 9).collect()}
+    assert len(out) == 4
+    for doc_id, payload in out.items():
+        assert is_jpeg(payload)
+        arr = decode_jpeg(payload)
+        assert arr.shape == (9, 12, 3)
+        want = decode_jpeg(
+            encode_jpeg(resize_nearest(decode_jpeg(frame(doc_id)), 12, 9))
+        )
+        assert np.array_equal(arr, want)
+
+
+def test_image_phash_real_handles_jpeg(spark):
+    """image_phash_real dispatches on magic bytes: JPEG rows hash their
+    decoded pixels with the same ahash64 as PNG rows."""
+    import numpy as np
+
+    from insight_gp_import_spark.jpeg_codec import decode_jpeg, encode_jpeg
+    from insight_gp_import_spark.operators.multimodal import image_phash_real
+    from insight_gp_import_spark.png_codec import ahash64
+
+    x = np.linspace(0, 255, 24)
+    g = np.add.outer(x, x) / 2
+    img = np.stack([g, 255 - g, g.T], axis=2).astype(np.uint8)
+    jpg = encode_jpeg(img, 90)
+    df = spark.createDataFrame(
+        [(7, bytearray(jpg))], "doc_id long, payload binary"
+    )
+    (row,) = image_phash_real(df).collect()
+    assert (row.width, row.height) == (24, 24)
+    assert row.phash == f"{ahash64(decode_jpeg(jpg)):016x}"
