@@ -5,10 +5,13 @@ zlib + per-row byte filters — both stdlib territory — so the
 "real decode" path of the media operators doesn't have to be a stub.
 This module implements:
 
-- ``decode_png``: 8-bit gray/RGB/RGBA (+alpha-gray) and 8-bit palette
-  (color type 3, PLTE lookup → RGB), all five PNG scanline filters
-  (None/Sub/Up/Average/Paeth), CRC-checked chunks, non-interlaced
-  (the overwhelmingly common layout; Adam7 raises).
+- ``decode_png``: 8- and 16-bit gray/RGB/RGBA (+alpha-gray) and 8-bit
+  palette (color type 3, PLTE lookup → RGB), all five PNG scanline
+  filters (None/Sub/Up/Average/Paeth), CRC-checked chunks, BOTH
+  interlace methods (progressive Adam7 sub-images unfiltered
+  independently and scattered onto their lattices — round 6; 16-bit
+  samples downconvert to the high byte, the standard 8-bit view).
+  Sub-byte depths (1/2/4-bit) still raise.
 - ``encode_png``: filter-0 rows + zlib, the simplest valid encoder.
 - ``resize_nearest``: deterministic nearest-neighbor resampling.
 - ``gray_u8`` / ``ahash64``: integer BT.601 luma + 8x8 average-hash —
@@ -39,6 +42,54 @@ def is_png(data: bytes) -> bool:
     return bytes(data[:8]) == PNG_SIG
 
 
+# Adam7 pass lattices: (x_start, y_start, x_step, y_step)
+ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter_pass(raw: bytes, off: int, h: int, w: int, bypp: int):
+    """Undo scanline filters for one (sub-)image of h rows × w pixels ×
+    bypp filter-bytes-per-pixel starting at ``off``. Returns the
+    (h, w*bypp) uint8 array and the byte count consumed."""
+    stride = w * bypp
+    need = h * (stride + 1)
+    if off + need > len(raw):
+        raise ValueError("PNG payload length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        at = off + y * (stride + 1)
+        f = raw[at]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=at + 1)
+        row = row.astype(np.int32)
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: cumulative along x per filter-byte lane
+            cur = np.cumsum(row.reshape(w, bypp), axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bypp]) if x >= bypp else 0
+                b = int(prev[x])
+                cc = int(prev[x - bypp]) if x >= bypp else 0
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} at row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, need
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array of shape (height, width, channels)."""
     if not is_png(data):
@@ -63,11 +114,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace not supported")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"bit depth {depth} (8/16 supported)")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     if color == 3:
+        if depth == 16:
+            raise ValueError("16-bit palette PNG is not a legal combination")
         if plte is None or len(plte) == 0 or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE chunk")
         c = 1  # one palette index per pixel in the filtered stream
@@ -75,40 +128,38 @@ def decode_png(data: bytes) -> np.ndarray:
         c = _COLOR_CHANNELS[color]
     else:
         raise NotImplementedError(f"color type {color} unsupported")
-    stride = w * c
+    bypp = c * (depth // 8)  # filter bytes-per-pixel (spec: >=1)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG payload length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        off = y * (stride + 1)
-        f = raw[off]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-        row = row.astype(np.int32)
-        if f == 0:  # None
-            cur = row
-        elif f == 1:  # Sub: cumulative along x per channel
-            cur = np.cumsum(row.reshape(w, c), axis=0).reshape(stride) & 0xFF
-        elif f == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif f in (3, 4):  # Average / Paeth: sequential in x
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = int(cur[x - c]) if x >= c else 0
-                b = int(prev[x])
-                cc = int(prev[x - c]) if x >= c else 0
-                if f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    p = a + b - cc
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
-                cur[x] = (row[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter {f} at row {y}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+
+    if interlace == 0:
+        out8, consumed = _unfilter_pass(raw, 0, h, w, bypp)
+        if consumed != len(raw):
+            raise ValueError("PNG payload length mismatch")
+        out = out8
+    else:
+        # Adam7: seven independently-filtered sub-images scattered on
+        # the (x0, y0, xstep, ystep) lattices below.
+        out = np.zeros((h, w * bypp), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in ADAM7_PASSES:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, consumed = _unfilter_pass(raw, off, ph, pw, bypp)
+            off += consumed
+            sub = sub.reshape(ph, pw, bypp)
+            ys_idx = y0 + ys * np.arange(ph)
+            xs_idx = x0 + xs * np.arange(pw)
+            view = out.reshape(h, w, bypp)
+            view[np.ix_(ys_idx, xs_idx)] = sub
+        if off != len(raw):
+            raise ValueError("PNG payload length mismatch")
+
+    if depth == 16:
+        # big-endian 16-bit samples -> keep the high byte (the standard
+        # practical 8-bit downconversion; our operators are uint8-wide)
+        out = out.reshape(h, w * c, 2)[:, :, 0].reshape(h, w * c)
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)

@@ -182,8 +182,8 @@ def test_crc_corruption_rejected():
         decode_png(bytes(png))
 
 
-def test_16bit_depth_raises_not_implemented():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+def test_sub_byte_depth_raises_not_implemented():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     png = (
         PNG_SIG + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
@@ -192,14 +192,87 @@ def test_16bit_depth_raises_not_implemented():
         decode_png(png)
 
 
-def test_interlace_raises_not_implemented():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    png = (
+def _build_adam7_png(pixels, color, filters_per_pass=0):
+    """Hand-assemble an interlaced PNG; each pass forward-filtered with
+    the given filter id (or a per-row cycle if filters_per_pass='cycle')."""
+    from insight_gp_import_spark.png_codec import ADAM7_PASSES
+
+    h, w = pixels.shape[:2]
+    c = 1 if pixels.ndim == 2 else pixels.shape[2]
+    raw = bytearray()
+    for x0, y0, xs, ys in ADAM7_PASSES:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = pixels[y0::ys, x0::xs].reshape(ph, pw * c)
+        prev = np.zeros(pw * c, dtype=np.uint8)
+        for y in range(ph):
+            f = (y % 5) if filters_per_pass == "cycle" else filters_per_pass
+            raw.append(f)
+            raw.extend(_forward_filter(sub[y], prev, f, c))
+            prev = sub[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
         PNG_SIG + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
+        + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_png(png)
+
+
+@pytest.mark.parametrize("channels,color", [(1, 0), (3, 2), (4, 6)])
+def test_adam7_interlaced_decode(channels, color):
+    """Adam7: seven independently-filtered sub-images must scatter back
+    to the exact source pixels — including rows using ALL five filters
+    WITHIN passes (each pass restarts its prev-row at zero)."""
+    arr = _rng_pixels(13, 11, channels, seed=17 + channels)
+    png = _build_adam7_png(arr if channels > 1 else arr[:, :, 0], color,
+                           filters_per_pass="cycle")
+    out = decode_png(png)
+    assert np.array_equal(out.reshape(arr.shape), arr)
+
+
+def test_adam7_tiny_images_skip_empty_passes():
+    """1x1 and 2x3 images leave several Adam7 passes empty — the
+    decoder must skip them and still land every pixel."""
+    for h, w in [(1, 1), (2, 3), (3, 2), (5, 1)]:
+        arr = _rng_pixels(h, w, 3, seed=h * 10 + w)
+        out = decode_png(_build_adam7_png(arr, 2, filters_per_pass=0))
+        assert np.array_equal(out, arr), (h, w)
+
+
+def test_16bit_decodes_to_high_byte():
+    rng = np.random.RandomState(23)
+    g16 = rng.randint(0, 65536, (6, 7)).astype(np.uint16)
+    be = g16.astype(">u2").view(np.uint8).reshape(6, 14)
+    raw = b"".join(b"\x00" + be[y].tobytes() for y in range(6))
+    png = (
+        PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (6, 7, 1)
+    assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+
+def test_16bit_rgb_with_sub_filter():
+    """16-bit RGB rows under the Sub filter: the filter lane width is
+    bytes-per-pixel (6), not channels (3) — regression guard for the
+    bypp generalization."""
+    rng = np.random.RandomState(29)
+    a16 = rng.randint(0, 65536, (4, 5, 3)).astype(np.uint16)
+    be = a16.astype(">u2").view(np.uint8).reshape(4, 30)
+    raw = bytearray()
+    prev = np.zeros(30, dtype=np.uint8)
+    for y in range(4):
+        raw.append(1)  # Sub with bpp=6
+        raw.extend(_forward_filter(be[y], prev, 1, 6))
+        prev = be[y]
+    png = (
+        PNG_SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert np.array_equal(out, (a16 >> 8).astype(np.uint8))
 
 
 # ------------------------------------------------------- resize / gray / hash
