@@ -10,8 +10,10 @@ This module implements:
   filters (None/Sub/Up/Average/Paeth), CRC-checked chunks, BOTH
   interlace methods (progressive Adam7 sub-images unfiltered
   independently and scattered onto their lattices — round 6; 16-bit
-  samples downconvert to the high byte, the standard 8-bit view).
-  Sub-byte depths (1/2/4-bit) still raise.
+  samples downconvert to the high byte, the standard 8-bit view) and
+  sub-byte depths (1/2/4-bit gray with exact 255/(2^d-1) scaling and
+  1/2/4-bit palettes). Decode is now spec-complete for every legal
+  IHDR combination.
 - ``encode_png``: filter-0 rows + zlib, the simplest valid encoder.
 - ``resize_nearest``: deterministic nearest-neighbor resampling.
 - ``gray_u8`` / ``ahash64``: integer BT.601 luma + 8x8 average-hash —
@@ -49,11 +51,11 @@ ADAM7_PASSES = [
 ]
 
 
-def _unfilter_pass(raw: bytes, off: int, h: int, w: int, bypp: int):
-    """Undo scanline filters for one (sub-)image of h rows × w pixels ×
-    bypp filter-bytes-per-pixel starting at ``off``. Returns the
-    (h, w*bypp) uint8 array and the byte count consumed."""
-    stride = w * bypp
+def _unfilter_pass(raw: bytes, off: int, h: int, stride: int, bypp: int):
+    """Undo scanline filters for one (sub-)image of h rows × ``stride``
+    bytes per row with ``bypp`` filter-bytes-per-pixel (1 for sub-byte
+    depths, per spec), starting at ``off``. Returns the (h, stride)
+    uint8 array and the byte count consumed."""
     need = h * (stride + 1)
     if off + need > len(raw):
         raise ValueError("PNG payload length mismatch")
@@ -67,7 +69,7 @@ def _unfilter_pass(raw: bytes, off: int, h: int, w: int, bypp: int):
         if f == 0:  # None
             cur = row
         elif f == 1:  # Sub: cumulative along x per filter-byte lane
-            cur = np.cumsum(row.reshape(w, bypp), axis=0).reshape(stride) & 0xFF
+            cur = np.cumsum(row.reshape(-1, bypp), axis=0).reshape(stride) & 0xFF
         elif f == 2:  # Up
             cur = (row + prev) & 0xFF
         elif f in (3, 4):  # Average / Paeth: sequential in x
@@ -114,10 +116,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth not in (8, 16):
-        raise NotImplementedError(f"bit depth {depth} (8/16 supported)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
+    sub_byte = depth in (1, 2, 4)
+    if sub_byte and color not in (0, 3):
+        raise ValueError(f"depth {depth} with color type {color} is illegal")
     if color == 3:
         if depth == 16:
             raise ValueError("16-bit palette PNG is not a legal combination")
@@ -128,30 +133,52 @@ def decode_png(data: bytes) -> np.ndarray:
         c = _COLOR_CHANNELS[color]
     else:
         raise NotImplementedError(f"color type {color} unsupported")
-    bypp = c * (depth // 8)  # filter bytes-per-pixel (spec: >=1)
+    bypp = 1 if sub_byte else c * (depth // 8)  # filter bytes-per-pixel
     raw = zlib.decompress(b"".join(idat))
 
+    def unpack_bits(rows8: np.ndarray, n_px: int) -> np.ndarray:
+        """(rows, stride_bytes) packed MSB-first samples -> (rows, n_px)
+        values, scaled to 8-bit for grayscale (exact 255/(2^d-1)
+        multipliers: 255/85/17); palette indices pass through."""
+        bits = np.unpackbits(rows8, axis=1)[:, : n_px * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (
+            bits.reshape(rows8.shape[0], n_px, depth).astype(np.int32)
+            @ weights.astype(np.int32)
+        )
+        if color == 0:
+            vals = vals * (255 // ((1 << depth) - 1))
+        return vals.astype(np.uint8)
+
+    def row_bytes(n_px: int) -> int:
+        return (n_px * c * depth + 7) // 8
+
     if interlace == 0:
-        out8, consumed = _unfilter_pass(raw, 0, h, w, bypp)
+        out8, consumed = _unfilter_pass(raw, 0, h, row_bytes(w), bypp)
         if consumed != len(raw):
             raise ValueError("PNG payload length mismatch")
-        out = out8
+        out = unpack_bits(out8, w) if sub_byte else out8
     else:
         # Adam7: seven independently-filtered sub-images scattered on
         # the (x0, y0, xstep, ystep) lattices below.
-        out = np.zeros((h, w * bypp), dtype=np.uint8)
+        out = np.zeros((h, w * (1 if sub_byte else bypp)), dtype=np.uint8)
         off = 0
         for x0, y0, xs, ys in ADAM7_PASSES:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            sub, consumed = _unfilter_pass(raw, off, ph, pw, bypp)
+            sub, consumed = _unfilter_pass(raw, off, ph, row_bytes(pw), bypp)
             off += consumed
-            sub = sub.reshape(ph, pw, bypp)
+            lanes = 1 if sub_byte else bypp
+            sub = (
+                unpack_bits(sub, pw)[:, :, None]
+                if sub_byte
+                else sub.reshape(ph, pw, bypp)
+            )
             ys_idx = y0 + ys * np.arange(ph)
             xs_idx = x0 + xs * np.arange(pw)
-            view = out.reshape(h, w, bypp)
+            view = out.reshape(h, w, lanes)
             view[np.ix_(ys_idx, xs_idx)] = sub
         if off != len(raw):
             raise ValueError("PNG payload length mismatch")

@@ -182,13 +182,72 @@ def test_crc_corruption_rejected():
         decode_png(bytes(png))
 
 
-def test_sub_byte_depth_raises_not_implemented():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+def _pack_rows(vals: np.ndarray, depth: int) -> list[bytes]:
+    """Pack (h, w) sample values MSB-first per row (independent
+    reference packer for sub-byte fixtures)."""
+    rows = []
+    for y in range(vals.shape[0]):
+        bits = []
+        for v in vals[y]:
+            bits.extend(int(b) for b in format(int(v), f"0{depth}b"))
+        while len(bits) % 8:
+            bits.append(0)
+        rows.append(np.packbits(np.array(bits, dtype=np.uint8)).tobytes())
+    return rows
+
+
+def _subbyte_png(vals, depth, color, plte=None):
+    h, w = vals.shape
+    raw = b"".join(b"\x00" + r for r in _pack_rows(vals, depth))
+    out = PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    )
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub_byte_gray_decodes_scaled(depth):
+    """1/2/4-bit grayscale: MSB-first unpacking plus the exact
+    255/(2^d-1) scaling (255, 85, 17 multipliers)."""
+    rng = np.random.RandomState(depth)
+    vals = rng.randint(0, 1 << depth, (5, 9))
+    out = decode_png(_subbyte_png(vals, depth, color=0))
+    scale = 255 // ((1 << depth) - 1)
+    assert np.array_equal(out[:, :, 0], (vals * scale).astype(np.uint8))
+
+
+def test_sub_byte_palette_decodes_to_rgb():
+    pal = bytes(
+        v for e in [(10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220)]
+        for v in e
+    )
+    rng = np.random.RandomState(44)
+    idx = rng.randint(0, 4, (3, 5))
+    out = decode_png(_subbyte_png(idx, 4, color=3, plte=pal))
+    expect = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(out, expect)
+
+
+def test_illegal_depth_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     png = (
         PNG_SIG + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bit depth"):
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(png)
+
+
+def test_sub_byte_rgb_combination_rejected():
+    """depth 4 + truecolor is not a legal PNG combination."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    png = (
+        PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="illegal"):
         decode_png(png)
 
 
