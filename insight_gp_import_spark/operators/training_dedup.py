@@ -1919,24 +1919,37 @@ def embed_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-id aggregates; shares integer ppm.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
-    sim_r = F.round(
-        F.expr(
-            "aggregate(zip_with(a.embedding, b.embedding,"
-            " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
-            " (acc, v) -> acc + v)"
-            " / (sqrt(aggregate(zip_with(a.embedding, a.embedding,"
-            " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
-            " (acc, v) -> acc + v))"
-            " * sqrt(aggregate(zip_with(b.embedding, b.embedding,"
-            " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
-            " (acc, v) -> acc + v)))"
-        ),
-        4,
+    # Round-6 perf: precompute each row's norm ONCE before the O(n²)
+    # pair join — the former per-pair recomputation made every pair pay
+    # 3 array folds (192 mults + 2 sqrt) instead of 1 (64 mults). The
+    # arithmetic is bit-identical (dot / (sqrt_a * sqrt_b), same IEEE
+    # op tree, norms just computed earlier), so sim_r values — and the
+    # oracle hash — are unchanged. ~3x less inner-loop work at any n.
+    nrm = F.expr(
+        "sqrt(aggregate(zip_with(embedding, embedding,"
+        " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
+        " (acc, v) -> acc + v))"
     )
+    sides = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    a = sides.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb,"
+        " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+    sim_r = F.round(dot / (F.col("na") * F.col("nb")), 4)
     pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("b.vec_id").alias("v2"), sim_r.alias("sim_r"))
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v2", sim_r.alias("sim_r"))
         .filter(F.col("sim_r") > SWEEP_THRESHOLDS_PM[0] / 1000.0)
     )
     th = spark.createDataFrame(
