@@ -433,6 +433,31 @@ def _phash_bits_sql(text_col: str, n_col: str) -> str:
     )
 
 
+def _with_phash_bits(df: DataFrame, text_col: str, n_col: str) -> DataFrame:
+    """Stage the aHash bit array as a real column ``bs`` via three
+    chained projections (pix → psum → bs).
+
+    Round-6 perf: the single-expression form (_phash_bits_sql) nests
+    ``aggregate(pix, …)`` inside the per-element lambda, and Catalyst
+    does NOT common-subexpression-eliminate inside lambda bodies — so
+    every one of the 64 bit tests re-folded the 64-pixel array, and a
+    downstream projection referencing ``bs`` k times could re-inline
+    the whole construction k times (observed: 1.5 MiB codegen task
+    binaries and a 77 s scan for 5 k rows). Staging each piece as its
+    own attribute makes every later ``bs`` reference a cheap column
+    read; values are bit-identical (pure integer arithmetic, same
+    ops, same order)."""
+    pix = (
+        f"transform(sequence(0, 63), i -> "
+        f"ascii(substring({text_col}, 1 + ((i * {n_col}) div 64), 1)))"
+    )
+    return (
+        df.withColumn("_pix", F.expr(pix))
+        .withColumn("_psum", F.expr("aggregate(_pix, 0, (a, x) -> a + x)"))
+        .withColumn("bs", F.expr("transform(_pix, p -> IF(p * 64 > _psum, 1, 0))"))
+    )
+
+
 @op(
     "mm_image_phash",
     oracle=f"""
@@ -477,14 +502,13 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same banded-bucket join the SimHash path uses.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bits = _phash_bits_sql("text", "n_chars")
     nib = (
         f"transform(sequence(0, 15), j -> substring('{PHASH_HEX}', "
         f"1 + element_at(bs, 4*j + 1) * 8 + element_at(bs, 4*j + 2) * 4"
         f" + element_at(bs, 4*j + 3) * 2 + element_at(bs, 4*j + 4), 1))"
     )
     return (
-        docs.withColumn("bs", F.expr(bits))
+        _with_phash_bits(docs, "text", "n_chars")
         .select(
             "doc_id",
             F.expr("aggregate(bs, 0, (a, x) -> a + x)").cast("bigint").alias("ones"),
@@ -563,36 +587,59 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-dedup vs N²/2 comparisons; quarter packing is exact integer
     work in the scan stage.
     """
+    from insight_gp_import_spark.registry import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    bits = _phash_bits_sql("text", "n_chars")
     qexprs = _phash_quarters_sql("text", "n_chars", "spark")
-    quarters = docs.withColumn("bs", F.expr(bits)).select(
-        "doc_id",
-        *[F.expr(e).alias(f"q{i}") for i, e in enumerate(qexprs)],
+    # persist: the quarter table feeds the band explode AND both payload
+    # join-backs — without it each consumer re-runs the 64-bit hash
+    # construction from the raw scan (round-6 perf fix; previously a
+    # 4-way union of self-joins replicated that subtree 8x: 2 MiB
+    # codegen binaries, 77 s for 5 k rows)
+    quarters = tracked_persist(
+        _with_phash_bits(docs, "text", "n_chars").select(
+            "doc_id",
+            *[F.expr(e).alias(f"q{i}") for i, e in enumerate(qexprs)],
+        )
     )
-    a = quarters.select(
+    # banded candidate generation, IDS ONLY on the shuffle (the
+    # dedup_near_minhash scale lesson): explode each row into its 4
+    # (band, quarter-value) keys, equi-join per key, dedup pairs.
+    bands = quarters.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"), F.col(f"q{i}").alias("qv")
+                )
+                for i in range(4)
+            ])
+        ).alias("bq"),
+    ).select("doc_id", F.col("bq.band").alias("band"), F.col("bq.qv").alias("qv"))
+    cand_ids = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "qv")
+        .join(bands.select(F.col("doc_id").alias("doc_b"), "band", "qv"),
+              ["band", "qv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    qa = quarters.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"q{i}").alias(f"a{i}") for i in range(4)],
     )
-    b = quarters.select(
+    qb = quarters.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"q{i}").alias(f"b{i}") for i in range(4)],
     )
-    cands = None
-    for i in range(4):
-        c = a.join(
-            b,
-            (F.col(f"a{i}") == F.col(f"b{i}"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        ).select("doc_a", "doc_b", *[f"a{k}" for k in range(4)],
-                 *[f"b{k}" for k in range(4)])
-        cands = c if cands is None else cands.unionAll(c)
-    cands = cands.dropDuplicates(["doc_a", "doc_b"])
     ham = sum(
         F.expr(f"bit_count(a{i} ^ b{i})") for i in range(4)
     )
-    return cands.filter(ham <= PHASH_HAM_MAX).select(
-        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    return (
+        cand_ids.join(qa, "doc_a")
+        .join(qb, "doc_b")
+        .filter(ham <= PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
     )
 
 
