@@ -5,14 +5,23 @@ Like png_codec, this exists because the container has no image
 library, and baseline JPEG is tractable from first principles:
 markers + Huffman + quantized 8x8 DCT blocks. Scope (honest):
 
-- ``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit, grayscale
-  or YCbCr with per-component sampling factors of 1 or 2 (covers
-  4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn), standard
-  JFIF/EXIF APPn skipping. Progressive (SOF2), arithmetic coding,
-  and 12-bit raise NotImplementedError honestly.
-- ``encode_jpeg``: baseline 4:4:4 (and grayscale) with the Annex K
-  standard quantization + Huffman tables, IJG quality scaling —
-  the simplest spec-complete writer; every decoder reads it.
+- ``decode_jpeg``: baseline sequential DCT (SOF0/1) AND progressive
+  (SOF2 — spectral selection, successive approximation with DC/AC
+  first + refinement scans, EOB runs, interleaved and non-interleaved
+  scan geometry), 8-bit, grayscale or YCbCr with per-component
+  sampling factors of 1 or 2 (4:4:4, 4:2:2, 4:2:0), restart
+  intervals (DRI/RSTn), standard JFIF/EXIF APPn skipping. Arithmetic
+  coding, lossless/hierarchical SOFs and 12-bit refuse explicitly.
+  Both entropy layouts fill one quantized-coefficient store sharing a
+  single dequantize/IDCT/upsample reconstruction — so
+  decode(progressive(x)) == decode(baseline(x)) bit-exactly, which
+  the test suite pins across band splits, approximation depths,
+  geometries and content types.
+- ``encode_jpeg``: baseline 4:4:4 / 4:2:0 (and grayscale) with the
+  Annex K tables, IJG quality scaling, optional restart markers.
+- ``encode_jpeg_progressive``: SOF2 writer (interleaved first-DC,
+  DC refinements, per-component banded first-AC + AC refinements)
+  used to exercise every progressive decode path with real streams.
 
 All DCT math is float64 numpy matrix multiplies (deterministic on a
 given platform: fixed expression order, no fast-math). Decode runs
@@ -429,11 +438,274 @@ def encode_jpeg(
     return bytes(out)
 
 
+
+
+# -------------------------------------------------------- progressive encode
+
+# The Annex K AC tables only contain EOB0 (0x00) and ZRL (0xF0) among the
+# s=0 symbols — progressive EOBn runs (n>=1) need (n<<4) codes the baseline
+# tables lack. This fixed full-alphabet table covers every 8-bit symbol with
+# a legal canonical layout (Kraft sum 0.748 < 1, so no all-ones code):
+# 128 eight-bit + 126 nine-bit + 2 ten-bit codes. Not size-optimal — a real
+# encoder computes per-scan tables — but spec-valid and decoder-agnostic.
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 128, 126, 2, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+class _ProgState:
+    """Cross-block state for one progressive AC scan: accumulated EOB
+    run and the correction bits buffered behind it (refinement)."""
+
+    def __init__(self, bw: _BitWriter, ac_tab):
+        self.bw = bw
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.bw.write(bit, 1)
+        self.pending = []
+
+
+def _encode_dc_first(bw, dc_tab, coef0: int, pred: int, al: int) -> int:
+    """First DC scan: diff of the point-transformed DC (arithmetic >>
+    per T.81 for DC). Returns the new predictor."""
+    v = coef0 >> al  # arithmetic shift, negatives floor — spec for DC
+    diff = v - pred
+    t = _bit_length(diff)
+    code, ln = dc_tab[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return v
+
+
+def _encode_ac_first(st: _ProgState, blk64, ss: int, se: int, al: int) -> None:
+    """First AC scan of a band: magnitudes reduced by the point
+    transform (divide toward zero), EOB-run coded trailing zeros."""
+    bw = st.bw
+    zz = blk64[ZIGZAG]
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        st.flush_eobrun()
+        while r > 15:
+            code, ln = st.ac[0xF0]  # ZRL
+            bw.write(code, ln)
+            r -= 16
+        t = mag.bit_length()
+        code, ln = st.ac[(r << 4) | t]
+        bw.write(code, ln)
+        sv = mag if v >= 0 else -mag
+        bw.write(sv if sv >= 0 else sv + (1 << t) - 1, t)
+        r = 0
+    if r > 0:  # band ends in zeros (or is all-zero): extend the EOB run
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _encode_ac_refine(st: _ProgState, blk64, ss: int, se: int, al: int) -> None:
+    """Refinement AC scan (T.81 G.1.2.3, the jcphuff control flow):
+    newly-significant coefficients emit (run,1)+sign, previously
+    significant ones queue correction bits behind the pending run."""
+    bw = st.bw
+    zz = blk64[ZIGZAG]
+    absv = [
+        ((int(v) if int(v) >= 0 else -int(v)) >> al) for v in zz
+    ]
+    eob = 0
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        temp = absv[k]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush_eobrun()
+            code, ln = st.ac[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if temp > 1:
+            br.append(temp & 1)  # history coefficient: correction bit
+            continue
+        st.flush_eobrun()
+        code, ln = st.ac[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[k]) >= 0 else 0, 1)  # sign of the new +-1
+        r = 0
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+    if r > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    dc_al: int = 1,
+    ac_bands: tuple = ((1, 5), (6, 63)),
+    ac_al: int = 1,
+) -> bytes:
+    """uint8 (h, w[, 1|3]) -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    Scan script: interleaved first-DC at Al=dc_al, DC refinements down
+    to 0, then per component per band first-AC at Al=ac_al followed by
+    AC refinements down to 0 — i.e. spectral selection AND successive
+    approximation, the layout libjpeg emits. Quantized coefficients
+    are IDENTICAL to encode_jpeg's at the same quality (same FDCT and
+    tables), so decode(progressive(x)) == decode(baseline(x)) exactly;
+    the test suite pins that equality. 4:4:4 only (subsampling is the
+    baseline encoder's dimension; progressive scan logic is this
+    one's)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_progressive expects 1 or 3 channels")
+    farr = arr.astype(np.float64)
+    if nc == 3:
+        r, g, b = farr[:, :, 0], farr[:, :, 1], farr[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [farr[:, :, 0]]
+    qluma = _quality_scale(QTAB_LUMA, quality)
+    qchroma = _quality_scale(QTAB_CHROMA, quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    grids = []
+    for ci, p in enumerate(planes):
+        p8 = np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+        pp = np.pad(p8, ((0, ph - h), (0, pw - w)), mode="edge")
+        grids.append(_fdct_quant_grid(pp, qluma if ci == 0 else qchroma))
+    bh, bw_blocks = ph // 8, pw // 8
+
+    dc_l = _build_huffman(*HUFF_DC_LUMA)[1]
+    dc_c = _build_huffman(*HUFF_DC_CHROMA)[1]
+    ac_prog = _build_huffman(*PROG_AC_SPEC)[1]
+    ac_l = ac_c = ac_prog  # one full-alphabet AC table for all prog scans
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tid = 0 if cid == 1 else 1
+            p += bytes([cid, (tid << 4) | tid])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(qluma[z]) for z in ZIGZAG))
+    if nc == 3:
+        out += seg(0xDB, b"\x01" + bytes(int(qchroma[z]) for z in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, HUFF_DC_LUMA), (1, 0, PROG_AC_SPEC),
+        (0, 1, HUFF_DC_CHROMA), (1, 1, PROG_AC_SPEC),
+    ):
+        if nc == 1 and tid == 1:
+            continue
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    # ---- scan 1: interleaved first DC at Al=dc_al
+    bw = _BitWriter()
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw_blocks):
+            for ci in range(nc):
+                tab = dc_l if ci == 0 else dc_c
+                pred[ci] = _encode_dc_first(
+                    bw, tab, int(grids[ci][by, bx, 0]), pred[ci], dc_al
+                )
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, dc_al)
+    out += bw.flush()
+
+    # ---- DC refinement scans down to Al=0 (one bit per block)
+    for al in range(dc_al - 1, -1, -1):
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_blocks):
+                for ci in range(nc):
+                    bw.write((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+        out += sos_header(list(range(1, nc + 1)), 0, 0, al + 1, al)
+        out += bw.flush()
+
+    # ---- per component, per band: first AC scan then refinements
+    for ci in range(nc):
+        ac_tab = ac_l if ci == 0 else ac_c
+        for ss, se in ac_bands:
+            bw = _BitWriter()
+            st = _ProgState(bw, ac_tab)
+            for by in range(bh):
+                for bx in range(bw_blocks):
+                    _encode_ac_first(st, grids[ci][by, bx], ss, se, ac_al)
+            st.flush_eobrun()
+            out += sos_header([ci + 1], ss, se, 0, ac_al)
+            out += bw.flush()
+        for al in range(ac_al - 1, -1, -1):
+            for ss, se in ac_bands:
+                bw = _BitWriter()
+                st = _ProgState(bw, ac_tab)
+                for by in range(bh):
+                    for bx in range(bw_blocks):
+                        _encode_ac_refine(st, grids[ci][by, bx], ss, se, al)
+                st.flush_eobrun()
+                out += sos_header([ci + 1], ss, se, al + 1, al)
+                out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------- decode
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (h, w, channels) array (1 or 3)."""
+    """JPEG bytes -> uint8 (h, w, channels) array (1 or 3).
+
+    Baseline sequential (SOF0/1) AND progressive (SOF2 — round 6):
+    both entropy layouts fill the same per-component quantized-
+    coefficient store, then share one dequantize/IDCT/upsample
+    reconstruction — progressive is, by construction, a lossless
+    re-packaging of the identical coefficients, and the test suite
+    pins decode(progressive(x)) == decode(baseline(x)) bit-exactly.
+    Progressive covers spectral selection, successive approximation
+    (DC and AC first + refinement scans, EOB runs), interleaved DC /
+    non-interleaved AC scan geometry. Arithmetic coding and 12-bit
+    still refuse explicitly."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -441,6 +713,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    coeffs = None  # per-component (bh, bw, 64) int32 stores
+    preds_geom = None
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -473,7 +747,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[off + 17:off + 17 + n])
                 huff[(cls, tid)] = _build_huffman(bits, vals)[0]
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -483,12 +757,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            for c in comps:
+                if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+                    raise NotImplementedError("sampling factors beyond 1-2")
+            coeffs, preds_geom = _alloc_coeffs(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline SOF marker 0xFF{marker:02X} "
-                "(progressive/arithmetic unsupported)"
+                f"SOF marker 0xFF{marker:02X} unsupported "
+                "(lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -499,79 +780,225 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_comp = []
             for ci in range(ns):
                 cid, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
-                comp = next(c for c in frame["comps"] if c["id"] == cid)
-                scan_comp.append((comp, tabs >> 4, tabs & 0xF))
-            return _decode_scan(
-                data, pos + seglen, frame, scan_comp, qtabs, huff,
-                restart_interval,
+                comp_i = next(
+                    i for i, c in enumerate(frame["comps"]) if c["id"] == cid
+                )
+                scan_comp.append((comp_i, tabs >> 4, tabs & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline full-band scan
+            pos = _decode_entropy_scan(
+                data, pos + seglen, frame, scan_comp, huff, coeffs,
+                preds_geom, restart_interval, ss, se, ah, al,
             )
+            continue  # pos already past the entropy data
         pos += seglen
-    raise ValueError("no SOS scan found")
+    if frame is None or coeffs is None:
+        raise ValueError("no frame/scan decoded")
+    return _reconstruct(frame, coeffs, qtabs)
 
 
-def _decode_scan(data, pos, frame, scan_comp, qtabs, huff, restart_interval):
-    h, w = frame["h"], frame["w"]
-    comps = [c for c, _, _ in scan_comp]
+def _alloc_coeffs(frame):
+    """Per-component coefficient stores at MCU-padded block geometry,
+    plus the geometry dict shared by scan decoding."""
+    comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    coeffs = []
+    nonint = []
     for c in comps:
-        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
-            raise NotImplementedError("sampling factors beyond 1-2")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        coeffs.append(np.zeros((bh, bw, 64), dtype=np.int32))
+        # non-interleaved (single-component scan) block dims per T.81
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        nonint.append((-(-ch // 8), -(-cw // 8)))
+    geom = {
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "nonint": nonint,
+    }
+    return coeffs, geom
 
-    qmats = [qtabs[c["tq"]].reshape(8, 8).astype(np.float64) for c in comps]
+
+def _decode_entropy_scan(data, pos, frame, scan_comp, huff, coeffs, geom,
+                         restart_interval, ss, se, ah, al):
+    """Decode one scan's entropy data into the coefficient stores;
+    returns the byte offset just past the scan (at the next marker)."""
     reader = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.byte_align()
-                reader.skip_restart()
-                pred = [0] * len(comps)
-            for ci, (c, dc_id, ac_id) in enumerate(scan_comp):
-                dct = huff[(0, dc_id)]
-                act = huff[(1, ac_id)]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.float64)
-                        t = _huff_decode(reader, dct)
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        pred[ci] += diff
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            blk[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        coeffs = blk.reshape(8, 8) * qmats[ci]
-                        pix = _T.T @ coeffs @ _T + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
-            mcu_count += 1
+    ns = len(scan_comp)
+    pred = [0] * ns
+    state = {"eobrun": 0}
 
+    def do_block(si, blk, dc_id, ac_id):
+        if ss == 0:
+            if ah == 0:
+                t = _huff_decode(reader, huff[(0, dc_id)])
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                pred[si] += diff
+                blk[0] = pred[si] << al
+                if se > 0:  # baseline: DC and AC in one scan
+                    _decode_block_ac_first(reader, huff[(1, ac_id)], blk,
+                                           1, se, 0, state)
+            else:  # DC refinement: one bit
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+        else:
+            if ah == 0:
+                _decode_block_ac_first(reader, huff[(1, ac_id)], blk,
+                                       ss, se, al, state)
+            else:
+                _decode_block_ac_refine(reader, huff[(1, ac_id)], blk,
+                                        ss, se, al, state)
+
+    def restart(n_done):
+        if restart_interval and n_done and n_done % restart_interval == 0:
+            reader.byte_align()
+            reader.skip_restart()
+            for i in range(ns):
+                pred[i] = 0
+            state["eobrun"] = 0
+            return True
+        return False
+
+    if ns == 1:
+        ci, dc_id, ac_id = scan_comp[0]
+        nbh, nbw = geom["nonint"][ci]
+        n_done = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                restart(n_done)
+                do_block(0, coeffs[ci][by, bx], dc_id, ac_id)
+                n_done += 1
+    else:
+        comps = frame["comps"]
+        n_done = 0
+        for my in range(geom["mcuy"]):
+            for mx in range(geom["mcux"]):
+                restart(n_done)
+                for si, (ci, dc_id, ac_id) in enumerate(scan_comp):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(
+                                si,
+                                coeffs[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                dc_id, ac_id,
+                            )
+                n_done += 1
+    # skip to the next true marker (past any byte-aligned padding)
+    p = reader.pos
+    while p < len(data) - 1:
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return p
+
+
+def _decode_block_ac_first(reader, act, blk, ss, se, al, state):
+    """AC coefficients of a first (Ah=0) scan band, with EOB runs."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _decode_block_ac_refine(reader, act, blk, ss, se, al, state):
+    """AC refinement (Ah>0) scan: correction bits for known-nonzero
+    coefficients plus newly-significant +-1<<Al insertions (T.81
+    G.1.2.3 / the classic jdphuff control flow)."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(z):
+        if reader.read_bit():
+            if (blk[z] & p1) == 0:
+                blk[z] += p1 if blk[z] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    # NB: 1 << r, NOT (1<<r)-1 — the trailing branch
+                    # below consumes the CURRENT block (reading its
+                    # remaining correction bits) and decrements, per
+                    # the T.81/G.1.2.3 control flow. An off-by-one here
+                    # silently desyncs the bitstream at the next block.
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = int(ZIGZAG[k])
+                if blk[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[int(ZIGZAG[k])] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = int(ZIGZAG[k])
+            if blk[z] != 0:
+                correct(z)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame, coeffs, qtabs):
+    """Dequantize + IDCT every block, crop/upsample, color-convert."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        grid = coeffs[ci]
+        bh, bw = grid.shape[:2]
+        q = qtabs[c["tq"]].reshape(8, 8).astype(np.float64)
+        dq = grid.reshape(bh, bw, 8, 8).astype(np.float64) * q
+        blocks = dq.reshape(bh * bw, 8, 8)
+        pix = np.einsum("ji,njk,kl->nil", _T, blocks, _T) + 128.0
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
         if c["h"] < hmax or c["v"] < vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
-        out_planes.append(p[:h, :w])
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0),
+                hmax // c["h"], axis=1,
+            )
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         g = np.clip(np.floor(out_planes[0] + 0.5), 0, 255).astype(np.uint8)
         return g[:, :, None]

@@ -126,15 +126,59 @@ def test_not_a_jpeg_rejected():
         decode_jpeg(b"\x89PNG" + b"\x00" * 32)
 
 
-def test_progressive_raises_not_implemented():
-    """Swap the baseline SOF0 marker for progressive SOF2: the decoder
-    must refuse explicitly, not mis-decode."""
+def test_arithmetic_coding_raises_not_implemented():
+    """Swap SOF0 for arithmetic-coded SOF9: the decoder must refuse
+    explicitly, not mis-decode."""
     img = np.full((8, 8, 3), 50, dtype=np.uint8)
     buf = bytearray(encode_jpeg(img, 90))
     at = bytes(buf).index(b"\xff\xc0")
-    buf[at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive|arithmetic"):
+    buf[at + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic|unsupported"):
         decode_jpeg(bytes(buf))
+
+
+# -------------------------------------------------------------- progressive
+
+
+def _prog_cases():
+    rng = np.random.RandomState(9)
+    return [
+        ("rgb", _gradient(48, 48), {}),
+        ("odd-dims", _gradient(41, 35), {}),
+        ("gray", rng.randint(0, 256, (17, 23)).astype(np.uint8), {}),
+        ("spectral-only", _gradient(32, 32), dict(dc_al=0, ac_al=0)),
+        ("deep-approx", _gradient(32, 32), dict(dc_al=2, ac_al=2)),
+        ("three-bands", _gradient(40, 40),
+         dict(ac_bands=((1, 2), (3, 20), (21, 63)))),
+        ("one-band", _gradient(24, 24), dict(ac_bands=((1, 63),))),
+        ("noise", rng.randint(0, 256, (24, 24, 3)).astype(np.uint8), {}),
+        ("flat-eob-runs", np.full((64, 64, 3), 130, np.uint8), {}),
+    ]
+
+
+@pytest.mark.parametrize("name,img,kw", _prog_cases(),
+                         ids=[c[0] for c in _prog_cases()])
+def test_progressive_equals_baseline_bit_exact(name, img, kw):
+    """Progressive entropy coding is a lossless re-packaging of the
+    SAME quantized coefficients, so progressive decode must equal
+    baseline decode EXACTLY — across spectral band splits, successive-
+    approximation depths, gray/RGB, odd geometry, and content that
+    stresses EOB runs. This is the independent correctness anchor for
+    both the progressive encoder and decoder: any desync (the classic
+    EOB-run off-by-one), wrong point transform, or refinement-bit slip
+    breaks exact equality."""
+    from insight_gp_import_spark.jpeg_codec import encode_jpeg_progressive
+
+    base = decode_jpeg(encode_jpeg(img, 85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 85, **kw))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_is_deterministic():
+    from insight_gp_import_spark.jpeg_codec import encode_jpeg_progressive
+
+    img = _gradient(24, 24)
+    assert encode_jpeg_progressive(img, 80) == encode_jpeg_progressive(img, 80)
 
 
 def test_truncated_scan_raises():
