@@ -164,6 +164,11 @@ def resize_images(
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         if not fake:
+            from insight_gp_import_spark.gif_codec import (
+                decode_gif,
+                encode_gif,
+                is_gif,
+            )
             from insight_gp_import_spark.jpeg_codec import (
                 decode_jpeg,
                 encode_jpeg,
@@ -186,10 +191,16 @@ def resize_images(
                     return encode_jpeg(
                         resize_nearest(decode_jpeg(b), width, height)
                     )
+                if is_gif(b):
+                    # nearest-neighbor only selects existing pixels, so
+                    # the <=256-color invariant survives re-encoding
+                    return encode_gif(
+                        resize_nearest(decode_gif(b), width, height)
+                    )
                 raise NotImplementedError(
-                    "image format not supported by the built-in PNG/JPEG "
-                    "codecs (GIF/WebP/TIFF need an image library not "
-                    "present in this environment)"
+                    "image format not supported by the built-in "
+                    "PNG/JPEG/GIF codecs (WebP/TIFF need an image "
+                    "library not present in this environment)"
                 )
 
         for pdf in batches:
@@ -218,6 +229,7 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
     """
 
     def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from insight_gp_import_spark.gif_codec import decode_gif, is_gif
         from insight_gp_import_spark.jpeg_codec import decode_jpeg, is_jpeg
         from insight_gp_import_spark.png_codec import ahash64, decode_png
 
@@ -225,7 +237,12 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
             ws, hs, hashes = [], [], []
             for b in pdf["payload"]:
                 b = bytes(b)
-                arr = decode_jpeg(b) if is_jpeg(b) else decode_png(b)
+                if is_jpeg(b):
+                    arr = decode_jpeg(b)
+                elif is_gif(b):
+                    arr = decode_gif(b)
+                else:
+                    arr = decode_png(b)
                 ws.append(arr.shape[1])
                 hs.append(arr.shape[0])
                 hashes.append(f"{ahash64(arr):016x}")

@@ -201,3 +201,51 @@ def test_image_phash_real_handles_jpeg(spark):
     (row,) = image_phash_real(df).collect()
     assert (row.width, row.height) == (24, 24)
     assert row.phash == f"{ahash64(decode_jpeg(jpg)):016x}"
+
+
+def test_resize_real_gif_end_to_end(spark):
+    """GIF payloads through the real mapInPandas resize path — output
+    is a valid GIF of the target geometry; GIF + nearest-neighbor are
+    both lossless over the palette, so pixels match a driver-side
+    resize EXACTLY."""
+    import numpy as np
+
+    from insight_gp_import_spark.gif_codec import decode_gif, encode_gif, is_gif
+    from insight_gp_import_spark.png_codec import resize_nearest
+
+    def frame(seed):
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        return encode_gif(pal[rng.randint(0, 16, (20, 28))])
+
+    df = spark.createDataFrame(
+        [(i, bytearray(frame(i))) for i in range(3)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: bytes(r.payload)
+           for r in resize_images(df, 14, 10).collect()}
+    assert len(out) == 3
+    for doc_id, payload in out.items():
+        assert is_gif(payload)
+        arr = decode_gif(payload)
+        assert arr.shape == (10, 14, 3)
+        want = resize_nearest(decode_gif(frame(doc_id)), 14, 10)
+        assert np.array_equal(arr, want)
+
+
+def test_image_phash_real_handles_gif(spark):
+    import numpy as np
+
+    from insight_gp_import_spark.gif_codec import decode_gif, encode_gif
+    from insight_gp_import_spark.operators.multimodal import image_phash_real
+    from insight_gp_import_spark.png_codec import ahash64
+
+    rng = np.random.RandomState(21)
+    pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    gif = encode_gif(pal[rng.randint(0, 8, (16, 16))])
+    df = spark.createDataFrame(
+        [(3, bytearray(gif))], "doc_id long, payload binary"
+    )
+    (row,) = image_phash_real(df).collect()
+    assert (row.width, row.height) == (16, 16)
+    assert row.phash == f"{ahash64(decode_gif(gif)):016x}"
