@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by Arrow-batched Python (mapInPandas).
 
-No image/audio libraries exist in this environment, so the DECODE step
-is a clearly-marked deterministic fake (see ``_fake_decode_meta``) /
-``NotImplementedError`` (see ``resize_images``); everything Spark-side
-is real and tested: binary column construction, mapInPandas schemas,
-Arrow batch iteration, row-expanding frame sampling, partition-
-preserving plumbing.
+No image/audio libraries exist in this environment. The ORACLED ops
+keep a clearly-marked deterministic fake decode (``_fake_decode_meta``
+— SQL-expressible, hence hash-checkable); the REAL decode path
+(``resize_images`` / ``image_phash_real``) uses the repo's own pure
+stdlib+numpy codecs — PNG, baseline+progressive JPEG, GIF, BMP — so
+actual pixels flow through the identical mapInPandas plumbing.
+Everything Spark-side is real and tested either way: binary column
+construction, mapInPandas schemas, Arrow batch iteration,
+row-expanding frame sampling, partition-preserving plumbing.
 
 The test corpus has no true media, so payloads are the documents' UTF-8
 bytes — which makes the fake decode SQL-expressible and therefore
@@ -148,15 +151,15 @@ def resize_images(
     """Resize binary image payloads → binary (mapInPandas, binary-in
     binary-out — the shape every media transform shares).
 
-    REAL path (round 5, widened round 6): PNG payloads are decoded with
-    the repo's pure-stdlib codec (png_codec.decode_png — zlib inflate +
-    all five scanline unfilters + PLTE palettes), JPEG payloads with the
-    pure stdlib+numpy baseline codec (jpeg_codec.decode_jpeg — Huffman +
-    dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart markers); both are
-    nearest-neighbor resampled and re-encoded in their own format.
-    Remaining honest NotImplementedError surface: other formats (GIF,
-    WebP, TIFF) and the codecs' documented gaps (progressive JPEG,
-    16-bit/interlaced PNG). ``fake=True`` keeps the deterministic
+    REAL path (round 5, completed round 6): payloads dispatch on magic
+    bytes across FOUR pure stdlib+numpy codecs — PNG (png_codec:
+    spec-complete decode, all depths/palettes/Adam7), JPEG (jpeg_codec:
+    baseline AND progressive SOF2, 4:4:4/4:2:2/4:2:0, restart markers),
+    GIF (gif_codec: full LZW, palettes, interlace, first frame of
+    animations) and BMP (bmp_codec: BI_RGB 8/24/32-bit) — then
+    nearest-neighbor resample and re-encode in their own format.
+    Remaining honest NotImplementedError surface: WebP/TIFF and
+    arithmetic-coded/12-bit JPEG. ``fake=True`` keeps the deterministic
     stand-in (truncate/pad to width*height bytes) for plumbing tests on
     non-image payloads.
     """
@@ -164,6 +167,11 @@ def resize_images(
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         if not fake:
+            from insight_gp_import_spark.bmp_codec import (
+                decode_bmp,
+                encode_bmp,
+                is_bmp,
+            )
             from insight_gp_import_spark.gif_codec import (
                 decode_gif,
                 encode_gif,
@@ -197,9 +205,13 @@ def resize_images(
                     return encode_gif(
                         resize_nearest(decode_gif(b), width, height)
                     )
+                if is_bmp(b):
+                    return encode_bmp(
+                        resize_nearest(decode_bmp(b), width, height)
+                    )
                 raise NotImplementedError(
                     "image format not supported by the built-in "
-                    "PNG/JPEG/GIF codecs (WebP/TIFF need an image "
+                    "PNG/JPEG/GIF/BMP codecs (WebP/TIFF need an image "
                     "library not present in this environment)"
                 )
 
@@ -229,6 +241,7 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
     """
 
     def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from insight_gp_import_spark.bmp_codec import decode_bmp, is_bmp
         from insight_gp_import_spark.gif_codec import decode_gif, is_gif
         from insight_gp_import_spark.jpeg_codec import decode_jpeg, is_jpeg
         from insight_gp_import_spark.png_codec import ahash64, decode_png
@@ -241,6 +254,8 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
                     arr = decode_jpeg(b)
                 elif is_gif(b):
                     arr = decode_gif(b)
+                elif is_bmp(b):
+                    arr = decode_bmp(b)
                 else:
                     arr = decode_png(b)
                 ws.append(arr.shape[1])

@@ -249,3 +249,23 @@ def test_image_phash_real_handles_gif(spark):
     (row,) = image_phash_real(df).collect()
     assert (row.width, row.height) == (16, 16)
     assert row.phash == f"{ahash64(decode_gif(gif)):016x}"
+
+
+def test_resize_real_bmp_end_to_end(spark):
+    """BMP payloads through the real resize path — BI_RGB is lossless,
+    so pixels match a driver-side resize exactly."""
+    import numpy as np
+
+    from insight_gp_import_spark.bmp_codec import decode_bmp, encode_bmp, is_bmp
+    from insight_gp_import_spark.png_codec import resize_nearest
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (21, 17, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(5, bytearray(encode_bmp(img)))], "doc_id long, payload binary"
+    )
+    (row,) = resize_images(df, 11, 8).collect()
+    assert is_bmp(bytes(row.payload))
+    out = decode_bmp(bytes(row.payload))
+    assert out.shape == (8, 11, 3)
+    assert np.array_equal(out, resize_nearest(img, 11, 8))
