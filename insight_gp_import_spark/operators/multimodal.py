@@ -447,29 +447,16 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_HEX = "0123456789abcdef"
 
 
-def _phash_bits_sql(text_col: str, n_col: str) -> str:
-    """64 fake-pixel aHash bits as a Spark SQL array expression.
-
-    Pixel i samples the byte at position ⌊i·n/64⌋ (DETERMINISTIC FAKE
-    of an 8×8 grayscale downsample — no image lib in env; the corpus
-    payload is ASCII text, so ascii(substring(...)) IS the byte). The
-    bit test pixel·64 > Σpixels is exact integer cross-multiplication
-    (no float mean)."""
-    pix = (
-        f"transform(sequence(0, 63), i -> "
-        f"ascii(substring({text_col}, 1 + ((i * {n_col}) div 64), 1)))"
-    )
-    return (
-        f"transform({pix}, p -> IF(p * 64 > "
-        f"aggregate({pix}, 0, (a, x) -> a + x), 1, 0))"
-    )
-
-
 def _with_phash_bits(df: DataFrame, text_col: str, n_col: str) -> DataFrame:
     """Stage the aHash bit array as a real column ``bs`` via three
     chained projections (pix → psum → bs).
 
-    Round-6 perf: the single-expression form (_phash_bits_sql) nests
+    Pixel i samples the byte at position ⌊i·n/64⌋ (DETERMINISTIC FAKE
+    of an 8×8 grayscale downsample; the corpus payload is ASCII text,
+    so ascii(substring(...)) IS the byte). The bit test pixel·64 >
+    Σpixels is exact integer cross-multiplication (no float mean).
+
+    Round-6 perf: the former single-expression form nested
     ``aggregate(pix, …)`` inside the per-element lambda, and Catalyst
     does NOT common-subexpression-eliminate inside lambda bodies — so
     every one of the 64 bit tests re-folded the 64-pixel array, and a
