@@ -188,6 +188,11 @@ def resize_images(
                 is_png,
                 resize_nearest,
             )
+            from insight_gp_import_spark.tiff_codec import (
+                decode_tiff,
+                encode_tiff,
+                is_tiff,
+            )
 
             def _resize(b):
                 b = bytes(b)
@@ -209,9 +214,13 @@ def resize_images(
                     return encode_bmp(
                         resize_nearest(decode_bmp(b), width, height)
                     )
+                if is_tiff(b):
+                    return encode_tiff(
+                        resize_nearest(decode_tiff(b), width, height)
+                    )
                 raise NotImplementedError(
                     "image format not supported by the built-in "
-                    "PNG/JPEG/GIF/BMP codecs (WebP/TIFF need an image "
+                    "PNG/JPEG/GIF/BMP/TIFF codecs (WebP needs an image "
                     "library not present in this environment)"
                 )
 
@@ -243,6 +252,7 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
     def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from insight_gp_import_spark.bmp_codec import decode_bmp, is_bmp
         from insight_gp_import_spark.gif_codec import decode_gif, is_gif
+        from insight_gp_import_spark.tiff_codec import decode_tiff, is_tiff
         from insight_gp_import_spark.jpeg_codec import decode_jpeg, is_jpeg
         from insight_gp_import_spark.png_codec import ahash64, decode_png
 
@@ -256,6 +266,8 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
                     arr = decode_gif(b)
                 elif is_bmp(b):
                     arr = decode_bmp(b)
+                elif is_tiff(b):
+                    arr = decode_tiff(b)
                 else:
                     arr = decode_png(b)
                 ws.append(arr.shape[1])

@@ -269,3 +269,27 @@ def test_resize_real_bmp_end_to_end(spark):
     out = decode_bmp(bytes(row.payload))
     assert out.shape == (8, 11, 3)
     assert np.array_equal(out, resize_nearest(img, 11, 8))
+
+
+def test_resize_real_tiff_end_to_end(spark):
+    """Uncompressed TIFF through the real resize path — lossless, so
+    pixels match a driver-side resize exactly."""
+    import numpy as np
+
+    from insight_gp_import_spark.png_codec import resize_nearest
+    from insight_gp_import_spark.tiff_codec import (
+        decode_tiff,
+        encode_tiff,
+        is_tiff,
+    )
+
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, (19, 23, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(6, bytearray(encode_tiff(img)))], "doc_id long, payload binary"
+    )
+    (row,) = resize_images(df, 9, 13).collect()
+    assert is_tiff(bytes(row.payload))
+    out = decode_tiff(bytes(row.payload))
+    assert out.shape == (13, 9, 3)
+    assert np.array_equal(out, resize_nearest(img, 9, 13))
