@@ -46,6 +46,25 @@ def _certificates() -> dict:
     return _CERTS
 
 
+# Memo for per-file content hashes; (size, mtime_ns) is only the CACHE
+# invalidation key — the digest value itself is pure content, so a
+# copy/checkout/touch of byte-identical testdata keeps the same digest
+# (r6 ADVICE: the old name/size/mtime_ns digest broke certificates on
+# any mtime churn, silently dropping back to multi-minute live oracles).
+_FILE_SHA: dict[tuple[str, int, int], str] = {}
+
+
+def _content_sha(path: str, st: os.stat_result) -> str:
+    key = (path, st.st_size, st.st_mtime_ns)
+    if key not in _FILE_SHA:
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        _FILE_SHA[key] = h.hexdigest()
+    return _FILE_SHA[key]
+
+
 def sf_dir_digest(sf_dir: str) -> str:
     """Fingerprint of the input parquet a certificate was minted against.
 
@@ -53,17 +72,19 @@ def sf_dir_digest(sf_dir: str) -> str:
     OUTPUT also depends on the INPUT data. If testdata is ever
     regenerated, a certificate would silently assert the stale output;
     binding each certificate to a digest of the parquet files
-    (name, size, mtime_ns — cheap, no file reads) makes the fast path
-    fall back to the live oracle the moment the data changes.
+    (name, size, sha256-of-bytes) makes the fast path fall back to the
+    live oracle the moment the data changes — and ONLY then: mtime is
+    deliberately excluded so byte-identical copies keep certificates
+    valid (full read is ~17 MB per sf dir, memoized per process).
     """
     entries = []
     for t in sorted(TABLES):
         p = os.path.join(sf_dir, f"{t}.parquet")
         try:
             st = os.stat(p)
-            entries.append((t, st.st_size, st.st_mtime_ns))
+            entries.append((t, st.st_size, _content_sha(p, st)))
         except FileNotFoundError:
-            entries.append((t, -1, -1))
+            entries.append((t, -1, "missing"))
     return hashlib.sha256(repr(entries).encode()).hexdigest()
 
 

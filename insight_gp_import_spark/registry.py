@@ -112,58 +112,6 @@ def op(name: str, oracle: str | None = None, category: str = "") -> Callable[[Qu
 # generator (--check).
 DRIVER_ORDER: list[str] = [
     "stream_checkpoint_restart",
-    "agg_pareto_cut",
-    "fn_mask",
-    "graph_rich_club",
-    "join_asof_nearest",
-    "embed_matryoshka_eval",
-    "pipeline_growth_dashboard",
-    "sink_partition_overwrite_dynamic",
-    "sql_pivot_keyword",
-    "ts_seasonal_naive_forecast",
-    "corpus_budget_apportion",
-    "embed_kmeans_lloyd",
-    "text_langid_ngram",
-    "win_rolling_wau",
-    "agg_argmax",
-    "fn_array_sort_comparator",
-    "graph_modularity_brand_partition",
-    "sql_join_hints",
-    "embed_hard_negatives",
-    "dq_benford_check",
-    "sink_parquet_zorder",
-    "sql_unpivot_keyword",
-    "ts_business_day_lag",
-    "corpus_span_corruption",
-    "embed_pca_power",
-    "text_zipf_slope",
-    "win_max_drawdown",
-    "agg_skew_kurtosis",
-    "fn_date_format",
-    "graph_adamic_adar",
-    "join_null_safe_eq",
-    "embed_label_centroid_separation",
-    "dq_ks_drift",
-    "schema_evolution_catalog",
-    "sql_limit_offset",
-    "ts_sma_crossover",
-    "corpus_epoch_reshuffle",
-    "embed_centroid_drift",
-    "text_confusable_normalize",
-    "win_running_vwap",
-    "agg_bitmask_profile",
-    "fn_width_bucket",
-    "graph_local_clustering",
-    "join_unknown_member",
-    "embed_anisotropy_score",
-    "dq_rule_checks",
-    "merge_scd2_incremental",
-    "sql_values_inline_dim",
-    "ts_largest_silences",
-    "corpus_dataset_card",
-    "dedup_survivor_quality",
-    "text_boilerplate_sentences",
-    "win_group_standardize",
     "agg_cohort_ltv",
     "fn_explode_outer",
     "graph_hits_bipartite",
@@ -174,9 +122,9 @@ DRIVER_ORDER: list[str] = [
     "setop_except_all",
     "ts_wow_aligned",
     "corpus_lsh_tuning_table",
-    "embed_dedup_threshold_sweep",
-    "text_char_entropy",
-    "win_reorder_gap",
+    "dedup_survivor_quality",
+    "text_boilerplate_sentences",
+    "win_group_standardize",
     "agg_gini_activity",
     "fn_listagg",
     "join_bilateral_trade",
@@ -186,9 +134,9 @@ DRIVER_ORDER: list[str] = [
     "sql_distribute_sort_by",
     "ts_seasonal_index_monthly",
     "corpus_source_overlap",
-    "dedup_sorted_neighborhood",
-    "text_prefix_dup_groups",
-    "win_ratio_to_report",
+    "embed_dedup_threshold_sweep",
+    "text_char_entropy",
+    "win_reorder_gap",
     "agg_boolean_aggregates",
     "fn_uuid5_surrogate",
     "join_drill_across_facts",
@@ -197,8 +145,9 @@ DRIVER_ORDER: list[str] = [
     "sql_lateral_view",
     "ts_deseasonalized_outliers",
     "corpus_alpha_sampling_weights",
-    "text_langid_eval",
-    "win_top_movers",
+    "dedup_sorted_neighborhood",
+    "text_prefix_dup_groups",
+    "win_ratio_to_report",
     "agg_rfm_segments",
     "fn_slugify",
     "join_calendar_dim_rollup",
@@ -207,8 +156,8 @@ DRIVER_ORDER: list[str] = [
     "sql_identifier_dynamic",
     "ts_acf_lags",
     "corpus_mix_kl_divergence",
-    "text_bpe_first_merges",
-    "win_last_touch_attribution",
+    "text_langid_eval",
+    "win_top_movers",
     "agg_decimal_money",
     "fn_aes_roundtrip",
     "pipeline_feature_store_snapshot",
@@ -217,8 +166,8 @@ DRIVER_ORDER: list[str] = [
     "sql_star_except",
     "ts_bollinger_breaks",
     "dq_hash_uniformity",
-    "text_oov_rate",
-    "win_rank_change",
+    "text_bpe_first_merges",
+    "win_last_touch_attribution",
     "agg_new_returning_users",
     "fn_timestamp_parse_multi",
     "join_bitemporal_asof",
@@ -227,8 +176,8 @@ DRIVER_ORDER: list[str] = [
     "sql_union_by_name",
     "ts_rsi_zones",
     "corpus_normalization_payoff",
-    "text_lexical_diversity",
-    "win_event_context_window",
+    "text_oov_rate",
+    "win_rank_change",
     "agg_conversion_latency",
     "fn_natural_sort_key",
     "join_fx_normalize",
@@ -237,8 +186,8 @@ DRIVER_ORDER: list[str] = [
     "sql_relational_division",
     "ts_theil_sen_trend",
     "corpus_quality_filter_funnel",
-    "text_tokenizer_fertility",
-    "win_twap",
+    "text_lexical_diversity",
+    "win_event_context_window",
     "agg_weighted_median",
     "fn_text_sparkline",
     "join_record_linkage_score",
@@ -247,8 +196,8 @@ DRIVER_ORDER: list[str] = [
     "sql_order_group_by_all",
     "ts_downsample_minmax",
     "corpus_sampler_bias_check",
-    "text_kwic_concordance",
-    "win_skyline_frontier",
+    "text_tokenizer_fertility",
+    "win_twap",
     "agg_basket_lift",
     "fn_base64_roundtrip",
     "join_order_split_shipments",
@@ -256,8 +205,8 @@ DRIVER_ORDER: list[str] = [
     "sink_jsonl_roundtrip",
     "sql_function_declared",
     "ts_periodogram_quantized",
-    "text_vocab_coverage_bands",
-    "win_indexed_performance",
+    "text_kwic_concordance",
+    "win_skyline_frontier",
     "agg_weekend_lift",
     "fn_split_regex_vs_literal",
     "join_coverage_gaps",
@@ -265,46 +214,48 @@ DRIVER_ORDER: list[str] = [
     "scan_recursive_lookup",
     "sql_session_variable",
     "ts_naive_interval_bands",
-    "text_token_dispersion",
-    "win_z_chart",
+    "text_vocab_coverage_bands",
+    "win_indexed_performance",
     "agg_interarrival_percentiles",
     "fn_haversine",
     "join_repeat_basket_similarity",
     "dq_fk_inclusion_profile",
     "scan_glob_filtered",
     "ts_month_end_hockey_stick",
-    "text_yule_k",
-    "win_time_decay_attribution",
+    "text_token_dispersion",
+    "win_z_chart",
     "agg_peak_concurrency",
     "fn_timezone_convert",
     "join_asof_policy_sensitivity",
     "dq_fingerprint_collisions",
     "scan_parquet_footer_stats",
     "ts_underwater_duration",
-    "text_heaps_law_beta",
-    "win_time_to_nth_purchase",
+    "text_yule_k",
+    "win_time_decay_attribution",
     "agg_survival_km",
     "join_bridge_allocation",
     "dq_rare_categories",
     "scan_modified_after",
     "ts_xmr_control_chart",
-    "text_langid_kappa",
+    "text_heaps_law_beta",
+    "win_time_to_nth_purchase",
     "agg_chi_square",
     "join_allen_interval_relations",
     "dq_future_leakage_audit",
     "sink_parquet_zstd",
     "ts_event_study_panel",
-    "text_source_js_divergence",
+    "text_langid_kappa",
     "agg_geometric_mean",
     "join_dynamic_partition_pruning",
     "dq_capture_recapture",
     "scan_csv_null_tokens",
     "ts_anomaly_consensus",
-    "text_bigram_logprob",
+    "text_source_js_divergence",
     "agg_top_paths",
     "dq_hll_error_bound",
     "scan_ignore_corrupt_files",
     "ts_ljung_box_residuals",
+    "text_bigram_logprob",
     "agg_abc_classes",
     "dq_quantile_sketch_bound",
     "scan_wholetext_files",
@@ -508,6 +459,8 @@ DRIVER_ORDER: list[str] = [
     "sink_parquet_bucketed",
     "sink_parquet_partitioned",
     "sink_parquet_range_sorted",
+    "sink_parquet_zorder",
+    "sink_partition_overwrite_dynamic",
     "snapshot_diff",
     "stream_source_dir",
     "stream_stream_join",
@@ -607,6 +560,53 @@ DRIVER_ORDER: list[str] = [
     "udf_map_in_arrow",
     "win_rolling_corr",
     "win_rolling_median",
+    "agg_argmax",
+    "agg_bitmask_profile",
+    "agg_pareto_cut",
+    "agg_skew_kurtosis",
+    "corpus_budget_apportion",
+    "corpus_dataset_card",
+    "corpus_epoch_reshuffle",
+    "corpus_span_corruption",
+    "dq_benford_check",
+    "dq_ks_drift",
+    "dq_rule_checks",
+    "embed_anisotropy_score",
+    "embed_centroid_drift",
+    "embed_hard_negatives",
+    "embed_kmeans_lloyd",
+    "embed_label_centroid_separation",
+    "embed_matryoshka_eval",
+    "embed_pca_power",
+    "fn_array_sort_comparator",
+    "fn_date_format",
+    "fn_mask",
+    "fn_width_bucket",
+    "graph_adamic_adar",
+    "graph_local_clustering",
+    "graph_modularity_brand_partition",
+    "graph_rich_club",
+    "join_asof_nearest",
+    "join_null_safe_eq",
+    "join_unknown_member",
+    "merge_scd2_incremental",
+    "pipeline_growth_dashboard",
+    "schema_evolution_catalog",
+    "sql_join_hints",
+    "sql_limit_offset",
+    "sql_pivot_keyword",
+    "sql_unpivot_keyword",
+    "sql_values_inline_dim",
+    "text_confusable_normalize",
+    "text_langid_ngram",
+    "text_zipf_slope",
+    "ts_business_day_lag",
+    "ts_largest_silences",
+    "ts_seasonal_naive_forecast",
+    "ts_sma_crossover",
+    "win_max_drawdown",
+    "win_rolling_wau",
+    "win_running_vwap",
 ]
 
 

@@ -58,6 +58,31 @@ def test_certificates_match_current_oracle_sql():
             )
 
 
+def test_sf_digest_is_content_based(tmp_path):
+    """r6 ADVICE (medium): the digest must survive copy/checkout/touch of
+    byte-identical testdata — mtime churn used to silently invalidate
+    every certificate (falling back to multi-minute live oracles) and
+    fail the suite on any fresh checkout."""
+    import shutil
+
+    from insight_gp_import_spark.compare import TABLES, sf_dir_digest
+
+    src = Path("/root/testdata/sf0.001")
+    dst = tmp_path / "sfcopy"
+    dst.mkdir()
+    for t in TABLES:
+        shutil.copyfile(src / f"{t}.parquet", dst / f"{t}.parquet")
+    assert sf_dir_digest(str(dst)) == sf_dir_digest(str(src))
+
+    # ...and still detect actual content changes
+    with open(dst / "region.parquet", "r+b") as f:
+        f.seek(4)
+        b = f.read(1)
+        f.seek(4)
+        f.write(bytes([b[0] ^ 0xFF]))
+    assert sf_dir_digest(str(dst)) != sf_dir_digest(str(src))
+
+
 def test_certificate_fast_path_round_trip(spark, tmp_path, monkeypatch):
     """Certify a cheap op into a temp store, then prove compare() takes
     the certificate path, passes on the true result, and fails when the

@@ -726,5 +726,9 @@ def test_threshold_sweep_precomputes_norms_once(spark):
     assert phys.count("SQRT") + phys.count("sqrt") <= 4, (
         phys.count("SQRT"), phys.count("sqrt")
     )
-    assert "CartesianProduct" not in phys or True  # theta join is BNLJ by
-    # necessity (a.vec_id < b.vec_id); the guard above is the norm CSE
+    # the theta join (a.vec_id < b.vec_id) has no equi keys, so the only
+    # acceptable physical shapes are BNLJ (small side broadcast) — never
+    # an un-broadcast CartesianProduct, which would shuffle-materialize
+    # both sides at scale
+    assert "CartesianProduct" not in phys, "theta join regressed to CartesianProduct"
+    assert "BroadcastNestedLoopJoin" in phys

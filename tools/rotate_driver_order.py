@@ -30,6 +30,7 @@ import itertools
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -44,12 +45,34 @@ PRIORITY: list[str] = [
 ]
 
 
+def evidence_files() -> list[str]:
+    """COMMITTED CORRECTNESS_r*.json paths only (r6 verdict item 2).
+
+    The driver writes CORRECTNESS_r{N}.json into the worktree AFTER the
+    builder's last commit, so a glob-based queue changes between commit
+    time and judging time — the sync guard then fails at every judging
+    checkpoint by construction (sole pytest failure in rounds 5 and 6).
+    Deriving the queue from ``git ls-files`` makes a tree that was
+    committed green stay green when new untracked evidence lands; the
+    next round's rotation (run after the driver commits that evidence)
+    picks it up.  Falls back to glob if git is unavailable.
+    """
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, cwd=REPO, timeout=30, check=True,
+        ).stdout
+        return sorted(os.path.join(REPO, p) for p in out.split() if p)
+    except (OSError, subprocess.SubprocessError):
+        return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+
+
 def evidence() -> tuple[set[str], set[str], dict[str, int]]:
-    """(hashed, executed, first_round_seen) from CORRECTNESS_r*.json."""
+    """(hashed, executed, first_round_seen) from COMMITTED CORRECTNESS_r*.json."""
     hashed: set[str] = set()
     executed: set[str] = set()
     first_round: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in evidence_files():
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
         with open(path) as f:
@@ -131,10 +154,7 @@ def rewrite(order: list[str], check: bool) -> int:
         # name the evidence files consumed (a freshly-landed
         # CORRECTNESS_r*.json is the usual cause of drift) and show the
         # first differing slots so the fix — re-run this tool — is obvious
-        consumed = sorted(
-            os.path.basename(p)
-            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-        )
+        consumed = sorted(os.path.basename(p) for p in evidence_files())
         print(f"  evidence consumed: {', '.join(consumed) or '(none)'}")
         m = re.search(r"DRIVER_ORDER: list\[str\] = \[(.*?)\n\]", src, flags=re.S)
         committed = re.findall(r'"([^"]+)"', m.group(1)) if m else []
