@@ -694,6 +694,23 @@ def encode_jpeg_progressive(
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
+    """Public entry: see _decode_jpeg_impl for the decoder proper.
+
+    r6 ADVICE: a desynced/malformed entropy stream can hit an RSTn
+    marker where none is expected; _BitReader signals that with the
+    private _RestartMarker exception (consumed at MCU boundaries via
+    skip_restart on well-formed streams). Translate any escape into the
+    documented ValueError so mapInPandas callers never see an internal
+    exception type."""
+    try:
+        return _decode_jpeg_impl(data)
+    except _RestartMarker as e:
+        raise ValueError(
+            f"unexpected restart marker RST{e.marker - 0xD0} in entropy stream"
+        ) from None
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 (h, w, channels) array (1 or 3).
 
     Baseline sequential (SOF0/1) AND progressive (SOF2 — round 6):

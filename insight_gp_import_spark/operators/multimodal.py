@@ -151,17 +151,18 @@ def resize_images(
     """Resize binary image payloads → binary (mapInPandas, binary-in
     binary-out — the shape every media transform shares).
 
-    REAL path (round 5, completed round 6): payloads dispatch on magic
-    bytes across FOUR pure stdlib+numpy codecs — PNG (png_codec:
+    REAL path (round 5, completed rounds 6-7): payloads dispatch on
+    magic bytes across FIVE pure stdlib+numpy codecs — PNG (png_codec:
     spec-complete decode, all depths/palettes/Adam7), JPEG (jpeg_codec:
     baseline AND progressive SOF2, 4:4:4/4:2:2/4:2:0, restart markers),
     GIF (gif_codec: full LZW, palettes, interlace, first frame of
-    animations) and BMP (bmp_codec: BI_RGB 8/24/32-bit) — then
-    nearest-neighbor resample and re-encode in their own format.
-    Remaining honest NotImplementedError surface: WebP/TIFF and
-    arithmetic-coded/12-bit JPEG. ``fake=True`` keeps the deterministic
-    stand-in (truncate/pad to width*height bytes) for plumbing tests on
-    non-image payloads.
+    animations), BMP (bmp_codec: BI_RGB 8/24/32-bit) and TIFF
+    (tiff_codec: uncompressed + LZW + Deflate strips, Predictor 2,
+    both endians) — then nearest-neighbor resample and re-encode in
+    their own format. Remaining honest NotImplementedError surface:
+    WebP and arithmetic-coded/12-bit JPEG. ``fake=True`` keeps the
+    deterministic stand-in (truncate/pad to width*height bytes) for
+    plumbing tests on non-image payloads.
     """
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

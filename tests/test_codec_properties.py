@@ -30,6 +30,12 @@ from insight_gp_import_spark.png_codec import (
     encode_png,
     resize_nearest,
 )
+from insight_gp_import_spark.tiff_codec import (
+    decode_tiff,
+    encode_tiff,
+    lzw_decode,
+    lzw_encode,
+)
 
 SETTINGS = settings(max_examples=25, deadline=None)
 
@@ -98,6 +104,38 @@ def test_resize_nearest_geometry_and_provenance(dims, seed, out):
     # every output pixel exists somewhere in the source
     src = {tuple(p) for p in img.reshape(-1, 3)}
     assert all(tuple(p) in src for p in res.reshape(-1, 3))
+
+
+@given(dims=dims, seed=seeds,
+       comp=st.sampled_from([1, 5, 8]),
+       pred=st.sampled_from([1, 2]),
+       rps=st.one_of(st.none(), st.integers(1, 8)))
+@SETTINGS
+def test_tiff_roundtrip_lossless(dims, seed, comp, pred, rps):
+    """TIFF is lossless under every (compression, predictor, strip)
+    combination the codec claims: none/LZW/Deflate x identity/
+    horizontal-differencing x single- or multi-strip."""
+    h, w = dims
+    img = _img(seed, h, w, 3)
+    data = encode_tiff(img, compression=comp, rows_per_strip=rps,
+                       predictor=pred)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+@given(seed=seeds, n=st.integers(0, 30000),
+       alphabet=st.integers(2, 256))
+@SETTINGS
+def test_tiff_lzw_stream_roundtrip(seed, n, alphabet):
+    """Raw LZW stream invariant across code-width transitions (511/
+    1023/2047 next-free slots) and the 4094 table-full Clear: small
+    alphabets compress deep (many long table entries), large alphabets
+    stay literal-heavy; both must survive n large enough to cross
+    every width boundary several times."""
+    buf = bytes(
+        np.random.RandomState(seed).randint(0, alphabet, n, dtype=np.int64)
+        % 256
+    )
+    assert lzw_decode(lzw_encode(buf)) == buf
 
 
 @given(dims=dims, seed=seeds, q=st.integers(30, 95))

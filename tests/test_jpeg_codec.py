@@ -10,6 +10,8 @@ correctly. Flat-color blocks additionally pin DC-exactness."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -186,6 +188,21 @@ def test_truncated_scan_raises():
     data = encode_jpeg(img, 90)
     with pytest.raises(Exception):
         decode_jpeg(data[: len(data) // 2])
+
+
+def test_unexpected_restart_marker_raises_value_error():
+    """r6 ADVICE: an RSTn in entropy data where no restart interval was
+    declared used to leak the private _RestartMarker exception class to
+    mapInPandas callers; it must surface as the documented ValueError."""
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img, 90))
+    sos = bytes(data).index(b"\xff\xda")
+    (seglen,) = struct.unpack(">H", data[sos + 2:sos + 4])
+    scan_start = sos + 2 + seglen
+    # inject RST0 a few bytes into the entropy stream
+    data[scan_start + 4:scan_start + 4] = b"\xff\xd0"
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(data))
 
 
 # ------------------------------------------------------- table construction
