@@ -817,3 +817,136 @@ def mm_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "modality")
     )
+
+
+@op(
+    "mm_image_meta_real",
+    oracle="""
+    WITH pix AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              i -> ascii(substr(text, CAST(1 + ((i * n_chars) // 64) AS BIGINT), 1)) % 256)
+                   AS p
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                WHEN 2 THEN 'tiff' ELSE 'gif' END AS fmt,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(list_aggregate(p, 'sum') AS BIGINT) AS pixel_sum,
+           CAST(p[1] AS BIGINT) AS px_first,
+           CAST(p[64] AS BIGINT) AS px_last,
+           CAST(1 AS BIGINT) AS exact
+    FROM pix
+    """,
+    category=CAT,
+)
+def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec image metadata extraction, driver-gate eligible
+    (round-7 verdict item 6): per document, an 8x8 grayscale image is
+    built in-plan from the same 64 deterministically-sampled text bytes
+    as ``mm_image_phash``, ENCODED executor-side with one of the four
+    in-repo lossless codecs chosen by doc_id (PNG / BMP / TIFF with the
+    round-7 LZW + Predictor 2 + multi-strip path / GIF with its own
+    LZW), then DECODED back through the same magic-byte dispatch
+    ``resize_images`` uses, and reduced to metadata.
+
+    The oracle is a fixture LAW (the scan_csv_tolerant pattern): both
+    codec directions are deterministic and the formats lossless, so
+    decode(encode(img)) == img exactly and every output column —
+    detected format, dimensions, pixel sum, corner pixels, exact
+    round-trip flag — is a closed-form relation over the text bytes
+    that DuckDB recomputes WITHOUT running any codec. Any regression in
+    an encoder, a decoder, the LZW width pairing, or the magic-byte
+    dispatch flips fmt/pixel values and hash-fails the driver gate —
+    this op promotes the codec suite from unit-tested to
+    CORRECTNESS-gated.
+
+    Scale shape: pure per-row map — the pixel sampling is one fused
+    JVM scan-stage expression, the codec work is Arrow-batched
+    mapInPandas with zero shuffles and ~us-per-image cost; at 100 TB it
+    parallelizes embarrassingly with input partitions, exactly like the
+    production decode it stands in for.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pix = (
+        "transform(sequence(0, 63), i -> "
+        "ascii(substring(text, 1 + ((i * n_chars) div 64), 1)) % 256)"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.expr(pix).alias("p"),
+        (F.col("doc_id") % 4).cast("int").alias("codec_id"),
+    )
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from insight_gp_import_spark.bmp_codec import decode_bmp, encode_bmp, is_bmp
+        from insight_gp_import_spark.gif_codec import decode_gif, encode_gif, is_gif
+        from insight_gp_import_spark.png_codec import decode_png, encode_png, is_png
+        from insight_gp_import_spark.tiff_codec import (
+            decode_tiff,
+            encode_tiff,
+            is_tiff,
+        )
+
+        encoders = {
+            0: lambda a: encode_png(a),
+            1: lambda a: encode_bmp(a),
+            # exercise the round-7 TIFF additions end-to-end:
+            # LZW compression + horizontal predictor + multi-strip
+            2: lambda a: encode_tiff(
+                a, compression=5, rows_per_strip=3, predictor=2
+            ),
+            3: lambda a: encode_gif(a),
+        }
+
+        def one(p, codec_id):
+            gray = np.asarray(p, dtype=np.uint8).reshape(8, 8)
+            img = np.repeat(gray[:, :, None], 3, axis=2)
+            blob = encoders[codec_id](img)
+            if is_png(blob):
+                fmt, out = "png", decode_png(blob)
+            elif is_bmp(blob):
+                fmt, out = "bmp", decode_bmp(blob)
+            elif is_tiff(blob):
+                fmt, out = "tiff", decode_tiff(blob)
+            elif is_gif(blob):
+                fmt, out = "gif", decode_gif(blob)
+            else:
+                fmt, out = "unknown", np.zeros((0, 0, 3), np.uint8)
+            h, w = out.shape[:2]
+            ok = int(out.shape == img.shape and bool(np.array_equal(out, img)))
+            chan = out[:, :, 0] if out.size else gray * 0
+            return (
+                fmt, int(w), int(h), int(chan.sum()),
+                int(chan[0, 0]) if out.size else -1,
+                int(chan[-1, -1]) if out.size else -1,
+                ok,
+            )
+
+        for pdf in batches:
+            res = [
+                one(p, c) for p, c in zip(pdf["p"], pdf["codec_id"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [r[0] for r in res],
+                    "width": [r[1] for r in res],
+                    "height": [r[2] for r in res],
+                    "pixel_sum": [r[3] for r in res],
+                    "px_first": [r[4] for r in res],
+                    "px_last": [r[5] for r in res],
+                    "exact": [r[6] for r in res],
+                }
+            )
+
+    return staged.mapInPandas(
+        meta_batches,
+        "doc_id long, fmt string, width long, height long, "
+        "pixel_sum long, px_first long, px_last long, exact long",
+    )
