@@ -6,8 +6,17 @@ JSON line: ``{"metric": ..., "value": suite_sec, "unit": "sec",
 "queries": {...}, "sf": ...}``.
 
 Protocol (matches how BASELINE.md was measured): one shared warm
-SparkSession, startup excluded, 1 discard run + median of 3 timed runs
+SparkSession, startup excluded, 1 discard run + median of 5 timed runs
 per query, timing = full plan build + execution + collect.
+
+r6 verdict item 5: driver-run and quiet-host numbers for the SAME HEAD
+differed by ~12% — more than any real plan change that round — so the
+JSON now also carries per-query {median, min, spread} (spread =
+max-min across the timed runs) under "queries_stats". "queries" stays
+plain median seconds for the driver/BASELINE comparison; min is the
+load-robust statistic (host noise only ever ADDS time), so
+round-over-round regressions should be judged on min when spread is
+large relative to median.
 """
 
 from __future__ import annotations
@@ -34,7 +43,7 @@ BENCH_QUERIES = {
     "q10": "agg_grouping_sets",
 }
 
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
 def main() -> None:
@@ -56,6 +65,7 @@ def main() -> None:
     ops = load_all_ops()
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for qid, op_id in BENCH_QUERIES.items():
         fn = ops[op_id].fn
         fn(spark, sf_dir).collect()  # discard run (JIT, file listing, AQE stats)
@@ -65,6 +75,11 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         timings[qid] = round(statistics.median(samples), 4)
+        stats[qid] = {
+            "median": timings[qid],
+            "min": round(min(samples), 4),
+            "spread": round(max(samples) - min(samples), 4),
+        }
 
     suite = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -75,6 +90,9 @@ def main() -> None:
                 "value": suite,
                 "unit": "sec",
                 "queries": timings,
+                "queries_stats": stats,
+                "runs": RUNS,
+                "suite_min": round(sum(s["min"] for s in stats.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
