@@ -414,6 +414,27 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     arrays join back once per SURVIVING pair for exact verification —
     the same payload-last shape embed_lsh_pairs uses."""
     sets = sets_in.select("doc_id", "arr")
+    cand = minhash_candidates(sets)
+    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"))
+    shared = F.size(F.array_intersect("arr1", "arr2"))
+    union = F.size("arr1") + F.size("arr2") - shared
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", (shared / union).alias("j"))
+        .filter(F.col("j") > JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("j", 4).alias("jaccard"))
+    )
+
+
+def minhash_candidates(sets_in: DataFrame) -> DataFrame:
+    """The LSH banding stage of ``minhash_pairs``, exposed (round-7
+    verdict item 3) so the sf1 scale stress can measure CANDIDATE
+    volume separately from verified pairs — the quantity whose
+    sub-quadratic growth is the entire point of banding. Pure code
+    motion from minhash_pairs; the op's plan is unchanged."""
+    sets = sets_in.select("doc_id", "arr")
 
     def _perm_hash(s: int):
         # A FACTORY, not `lambda t, s=s: ...`: PySpark decides a HOF
@@ -454,7 +475,7 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
         ).alias("band", "bh"),
     )
     l, r = bands.alias("l"), bands.alias("r")
-    cand = (
+    return (
         l.join(r, ["band", "bh"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
@@ -462,17 +483,6 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
             F.col("r.doc_id").alias("d2"),
         )
         .dropDuplicates(["d1", "d2"])
-    )
-    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"))
-    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"))
-    shared = F.size(F.array_intersect("arr1", "arr2"))
-    union = F.size("arr1") + F.size("arr2") - shared
-    return (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", (shared / union).alias("j"))
-        .filter(F.col("j") > JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round("j", 4).alias("jaccard"))
     )
 
 

@@ -619,6 +619,34 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-dedup vs N²/2 comparisons; quarter packing is exact integer
     work in the scan stage.
     """
+    cand_ids, quarters = phash_candidates(spark, sf_dir)
+    qa = quarters.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"q{i}").alias(f"a{i}") for i in range(4)],
+    )
+    qb = quarters.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"q{i}").alias(f"b{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(a{i} ^ b{i})") for i in range(4)
+    )
+    return (
+        cand_ids.join(qa, "doc_a")
+        .join(qb, "doc_b")
+        .filter(ham <= PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+    )
+
+
+def phash_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Quarter-banding candidate stage of ``dedup_phash_hamming``
+    (cand_ids, persisted quarters) — exposed (round-7 verdict item 3)
+    so the sf1 scale stress can measure candidate volume separately
+    from verified pairs. Pure code motion; the op's plan is unchanged.
+    """
     from insight_gp_import_spark.registry import tracked_persist
 
     docs = load_table(spark, sf_dir, "documents")
@@ -656,23 +684,7 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    qa = quarters.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"q{i}").alias(f"a{i}") for i in range(4)],
-    )
-    qb = quarters.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"q{i}").alias(f"b{i}") for i in range(4)],
-    )
-    ham = sum(
-        F.expr(f"bit_count(a{i} ^ b{i})") for i in range(4)
-    )
-    return (
-        cand_ids.join(qa, "doc_a")
-        .join(qb, "doc_b")
-        .filter(ham <= PHASH_HAM_MAX)
-        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
-    )
+    return cand_ids, quarters
 
 
 PATCH_PX = 48  # ViT-style square patch; deliberately does NOT divide the

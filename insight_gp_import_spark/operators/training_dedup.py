@@ -490,6 +490,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates only. At 100 TB this turns the quadratic gram join
     into one proportional to true near-duplication.
     """
+    cand, gd = ngram_candidates(spark, sf_dir)
+    sets = gd.groupBy("doc_id").agg(
+        F.collect_set("g").alias("gs"), F.count("*").alias("n")
+    )
+    s1 = sets.select(
+        F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"), F.col("n").alias("n1")
+    )
+    s2 = sets.select(
+        F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"), F.col("n").alias("n2")
+    )
+    shared = F.size(F.array_intersect("gs1", "gs2"))
+    union = F.col("n1") + F.col("n2") - shared
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("shared", shared)
+        .withColumn("union_n", union)
+        .filter(NGRAM_T_DEN * F.col("shared") > NGRAM_T_NUM * F.col("union_n"))
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("shared") / F.col("union_n"), 4).alias("jaccard"),
+        )
+    )
+
+
+def ngram_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """AllPairs prefix-filter candidate stage of ``dedup_ngram_jaccard``
+    (cand, gd) — exposed (round-7 verdict item 3) so the sf1 scale
+    stress can measure candidate volume separately from verified pairs.
+    Pure code motion; the op's plan is unchanged."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") >= NGRAM_K
     )
@@ -541,29 +574,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
-    sets = gd.groupBy("doc_id").agg(
-        F.collect_set("g").alias("gs"), F.count("*").alias("n")
-    )
-    s1 = sets.select(
-        F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"), F.col("n").alias("n1")
-    )
-    s2 = sets.select(
-        F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"), F.col("n").alias("n2")
-    )
-    shared = F.size(F.array_intersect("gs1", "gs2"))
-    union = F.col("n1") + F.col("n2") - shared
-    return (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("shared", shared)
-        .withColumn("union_n", union)
-        .filter(NGRAM_T_DEN * F.col("shared") > NGRAM_T_NUM * F.col("union_n"))
-        .select(
-            "d1",
-            "d2",
-            F.round(F.col("shared") / F.col("union_n"), 4).alias("jaccard"),
-        )
-    )
+    return cand, gd
 
 
 # --- signed-random-projection LSH ANN (complements ann_ivf_topk) ------------
