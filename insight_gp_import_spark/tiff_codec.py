@@ -6,15 +6,17 @@ covers the overwhelming majority of real TIFF exports — is:
 
 - ``decode_tiff``: first IFD of little- or big-endian TIFF files,
   Compression 1 (none), 5 (LZW — TIFF variant: MSB-first bit packing,
-  early code-width change), 8 / 32946 (Deflate, zlib stream per strip),
-  with horizontal-differencing Predictor (tag 317, value 2); 8-bit
-  grayscale / RGB / RGBA, strip layout (any RowsPerStrip),
-  PlanarConfiguration=1 (chunky). PackBits/CCITT/JPEG-in-TIFF and
-  tiled layouts refuse explicitly with the scheme named.
-- ``encode_tiff``: little-endian strip writer, Compression 1/5/8,
-  optional Predictor 2 and multi-strip RowsPerStrip — the fixture
-  source for the round-trip tests. Dimension tags are written as LONG
-  (type 4), so images larger than 65535 on a side encode correctly.
+  early code-width change), 8 / 32946 (Deflate, zlib stream per
+  strip), 32773 (PackBits byte-RLE), with horizontal-differencing
+  Predictor (tag 317, value 2); 8-bit grayscale / RGB / RGBA, strip
+  layout (any RowsPerStrip), PlanarConfiguration=1 (chunky).
+  CCITT/JPEG-in-TIFF and tiled layouts refuse explicitly with the
+  scheme named.
+- ``encode_tiff``: little-endian strip writer, Compression 1/5/8/
+  32773, optional Predictor 2 and multi-strip RowsPerStrip — the
+  fixture source for the round-trip tests. Dimension tags are written
+  as LONG (type 4), so images larger than 65535 on a side encode
+  correctly.
 
 Spec: TIFF 6.0 (Adobe, 1992; public), §13 (LZW) including the
 early-change rule at codes 511/1023/2047 and the 4094 table-full
@@ -46,7 +48,7 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 _COMPRESSION_NAMES = {
     2: "CCITT G3", 3: "CCITT T.4", 4: "CCITT T.6",
-    6: "old JPEG", 7: "JPEG", 32773: "PackBits",
+    6: "old JPEG", 7: "JPEG",
 }
 
 _CLEAR = 256
@@ -170,6 +172,59 @@ def lzw_encode(buf: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(buf: bytes) -> bytes:
+    """TIFF PackBits (compression 32773): Apple's byte-RLE. Control
+    byte n in 0..127 -> copy n+1 literals; n in -127..-1 (two's
+    complement 129..255) -> repeat next byte 1-n times; -128 (128) is
+    a no-op."""
+    out = bytearray()
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        n = buf[pos]
+        pos += 1
+        if n < 128:
+            out += buf[pos:pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            out += buf[pos:pos + 1] * (257 - n)
+            pos += 1
+    return bytes(out)
+
+
+def packbits_encode(buf: bytes) -> bytes:
+    """PackBits encoder (fixture source for the round-trip tests):
+    greedy — runs of >=3 identical bytes become repeat packets (max
+    128), everything between becomes literal packets (max 128)."""
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        nonlocal lit_start
+        while lit_start < end:
+            k = min(128, end - lit_start)
+            out.append(k - 1)
+            out.extend(buf[lit_start:lit_start + k])
+            lit_start += k
+
+    while i < n:
+        run = 1
+        while i + run < n and buf[i + run] == buf[i] and run < 128:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(buf[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
 def _read_ifd(data: bytes, endian: str):
     (ifd_off,) = struct.unpack(endian + "I", data[4:8])
     (n_entries,) = struct.unpack(endian + "H", data[ifd_off:ifd_off + 2])
@@ -213,10 +268,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("TIFF missing dimensions")
     w, h = tags[_TAG_WIDTH][0], tags[_TAG_HEIGHT][0]
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32946, 32773):
         name = _COMPRESSION_NAMES.get(comp, str(comp))
         raise NotImplementedError(
-            f"TIFF compression {name} (none/LZW/Deflate supported)"
+            f"TIFF compression {name} (none/LZW/Deflate/PackBits supported)"
         )
     if tags.get(_TAG_PLANAR, [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2")
@@ -242,6 +297,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw = lzw_decode(raw)
         elif comp in (8, 32946):
             raw = zlib.decompress(raw)
+        elif comp == 32773:
+            raw = packbits_decode(raw)
         n_rows = min(rps, h - si * rps)
         need = n_rows * row_bytes
         if len(raw) < need:
@@ -274,13 +331,14 @@ def encode_tiff(
 ) -> bytes:
     """uint8 (h, w[, 3]) RGB -> little-endian strip TIFF.
 
-    compression: 1 (none), 5 (LZW), 8 (Deflate). predictor: 1 (none)
-    or 2 (horizontal differencing; only meaningful with 5/8).
+    compression: 1 (none), 5 (LZW), 8 (Deflate), 32773 (PackBits).
+    predictor: 1 (none) or 2 (horizontal differencing; only meaningful
+    with 5/8).
     Dimension/rows tags are LONG (type 4) per spec, so dimensions are
     not capped at 65535 (r6 ADVICE: the SHORT writer raised
     struct.error past that).
     """
-    if compression not in (1, 5, 8):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
@@ -301,6 +359,8 @@ def encode_tiff(
             raw = lzw_encode(raw)
         elif compression == 8:
             raw = zlib.compress(raw)
+        elif compression == 32773:
+            raw = packbits_encode(raw)
         strips.append(raw)
     # layout: header(8) | strip data | BitsPerSample | offsets | counts | IFD
     pix_off = 8

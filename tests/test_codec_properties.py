@@ -107,13 +107,13 @@ def test_resize_nearest_geometry_and_provenance(dims, seed, out):
 
 
 @given(dims=dims, seed=seeds,
-       comp=st.sampled_from([1, 5, 8]),
+       comp=st.sampled_from([1, 5, 8, 32773]),
        pred=st.sampled_from([1, 2]),
        rps=st.one_of(st.none(), st.integers(1, 8)))
 @SETTINGS
 def test_tiff_roundtrip_lossless(dims, seed, comp, pred, rps):
     """TIFF is lossless under every (compression, predictor, strip)
-    combination the codec claims: none/LZW/Deflate x identity/
+    combination the codec claims: none/LZW/Deflate/PackBits x identity/
     horizontal-differencing x single- or multi-strip."""
     h, w = dims
     img = _img(seed, h, w, 3)

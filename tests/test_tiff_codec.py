@@ -21,6 +21,8 @@ from insight_gp_import_spark.tiff_codec import (
     is_tiff,
     lzw_decode,
     lzw_encode,
+    packbits_decode,
+    packbits_encode,
 )
 
 
@@ -75,8 +77,37 @@ def test_white_is_zero_inverted():
     assert [int(v) for v in out[0, :, 0]] == [255, 0]
 
 
-@pytest.mark.parametrize("comp,name", [(7, "JPEG"), (32773, "PackBits"),
-                                       (4, "CCITT")])
+def test_packbits_known_vectors():
+    """The worked example from the TIFF 6.0 spec (Apple PackBits):
+    FE AA 02 80 00 2A FD AA 03 80 00 2A 22 F7 AA
+    -> AA AA AA 80 00 2A AA AA AA AA 80 00 2A 22 AA*10 (24 bytes)."""
+    enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    dec = bytes.fromhex("AAAAAA80002A") + b"\xaa" * 4 + \
+        bytes.fromhex("80002A22") + b"\xaa" * 10
+    assert packbits_decode(enc) == dec
+    # -128 control byte is a documented no-op
+    assert packbits_decode(b"\x80\x00A") == b"A"
+    # our encoder round-trips the spec's plaintext
+    assert packbits_decode(packbits_encode(dec)) == dec
+
+
+def test_packbits_long_runs_and_literals():
+    rng = np.random.RandomState(3)
+    buf = (b"\x00" * 300 + bytes(rng.randint(0, 256, 500, dtype=np.int64))
+           + b"\xff" * 129)
+    assert packbits_decode(packbits_encode(buf)) == buf
+    assert len(packbits_encode(b"\x07" * 1000)) < 20  # RLE actually packs
+
+
+def test_packbits_tiff_roundtrip():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 4, (9, 5, 3)).astype(np.uint8) * 80
+    data = encode_tiff(img, compression=32773, rows_per_strip=4)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+@pytest.mark.parametrize("comp,name", [(7, "JPEG"), (4, "CCITT"),
+                                       (2, "CCITT")])
 def test_compression_schemes_rejected_by_name(comp, name):
     data = bytearray(encode_tiff(np.zeros((2, 2, 3), np.uint8)))
     at = bytes(data).index(struct.pack("<HHI", 259, 3, 1))
