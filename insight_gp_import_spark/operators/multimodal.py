@@ -4,9 +4,10 @@ with typed metadata, processed by Arrow-batched Python (mapInPandas).
 No image/audio libraries exist in this environment. The ORACLED ops
 keep a clearly-marked deterministic fake decode (``_fake_decode_meta``
 — SQL-expressible, hence hash-checkable); the REAL decode path
-(``resize_images`` / ``image_phash_real``) uses the repo's own pure
-stdlib+numpy codecs — PNG, baseline+progressive JPEG, GIF, BMP — so
-actual pixels flow through the identical mapInPandas plumbing.
+(``resize_images`` / ``image_phash_real`` / ``mm_image_meta_real``)
+uses the repo's own pure stdlib+numpy codecs — PNG,
+baseline+progressive JPEG, GIF, BMP, TIFF, WebP-lossless — so actual
+pixels flow through the identical mapInPandas plumbing.
 Everything Spark-side is real and tested either way: binary column
 construction, mapInPandas schemas, Arrow batch iteration,
 row-expanding frame sampling, partition-preserving plumbing.
@@ -152,17 +153,19 @@ def resize_images(
     binary-out — the shape every media transform shares).
 
     REAL path (round 5, completed rounds 6-7): payloads dispatch on
-    magic bytes across FIVE pure stdlib+numpy codecs — PNG (png_codec:
+    magic bytes across SIX pure stdlib+numpy codecs — PNG (png_codec:
     spec-complete decode, all depths/palettes/Adam7), JPEG (jpeg_codec:
     baseline AND progressive SOF2, 4:4:4/4:2:2/4:2:0, restart markers),
     GIF (gif_codec: full LZW, palettes, interlace, first frame of
-    animations), BMP (bmp_codec: BI_RGB 8/24/32-bit) and TIFF
-    (tiff_codec: uncompressed + LZW + Deflate strips, Predictor 2,
-    both endians) — then nearest-neighbor resample and re-encode in
-    their own format. Remaining honest NotImplementedError surface:
-    WebP and arithmetic-coded/12-bit JPEG. ``fake=True`` keeps the
-    deterministic stand-in (truncate/pad to width*height bytes) for
-    plumbing tests on non-image payloads.
+    animations), BMP (bmp_codec: BI_RGB 8/24/32-bit), TIFF (tiff_codec:
+    uncompressed + LZW/Deflate/PackBits strips, Predictor 2, both
+    endians) and WebP-lossless (vp8l_codec: all four VP8L transforms,
+    color cache, meta-Huffman, LZ77) — then nearest-neighbor resample
+    and re-encode in their own format. Remaining honest
+    NotImplementedError surface: lossy-VP8 WebP and arithmetic-coded/
+    12-bit JPEG. ``fake=True`` keeps the deterministic stand-in
+    (truncate/pad to width*height bytes) for plumbing tests on
+    non-image payloads.
     """
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -194,6 +197,11 @@ def resize_images(
                 encode_tiff,
                 is_tiff,
             )
+            from insight_gp_import_spark.vp8l_codec import (
+                decode_webp,
+                encode_webp,
+                is_webp,
+            )
 
             def _resize(b):
                 b = bytes(b)
@@ -219,10 +227,15 @@ def resize_images(
                     return encode_tiff(
                         resize_nearest(decode_tiff(b), width, height)
                     )
+                if is_webp(b):
+                    # lossless VP8L both ways; lossy VP8 input raises
+                    # NotImplementedError from decode_webp by name
+                    return encode_webp(
+                        resize_nearest(decode_webp(b), width, height)
+                    )
                 raise NotImplementedError(
                     "image format not supported by the built-in "
-                    "PNG/JPEG/GIF/BMP/TIFF codecs (WebP needs an image "
-                    "library not present in this environment)"
+                    "PNG/JPEG/GIF/BMP/TIFF/WebP-lossless codecs"
                 )
 
         for pdf in batches:
@@ -842,9 +855,10 @@ def mm_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INTEGER)
+           CASE CAST(doc_id % 5 AS INTEGER)
                 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                WHEN 2 THEN 'tiff' ELSE 'gif' END AS fmt,
+                WHEN 2 THEN 'tiff' WHEN 3 THEN 'gif'
+                ELSE 'webp' END AS fmt,
            CAST(8 AS BIGINT) AS width,
            CAST(8 AS BIGINT) AS height,
            CAST(list_aggregate(p, 'sum') AS BIGINT) AS pixel_sum,
@@ -859,11 +873,12 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec image metadata extraction, driver-gate eligible
     (round-7 verdict item 6): per document, an 8x8 grayscale image is
     built in-plan from the same 64 deterministically-sampled text bytes
-    as ``mm_image_phash``, ENCODED executor-side with one of the four
+    as ``mm_image_phash``, ENCODED executor-side with one of the five
     in-repo lossless codecs chosen by doc_id (PNG / BMP / TIFF with the
     round-7 LZW + Predictor 2 + multi-strip path / GIF with its own
-    LZW), then DECODED back through the same magic-byte dispatch
-    ``resize_images`` uses, and reduced to metadata.
+    LZW / WebP-lossless VP8L with subtract-green + color cache), then
+    DECODED back through the same magic-byte dispatch ``resize_images``
+    uses, and reduced to metadata.
 
     The oracle is a fixture LAW (the scan_csv_tolerant pattern): both
     codec directions are deterministic and the formats lossless, so
@@ -890,7 +905,7 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.select(
         "doc_id",
         F.expr(pix).alias("p"),
-        (F.col("doc_id") % 4).cast("int").alias("codec_id"),
+        (F.col("doc_id") % 5).cast("int").alias("codec_id"),
     )
 
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -904,6 +919,11 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_tiff,
             is_tiff,
         )
+        from insight_gp_import_spark.vp8l_codec import (
+            decode_webp,
+            encode_webp,
+            is_webp,
+        )
 
         encoders = {
             0: lambda a: encode_png(a),
@@ -914,6 +934,8 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 a, compression=5, rows_per_strip=3, predictor=2
             ),
             3: lambda a: encode_gif(a),
+            # round-7 VP8L: subtract-green transform + color cache
+            4: lambda a: encode_webp(a, subtract_green=True, cache_bits=4),
         }
 
         def one(p, codec_id):
@@ -928,6 +950,8 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fmt, out = "tiff", decode_tiff(blob)
             elif is_gif(blob):
                 fmt, out = "gif", decode_gif(blob)
+            elif is_webp(blob):
+                fmt, out = "webp", decode_webp(blob)
             else:
                 fmt, out = "unknown", np.zeros((0, 0, 3), np.uint8)
             h, w = out.shape[:2]

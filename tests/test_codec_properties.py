@@ -36,6 +36,7 @@ from insight_gp_import_spark.tiff_codec import (
     lzw_decode,
     lzw_encode,
 )
+from insight_gp_import_spark.vp8l_codec import decode_webp, encode_webp
 
 SETTINGS = settings(max_examples=25, deadline=None)
 
@@ -136,6 +137,22 @@ def test_tiff_lzw_stream_roundtrip(seed, n, alphabet):
         % 256
     )
     assert lzw_decode(lzw_encode(buf)) == buf
+
+
+@given(dims=dims, seed=seeds,
+       sg=st.booleans(),
+       pred=st.one_of(st.none(), st.integers(0, 13)),
+       cache=st.sampled_from([0, 3, 8]),
+       lz=st.booleans())
+@SETTINGS
+def test_webp_lossless_roundtrip(dims, seed, sg, pred, cache, lz):
+    """VP8L is lossless under every encoder-knob combination: subtract
+    green x 14 predictor modes x color cache x LZ77."""
+    h, w = dims
+    img = _img(seed, h, w, 3)
+    data = encode_webp(img, subtract_green=sg, predictor_mode=pred,
+                       cache_bits=cache, use_lz77=lz)
+    assert np.array_equal(decode_webp(data), img)
 
 
 @given(dims=dims, seed=seeds, q=st.integers(30, 95))
