@@ -834,7 +834,11 @@ def _encode_meta_grouped(
         for y in range(ysize)
         for x in range(xsize)
     ]
-    freqs: list[list[dict]] = [[{}, {}, {}, {}, {}] for _ in range(2)]
+    # the decoder reads (max meta index + 1) groups — with a single
+    # tile only group 0 exists, and writing two groups' codes would
+    # desync the stream (soak-caught on <=4x4 images)
+    num_groups = max(group_of) + 1
+    freqs: list[list[dict]] = [[{}, {}, {}, {}, {}] for _ in range(num_groups)]
     for argb, grp in zip(pix, group_of):
         for i, s in (
             (0, (argb >> 8) & 0xFF), (1, (argb >> 16) & 0xFF),
@@ -843,7 +847,7 @@ def _encode_meta_grouped(
             freqs[grp][i][s] = freqs[grp][i].get(s, 0) + 1
     alpha_sizes = [256 + 24, 256, 256, 256, 40]
     codes = []
-    for grp in range(2):
+    for grp in range(num_groups):
         gcodes = []
         for i, asize in enumerate(alpha_sizes):
             f = freqs[grp][i] or {0: 1}

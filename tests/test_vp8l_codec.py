@@ -160,6 +160,15 @@ def test_meta_huffman_groups():
     assert np.array_equal(decode_webp(data), img)
 
 
+@pytest.mark.parametrize("h,w", [(1, 1), (1, 4), (4, 4), (4, 5), (5, 4)])
+def test_meta_huffman_single_tile_images(h, w):
+    """Soak-caught regression: with <= one 4x4 tile only group 0
+    exists; the decoder reads (max meta index + 1) groups, so writing
+    a second group's codes desyncs the stream."""
+    img = _img(h * 16 + w, h, w)
+    assert np.array_equal(decode_webp(encode_webp(img, use_meta=True)), img)
+
+
 def test_grayscale_2d_input():
     g = (np.arange(48).reshape(6, 8) * 5).astype(np.uint8)
     out = decode_webp(encode_webp(g))
