@@ -986,3 +986,112 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, fmt string, width long, height long, "
         "pixel_sum long, px_first long, px_last long, exact long",
     )
+
+
+@op(
+    "mm_audio_meta_real",
+    oracle="""
+    WITH pix AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              i -> ascii(substr(text, CAST(1 + ((i * n_chars) // 64) AS BIGINT), 1)) % 256 - 64)
+                   AS s,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 1 WHEN 1 THEN 256
+                    WHEN 2 THEN 65536 ELSE 65536 END AS scale,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(64 // ch AS BIGINT) AS n_frames,
+           ch AS channels,
+           CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+           CAST(list_aggregate(s, 'sum') * scale AS BIGINT) AS amp_sum,
+           CAST(s[1] * scale AS BIGINT) AS amp_first,
+           CAST(s[64] * scale AS BIGINT) AS amp_last,
+           CAST(1 AS BIGINT) AS exact
+    FROM pix
+    """,
+    category=CAT,
+)
+def mm_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec AUDIO metadata extraction — the WAV twin of
+    ``mm_image_meta_real``: 64 deterministic samples are built in-plan
+    from the phash byte sampling (centered to signed amplitudes),
+    scaled to the target bit depth (doc_id%4 picks 8/16/24/32-bit
+    PCM), interleaved as mono or stereo (doc_id%2), ENCODED to a real
+    RIFF/WAVE file executor-side (wav_codec), DECODED back, and
+    reduced to (frames, channels, rate, amplitude stats, exact
+    round-trip flag).
+
+    Fixture-law oracle (scan_csv_tolerant pattern): PCM is lossless at
+    every depth, so each output column is a closed-form relation over
+    the text bytes that DuckDB recomputes without touching the codec —
+    a regression in the 24-bit sign extension, the interleave/reshape,
+    or the chunk writer hash-fails the driver gate. Scale shape:
+    fused JVM sampling expression + Arrow-batched mapInPandas, zero
+    shuffles — identical to the image decode path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pix = (
+        "transform(sequence(0, 63), i -> "
+        "ascii(substring(text, 1 + ((i * n_chars) div 64), 1)) % 256 - 64)"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.expr(pix).alias("s"),
+        (F.col("doc_id") % 4).cast("int").alias("depth_id"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("ch"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000).cast("int").alias("rate"),
+    )
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from insight_gp_import_spark.wav_codec import decode_wav, encode_wav
+
+        bits_of = {0: 8, 1: 16, 2: 24, 3: 32}
+        scale_of = {0: 1, 1: 256, 2: 65536, 3: 65536}
+
+        def one(s, depth_id, ch, rate):
+            bits = bits_of[depth_id]
+            scale = scale_of[depth_id]
+            samples = (np.asarray(s, dtype=np.int32) * scale).reshape(-1, ch)
+            blob = encode_wav(samples, int(rate), bits=bits)
+            out, out_rate = decode_wav(blob)
+            ok = int(
+                out.shape == samples.shape
+                and out_rate == rate
+                and bool(np.array_equal(out, samples))
+            )
+            flat = out.reshape(-1)
+            return (
+                int(out.shape[0]), int(out.shape[1]), int(out_rate),
+                int(flat.sum()), int(flat[0]), int(flat[-1]), ok,
+            )
+
+        for pdf in batches:
+            res = [
+                one(s, d, c, r)
+                for s, d, c, r in zip(
+                    pdf["s"], pdf["depth_id"], pdf["ch"], pdf["rate"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": [r[0] for r in res],
+                    "channels": [r[1] for r in res],
+                    "sample_rate": [r[2] for r in res],
+                    "amp_sum": [r[3] for r in res],
+                    "amp_first": [r[4] for r in res],
+                    "amp_last": [r[5] for r in res],
+                    "exact": [r[6] for r in res],
+                }
+            )
+
+    return staged.mapInPandas(
+        meta_batches,
+        "doc_id long, n_frames long, channels long, sample_rate long, "
+        "amp_sum long, amp_first long, amp_last long, exact long",
+    )
