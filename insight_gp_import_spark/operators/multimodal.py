@@ -1095,3 +1095,107 @@ def mm_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, channels long, sample_rate long, "
         "amp_sum long, amp_first long, amp_last long, exact long",
     )
+
+
+@op(
+    "mm_video_meta_real",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(600 + (doc_id % 4) * 200 AS BIGINT) AS timescale,
+               CAST(n_chars * 10 + 5 AS BIGINT) AS duration,
+               CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+               CAST((ascii(substr(text, 1, 1)) % 8 + 1) * 64 AS BIGINT) AS w1,
+               CAST((ascii(substr(text, 2, 1)) % 8 + 1) * 64 AS BIGINT) AS h1
+        FROM documents
+    )
+    SELECT doc_id,
+           'isom' AS brand,
+           timescale,
+           CAST((duration * 1000) // timescale AS BIGINT) AS duration_ms,
+           n_tracks,
+           w1, h1,
+           CAST(1 AS BIGINT) AS exact
+    FROM m
+    """,
+    category=CAT,
+)
+def mm_video_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-container VIDEO metadata extraction — the ISO-BMFF twin of
+    ``mm_image_meta_real``/``mm_audio_meta_real``: a minimal valid MP4
+    (ftyp + moov(mvhd + trak*) + mdat) is BUILT executor-side per doc
+    from in-plan-derived parameters (timescale, duration, 1-2 tracks,
+    fake-decode dimensions), then PARSED back by walking the real box
+    tree (mp4_boxes.parse_mp4: 32/64-bit box sizes, v0/v1 headers,
+    16.16 fixed-point track geometry), and reduced to the metadata a
+    bulk video pipeline filters on (duration bucketing, resolution
+    gating) BEFORE any frame decode.
+
+    Honest scope: container metadata is real; frame-pixel decode
+    (H.264/HEVC/AV1) refuses by name (mp4_boxes.decode_video_frames) —
+    frame SAMPLING is modeled by mm_frame_sample's deterministic fake.
+    Fixture-law oracle: the builder and parser are deterministic
+    struct-walking, so every output column is a closed-form relation
+    over (doc_id, text, n_chars); a regression in box layout, the
+    fixed-point shift, or the duration arithmetic hash-fails the
+    driver gate. Scale: per-row map, Arrow-batched, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        (F.lit(600) + (F.col("doc_id") % 4) * 200).cast("long").alias("ts"),
+        (F.col("n_chars") * 10 + 5).cast("long").alias("dur"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("n_tracks"),
+        F.expr("(ascii(substring(text, 1, 1)) % 8 + 1) * 64").cast("int").alias("w1"),
+        F.expr("(ascii(substring(text, 2, 1)) % 8 + 1) * 64").cast("int").alias("h1"),
+    )
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from insight_gp_import_spark.mp4_boxes import build_mp4, parse_mp4
+
+        def one(ts, dur, n_tracks, w1, h1):
+            tracks = [(1, int(w1), int(h1))]
+            if n_tracks == 2:
+                tracks.append((2, 640, 480))
+            blob = build_mp4(int(ts), int(dur), tracks)
+            meta = parse_mp4(blob)
+            ok = int(
+                meta["timescale"] == ts
+                and meta["duration"] == dur
+                and len(meta["tracks"]) == n_tracks
+                and meta["tracks"][0]["width"] == w1
+                and meta["tracks"][0]["height"] == h1
+            )
+            return (
+                meta["brand"], int(meta["timescale"]),
+                int(meta["duration_ms"]), len(meta["tracks"]),
+                int(meta["tracks"][0]["width"]),
+                int(meta["tracks"][0]["height"]), ok,
+            )
+
+        for pdf in batches:
+            res = [
+                one(ts, dur, nt, w1, h1)
+                for ts, dur, nt, w1, h1 in zip(
+                    pdf["ts"], pdf["dur"], pdf["n_tracks"],
+                    pdf["w1"], pdf["h1"],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "brand": [r[0] for r in res],
+                    "timescale": [r[1] for r in res],
+                    "duration_ms": [r[2] for r in res],
+                    "n_tracks": [r[3] for r in res],
+                    "w1": [r[4] for r in res],
+                    "h1": [r[5] for r in res],
+                    "exact": [r[6] for r in res],
+                }
+            )
+
+    return staged.mapInPandas(
+        meta_batches,
+        "doc_id long, brand string, timescale long, duration_ms long, "
+        "n_tracks long, w1 long, h1 long, exact long",
+    )
