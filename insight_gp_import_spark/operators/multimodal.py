@@ -3,11 +3,14 @@ with typed metadata, processed by Arrow-batched Python (mapInPandas).
 
 No image/audio libraries exist in this environment. The ORACLED ops
 keep a clearly-marked deterministic fake decode (``_fake_decode_meta``
-— SQL-expressible, hence hash-checkable); the REAL decode path
-(``resize_images`` / ``image_phash_real`` / ``mm_image_meta_real``)
-uses the repo's own pure stdlib+numpy codecs — PNG,
-baseline+progressive JPEG, GIF, BMP, TIFF, WebP-lossless — so actual
-pixels flow through the identical mapInPandas plumbing.
+— SQL-expressible, hence hash-checkable); the REAL decode paths use
+the repo's own pure stdlib+numpy codecs: images via
+``resize_images`` / ``image_phash_real`` / ``mm_image_meta_real``
+(PNG, baseline+progressive JPEG, GIF, BMP, TIFF, WebP-lossless),
+audio via ``mm_audio_meta_real`` (wav_codec: PCM/float/G.711), video
+CONTAINERS via ``mm_video_meta_real`` (mp4_boxes: ISO-BMFF box tree;
+frame-pixel decode refuses by name) — so actual bytes flow through
+the identical mapInPandas plumbing for all three modalities.
 Everything Spark-side is real and tested either way: binary column
 construction, mapInPandas schemas, Arrow batch iteration,
 row-expanding frame sampling, partition-preserving plumbing.
