@@ -7,7 +7,8 @@ keep a clearly-marked deterministic fake decode (``_fake_decode_meta``
 the repo's own pure stdlib+numpy codecs: images via
 ``resize_images`` / ``image_phash_real`` / ``mm_image_meta_real``
 (PNG, baseline+progressive JPEG, GIF, BMP, TIFF, WebP-lossless),
-audio via ``mm_audio_meta_real`` (wav_codec: PCM/float/G.711), video
+audio via ``mm_audio_meta_real`` (wav_codec: PCM/float/G.711) and
+``mm_audio_flac_real`` (flac_codec: Rice/FIXED/LPC, CRC+MD5), video
 CONTAINERS via ``mm_video_meta_real`` (mp4_boxes: ISO-BMFF box tree;
 frame-pixel decode refuses by name) — so actual bytes flow through
 the identical mapInPandas plumbing for all three modalities.
@@ -1201,4 +1202,101 @@ def mm_video_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta_batches,
         "doc_id long, brand string, timescale long, duration_ms long, "
         "n_tracks long, w1 long, h1 long, exact long",
+    )
+
+
+@op(
+    "mm_audio_flac_real",
+    oracle="""
+    WITH pix AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 255),
+                              i -> (ascii(substr(text, CAST(1 + ((i * n_chars) // 256) AS BIGINT), 1)) % 256 - 64) * 256)
+                   AS s,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(256 // ch AS BIGINT) AS n_frames,
+           ch AS channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(list_aggregate(s, 'sum') AS BIGINT) AS amp_sum,
+           CAST(s[1] AS BIGINT) AS amp_first,
+           CAST(s[256] AS BIGINT) AS amp_last,
+           CAST(1 AS BIGINT) AS exact
+    FROM pix
+    """,
+    category=CAT,
+)
+def mm_audio_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC compression round-trip, driver-gated: 256 deterministic
+    16-bit samples per doc built in-plan from text bytes, ENCODED
+    executor-side to real compressed FLAC (flac_codec: Rice-coded
+    FIXED-predictor subframes, multi-frame at blocksize 64, left-side
+    stereo decorrelation for the doc_id%2 stereo docs), DECODED back
+    with CRC-8/CRC-16 verification per frame AND the STREAMINFO MD5
+    self-check, reduced to amplitude stats.
+
+    Speech corpora (LibriSpeech-class) ship FLAC, so the audio path
+    needs it the way the image path needs PNG — and this op makes the
+    whole codec (bit I/O, Rice partitions, predictor reconstruction,
+    stereo decorrelation, CRCs, MD5) CORRECTNESS-gated via the fixture
+    law: FLAC is lossless, so every output column is a closed-form
+    relation over the text bytes. A desync anywhere either trips a CRC
+    (op raises -> gate fails) or flips amp values (hash mismatch).
+    Scale shape: per-row map, Arrow-batched, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pix = (
+        "transform(sequence(0, 255), i -> "
+        "(ascii(substring(text, 1 + ((i * n_chars) div 256), 1)) % 256 - 64)"
+        " * 256)"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.expr(pix).alias("s"),
+        (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("ch"),
+    )
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from insight_gp_import_spark.flac_codec import decode_flac, encode_flac
+
+        def one(s, ch):
+            samples = np.asarray(s, dtype=np.int64).reshape(-1, ch)
+            blob = encode_flac(
+                samples, 16000, bps=16, blocksize=64, left_side=(ch == 2)
+            )
+            out, rate = decode_flac(blob)  # CRC + MD5 verified inside
+            ok = int(
+                out.shape == samples.shape
+                and rate == 16000
+                and bool(np.array_equal(out, samples))
+            )
+            flat = out.reshape(-1)
+            return (
+                int(out.shape[0]), int(out.shape[1]), int(rate),
+                int(flat.sum()), int(flat[0]), int(flat[-1]), ok,
+            )
+
+        for pdf in batches:
+            res = [one(s, c) for s, c in zip(pdf["s"], pdf["ch"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": [r[0] for r in res],
+                    "channels": [r[1] for r in res],
+                    "sample_rate": [r[2] for r in res],
+                    "amp_sum": [r[3] for r in res],
+                    "amp_first": [r[4] for r in res],
+                    "amp_last": [r[5] for r in res],
+                    "exact": [r[6] for r in res],
+                }
+            )
+
+    return staged.mapInPandas(
+        meta_batches,
+        "doc_id long, n_frames long, channels long, sample_rate long, "
+        "amp_sum long, amp_first long, amp_last long, exact long",
     )

@@ -36,6 +36,7 @@ from insight_gp_import_spark.tiff_codec import (
     lzw_decode,
     lzw_encode,
 )
+from insight_gp_import_spark.flac_codec import decode_flac, encode_flac
 from insight_gp_import_spark.vp8l_codec import decode_webp, encode_webp
 
 SETTINGS = settings(max_examples=25, deadline=None)
@@ -153,6 +154,25 @@ def test_webp_lossless_roundtrip(dims, seed, sg, pred, cache, lz):
     data = encode_webp(img, subtract_green=sg, predictor_mode=pred,
                        cache_bits=cache, use_lz77=lz)
     assert np.array_equal(decode_webp(data), img)
+
+
+@given(seed=seeds, n=st.integers(1, 2500),
+       ch=st.integers(1, 2),
+       bps=st.sampled_from([8, 16, 24]),
+       bsz=st.sampled_from([192, 576, 4096]),
+       ls=st.booleans(), fv=st.booleans())
+@SETTINGS
+def test_flac_roundtrip_lossless(seed, n, ch, bps, bsz, ls, fv):
+    """FLAC is lossless across bit depths, block sizes, stereo
+    decorrelation, and the verbatim/predicted paths — incl. the
+    STREAMINFO MD5 self-check the decoder runs."""
+    lim = 1 << (bps - 1)
+    s = np.random.RandomState(seed).randint(-lim, lim, (n, ch)).astype(np.int64)
+    data = encode_flac(s, 16000, bps=bps, blocksize=bsz,
+                       left_side=(ls and ch == 2), force_verbatim=fv)
+    out, rate = decode_flac(data)
+    assert rate == 16000
+    assert np.array_equal(out, s)
 
 
 @given(dims=dims, seed=seeds, q=st.integers(30, 95))
