@@ -1,0 +1,131 @@
+"""Random-config soak for the mirrored codec pairs (round-7 tool).
+
+The committed hypothesis properties run 25 examples per invariant to
+keep the suite fast; this soak runs hundreds of random configurations
+per codec family and exists because it WORKS: the VP8L meta-Huffman
+single-tile desync (every <=4x4 use_meta image) appeared only at
+~1-in-350 random configs — beyond what the committed examples reach,
+and invisible to fixed fixtures. Run after any encoder/decoder change:
+
+    python tools/codec_soak.py [trials_per_family]
+
+Exit 1 on any mismatch/exception with the offending config printed,
+so the failure is immediately reproducible.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+
+
+def main() -> int:
+    from insight_gp_import_spark.flac_codec import decode_flac, encode_flac
+    from insight_gp_import_spark.tiff_codec import (
+        decode_tiff,
+        encode_tiff,
+        lzw_decode,
+        lzw_encode,
+    )
+    from insight_gp_import_spark.vp8l_codec import decode_webp, encode_webp
+    from insight_gp_import_spark.wav_codec import decode_wav, encode_wav
+
+    rng = np.random.RandomState(20260815)
+    fails = 0
+
+    def check(name, cfg, ok):
+        nonlocal fails
+        if not ok:
+            print(f"FAIL {name} {cfg}", flush=True)
+            fails += 1
+
+    for t in range(TRIALS):
+        h, w = int(rng.randint(1, 50)), int(rng.randint(1, 50))
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        kind = rng.randint(3)
+        if kind == 0:
+            cfg = dict(
+                subtract_green=bool(rng.randint(2)),
+                predictor_mode=int(rng.randint(14)) if rng.randint(2) else None,
+                cache_bits=int(rng.choice([0, 1, 5, 9, 11])),
+                use_lz77=bool(rng.randint(2)),
+            )
+            if rng.randint(3) == 0:
+                cfg["color_transform"] = tuple(
+                    int(x) for x in rng.randint(0, 256, 3)
+                )
+        elif kind == 1:
+            cfg = dict(use_meta=True, subtract_green=bool(rng.randint(2)))
+        else:
+            ncol = int(rng.randint(2, 257))
+            pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+            img = pal[rng.randint(0, ncol, (h, w))]
+            cfg = dict(use_palette=True)
+        try:
+            check("vp8l", cfg,
+                  np.array_equal(decode_webp(encode_webp(img, **cfg)), img))
+        except Exception as e:  # noqa: BLE001
+            check("vp8l", (cfg, repr(e)[:120]), False)
+
+    for t in range(TRIALS):
+        h, w = int(rng.randint(1, 60)), int(rng.randint(1, 60))
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        cfg = dict(
+            compression=int(rng.choice([1, 5, 8, 32773])),
+            rows_per_strip=int(rng.randint(1, h + 3)) if rng.randint(2) else None,
+            predictor=int(rng.choice([1, 2])),
+        )
+        try:
+            check("tiff", cfg,
+                  np.array_equal(decode_tiff(encode_tiff(img, **cfg)), img))
+        except Exception as e:  # noqa: BLE001
+            check("tiff", (cfg, repr(e)[:120]), False)
+
+    for t in range(max(1, TRIALS // 10)):
+        n = int(rng.randint(0, 120000))
+        alpha = int(rng.choice([2, 3, 17, 256]))
+        buf = bytes(rng.randint(0, alpha, n, dtype=np.int64) % 256)
+        check("tiff-lzw", (n, alpha), lzw_decode(lzw_encode(buf)) == buf)
+
+    for t in range(TRIALS):
+        n, ch = int(rng.randint(1, 3000)), int(rng.randint(1, 3))
+        bps = int(rng.choice([8, 16, 24]))
+        lim = 1 << (bps - 1)
+        s = rng.randint(-lim, lim, (n, ch)).astype(np.int64)
+        cfg = dict(
+            bps=bps,
+            blocksize=int(rng.choice([192, 256, 576, 1024, 4096])),
+            left_side=(ch == 2 and bool(rng.randint(2))),
+            force_verbatim=bool(rng.randint(4) == 0),
+            part_order=int(rng.randint(0, 4)),
+        )
+        try:
+            out, _ = decode_flac(encode_flac(s, 16000, **cfg))
+            check("flac", cfg, np.array_equal(out, s))
+        except Exception as e:  # noqa: BLE001
+            check("flac", (cfg, repr(e)[:120]), False)
+
+    for t in range(TRIALS):
+        n, ch = int(rng.randint(1, 2000)), int(rng.randint(1, 3))
+        bits = int(rng.choice([8, 16, 24, 32]))
+        lim = 1 << (bits - 1)
+        s = rng.randint(max(-lim, -(1 << 30)), min(lim, 1 << 30),
+                        (n, ch)).astype(np.int32)
+        try:
+            out, _ = decode_wav(encode_wav(s, 16000, bits=bits))
+            check("wav", bits, np.array_equal(out, s))
+        except Exception as e:  # noqa: BLE001
+            check("wav", (bits, repr(e)[:120]), False)
+
+    print(f"codec soak: {'CLEAN' if not fails else f'{fails} FAILURES'} "
+          f"({TRIALS} trials/family)")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
