@@ -25,7 +25,15 @@ TRIALS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 
 
 def main() -> int:
+    from insight_gp_import_spark.bmp_codec import decode_bmp, encode_bmp
     from insight_gp_import_spark.flac_codec import decode_flac, encode_flac
+    from insight_gp_import_spark.gif_codec import decode_gif, encode_gif
+    from insight_gp_import_spark.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from insight_gp_import_spark.png_codec import decode_png, encode_png
     from insight_gp_import_spark.tiff_codec import (
         decode_tiff,
         encode_tiff,
@@ -121,6 +129,38 @@ def main() -> int:
             check("wav", bits, np.array_equal(out, s))
         except Exception as e:  # noqa: BLE001
             check("wav", (bits, repr(e)[:120]), False)
+
+    # legacy families (round-5/6 codecs) — keep them in the same net
+    for t in range(TRIALS):
+        h, w = int(rng.randint(1, 48)), int(rng.randint(1, 48))
+        c = int(rng.choice([1, 2, 3, 4]))
+        img = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+        try:
+            check("png", (h, w, c),
+                  np.array_equal(decode_png(encode_png(img)), img))
+        except Exception as e:  # noqa: BLE001
+            check("png", (h, w, c, repr(e)[:120]), False)
+        rgb = img[:, :, :3] if c >= 3 else np.repeat(img[:, :, :1], 3, axis=2)
+        try:
+            check("bmp", (h, w),
+                  np.array_equal(decode_bmp(encode_bmp(rgb)), rgb))
+        except Exception as e:  # noqa: BLE001
+            check("bmp", (h, w, repr(e)[:120]), False)
+        ncol = int(rng.randint(2, 257))
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        gimg = pal[rng.randint(0, ncol, (h, w))]
+        try:
+            check("gif", (h, w, ncol),
+                  np.array_equal(decode_gif(encode_gif(gimg)), gimg))
+        except Exception as e:  # noqa: BLE001
+            check("gif", (h, w, ncol, repr(e)[:120]), False)
+        q = int(rng.randint(30, 96))
+        try:
+            base = decode_jpeg(encode_jpeg(rgb, q))
+            prog = decode_jpeg(encode_jpeg_progressive(rgb, q))
+            check("jpeg-prog-eq-base", (h, w, q), np.array_equal(base, prog))
+        except Exception as e:  # noqa: BLE001
+            check("jpeg", (h, w, q, repr(e)[:120]), False)
 
     print(f"codec soak: {'CLEAN' if not fails else f'{fails} FAILURES'} "
           f"({TRIALS} trials/family)")
