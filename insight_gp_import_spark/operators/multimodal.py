@@ -848,6 +848,24 @@ def mm_modality_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread_for_python(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen input parallelism for python-codec-heavy map stages, but
+    ONLY when the source is under-split (round-7 measurement: the 10x
+    stress corpus is ONE parquet row group, so a 50k-doc FLAC
+    round-trip ran on a single core — 212 s; repartition(32) took it
+    to 24.7 s). Parquet parallelizes at row-group granularity, so
+    maxPartitionBytes cannot split a single-row-group file — the same
+    one-giant-unsplittable-file regime scan_csv_tolerant documents for
+    .gz staging. At 100 TB inputs are many files/row groups and this
+    helper is a NO-OP (the condition fails), so no shuffle is added on
+    the path where a shuffle would hurt; the repartition payload here
+    is ids + small int arrays, never raw text."""
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 @op(
     "mm_image_meta_real",
     oracle="""
@@ -985,7 +1003,7 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return staged.mapInPandas(
+    return _spread_for_python(staged, spark).mapInPandas(
         meta_batches,
         "doc_id long, fmt string, width long, height long, "
         "pixel_sum long, px_first long, px_last long, exact long",
@@ -1094,7 +1112,7 @@ def mm_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return staged.mapInPandas(
+    return _spread_for_python(staged, spark).mapInPandas(
         meta_batches,
         "doc_id long, n_frames long, channels long, sample_rate long, "
         "amp_sum long, amp_first long, amp_last long, exact long",
@@ -1295,7 +1313,7 @@ def mm_audio_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return staged.mapInPandas(
+    return _spread_for_python(staged, spark).mapInPandas(
         meta_batches,
         "doc_id long, n_frames long, channels long, sample_rate long, "
         "amp_sum long, amp_first long, amp_last long, exact long",
