@@ -273,6 +273,7 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
         from insight_gp_import_spark.tiff_codec import decode_tiff, is_tiff
         from insight_gp_import_spark.jpeg_codec import decode_jpeg, is_jpeg
         from insight_gp_import_spark.png_codec import ahash64, decode_png
+        from insight_gp_import_spark.vp8l_codec import decode_webp, is_webp
 
         for pdf in batches:
             ws, hs, hashes = [], [], []
@@ -286,6 +287,8 @@ def image_phash_real(payloads: DataFrame) -> DataFrame:
                     arr = decode_bmp(b)
                 elif is_tiff(b):
                     arr = decode_tiff(b)
+                elif is_webp(b):
+                    arr = decode_webp(b)
                 else:
                     arr = decode_png(b)
                 ws.append(arr.shape[1])

@@ -135,6 +135,25 @@ def test_image_phash_real_matches_driver_side(spark):
         assert r.phash == f"{ahash64(arr):016x}"
 
 
+def test_image_phash_real_webp_dispatch(spark):
+    """r7: WebP payloads must route to decode_webp, not fall through
+    to the PNG decoder (which would raise on the RIFF magic)."""
+    import numpy as np
+
+    from insight_gp_import_spark.operators.multimodal import image_phash_real
+    from insight_gp_import_spark.png_codec import ahash64
+    from insight_gp_import_spark.vp8l_codec import decode_webp, encode_webp
+
+    img = np.random.RandomState(3).randint(0, 256, (9, 14, 3)).astype(np.uint8)
+    blob = encode_webp(img, subtract_green=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, payload binary"
+    )
+    (row,) = image_phash_real(df).collect()
+    assert (row.width, row.height) == (14, 9)
+    assert row.phash == f"{ahash64(decode_webp(blob)):016x}"
+
+
 def test_image_phash_real_deterministic_rerun(spark):
     from insight_gp_import_spark.operators.multimodal import image_phash_real
 
