@@ -39,9 +39,11 @@ sys.path.insert(0, REPO)
 # Explicit per-round promotions (judge "Next round" items). Keep short;
 # everything else is computed.
 PRIORITY: list[str] = [
-    # r4: only op with zero CORRECTNESS presence across r1-r3 (verdict
-    # gap #3); oracled this round, so slot 1 gives it a hash row.
-    "stream_checkpoint_restart",
+    # r8 verdict item 2: JPEG is the one real codec without a driver
+    # CORRECTNESS row; the new gate op takes slot 1 this round.
+    "mm_image_jpeg_real",
+    # r8 verdict item 5: the HLL-sketch WAU tier, registered this round.
+    "win_rolling_wau_sketch",
 ]
 
 
