@@ -3343,6 +3343,71 @@ def agg_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_global_ntile(
+    df: DataFrame,
+    k: int,
+    val_col: str,
+    tie_col: str,
+    out_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT ntile(k) over ORDER BY (val_col, tie_col) with NO global
+    window (r8 verdict item 4) — the scale-safe replacement for
+    ``F.ntile(k).over(Window.orderBy(...))``, which moves the whole
+    relation into one task.
+
+    Mechanics: bucket rows by deterministic value ranges of val_col
+    (n_buckets over the broadcast [min, max] — no sampling, unlike
+    repartitionByRange, whose RangePartitioner draws bounds
+    per-materialization so two references to the same exchange could
+    disagree), count each bucket once, turn the tiny count table into
+    cumulative offsets, broadcast them back, add a per-BUCKET
+    row_number: offset + local rank is the exact global rank, computed
+    entirely partition-parallel. The bin is then pure ntile ARITHMETIC
+    on the exact rank (the first n%k bins take ⌈n/k⌉ rows — the T-SQL
+    /Spark/DuckDB ntile contract), so results are bit-identical to the
+    window form, tie-break included (tie_col must make the composite
+    key unique). Worst-case value skew (every row the same val_col)
+    degrades to one populated bucket — still correct, just serial for
+    the local sort, and the only unpartitioned window runs over the
+    BOUNDED n_buckets-row count table.
+    """
+    rng = df.agg(F.min(val_col).alias("_egn_lo"), F.max(val_col).alias("_egn_hi"))
+    bucketed = df.crossJoin(F.broadcast(rng)).withColumn(
+        "_egn_bkt",
+        F.expr(
+            f"least({n_buckets - 1}, (({val_col} - _egn_lo) * {n_buckets})"
+            " div (_egn_hi - _egn_lo + 1))"
+        ),
+    )
+    counts = bucketed.groupBy("_egn_bkt").agg(F.count("*").alias("_egn_cnt"))
+    w_off = Window.orderBy("_egn_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_egn_bkt",
+        F.coalesce(F.sum("_egn_cnt").over(w_off), F.lit(0)).alias("_egn_off"),
+        F.sum("_egn_cnt").over(Window.partitionBy()).alias("_egn_n"),
+    )
+    w_local = Window.partitionBy("_egn_bkt").orderBy(val_col, tie_col)
+    ranked = bucketed.join(F.broadcast(offsets), "_egn_bkt").withColumn(
+        "_egn_rnk", F.col("_egn_off") + F.row_number().over(w_local)
+    )
+    banded = ranked.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN _egn_rnk <= (_egn_n div {k} + 1) * (_egn_n % {k}) "
+            f"THEN 1 + (_egn_rnk - 1) div (_egn_n div {k} + 1) "
+            f"ELSE _egn_n % {k} + 1 + (_egn_rnk - (_egn_n div {k} + 1) "
+            f"* (_egn_n % {k}) - 1) div greatest(_egn_n div {k}, 1) END"
+        ),
+    )
+    return banded.drop(
+        "_egn_lo", "_egn_hi", "_egn_bkt", "_egn_cnt",
+        "_egn_off", "_egn_n", "_egn_rnk",
+    )
+
+
 @op(
     "agg_lorenz_deciles",
     oracle="""
@@ -3373,13 +3438,16 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     review reads the curve: "bottom 50% of customers carry 11% of
     revenue" is decile 5's cum_share).
 
-    Customer rollup first (the only fact shuffle), then ntile over
-    the |customers| AGGREGATED relation with the (rev, custkey)
-    tie-break §2.X demands of ntile (equal-revenue customers at a
-    bin boundary would otherwise split engine-dependently); beyond
-    ~10⁷ customers the win_quantile_bin_global broadcast-cut-points
-    path replaces the global ntile, same output contract. Cumulative
-    share is a nested window over the 10-row decile rollup — free.
+    Customer rollup first (the only fact shuffle), then EXACT
+    equal-count deciles WITHOUT a global window via
+    ``_exact_global_ntile`` (r8 verdict item 4 -- the docstring used
+    to promise this path beyond 10^7 customers; now it IS the path at
+    every scale): bucketed exact global ranks + ntile arithmetic,
+    bit-identical to the oracle's ntile with the (rev, custkey)
+    tie-break preserved. The only unpartitioned windows left run over
+    BOUNDED relations: the 64-row bucket-count table inside the
+    helper and the 10-row decile rollup here. Cumulative share is a
+    nested window over the latter -- free.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -3387,10 +3455,9 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint")
         ).alias("rev_c")
     )
-    w_bin = Window.orderBy("rev_c", "o_custkey")
-    binned = per_cust.select(
-        "rev_c", F.ntile(10).over(w_bin).alias("decile")
-    )
+    binned = _exact_global_ntile(
+        per_cust, 10, "rev_c", "o_custkey", "decile"
+    ).select("rev_c", F.col("decile").cast("int").alias("decile"))
     rolled = binned.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("rev_c").alias("rev_c"),
@@ -3747,12 +3814,14 @@ def agg_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     mass IS the churn story; agg_new_returning_users is its 2×2
     shadow).
 
-    One fact shuffle to per-customer half-revenues, two ntile
-    windows over the |customers| AGGREGATED relation (both carry the
-    (rev, custkey) tie-break; the rev>0 partition isolates actives so
-    quartiles are quartiles OF ACTIVES, inactives are band 0 by CASE
-    — a ntile over a mixed population would let zeros dilute the
-    quartile boundaries), then a ≤25-cell rollup.
+    One fact shuffle to per-customer half-revenues, then two EXACT
+    equal-count quartile assignments over the ACTIVE subsets via
+    ``_exact_global_ntile`` (both carry the (rev, custkey) tie-break;
+    quartiles of actives only — a ntile over the mixed population
+    would let zeros dilute the quartile boundaries; inactives are
+    band 0 via the left-join coalesce), then a ≤25-cell rollup. No
+    global or boolean-partition window anywhere — the rank path is
+    bucketed and partition-parallel.
     """
     o = load_table(spark, sf_dir, "orders")
     stamped = o.select(
@@ -3772,17 +3841,29 @@ def agg_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.when(in_h0, 0).otherwise(F.col("rev_c"))).alias("rev1_c"),
         )
     )
-    w0 = Window.partitionBy(F.col("rev0_c") > 0).orderBy("rev0_c", "o_custkey")
-    w1 = Window.partitionBy(F.col("rev1_c") > 0).orderBy("rev1_c", "o_custkey")
-    banded = halves.select(
-        F.when(F.col("rev0_c") == 0, 0)
-        .otherwise(F.ntile(4).over(w0))
-        .cast("bigint")
-        .alias("band0"),
-        F.when(F.col("rev1_c") == 0, 0)
-        .otherwise(F.ntile(4).over(w1))
-        .cast("bigint")
-        .alias("band1"),
+    # The oracle's `ntile(4) OVER (PARTITION BY rev>0 ...)` guarded by
+    # `CASE WHEN rev=0` is exactly "quartiles of the ACTIVE subset":
+    # only the actives' partition ever reaches the output, so
+    # filter-then-exact-global-ntile reproduces it bit-for-bit — and
+    # replaces what was a boolean-partition window (one near-global
+    # task holding every active customer) with the bucketed
+    # partition-parallel rank path (r8 verdict item 4, shared with
+    # agg_lorenz_deciles via _exact_global_ntile).
+    b0 = _exact_global_ntile(
+        halves.filter(F.col("rev0_c") > 0).select("o_custkey", "rev0_c"),
+        4, "rev0_c", "o_custkey", "band0",
+    ).select("o_custkey", "band0")
+    b1 = _exact_global_ntile(
+        halves.filter(F.col("rev1_c") > 0).select("o_custkey", "rev1_c"),
+        4, "rev1_c", "o_custkey", "band1",
+    ).select("o_custkey", "band1")
+    banded = (
+        halves.join(b0, "o_custkey", "left")
+        .join(b1, "o_custkey", "left")
+        .select(
+            F.coalesce("band0", F.lit(0)).cast("bigint").alias("band0"),
+            F.coalesce("band1", F.lit(0)).cast("bigint").alias("band1"),
+        )
     )
     return banded.groupBy("band0", "band1").agg(
         F.count("*").alias("n_customers")

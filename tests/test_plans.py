@@ -732,3 +732,26 @@ def test_threshold_sweep_precomputes_norms_once(spark):
     # both sides at scale
     assert "CartesianProduct" not in phys, "theta join regressed to CartesianProduct"
     assert "BroadcastNestedLoopJoin" in phys
+
+
+def test_no_global_ranking_window_in_ntile_ops(spark):
+    """r8 verdict item 4 guard: agg_lorenz_deciles and
+    agg_customer_migration_matrix must compute equal-count bins via
+    the bucketed exact-rank path (_exact_global_ntile), never a
+    global/boolean-partition ranking window. In the physical plan
+    that means (a) no ntile() window function at all, and (b) every
+    row_number() Window node carries a partition spec (prints as
+    `Window [...], [partCols], [orderCols]` — an unpartitioned
+    ordered window prints only two bracket groups). SinglePartition
+    exchanges remain ONLY under the bounded bucket-count/decile
+    rollup windows and 1-row min/max aggregates."""
+    for name in ("agg_lorenz_deciles", "agg_customer_migration_matrix"):
+        plan = plan_of(spark, name)
+        assert "ntile" not in plan, f"{name}: global ntile window returned"
+        for line in plan.splitlines():
+            if "row_number()" not in line:
+                continue
+            # the Window node line ends with `], [part], [order]` when
+            # partitioned; count bracket groups after the function list
+            groups = line.count("], [")
+            assert groups >= 2, f"{name}: unpartitioned ranking window: {line}"
