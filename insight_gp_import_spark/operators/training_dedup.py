@@ -430,6 +430,14 @@ NGRAM_K = 3
 # AllPairs prefix length L = n - ceil(0.9 n) + 1 = n - (9n+9) div 10 + 1.
 # Pure integer arithmetic on BOTH engines — no float ceil() divergence.
 NGRAM_T_NUM, NGRAM_T_DEN = 9, 10
+# verification-stage salting: pairs whose SMALLER side exceeds
+# NGRAM_SPLIT_GRAMS route to the banded verify — their grams hash into
+# NGRAM_VERIFY_BANDS bands so one giant intersection becomes B
+# band-parallel rows (the sum of per-band partial counts is the exact
+# intersection size; routing never changes the result, only the
+# task-level distribution)
+NGRAM_SPLIT_GRAMS = 4096
+NGRAM_VERIFY_BANDS = 16
 
 
 @op(
@@ -491,21 +499,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one proportional to true near-duplication.
     """
     cand, gd = ngram_candidates(spark, sf_dir)
-    sets = gd.groupBy("doc_id").agg(
-        F.collect_set("g").alias("gs"), F.count("*").alias("n")
+    # SIZE-ROUTED verification (r8 verdict item 3). The r7 single-array
+    # verify (collect_set per doc + one array_intersect per pair) put
+    # each candidate pair's full O(|doc|) intersection in ONE task row;
+    # a handful of giant-doc pairs (~40k grams) then ran a 567 s
+    # single-core tail at the 10x stress SF — row-level skew that AQE
+    # cannot split (AQE splits skewed shuffle PARTITIONS, not rows).
+    # Banding EVERY pair instead multiplies the verify-join row count
+    # by B for the overwhelmingly-small majority (measured: 336 s at
+    # 10x — better, still join-volume-bound). So route by size: pairs
+    # whose smaller side is <= NGRAM_SPLIT_GRAMS keep the one-row
+    # single-array verify; only GIANT pairs hash their grams into
+    # NGRAM_VERIFY_BANDS bands and intersect per (pair, band) — the
+    # giant pair becomes B independent rows that spread across tasks,
+    # and sum(per-band |intersect|) == |intersect| EXACTLY because the
+    # bands partition the gram space. The banded side's set relation
+    # is built only for docs that appear in a giant pair (rare), so
+    # the extra cost is proportional to the skew it removes. Integer
+    # threshold math and the oracle are untouched — routing cannot
+    # change results, only task-level distribution.
+    sizes = gd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    cs = cand.join(n1, "d1").join(n2, "d2")  # ids + sizes only
+    small_pairs = cs.filter(
+        F.least("n1", "n2") <= NGRAM_SPLIT_GRAMS
     )
-    s1 = sets.select(
-        F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"), F.col("n").alias("n1")
-    )
-    s2 = sets.select(
-        F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"), F.col("n").alias("n2")
-    )
-    shared = F.size(F.array_intersect("gs1", "gs2"))
-    union = F.col("n1") + F.col("n2") - shared
-    return (
-        cand.join(s1, "d1")
+    large_pairs = cs.filter(F.least("n1", "n2") > NGRAM_SPLIT_GRAMS)
+
+    sets = gd.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
+    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("gs").alias("gs1"))
+    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("gs").alias("gs2"))
+    small = (
+        small_pairs.join(s1, "d1")
         .join(s2, "d2")
-        .withColumn("shared", shared)
+        .select(
+            "d1", "d2", "n1", "n2",
+            F.size(F.array_intersect("gs1", "gs2")).alias("shared"),
+        )
+    )
+
+    large_docs = (
+        large_pairs.select(F.col("d1").alias("doc_id"))
+        .union(large_pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    banded = (
+        gd.join(large_docs, "doc_id")
+        .withColumn("band", F.pmod(F.hash("g"), F.lit(NGRAM_VERIFY_BANDS)))
+        .groupBy("doc_id", "band")
+        .agg(F.collect_set("g").alias("gs"))
+    )
+    b1 = banded.select(
+        F.col("doc_id").alias("d1"), "band", F.col("gs").alias("gs1")
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("d2"), "band", F.col("gs").alias("gs2")
+    )
+    large = (
+        large_pairs.select("d1", "d2")
+        .join(b1, "d1")
+        .join(b2, ["d2", "band"])
+        .select(
+            "d1", "d2",
+            F.size(F.array_intersect("gs1", "gs2")).alias("sh"),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.sum("sh").alias("shared"))
+        .join(large_pairs.select("d1", "d2", "n1", "n2"), ["d1", "d2"])
+        .select("d1", "d2", "n1", "n2", "shared")
+    )
+
+    union = F.col("n1") + F.col("n2") - F.col("shared")
+    return (
+        small.unionByName(large)
         .withColumn("union_n", union)
         .filter(NGRAM_T_DEN * F.col("shared") > NGRAM_T_NUM * F.col("union_n"))
         .select(

@@ -654,9 +654,9 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@op(
-    "win_rolling_wau",
-    oracle="""
+# shared by win_rolling_wau (exact arrays) and win_rolling_wau_bitmap
+# (exact mergeable bitmap states): same metric, same hashed contract.
+WAU_ORACLE = """
     WITH daily AS (
         SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
                list_distinct(list(user_id)) AS users,
@@ -669,7 +669,12 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS BIGINT)
                AS wau7
     FROM daily
-    """,
+    """
+
+
+@op(
+    "win_rolling_wau",
+    oracle=WAU_ORACLE,
     category=CAT,
 )
 def win_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +713,119 @@ def win_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.array_distinct(F.flatten(F.collect_list("users").over(w)))
         ).cast("bigint").alias("wau7"),
+    )
+
+
+@op(
+    "win_rolling_wau_bitmap",
+    oracle=WAU_ORACLE,
+    category=CAT,
+)
+def win_rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling WAU via mergeable BITMAP states — the 100 TB tier
+    win_rolling_wau's docstring promised ("swaps the arrays for ...
+    exact roaring bitmaps with the SAME window shape"), now code with
+    the SAME hashed oracle (r8 verdict item 5): the answer must equal
+    the array formulation bit-for-bit, so this is stronger evidence
+    than a rows-only sketch row.
+
+    Shape: user ids split into fixed 32 KB bitmap buckets
+    (bitmap_bucket_number/bitmap_bit_position over user_id+1 — the
+    +1 keeps id 0 in range, positions are 1-based); one
+    bitmap_construct_agg per (stream, day, bucket); the 7-day union is
+    ``bitmap_or_agg OVER (PARTITION BY stream, bucket ORDER BY day
+    ROWS 6 PRECEDING)`` — union-then-count is exactly what the bitmap
+    state implements, and the window carries a fixed-size binary
+    instead of a user array. Frame alignment: bucket rows are DENSIFIED
+    onto every (stream, active-day) so each bucket's 7-row frame spans
+    the same trailing active days as the exact op's daily rows (a
+    sparse bucket would otherwise stretch its frame across weeks).
+    WAU = Σ over buckets of bitmap_count(7-day OR); DAU the same over
+    the un-windowed daily bitmaps. At 100 TB the per-(group, bucket,
+    day) bitmaps persist and any date range's exact distinct is a pure
+    merge — no rescan of history, same shape as agg_bitmap_distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.expr("bitmap_bucket_number(user_id + 1)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id + 1)").alias("pos"),
+    )
+    day_bkt = keyed.groupBy("event_type", "d", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    dau = day_bkt.groupBy("event_type", "d").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("dau")
+    )
+    days = keyed.select("event_type", "d").distinct()
+    bkts = keyed.select("event_type", "bkt").distinct()
+    dense = (
+        days.join(bkts, "event_type")
+        .join(day_bkt, ["event_type", "d", "bkt"], "left")
+    )
+    w = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    wau = (
+        dense.select(
+            "event_type",
+            "d",
+            F.expr("bitmap_or_agg(bm)").over(w).alias("week_bm"),
+        )
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(
+                F.expr("bitmap_count(week_bm)"), F.lit(0)
+            ).alias("wau_b"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("wau_b").cast("bigint").alias("wau7"))
+    )
+    return dau.join(wau, ["event_type", "d"]).select(
+        "event_type", "d", "dau", "wau7"
+    )
+
+
+@op("win_rolling_wau_sketch", category=CAT)
+def win_rolling_wau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE rolling WAU via mergeable HLL sketches — the ±2 %
+    tier of the same promise (r8 verdict item 5), for when even
+    bitmaps are too big (random 64-bit id spaces where every bucket
+    materializes). One hll_sketch_agg per (stream, day), then
+    ``hll_union_agg OVER (PARTITION BY stream ORDER BY day ROWS 6
+    PRECEDING)`` — the window carries a fixed ~KB sketch per row no
+    matter how many users, which is the whole 100 TB argument: WAU
+    state is O(days × streams), not O(users).
+
+    Rows-only by design: sketch estimates are engine-specific (§2.X
+    rule 5 keeps approx ops out of hashed oracles — the same Risk-D
+    posture as agg_hll_partial_merge); the pytest invariant pins every
+    (stream, day)'s estimate within 2 % of win_rolling_wau's exact
+    answer, and dau/d/event_type are exact columns shared with it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        "dau",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("bigint")
+        .alias("wau7_est"),
     )
 
 

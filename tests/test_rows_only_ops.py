@@ -167,3 +167,23 @@ def test_python_datasource_split_planning(spark):
     assert df.rdd.getNumPartitions() == 7
     assert df.count() == 100
     assert df.schema.simpleString() == "struct<file_id:bigint,shard:int,size_bytes:bigint>"
+
+
+def test_rolling_wau_sketch_tracks_exact(spark):
+    """win_rolling_wau_sketch (HLL tier) must estimate every
+    (stream, day) WAU within 2% of win_rolling_wau's exact answer,
+    and its exact passthrough columns (d, dau) must match exactly —
+    the invariant that stands in for the oracle a sketch can't have
+    (r8 verdict item 5)."""
+    exact = {
+        (r.event_type, r.d): (r.dau, r.wau7)
+        for r in OPS["win_rolling_wau"].fn(spark, SF).collect()
+    }
+    rows = OPS["win_rolling_wau_sketch"].fn(spark, SF).collect()
+    assert len(rows) == len(exact) and rows
+    for r in rows:
+        dau, wau7 = exact[(r.event_type, r.d)]
+        assert r.dau == dau, (r.event_type, r.d)
+        assert abs(r.wau7_est - wau7) <= max(0.02 * wau7, 1), (
+            r.event_type, r.d, r.wau7_est, wau7,
+        )
