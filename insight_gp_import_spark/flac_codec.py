@@ -507,14 +507,26 @@ def encode_flac(
         bw.write(chan_code, 4)
         bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
         bw.write(0, 1)  # reserved
-        # UTF-8 coded frame number (framing strategy 0)
+        # UTF-8 coded frame number (framing strategy 0), full
+        # multi-byte form: the spec encodes up to 31-bit frame numbers
+        # in 1-6 bytes exactly like UTF-8 extended (lead byte carries
+        # 7-(n_extra+1) payload bits, each continuation 6). The old
+        # 2-byte-max form silently overflowed its lead byte at
+        # frame_no >= 0x800 (long input / small blocksize), desyncing
+        # the stream into a downstream CRC error (r7 ADVICE).
         fn = frame_no
         if fn < 0x80:
             bw.write(fn, 8)
         else:
-            # two-byte form covers every fixture this encoder makes
-            bw.write(0xC0 | (fn >> 6), 8)
-            bw.write(0x80 | (fn & 0x3F), 8)
+            n_extra = 1
+            while fn >= (1 << (6 - n_extra)) << (6 * n_extra):
+                n_extra += 1
+            if n_extra > 5:
+                raise ValueError("FLAC: frame number exceeds 31 bits")
+            lead_prefix = (0xFF << (7 - n_extra)) & 0xFF
+            bw.write(lead_prefix | (fn >> (6 * n_extra)), 8)
+            for i in range(n_extra - 1, -1, -1):
+                bw.write(0x80 | ((fn >> (6 * i)) & 0x3F), 8)
         bw.write(bs - 1, 16)
         assert bw.nbits == 0  # header fields sum to whole bytes
         bw.write(_crc8(bytes(bw.out)), 8)

@@ -862,9 +862,21 @@ def _spread_for_python(df: DataFrame, spark: SparkSession) -> DataFrame:
     .gz staging. At 100 TB inputs are many files/row groups and this
     helper is a NO-OP (the condition fails), so no shuffle is added on
     the path where a shuffle would hurt; the repartition payload here
-    is ids + small int arrays, never raw text."""
+    is ids + small int arrays, never raw text.
+
+    Under-split detection uses ``df.inputFiles()`` (r8 ADVICE fix):
+    the old ``df.rdd.getNumPartitions()`` forced a full plan-to-RDD
+    conversion per op invocation and is unavailable under Spark
+    Connect. File count is a conservative lower bound on scan splits
+    (a many-row-group file can split further), so the only error mode
+    is an unnecessary repartition of id-sized rows — never a missed
+    spread on the single-file fixtures this exists for."""
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # non-file source: nothing to detect
+        return df
+    if 0 < n_inputs < want:
         return df.repartition(want)
     return df
 
@@ -1019,7 +1031,7 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pix AS (
         SELECT doc_id,
                list_transform(generate_series(0, 63),
-                              i -> ascii(substr(text, CAST(1 + ((i * n_chars) // 64) AS BIGINT), 1)) % 256 - 64)
+                              i -> ascii(substr(text, CAST(1 + ((i * n_chars) // 64) AS BIGINT), 1)) % 128 - 64)
                    AS s,
                CASE CAST(doc_id % 4 AS INTEGER)
                     WHEN 0 THEN 1 WHEN 1 THEN 256
@@ -1042,7 +1054,11 @@ def mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec AUDIO metadata extraction — the WAV twin of
     ``mm_image_meta_real``: 64 deterministic samples are built in-plan
-    from the phash byte sampling (centered to signed amplitudes),
+    from the phash byte sampling (centered to signed amplitudes via
+    %128-64, so any Unicode codepoint stays inside every PCM bit
+    depth — encode_wav now REJECTS out-of-range samples by name
+    instead of wrapping, r8 ADVICE fix, and this op can never trip
+    that guard regardless of corpus encoding),
     scaled to the target bit depth (doc_id%4 picks 8/16/24/32-bit
     PCM), interleaved as mono or stereo (doc_id%2), ENCODED to a real
     RIFF/WAVE file executor-side (wav_codec), DECODED back, and
@@ -1060,7 +1076,7 @@ def mm_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pix = (
         "transform(sequence(0, 63), i -> "
-        "ascii(substring(text, 1 + ((i * n_chars) div 64), 1)) % 256 - 64)"
+        "ascii(substring(text, 1 + ((i * n_chars) div 64), 1)) % 128 - 64)"
     )
     staged = docs.select(
         "doc_id",
@@ -1232,7 +1248,7 @@ def mm_video_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pix AS (
         SELECT doc_id,
                list_transform(generate_series(0, 255),
-                              i -> (ascii(substr(text, CAST(1 + ((i * n_chars) // 256) AS BIGINT), 1)) % 256 - 64) * 256)
+                              i -> (ascii(substr(text, CAST(1 + ((i * n_chars) // 256) AS BIGINT), 1)) % 128 - 64) * 256)
                    AS s,
                CAST(1 + doc_id % 2 AS BIGINT) AS ch
         FROM documents
@@ -1270,7 +1286,7 @@ def mm_audio_flac_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pix = (
         "transform(sequence(0, 255), i -> "
-        "(ascii(substring(text, 1 + ((i * n_chars) div 256), 1)) % 256 - 64)"
+        "(ascii(substring(text, 1 + ((i * n_chars) div 256), 1)) % 128 - 64)"
         " * 256)"
     )
     staged = docs.select(

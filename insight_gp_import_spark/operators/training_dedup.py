@@ -35,7 +35,7 @@ from insight_gp_import_spark.operators.llm import (
     _norm,
     dedup_near_jaccard,
 )
-from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table
 
 CAT = "training-dedup"
@@ -438,6 +438,12 @@ NGRAM_T_NUM, NGRAM_T_DEN = 9, 10
 # task-level distribution)
 NGRAM_SPLIT_GRAMS = 4096
 NGRAM_VERIFY_BANDS = 16
+# bitmap verify cutover: a doc's bitmap costs ceil(V/64) longs vs one
+# long per distinct gram, so bitmaps win whenever V/64 is below the
+# typical set size; 16384 caps the bitmap at 256 longs (2 KB)/doc.
+# Character-n-gram spaces sit far under this; word/shingle vocabularies
+# blow past it and take the routed-array branch.
+NGRAM_BITMAP_MAX_VOCAB = 16384
 
 
 @op(
@@ -499,32 +505,132 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one proportional to true near-duplication.
     """
     cand, gd = ngram_candidates(spark, sf_dir)
-    # SIZE-ROUTED verification (r8 verdict item 3). The r7 single-array
-    # verify (collect_set per doc + one array_intersect per pair) put
-    # each candidate pair's full O(|doc|) intersection in ONE task row;
-    # a handful of giant-doc pairs (~40k grams) then ran a 567 s
-    # single-core tail at the 10x stress SF — row-level skew that AQE
-    # cannot split (AQE splits skewed shuffle PARTITIONS, not rows).
-    # Banding EVERY pair instead multiplies the verify-join row count
-    # by B for the overwhelmingly-small majority (measured: 336 s at
-    # 10x — better, still join-volume-bound). So route by size: pairs
-    # whose smaller side is <= NGRAM_SPLIT_GRAMS keep the one-row
-    # single-array verify; only GIANT pairs hash their grams into
-    # NGRAM_VERIFY_BANDS bands and intersect per (pair, band) — the
-    # giant pair becomes B independent rows that spread across tasks,
-    # and sum(per-band |intersect|) == |intersect| EXACTLY because the
-    # bands partition the gram space. The banded side's set relation
-    # is built only for docs that appear in a giant pair (rare), so
-    # the extra cost is proportional to the skew it removes. Integer
-    # threshold math and the oracle are untouched — routing cannot
-    # change results, only task-level distribution.
+    # VERIFICATION (r8 verdict item 3, measured iteratively). The r7
+    # single-array verify (collect_set per doc + one array_intersect
+    # per candidate pair) was diagnosed as giant-pair compute skew;
+    # measuring showed the real wall is shuffle VOLUME — this corpus
+    # yields 129M candidate pairs at the 10x SF, each carrying two
+    # gram-set arrays through the verify join, and the spill is what
+    # bounded (and once out-of-disked) the run. The verify
+    # representation is therefore chosen by a measured statistic:
+    #
+    # - SMALL VOCABULARY (n_vocab <= NGRAM_BITMAP_MAX_VOCAB): encode
+    #   each doc's gram set as a FIXED-WIDTH bitmap over dense gram
+    #   ids (ceil(V/64) longs — 11 words at the 10x stress corpus's
+    #   V=648 vs ~1.7 KB packed-gram arrays), and verify with
+    #   popcount(AND): ~20x less shuffle and O(V/64) per pair instead
+    #   of an array_intersect hash build. Bitmaps also make doc size
+    #   irrelevant, so no giant-pair routing is needed in this branch.
+    # - LARGE VOCABULARY (real text corpora — word/shingle spaces):
+    #   bitmaps would dwarf the sets, so keep packed-gram arrays and
+    #   SIZE-ROUTE: pairs whose smaller side <= NGRAM_SPLIT_GRAMS use
+    #   the one-row verify; giant pairs split into NGRAM_VERIFY_BANDS
+    #   hash-banded partial intersections whose integer sum is the
+    #   exact intersection (band-parallel rows instead of one
+    #   mega-task — the skew AQE cannot split because it is row-level,
+    #   not partition-level).
+    #
+    # Both branches compute the identical exact `shared`; the oracle
+    # is untouched. n_vocab is a 1-number driver statistic (the same
+    # bounded-driver-state class as the k-means centroids) used only
+    # for PLAN CHOICE, never for results.
     sizes = gd.groupBy("doc_id").agg(F.count("*").alias("n"))
     n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    cs = cand.join(n1, "d1").join(n2, "d2")  # ids + sizes only
-    small_pairs = cs.filter(
-        F.least("n1", "n2") <= NGRAM_SPLIT_GRAMS
+    # ids + sizes only; persisted because the verify (and in the
+    # routed branch BOTH its halves) consumes it — without the persist
+    # each consumer recomputes the whole AllPairs candidate join
+    # (measured: 2x verify wall at 1x SF). Four bigints per candidate
+    # pair, the same id-only-materialization precedent as
+    # dedup_phash_hamming's persisted quarter table.
+    cs = tracked_persist(cand.join(n1, "d1").join(n2, "d2"))
+    n_vocab = gd.select("g").distinct().count()
+    if n_vocab <= NGRAM_BITMAP_MAX_VOCAB:
+        verified = _ngram_verify_bitmap(cs, gd, n_vocab)
+    else:
+        verified = _ngram_verify_routed(cs, gd)
+    union = F.col("n1") + F.col("n2") - F.col("shared")
+    return (
+        verified.withColumn("union_n", union)
+        .filter(NGRAM_T_DEN * F.col("shared") > NGRAM_T_NUM * F.col("union_n"))
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("shared") / F.col("union_n"), 4).alias("jaccard"),
+        )
     )
+
+
+def _ngram_verify_bitmap(
+    cs: DataFrame, gd: DataFrame, n_vocab: int
+) -> DataFrame:
+    """Exact candidate verification for SMALL gram vocabularies: dense
+    gram ids (row_number over the <=NGRAM_BITMAP_MAX_VOCAB-row distinct
+    gram table — a bounded unpartitioned window by the branch guard),
+    one fixed-width bitmap of ceil(V/64) longs per doc, and
+    shared = sum of per-word popcount(AND). Bit-exact equal to
+    |set intersection| because gram ids are dense and unique."""
+    nwords = (n_vocab + 63) // 64
+    gids = (
+        gd.select("g")
+        .distinct()
+        .select(
+            "g",
+            (F.row_number().over(Window.orderBy("g")) - 1).alias("gid"),
+        )
+    )
+    docbits = (
+        gd.join(F.broadcast(gids), "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("gid").alias("gidset"))
+    )
+    bm = docbits.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {nwords - 1}), w -> aggregate("
+            "filter(gidset, x -> CAST(x div 64 AS INT) = w), 0L,"
+            " (acc, x) -> acc | shiftleft(1L, CAST(x % 64 AS INT))))"
+        ).alias("bm"),
+    )
+    b1 = bm.select(F.col("doc_id").alias("d1"), F.col("bm").alias("bm1"))
+    b2 = bm.select(F.col("doc_id").alias("d2"), F.col("bm").alias("bm2"))
+    return (
+        cs.join(b1, "d1")
+        .join(b2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "n1",
+            "n2",
+            F.expr(
+                "aggregate(zip_with(bm1, bm2, (x, y) -> bit_count(x & y)),"
+                " 0, (a, b) -> a + b)"
+            ).cast("bigint").alias("shared"),
+        )
+    )
+
+
+def _ngram_verify_routed(cs: DataFrame, gd: DataFrame) -> DataFrame:
+    """Exact candidate verification for LARGE gram vocabularies:
+    packed-gram arrays with giant pairs split into hash-banded partial
+    intersections (sum of per-band counts == exact intersection size
+    because the bands partition the gram space).
+
+    Grams are INT-PACKED here — {NGRAM_K} codepoints x 21 bits
+    injectively into one BIGINT — so the per-pair set arrays shuffle
+    8-byte longs instead of string cells (the measured spill driver)
+    and array_intersect compares longs. Packing happens in THIS branch
+    only, on the ~|distinct (doc, gram)| relation, not at the explode
+    site where it would run on every gram POSITION (measured: +35 s on
+    the 10x candidates stage for nothing when the bitmap branch wins
+    anyway)."""
+    pack = (
+        "cast(ascii(substring(g, 1, 1)) as bigint) * 4398046511104"
+        " + ascii(substring(g, 2, 1)) * 2097152"
+        " + ascii(substring(g, 3, 1))"
+    )
+    gd = gd.select("doc_id", F.expr(pack).alias("g"))
+    small_pairs = cs.filter(F.least("n1", "n2") <= NGRAM_SPLIT_GRAMS)
     large_pairs = cs.filter(F.least("n1", "n2") > NGRAM_SPLIT_GRAMS)
 
     sets = gd.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
@@ -535,7 +641,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "d2")
         .select(
             "d1", "d2", "n1", "n2",
-            F.size(F.array_intersect("gs1", "gs2")).alias("shared"),
+            F.size(F.array_intersect("gs1", "gs2")).cast("bigint").alias("shared"),
         )
     )
 
@@ -565,22 +671,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("gs1", "gs2")).alias("sh"),
         )
         .groupBy("d1", "d2")
-        .agg(F.sum("sh").alias("shared"))
+        .agg(F.sum("sh").cast("bigint").alias("shared"))
         .join(large_pairs.select("d1", "d2", "n1", "n2"), ["d1", "d2"])
         .select("d1", "d2", "n1", "n2", "shared")
     )
+    return small.unionByName(large)
 
-    union = F.col("n1") + F.col("n2") - F.col("shared")
-    return (
-        small.unionByName(large)
-        .withColumn("union_n", union)
-        .filter(NGRAM_T_DEN * F.col("shared") > NGRAM_T_NUM * F.col("union_n"))
-        .select(
-            "d1",
-            "d2",
-            F.round(F.col("shared") / F.col("union_n"), 4).alias("jaccard"),
-        )
-    )
 
 
 def ngram_candidates(

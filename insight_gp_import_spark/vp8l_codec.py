@@ -27,6 +27,15 @@ JPEG/TIFF-LZW). The predictor's top-right pixel at the rightmost
 column follows libwebp (wraps to the leftmost pixel of the row
 above); encoder and decoder share one ``_predict_at`` helper, so
 round-trips are exact by construction even at that edge.
+
+SIZE NOTE (r8 ADVICE): decode is bit-at-a-time Huffman plus per-pixel
+Python loops for the predictor/color-transform inverses — correct,
+and fine for the fixture-scale payloads the driver gate and
+resize_images tests feed it, but a real-world MEGAPIXEL WebP routed
+through resize_images would take minutes. If large WebP payloads
+become a real input, vectorize ``_inv_predictor`` /
+``_inv_color_transform`` row-wise (the PNG/BMP paths show the numpy
+shape) before putting this codec on that path.
 """
 
 from __future__ import annotations

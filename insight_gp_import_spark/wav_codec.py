@@ -133,6 +133,18 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
         samples = samples[:, None]
     n, channels = samples.shape
     is_float = np.issubdtype(samples.dtype, np.floating)
+    if not is_float and bits in (8, 16, 24, 32) and samples.size:
+        # mirror encode_flac's explicit range check (r7 ADVICE): an
+        # out-of-range sample used to wrap silently via astype and
+        # surface later as a confusing hash mismatch instead of a
+        # named error at encode time.
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        smin, smax = int(samples.min()), int(samples.max())
+        if smin < lo or smax > hi:
+            raise ValueError(
+                f"samples exceed {bits}-bit range "
+                f"[{lo}, {hi}]: min={smin} max={smax}"
+            )
     if is_float:
         if bits != 32:
             raise ValueError("float WAV is written as 32-bit")

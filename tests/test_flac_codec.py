@@ -213,3 +213,39 @@ def test_pcm_md5_matches_flac_convention():
         b"\x01\x00" + b"\xff\xff" + b"\x02\x01" + b"\xfe\xfe"
     ).digest()
     assert _pcm_md5(s, 16) == manual
+
+
+def test_multibyte_frame_numbers_roundtrip():
+    """r8 ADVICE fix: the coded frame number must survive past the
+    2-byte UTF-8 form (frame_no >= 0x800 used to overflow the lead
+    byte silently and desync into a downstream CRC error). 2100
+    frames of blocksize 16 crosses the 2048 boundary; losslessness
+    proves every frame header parsed at the right offset."""
+    rng = np.random.RandomState(8)
+    samples = rng.randint(-2000, 2000, size=(2100 * 16, 1)).astype(np.int64)
+    blob = encode_flac(samples, 8000, bps=16, blocksize=16)
+    out, rate = decode_flac(blob)
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+
+
+def test_multibyte_coded_number_forms():
+    """The encoder's UTF-8-style forms must match the decoder's
+    _read_utf8_number across every byte-length boundary."""
+    from insight_gp_import_spark.flac_codec import _BitReader, _read_utf8_number
+
+    for fn in (0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000,
+               0x1FFFFF, 0x200000, 0x3FFFFFF, 0x4000000, 0x7FFFFFFF):
+        bw = _BitWriter()
+        if fn < 0x80:
+            bw.write(fn, 8)
+        else:
+            n_extra = 1
+            while fn >= (1 << (6 - n_extra)) << (6 * n_extra):
+                n_extra += 1
+            assert n_extra <= 5
+            lead_prefix = (0xFF << (7 - n_extra)) & 0xFF
+            bw.write(lead_prefix | (fn >> (6 * n_extra)), 8)
+            for i in range(n_extra - 1, -1, -1):
+                bw.write(0x80 | ((fn >> (6 * i)) & 0x3F), 8)
+        assert _read_utf8_number(_BitReader(bw.bytes())) == fn

@@ -309,3 +309,25 @@ def test_pca_quantized_matches_float(spark):
     dot = sum((q / td.PCA_V_SCALE) * x for q, x in zip(qv, v))
     qn = math.sqrt(sum((q / td.PCA_V_SCALE) ** 2 for q in qv))
     assert abs(dot) / qn > 0.99, (dot, qn)
+
+
+def test_ngram_verify_branches_agree(spark, monkeypatch):
+    """The vocab-conditional verify branches (fixed-width bitmap vs
+    routed packed-gram arrays, incl. the giant-pair banding) must
+    produce IDENTICAL verified pairs — representation and routing are
+    plan choices, never semantics (r8 verdict item 3). Forcing
+    NGRAM_BITMAP_MAX_VOCAB=0 exercises the array branch and
+    NGRAM_SPLIT_GRAMS=8 forces every pair through the banded giant-
+    pair path, which the small-vocab gate SFs otherwise never touch."""
+    sf = "/root/testdata/sf0.001"
+    fn = OPS["dedup_ngram_jaccard"].fn
+    default = {(r.d1, r.d2): r.jaccard for r in fn(spark, sf).collect()}
+    assert default  # non-degenerate fixture
+
+    monkeypatch.setattr(td, "NGRAM_BITMAP_MAX_VOCAB", 0)
+    routed = {(r.d1, r.d2): r.jaccard for r in fn(spark, sf).collect()}
+    assert routed == default
+
+    monkeypatch.setattr(td, "NGRAM_SPLIT_GRAMS", 8)
+    banded = {(r.d1, r.d2): r.jaccard for r in fn(spark, sf).collect()}
+    assert banded == default

@@ -102,3 +102,24 @@ def test_refusals():
         decode_wav(_wav_raw(2, 1, 8000, 4, b"\x00\x00"))
     with pytest.raises(ValueError, match="missing"):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_encode_rejects_out_of_range_samples():
+    """r8 ADVICE fix: out-of-range integer samples must raise a named
+    error at encode time (mirroring encode_flac), never wrap via
+    astype into a confusing downstream mismatch."""
+    import numpy as np
+    import pytest
+
+    from insight_gp_import_spark.wav_codec import decode_wav, encode_wav
+
+    for bits, bad in ((8, 128), (8, -129), (16, 1 << 15), (24, -(1 << 23) - 1),
+                      (32, 1 << 31)):
+        with pytest.raises(ValueError, match=f"{bits}-bit range"):
+            encode_wav(np.array([[0], [bad]], dtype=np.int64), 8000, bits=bits)
+    # boundary values still encode and round-trip exactly
+    for bits in (8, 16, 24, 32):
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        s = np.array([[lo], [hi], [0]], dtype=np.int64)
+        out, rate = decode_wav(encode_wav(s, 8000, bits=bits))
+        assert np.array_equal(out, s)

@@ -1,9 +1,12 @@
 """RocksDB-vs-HDFS state-store stress (round-4 item #3, carried to r6).
 
-Streams the events table through the two stateful queries that carry
-real state at scale — session windows (stream_session's shape) and
+Streams the events table through the three stateful queries that
+carry real state at scale — session windows (stream_session's shape),
 keyed dedup within a watermark (stream_dedup_within_watermark's
-shape) — under BOTH state-store providers, and records per-provider:
+shape), and the watermarked stream-stream interval join
+(stream_stream_join's shape, added r8: its state-expiry claim now has
+a measured row) — under BOTH state-store providers, and records
+per-provider:
 
 - wall time for the identical availableNow run,
 - peak stateOperators.memoryUsedBytes (the provider's own accounting:
@@ -101,6 +104,36 @@ def build_query(src, which: str):
             .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
             .select("user_id", "cnt", "sum_value")
         )
+    if which == "interval_join":
+        # stream_stream_join's exact shape (r8 verdict item 6): both
+        # sides watermarked, time-range condition lets Spark expire a
+        # view row once the watermark passes v_ts + 1h — the claim
+        # "state bounded exactly like stream_stream_join" gets its
+        # measured sf1 row here.
+        v = (
+            src.filter(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        p = (
+            src.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("user_id", "view_id", "purchase_id")
     return src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
@@ -156,7 +189,7 @@ def main() -> int:
     events_dir = chunked_events_dir(spark)
     results = []
     try:
-        for which in ("session", "dedup"):
+        for which in ("session", "dedup", "interval_join"):
             for provider in ("hdfs-default", "rocksdb"):
                 if provider == "rocksdb":
                     with rocksdb_state_store(spark):
@@ -168,7 +201,7 @@ def main() -> int:
     finally:
         shutil.rmtree(os.path.dirname(events_dir), ignore_errors=True)
     by = {(r["query"], r["provider"]): r for r in results}
-    for which in ("session", "dedup"):
+    for which in ("session", "dedup", "interval_join"):
         h, r = by[(which, "hdfs-default")], by[(which, "rocksdb")]
         print(
             f"SUMMARY {which}: state mem {h['state_mem_peak_mb']}MB (heap) -> "
