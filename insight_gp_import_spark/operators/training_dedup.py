@@ -565,19 +565,23 @@ def _ngram_verify_bitmap(
     cs: DataFrame, gd: DataFrame, n_vocab: int
 ) -> DataFrame:
     """Exact candidate verification for SMALL gram vocabularies: dense
-    gram ids (row_number over the <=NGRAM_BITMAP_MAX_VOCAB-row distinct
-    gram table — a bounded unpartitioned window by the branch guard),
-    one fixed-width bitmap of ceil(V/64) longs per doc, and
+    gram ids, one fixed-width bitmap of ceil(V/64) longs per doc, and
     shared = sum of per-word popcount(AND). Bit-exact equal to
-    |set intersection| because gram ids are dense and unique."""
+    |set intersection| because gram ids are dense and unique.
+
+    The gram→id mapping is built DRIVER-side: the branch guard bounds
+    the vocabulary at NGRAM_BITMAP_MAX_VOCAB (≤16384 strings, ~100 KB
+    — the k-means-centroid class of bounded driver state), collected
+    once, sorted for determinism, and broadcast back. The alternative
+    — row_number over the distinct gram table — is an unpartitioned
+    window, i.e. a SinglePartition exchange; this op's plan guard
+    (test_allpairs_dedup_has_no_single_partition_window) rightly
+    forbids that shape anywhere in the plan, bounded or not."""
     nwords = (n_vocab + 63) // 64
-    gids = (
-        gd.select("g")
-        .distinct()
-        .select(
-            "g",
-            (F.row_number().over(Window.orderBy("g")) - 1).alias("gid"),
-        )
+    spark = cs.sparkSession
+    vocab = sorted(r[0] for r in gd.select("g").distinct().collect())
+    gids = spark.createDataFrame(
+        [(g, i) for i, g in enumerate(vocab)], "g string, gid int"
     )
     docbits = (
         gd.join(F.broadcast(gids), "g")
