@@ -3372,6 +3372,49 @@ def _exact_global_ntile(
     the local sort, and the only unpartitioned window runs over the
     BOUNDED n_buckets-row count table.
     """
+    ranked = _exact_global_rank(
+        df, val_col, tie_col, "_egn_rnk", n_buckets=n_buckets,
+        keep_total=True,
+    )
+    banded = ranked.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN _egn_rnk <= (_egn_n div {k} + 1) * (_egn_n % {k}) "
+            f"THEN 1 + (_egn_rnk - 1) div (_egn_n div {k} + 1) "
+            f"ELSE _egn_n % {k} + 1 + (_egn_rnk - (_egn_n div {k} + 1) "
+            f"* (_egn_n % {k}) - 1) div greatest(_egn_n div {k}, 1) END"
+        ),
+    )
+    return banded.drop("_egn_n", "_egn_rnk")
+
+
+def _exact_global_rank(
+    df: DataFrame,
+    val_col: str,
+    tie_col: str,
+    out_col: str,
+    n_buckets: int = 64,
+    keep_total: bool = False,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """EXACT dense 1-based global rank over ORDER BY (val_col ASC,
+    tie_col ASC) with NO global window — the shared rank kernel under
+    ``_exact_global_ntile`` and the full-output ranking ops (r8):
+    deterministic value-range buckets over the broadcast [min, max],
+    one count per bucket, broadcast cumulative offsets, per-bucket
+    row_number; offset + local rank == the exact global rank. For a
+    DESCENDING rank, pass the NEGATED (pre-quantized BIGINT) value —
+    rank over (v DESC, tie ASC) == rank over (-v ASC, tie ASC).
+    val_col must be integral (the bucket arithmetic uses div).
+    ``keep_total`` retains the ``_egn_n`` row-count column for callers
+    that need it (the ntile arithmetic). ``order_cols`` overrides the
+    in-bucket ordering when the true sort key is not simply
+    (val_col, tie_col) — val_col must then be a NUMERIC MONOTONE
+    NON-DECREASING function of that order's leading columns (e.g. an
+    order-preserving fixed-width byte-prefix pack of a string key),
+    so equal-order rows land in one bucket and bucket boundaries
+    respect the order; coarseness/collisions only affect balance,
+    never correctness."""
     rng = df.agg(F.min(val_col).alias("_egn_lo"), F.max(val_col).alias("_egn_hi"))
     bucketed = df.crossJoin(F.broadcast(rng)).withColumn(
         "_egn_bkt",
@@ -3389,23 +3432,16 @@ def _exact_global_ntile(
         F.coalesce(F.sum("_egn_cnt").over(w_off), F.lit(0)).alias("_egn_off"),
         F.sum("_egn_cnt").over(Window.partitionBy()).alias("_egn_n"),
     )
-    w_local = Window.partitionBy("_egn_bkt").orderBy(val_col, tie_col)
+    w_local = Window.partitionBy("_egn_bkt").orderBy(
+        *(order_cols if order_cols is not None else [val_col, tie_col])
+    )
     ranked = bucketed.join(F.broadcast(offsets), "_egn_bkt").withColumn(
-        "_egn_rnk", F.col("_egn_off") + F.row_number().over(w_local)
+        out_col, F.col("_egn_off") + F.row_number().over(w_local)
     )
-    banded = ranked.withColumn(
-        out_col,
-        F.expr(
-            f"CASE WHEN _egn_rnk <= (_egn_n div {k} + 1) * (_egn_n % {k}) "
-            f"THEN 1 + (_egn_rnk - 1) div (_egn_n div {k} + 1) "
-            f"ELSE _egn_n % {k} + 1 + (_egn_rnk - (_egn_n div {k} + 1) "
-            f"* (_egn_n % {k}) - 1) div greatest(_egn_n div {k}, 1) END"
-        ),
-    )
-    return banded.drop(
-        "_egn_lo", "_egn_hi", "_egn_bkt", "_egn_cnt",
-        "_egn_off", "_egn_n", "_egn_rnk",
-    )
+    dropped = ["_egn_lo", "_egn_hi", "_egn_bkt", "_egn_cnt", "_egn_off"]
+    if not keep_total:
+        dropped.append("_egn_n")
+    return ranked.drop(*dropped)
 
 
 @op(
@@ -3579,11 +3615,15 @@ def agg_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers "how exposed are we to our biggest {CR_K} accounts", the
     key-account-risk question a sales org actually asks).
 
-    Customer rollup (one fact shuffle), then rank over the
-    |customers| AGGREGATED relation with the custkey tie-break —
-    at extreme cardinality the TakeOrdered-top-K + 1-row-total
-    formulation replaces the rank window (same output, stated);
-    one rounded double from exact cent sums.
+    Customer rollup (one fact shuffle), then the TakeOrdered-top-K +
+    1-row-total formulation the old docstring merely PROMISED at
+    extreme cardinality (r8: it is now the only path): orderBy+limit
+    plans as TakeOrderedAndProject — a per-partition K-row heap merged
+    on the driver, never a global sort — and the totals are one
+    map-combined aggregate; the two 1-row relations cross-join
+    broadcast. No ranking window over the |customers| relation at any
+    scale; tie-break (rev desc, custkey) preserved by the heap's sort
+    key. One rounded double from exact cent sums.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -3591,18 +3631,22 @@ def agg_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint")
         ).alias("rev_c")
     )
-    w = Window.orderBy(F.desc("rev_c"), "o_custkey")
-    ranked = per_cust.select(
-        "rev_c", F.row_number().over(w).alias("rk")
+    topk = (
+        per_cust.orderBy(F.desc("rev_c"), "o_custkey")
+        .limit(CR_K)
+        .agg(F.sum("rev_c").alias("topk_rev_c"))
     )
-    topk = F.sum(F.when(F.col("rk") <= CR_K, F.col("rev_c")).otherwise(0))
-    return ranked.groupBy().agg(
+    totals = per_cust.agg(
         F.count("*").alias("n_customers"),
-        topk.alias("topk_rev_c"),
         F.sum("rev_c").alias("total_rev_c"),
-        F.round(topk.cast("double") / F.sum("rev_c"), 6).alias(
-            f"cr{CR_K}"
-        ),
+    )
+    return totals.crossJoin(F.broadcast(topk)).select(
+        "n_customers",
+        "topk_rev_c",
+        "total_rev_c",
+        F.round(
+            F.col("topk_rev_c").cast("double") / F.col("total_rev_c"), 6
+        ).alias(f"cr{CR_K}"),
     )
 
 
@@ -4246,11 +4290,14 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer (n, x) state per supplier, one broadcastable global-rate
     row crossed in, two float divisions mirrored token-for-token and
-    ROUNDED AT 9 BEFORE the rank windows (§2.X flag rule: ranking an
+    ROUNDED AT 9 BEFORE the ranks (§2.X flag rule: ranking an
     unrounded double turns a last-ulp wobble into an off-by-one rank
     everywhere downstream); supplier-key tie-break keeps both ranks
-    total. Supplier cardinality is dim-sized, so the rank windows'
-    global sorts are over ≤|suppliers| rows, never the fact table.
+    total. Both ranks are computed by ``_exact_global_rank`` (r8) on
+    the NEGATED nano-quantized rate — rank over (rate DESC, sk ASC)
+    == rank over (-rate9 ASC, sk ASC) — so there is no unpartitioned
+    ranking window even as the supplier dimension grows; the rate was
+    already rounded at 9, so the 1e9 quantization is lossless.
     """
     li = load_table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
@@ -4274,20 +4321,27 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("shrunk_rate"),
     )
-    return rates.select(
+    staged = rates.withColumn(
+        "_neg_raw9",
+        -F.expr("cast(floor(raw_rate * 1000000000 + 0.5D) as bigint)"),
+    ).withColumn(
+        "_neg_shr9",
+        -F.expr("cast(floor(shrunk_rate * 1000000000 + 0.5D) as bigint)"),
+    )
+    ranked = _exact_global_rank(
+        _exact_global_rank(staged, "_neg_raw9", "sk", "rank_raw"),
+        "_neg_shr9",
+        "sk",
+        "rank_shrunk",
+    )
+    return ranked.select(
         "sk",
         "n",
         "x",
         "raw_rate",
         "shrunk_rate",
-        F.row_number()
-        .over(Window.orderBy(F.desc("raw_rate"), "sk"))
-        .cast("bigint")
-        .alias("rank_raw"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("shrunk_rate"), "sk"))
-        .cast("bigint")
-        .alias("rank_shrunk"),
+        F.col("rank_raw").cast("bigint").alias("rank_raw"),
+        F.col("rank_shrunk").cast("bigint").alias("rank_shrunk"),
     ).orderBy("sk")
 
 
@@ -5383,20 +5437,28 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(ln·10⁶) — the periodogram/α-sampling device: the
     quantization step dwarfs libm's last ulp) so the Hill sum is an
     exact BIGINT of log-excesses over the rank-(k+1) threshold, and
-    α̂ lands as one integer ppm division. The rank window runs over
-    the |customers| spend rollup (dim-scale); the fact dies in the
-    first groupBy.
+    α̂ lands as one integer ppm division. Only the top k+1 order
+    statistics matter, so the plan takes them with orderBy+limit —
+    TakeOrderedAndProject, a per-partition (k+1)-row heap, never a
+    global sort — and the rank window that assigns rk runs over that
+    BOUNDED (k+1)-row result, not the |customers| rollup (r8: the old
+    global rank window is gone; the fact still dies in the first
+    groupBy).
     """
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("spend_c")
     )
-    ranked = spend.select(
-        "spend_c",
-        F.row_number()
-        .over(Window.orderBy(F.desc("spend_c"), "ck"))
-        .cast("bigint")
-        .alias("rk"),
+    ranked = (
+        spend.orderBy(F.desc("spend_c"), "ck")
+        .limit(HILL_K + 1)
+        .select(
+            "spend_c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("spend_c"), "ck"))
+            .cast("bigint")
+            .alias("rk"),
+        )
     )
     microlog = F.round(F.log(F.col("spend_c")) * LOG_SCALE).cast("bigint")
     thresh = ranked.filter(F.col("rk") == HILL_K + 1).select(

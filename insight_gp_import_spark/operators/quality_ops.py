@@ -2686,7 +2686,9 @@ def dq_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     this validation is done wrong).
 
     The rank of the sketch's answer is measured exactly (count of
-    values ≤ v̂ — one aggregate over the same cents projection);
+    values ≤ v̂ — one aggregate over the same cents projection); the
+    exact median itself comes from the count-histogram cumulative
+    (distinct-value relation, never a fact-table window — r8);
     the verdict is integer arithmetic against n/accuracy; the
     declared relation carries the exact lower-median (selection
     device) plus the verdict law — the sketch VALUE itself is
@@ -2701,18 +2703,21 @@ def dq_quantile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vhat")
     )
-    ranked = cents.select(
+    # exact lower-median via the count-histogram trick (r8): the old
+    # row_number over the raw cents was an unpartitioned window over
+    # the FACT table; the cumulative window here runs over the
+    # DISTINCT cent values (bounded by the price domain, the
+    # dq_ks_drift rule) and min v with cum >= ceil(n/2) is the same
+    # order statistic.
+    hist = cents.groupBy("v").agg(F.count("*").alias("c"))
+    cum = hist.select(
         "v",
-        F.row_number().over(Window.orderBy("v")).cast("bigint").alias("rk"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("c").over(Window.orderBy("v")).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
     )
-    exact = ranked.agg(
+    exact = cum.filter(F.col("cum") >= F.expr("(n + 1) div 2")).agg(
         F.max("n").cast("bigint").alias("n"),
-        F.max(
-            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("v"))
-        )
-        .cast("bigint")
-        .alias("exact_median_c"),
+        F.min("v").cast("bigint").alias("exact_median_c"),
     )
     rank_of_hat = (
         cents.crossJoin(F.broadcast(approx))

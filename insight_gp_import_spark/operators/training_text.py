@@ -1656,9 +1656,9 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to corpus_lsh_tuning_table's design-before-run
     discipline: measure coverage BEFORE training the real vocab).
 
-    Vocabulary = top-K by global count with token tie-break (rank
-    over the DISTINCT-TOKEN aggregate, the dq_ks_drift
-    bounded-domain rule), broadcast back as a LEFT join — an OOV
+    Vocabulary = top-K by global count with token tie-break
+    (TakeOrdered over the DISTINCT-TOKEN aggregate — no ranking
+    window at any vocabulary size), broadcast back as a LEFT join — an OOV
     token is a null match, counted per language in one map-combined
     pass. Token shuffle carries the token string once (vocab
     build); the scoring join is broadcast, so the corpus never
@@ -1668,12 +1668,17 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    w = Window.orderBy(F.desc("cnt"), "tok")
+    # top-K vocab via orderBy+limit (TakeOrderedAndProject: per-
+    # partition K-row heaps, driver K-row merge) — r8: the old
+    # rank-the-FULL-vocab-then-filter window was an unpartitioned
+    # single-task sort that grows with web-scale vocabularies; a
+    # limit under the same (cnt DESC, tok) total order selects the
+    # identical K tokens.
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("cnt"))
-        .select("tok", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= OOV_VOCAB_K)
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(OOV_VOCAB_K)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
     scored = toks.join(F.broadcast(vocab), "tok", "left")
@@ -1938,11 +1943,11 @@ def text_vocab_coverage_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_zipf_slope measures that prediction — the three ops
     triangulate).
 
-    The rank window runs over the DISTINCT-token frequency table
-    (vocab-sized, the text_oov_rate caveat: at web scale band by
-    frequency quantiles instead of a total rank — the bands, which
-    is all this op emits, are identical); counts and coverage are
-    exact integers with ppm shares against the one-row total.
+    The rank window runs over the top-VOCAB_BANDS[-1] TakeOrdered
+    cut ONLY (a bounded-constant relation; r8 — the full vocabulary
+    is never rank-windowed, the tail row is derived from the one-row
+    totals by subtraction); counts and coverage are exact integers
+    with ppm shares against the one-row total.
     """
     docs = load_table(spark, sf_dir, "documents")
     tf = (
@@ -1950,25 +1955,49 @@ def text_vocab_coverage_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    ranked = tf.select(
+    # r8: only the top-VOCAB_BANDS[-1] tokens need a rank — take them
+    # with orderBy+limit (TakeOrdered heap, no global sort), rank
+    # within that BOUNDED cut, and derive the tail row arithmetically
+    # from the one-row totals (tail types/tokens = totals minus the
+    # top cut's) — the full vocabulary is never rank-windowed.
+    topv = tf.orderBy(F.desc("c"), "tok").limit(VOCAB_BANDS[2])
+    ranked = topv.select(
         "c",
         F.row_number().over(Window.orderBy(F.desc("c"), "tok")).alias("rnk"),
     )
     band = (
         F.when(F.col("rnk") <= VOCAB_BANDS[0], f"top_{VOCAB_BANDS[0]}")
         .when(F.col("rnk") <= VOCAB_BANDS[1], f"top_{VOCAB_BANDS[1]}")
-        .when(F.col("rnk") <= VOCAB_BANDS[2], f"top_{VOCAB_BANDS[2]}")
-        .otherwise("tail")
+        .otherwise(f"top_{VOCAB_BANDS[2]}")
     )
-    tot = tf.agg(F.sum("c").cast("bigint").alias("n"))
-    return (
+    tot = tf.agg(
+        F.count("*").cast("bigint").alias("all_types"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    top_bands = (
         ranked.select(band.alias("band"), "c")
         .groupBy("band")
         .agg(
             F.count("*").cast("bigint").alias("n_types"),
             F.sum("c").cast("bigint").alias("n_tokens"),
         )
-        .crossJoin(F.broadcast(tot))
+    )
+    top_sums = top_bands.agg(
+        F.sum("n_types").cast("bigint").alias("tt"),
+        F.sum("n_tokens").cast("bigint").alias("tk"),
+    )
+    tail = (
+        tot.crossJoin(F.broadcast(top_sums))
+        .filter(F.col("all_types") > F.col("tt"))
+        .select(
+            F.lit("tail").alias("band"),
+            (F.col("all_types") - F.col("tt")).cast("bigint").alias("n_types"),
+            (F.col("n") - F.col("tk")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        top_bands.unionByName(tail)
+        .crossJoin(F.broadcast(tot.select("n")))
         .select(
             "band",
             "n_types",

@@ -1305,14 +1305,16 @@ def win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     giant wobbling 2%), which is why merchandising reviews read ranks.
 
     Epoch-day midpoint split (agg_price_index rule), one fact shuffle
-    into per-part half-revenues, then two row_number windows over the
-    |parts| AGGREGATED relation (not the fact; at catalog scale
-    beyond ~10⁷ parts, band the revenues first — the agg_abc_classes
-    banded-rank path — before a global row_number). Both ranks carry
-    the partkey tie-break, so rank0−rank1 is deterministic
-    (§2.X rule 2); parts absent from either half are excluded (no
-    rank to move from/to — their story is join_unknown_member's).
-    Final TakeOrdered on (|Δrank| DESC, partkey).
+    into per-part half-revenues, then two EXACT global ranks via the
+    shared ``_exact_global_rank`` bucket-offset kernel on the NEGATED
+    revenues (rank over (rev DESC, partkey ASC) == rank over
+    (−rev ASC, partkey ASC)) — no unpartitioned ranking window at any
+    catalog size (r8; the docstring used to defer this past 10⁷
+    parts). Both ranks carry the partkey tie-break, so rank0−rank1 is
+    deterministic (§2.X rule 2); parts absent from either half are
+    excluded (no rank to move from/to — their story is
+    join_unknown_member's). Final TakeOrdered on (|Δrank| DESC,
+    partkey).
     """
     li = load_table(spark, sf_dir, "lineitem")
     stamped = li.select(
@@ -1333,12 +1335,22 @@ def win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("rev0_c") > 0) & (F.col("rev1_c") > 0))
     )
-    w0 = Window.orderBy(F.desc("rev0_c"), "l_partkey")
-    w1 = Window.orderBy(F.desc("rev1_c"), "l_partkey")
-    ranked = halves.select(
+    from insight_gp_import_spark.operators.aggregation import (
+        _exact_global_rank,
+    )
+
+    staged = halves.withColumn("_neg0", -F.col("rev0_c")).withColumn(
+        "_neg1", -F.col("rev1_c")
+    )
+    ranked = _exact_global_rank(
+        _exact_global_rank(staged, "_neg0", "l_partkey", "rank0"),
+        "_neg1",
         "l_partkey",
-        F.row_number().over(w0).cast("bigint").alias("rank0"),
-        F.row_number().over(w1).cast("bigint").alias("rank1"),
+        "rank1",
+    ).select(
+        "l_partkey",
+        F.col("rank0").cast("bigint").alias("rank0"),
+        F.col("rank1").cast("bigint").alias("rank1"),
     )
     return (
         ranked.select(

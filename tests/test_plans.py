@@ -755,3 +755,22 @@ def test_no_global_ranking_window_in_ntile_ops(spark):
             # partitioned; count bracket groups after the function list
             groups = line.count("], [")
             assert groups >= 2, f"{name}: unpartitioned ranking window: {line}"
+
+
+def test_r8_rank_rewrites_have_no_unbounded_ranking_window(spark):
+    """r8 follow-through on verdict item 4, beyond the two ntile ops:
+    these rewritten ops must never rank an unbounded relation in one
+    task. For the kernel users every row_number window carries a
+    partition spec; for the TakeOrdered conversions there is no
+    ranking window at all (limit under the same total order replaced
+    rank-then-filter)."""
+    for name in ("win_rank_change", "agg_eb_shrunk_rates"):
+        plan = plan_of(spark, name)
+        for line in plan.splitlines():
+            if "row_number()" not in line:
+                continue
+            assert line.count("], [") >= 2, f"{name}: {line}"
+    for name in ("text_oov_rate", "dq_quantile_sketch_bound",
+                 "agg_concentration_ratio"):
+        plan = plan_of(spark, name)
+        assert "row_number()" not in plan, f"{name}: ranking window returned"
