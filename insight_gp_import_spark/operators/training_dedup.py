@@ -544,9 +544,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair, the same id-only-materialization precedent as
     # dedup_phash_hamming's persisted quarter table.
     cs = tracked_persist(cand.join(n1, "d1").join(n2, "d2"))
-    n_vocab = gd.select("g").distinct().count()
-    if n_vocab <= NGRAM_BITMAP_MAX_VOCAB:
-        verified = _ngram_verify_bitmap(cs, gd, n_vocab)
+    # one bounded probe decides the branch AND feeds the gid mapping:
+    # collecting at most MAX_VOCAB+1 distinct grams is bounded driver
+    # state by construction; overflow means "large vocabulary", where
+    # only the probe's existence (never its content) is used.
+    probe = (
+        gd.select("g").distinct().limit(NGRAM_BITMAP_MAX_VOCAB + 1).collect()
+    )
+    if len(probe) <= NGRAM_BITMAP_MAX_VOCAB:
+        verified = _ngram_verify_bitmap(cs, gd, sorted(r[0] for r in probe))
     else:
         verified = _ngram_verify_routed(cs, gd)
     union = F.col("n1") + F.col("n2") - F.col("shared")
@@ -562,24 +568,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_verify_bitmap(
-    cs: DataFrame, gd: DataFrame, n_vocab: int
+    cs: DataFrame, gd: DataFrame, vocab: list
 ) -> DataFrame:
     """Exact candidate verification for SMALL gram vocabularies: dense
     gram ids, one fixed-width bitmap of ceil(V/64) longs per doc, and
     shared = sum of per-word popcount(AND). Bit-exact equal to
     |set intersection| because gram ids are dense and unique.
 
-    The gram→id mapping is built DRIVER-side: the branch guard bounds
-    the vocabulary at NGRAM_BITMAP_MAX_VOCAB (≤16384 strings, ~100 KB
-    — the k-means-centroid class of bounded driver state), collected
-    once, sorted for determinism, and broadcast back. The alternative
-    — row_number over the distinct gram table — is an unpartitioned
-    window, i.e. a SinglePartition exchange; this op's plan guard
+    The gram→id mapping arrives DRIVER-side from the caller's bounded
+    branch probe (≤NGRAM_BITMAP_MAX_VOCAB strings, ~100 KB — the
+    k-means-centroid class of bounded driver state), pre-sorted for
+    determinism, and is broadcast back. The alternative — row_number
+    over the distinct gram table — is an unpartitioned window, i.e. a
+    SinglePartition exchange; this op's plan guard
     (test_allpairs_dedup_has_no_single_partition_window) rightly
     forbids that shape anywhere in the plan, bounded or not."""
+    n_vocab = len(vocab)
     nwords = (n_vocab + 63) // 64
     spark = cs.sparkSession
-    vocab = sorted(r[0] for r in gd.select("g").distinct().collect())
     gids = spark.createDataFrame(
         [(g, i) for i, g in enumerate(vocab)], "g string, gid int"
     )
