@@ -531,9 +531,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   not partition-level).
     #
     # Both branches compute the identical exact `shared`; the oracle
-    # is untouched. n_vocab is a 1-number driver statistic (the same
-    # bounded-driver-state class as the k-means centroids) used only
-    # for PLAN CHOICE, never for results.
+    # is untouched. The branch is decided by a bounded driver probe
+    # (the same bounded-driver-state class as the k-means centroids)
+    # used only for PLAN CHOICE, never for results.
     sizes = gd.groupBy("doc_id").agg(F.count("*").alias("n"))
     n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
