@@ -229,3 +229,41 @@ def test_huffman_tables_are_prefix_free_and_canonical():
         # encoder and decoder are inverse maps
         for v, (code, ln) in encode.items():
             assert decode[(ln, code)] == v
+
+
+def test_quant_aligned_roundtrip_law():
+    """The mm_image_jpeg_real fixture law, pinned at codec level over
+    random configurations (r8): for 16 constant 8x8 blocks valued
+    128 + 2*q00*(m-4), m in 0..7, the lossy round-trip must be EXACT
+    at every gate quality — gray with DRI/RSTn restarts AND RGB 4:2:0
+    subsampled — because the only nonzero DCT coefficient divides the
+    quantizer exactly. A failure here means the driver-gated op's
+    closed-form oracle no longer holds."""
+    import numpy as np
+
+    from insight_gp_import_spark.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(42)
+    for trial in range(60):
+        q00, quality = [(11, 65), (8, 75), (5, 85), (3, 90), (1, 97)][
+            trial % 5
+        ]
+        m = rng.randint(0, 8, size=(4, 4))
+        blocks = (128 + 2 * q00 * (m - 4)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        if trial % 2 == 0:
+            blob = encode_jpeg(
+                np.repeat(img[:, :, None], 3, axis=2),
+                quality=quality,
+                subsample=True,
+            )
+        else:
+            blob = encode_jpeg(img, quality=quality, restart_interval=3)
+        out = decode_jpeg(blob)
+        assert np.array_equal(out[:, :, 0], img), (trial, quality)
+        # and the progressive/baseline identity on arbitrary pixels
+        p = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(p, quality=quality)),
+            decode_jpeg(encode_jpeg_progressive(p, quality=quality)),
+        ), (trial, quality)
