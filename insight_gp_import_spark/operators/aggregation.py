@@ -106,16 +106,44 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_approx_distinct", oracle=None, category=CAT)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — rows-only (sketches differ by engine).
+APPROX_DISTINCT_BOUND_PCT = 6  # 3x the configured rsd (0.02) — the ~3σ band
 
-    Accuracy is unit-tested instead: |approx - exact| / exact < 0.05
-    (tests/test_units.py).
+
+@op(
+    "agg_approx_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS approx_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct, gated by a LAW oracle (r8 verdict
+    item 3, the dq_hll_error_bound pattern): the sketch ESTIMATE is
+    engine-specific and can never hash-match DuckDB, so the hashed
+    relation carries the EXACT distinct count (independently recomputed
+    by DuckDB) plus a bounded-error VERDICT — Spark must compute
+    |approx − exact|·100 ≤ {APPROX_DISTINCT_BOUND_PCT}·exact in integer
+    arithmetic and arrive at `true`; any sketch regression breaks the
+    hash. Bound: 3× the configured rsd (0.02 → 6 %); measured max
+    relative error across sf0.01/sf0.1/sf1 is 1.45 %, so the verdict
+    has ≥4× margin while still catching a broken sketch (which errs by
+    whole multiples, not fractions of σ). Exact + approx come from ONE
+    aggregate (shared scan, two buffer states).
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts")) * 100
+            <= APPROX_DISTINCT_BOUND_PCT * F.col("exact_parts")
+        ).alias("approx_within_bound"),
     )
 
 
@@ -369,17 +397,54 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_approx_quantile", oracle=None, category=CAT)
+AQ_ACCURACY = 1000  # approx_percentile accuracy: rank error <= n/accuracy
+
+
+@op(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           true AS p50_rank_ok, true AS p95_rank_ok
+    FROM events GROUP BY event_type
+    """,
+    category=CAT,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based quantiles (approx_percentile, t-digest-style):
-    the streaming/large-scale path where exact percentile's full sort
-    is unaffordable. Rows-only (sketches differ across engines);
-    tests/test_rows_only_ops.py bounds the error vs the exact
-    percentile per group."""
+    """Sketch-based quantiles (approx_percentile, Greenwald-Khanna),
+    gated by the sketch's own DECLARED guarantee as a LAW oracle (r8
+    verdict item 3, the dq_quantile_sketch_bound pattern): the
+    estimate VALUE is engine-specific, but GK promises the returned
+    element's RANK sits within n/accuracy of the target rank — an
+    engine-independent law. Spark computes rank(v̂) = |{v ≤ v̂}| per
+    group (one broadcast join of the 5-row estimate table back onto
+    events — no sort, no window) and must find
+    |rank·10⁵ − q·10⁵·n| ≤ 100·n + 10⁵ (the guarantee n/1000 plus one
+    row of slack for the q·n discretization, all BIGINT: rank ≤ 2·10⁵
+    at sf1 keeps the product ≪ 2⁶³). Measured max rank error across
+    sf0.01/sf0.1/sf1 is 0.00101·n — AT the declared n/1000 edge, which
+    is why the law tests the guarantee and not a tighter invented
+    bound. DuckDB independently recomputes n; a sketch regression
+    (rank drift beyond the envelope) flips a verdict and breaks the
+    hash. Estimates come from one scan; the rank pass is a second
+    scan with a broadcast 5-row join — no shuffle of events."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    est = ev.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 1000)").alias("p50"),
         F.expr("approx_percentile(value, 0.95, 1000)").alias("p95"),
+    )
+    ranked = ev.join(F.broadcast(est), "event_type").groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("value") <= F.col("p50")).cast("bigint")).alias("rk50"),
+        F.sum((F.col("value") <= F.col("p95")).cast("bigint")).alias("rk95"),
+    )
+    slack = F.lit(100) * F.col("n") + F.lit(100000)
+    return ranked.select(
+        "event_type",
+        "n",
+        (F.abs(F.col("rk50") * 100000 - 50000 * F.col("n")) <= slack)
+        .alias("p50_rank_ok"),
+        (F.abs(F.col("rk95") * 100000 - 95000 * F.col("n")) <= slack)
+        .alias("p95_rank_ok"),
     )
 
 
@@ -657,7 +722,22 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_hll_partial_merge", category=CAT)
+HLL_MERGE_BOUND_PCT = 5  # ~3σ at the default lgConfigK=12 (rsd ≈ 1.6 %)
+HLL_MERGE_DVM_PCT = 4  # direct-vs-merged drift: HIP → composite switch
+
+
+@op(
+    "agg_hll_partial_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           true AS direct_within_bound,
+           true AS merged_within_bound,
+           true AS merged_vs_direct_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category=CAT,
+)
 def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     Spark's hll_sketch_agg / hll_union_agg): build per-shard PARTIAL
@@ -671,17 +751,22 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSketches HLL serves directly-built sketches from the HIP
     (historical inverse probability) estimator, which a union
     invalidates — the merged sketch falls back to the composite
-    estimator (measured here: ±0.2 % apart, both within the HLL error
-    envelope). The output carries both estimates plus the exact count;
-    the unit test pins merged-vs-direct within 2 % and both within
-    5 % of exact. Rows-only: sketch binaries are engine-specific, no
-    DuckDB twin exists (§2.X rule 5 keeps approx ops out of hashed
-    oracles).
+    estimator. LAW oracle (r8 verdict item 3, graduated from
+    rows-only via the dq_hll_error_bound pattern): the hashed relation
+    carries the EXACT count (DuckDB recomputes it independently) plus
+    three integer-arithmetic VERDICTS Spark must land at `true` —
+    direct and merged each within {HLL_MERGE_BOUND_PCT} % of exact
+    (~3σ at the default lgConfigK=12; measured max across
+    sf0.01/sf0.1/sf1 is 2.43 %) and merged-vs-direct within
+    {HLL_MERGE_DVM_PCT} % (measured max 1.15 % — the HIP/composite
+    estimator gap). Estimates are quantized to BIGINT before the
+    comparison so the verdicts are pure integer arithmetic; a sketch
+    or union regression flips a verdict and breaks the hash.
     """
     orders = load_table(spark, sf_dir, "orders")
     direct = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est_direct"),
-        F.count_distinct("o_custkey").alias("n_exact"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact"),
     )
     partials = orders.withColumn(
         "shard", F.pmod(F.col("o_orderkey"), F.lit(8))
@@ -691,16 +776,18 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = partials.groupBy("o_orderpriority").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
     )
+    ed = F.col("est_direct").cast("bigint")
+    em = F.col("est_merged").cast("bigint")
+    ex = F.col("n_exact")
     return direct.join(merged, "o_orderpriority").select(
         "o_orderpriority",
         "n_exact",
-        "est_direct",
-        "est_merged",
-        F.round(
-            F.abs(F.col("est_direct") - F.col("est_merged"))
-            / F.col("n_exact"),
-            4,
-        ).alias("merged_vs_direct_rel"),
+        (F.abs(ed - ex) * 100 <= HLL_MERGE_BOUND_PCT * ex)
+        .alias("direct_within_bound"),
+        (F.abs(em - ex) * 100 <= HLL_MERGE_BOUND_PCT * ex)
+        .alias("merged_within_bound"),
+        (F.abs(ed - em) * 100 <= HLL_MERGE_DVM_PCT * ex)
+        .alias("merged_vs_direct_ok"),
     )
 
 

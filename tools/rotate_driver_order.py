@@ -39,11 +39,12 @@ sys.path.insert(0, REPO)
 # Explicit per-round promotions (judge "Next round" items). Keep short;
 # everything else is computed.
 PRIORITY: list[str] = [
-    # r8 verdict item 2: JPEG is the one real codec without a driver
-    # CORRECTNESS row; the new gate op takes slot 1 this round.
-    "mm_image_jpeg_real",
-    # r8 verdict item 5: the HLL-sketch WAU tier, registered this round.
+    # r9 verdict item 3: the four sketch ops graduated from rows-only
+    # to law oracles this round — each needs its first hash row.
     "win_rolling_wau_sketch",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_hll_partial_merge",
 ]
 
 
