@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table
 
 CAT = "llm"
@@ -33,6 +33,13 @@ JACCARD_THRESHOLD = 0.8
 # exact rational form of the threshold for the AllPairs prefix/length
 # filters (integer math, no float ceil)
 JACCARD_T_NUM, JACCARD_T_DEN = 4, 5
+# vocab gate for the verify representation (round-9; same rationale as
+# training_dedup.NGRAM_BITMAP_MAX_VOCAB): token vocabularies at or
+# under this size verify candidates with fixed-width bitmaps
+# (popcount(AND), ceil(V/64) longs/set) instead of shuffling the full
+# token arrays through the candidate join; at or under 64 tokens the
+# whole set IS one BIGINT and the op collapses to integer expressions.
+JACCARD_BITMAP_MAX_VOCAB = 16384
 
 
 def _dot_sql(x: str, y: str) -> str:
@@ -247,13 +254,64 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
     """Exact Jaccard > t pairs over a (doc_id, arr, k, n) token-set
-    frame (AllPairs prefix + length filtering; see the op docstring)."""
+    frame (AllPairs prefix + length filtering; see the op docstring).
+
+    Round-9 (verdict item 1): the verify REPRESENTATION is vocab-gated,
+    the same measured-statistic plan choice dedup_ngram_jaccard uses
+    (training_dedup.py:551) — one bounded driver probe of at most
+    JACCARD_BITMAP_MAX_VOCAB+1 distinct tokens decides the branch and
+    feeds the token→id map; it never touches results:
+
+    - V ≤ 64: a token set IS one BIGINT mask. Set identity, the
+      candidate shuffle, the distinct, the verify (bit_count(m1 & m2))
+      and both sizes (bit_count) all become integer expressions — no
+      md5-string candidate keys, no array payloads, no verify join at
+      all. Measured at sf0.1 (V=31, 3 935 distinct sets, 2.49 M output
+      pairs): 71.4 s → see BENCH_NOTES round-9.
+    - V ≤ JACCARD_BITMAP_MAX_VOCAB: kh-keyed AllPairs candidates as
+      before, but verification joins fixed-width bitmaps
+      (ceil(V/64) longs/set, popcount(AND)) instead of token arrays —
+      ~20× less verify shuffle, doc size irrelevant.
+    - larger vocabularies (real word spaces at 100 TB): the original
+      array_intersect verify on candidates.
+
+    All three branches compute the identical exact (shared, n1, n2)
+    integers, so the rounded jaccard — and the oracle hash — are
+    branch-independent (pinned by test_llm_ops.py's
+    branch-equivalence test). The oracle stays the NAIVE all-token
+    join, untouched.
+    """
     base = sets_in.withColumn("kh", F.md5("k"))
+    # bounded branch probe (plan choice + gid map only, never results):
+    # collecting at most MAX_VOCAB+1 distinct tokens is bounded driver
+    # state by construction; overflow means "large vocabulary", where
+    # only the probe's LENGTH (never its content) is used.
+    probe = (
+        base.select(F.explode("arr").alias("tok"))
+        .distinct()
+        .limit(JACCARD_BITMAP_MAX_VOCAB + 1)
+        .collect()
+    )
+    vocab = sorted(r[0] for r in probe)
+    if len(vocab) <= 64:
+        return _jaccard_pairs_mask64(base, vocab)
     sets = base.select("doc_id", "kh")
     # one representative row per distinct token-set (same kh ⇒ same arr/n)
     gs = base.groupBy("kh").agg(
         F.first("arr").alias("arr"), F.first("n").alias("n")
     )
+    cand = _allpairs_candidates(gs)
+    if len(vocab) <= JACCARD_BITMAP_MAX_VOCAB:
+        jac = _jaccard_verify_bitmap(cand, gs, vocab)
+    else:
+        jac = _jaccard_verify_arrays(cand, gs)
+    return _expand_set_pairs(jac, sets)
+
+
+def _allpairs_candidates(gs: DataFrame) -> DataFrame:
+    """AllPairs prefix+length-filtered candidate (kh1, kh2) pairs over
+    the distinct-set frame (Bayardo et al., WWW'07; see the op
+    docstring for the scheme)."""
     stoks = gs.select("kh", "n", F.explode("arr").alias("tok"))
     freq = stoks.groupBy("tok").agg(F.count("*").alias("dfreq"))
     # AllPairs needs each set's tokens ordered rarest-first; any total
@@ -281,7 +339,7 @@ def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
     a = pref.select(F.col("kh").alias("kh1"), "tok", F.col("n").alias("pn1"))
     b = pref.select(F.col("kh").alias("kh2"), "tok", F.col("n").alias("pn2"))
     # length filter (part of AllPairs): J ≥ t bounds |x|/|y| within t
-    cand = (
+    return (
         a.join(b, "tok")
         .filter(
             (F.col("kh1") < F.col("kh2"))
@@ -293,6 +351,13 @@ def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
         .select("kh1", "kh2")
         .distinct()
     )
+
+
+def _jaccard_verify_arrays(cand: DataFrame, gs: DataFrame) -> DataFrame:
+    """Exact candidate verification for LARGE vocabularies: join the
+    full token arrays back for surviving candidates only and
+    array_intersect them — the original (pre-round-9) representation,
+    kept for word/shingle spaces where a bitmap would dwarf the set."""
     g1 = gs.select(
         F.col("kh").alias("kh1"), F.col("arr").alias("arr1"), F.col("n").alias("n1")
     )
@@ -300,7 +365,7 @@ def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
         F.col("kh").alias("kh2"), F.col("arr").alias("arr2"), F.col("n").alias("n2")
     )
     shared = F.size(F.array_intersect("arr1", "arr2"))
-    jac = (
+    return (
         cand.join(g1, "kh1")
         .join(g2, "kh2")
         .select(
@@ -310,6 +375,66 @@ def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
         )
         .filter(F.col("j") > JACCARD_THRESHOLD)
     )
+
+
+def _jaccard_verify_bitmap(
+    cand: DataFrame, gs: DataFrame, vocab: list
+) -> DataFrame:
+    """Exact candidate verification for SMALL vocabularies (64 < V ≤
+    JACCARD_BITMAP_MAX_VOCAB): dense token ids from the caller's
+    bounded probe, one fixed-width bitmap of ceil(V/64) longs per
+    distinct set, shared = Σ popcount(AND) — bit-exact equal to
+    |set ∩| because ids are dense and unique. Mirrors
+    training_dedup._ngram_verify_bitmap (same shuffle-volume
+    rationale); the gid map is broadcast driver state, never a global
+    rank (the plan guard forbids SinglePartition windows here)."""
+    nwords = (len(vocab) + 63) // 64
+    spark = cand.sparkSession
+    gids = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "tok string, gid int"
+    )
+    bm = (
+        gs.select("kh", "n", F.explode("arr").alias("tok"))
+        .join(F.broadcast(gids), "tok")
+        .groupBy("kh", "n")
+        .agg(F.collect_set("gid").alias("gidset"))
+        .select(
+            "kh",
+            "n",
+            F.expr(
+                f"transform(sequence(0, {nwords - 1}), w -> aggregate("
+                "filter(gidset, x -> CAST(x div 64 AS INT) = w), 0L,"
+                " (acc, x) -> acc | shiftleft(1L, CAST(x % 64 AS INT))))"
+            ).alias("bm"),
+        )
+    )
+    b1 = bm.select(
+        F.col("kh").alias("kh1"), F.col("bm").alias("bm1"), F.col("n").alias("n1")
+    )
+    b2 = bm.select(
+        F.col("kh").alias("kh2"), F.col("bm").alias("bm2"), F.col("n").alias("n2")
+    )
+    shared = F.expr(
+        "aggregate(zip_with(bm1, bm2, (x, y) -> bit_count(x & y)),"
+        " 0, (a, b) -> a + b)"
+    )
+    return (
+        cand.join(b1, "kh1")
+        .join(b2, "kh2")
+        .select(
+            "kh1",
+            "kh2",
+            (shared / (F.col("n1") + F.col("n2") - shared)).alias("j"),
+        )
+        .filter(F.col("j") > JACCARD_THRESHOLD)
+    )
+
+
+def _expand_set_pairs(jac: DataFrame, sets: DataFrame) -> DataFrame:
+    """(kh1, kh2, j) distinct-set pairs → (d1, d2, jaccard) doc pairs:
+    cross-expand each surviving set pair into its doc pairs, plus the
+    jaccard-1 pairs of docs sharing an identical set (no join needed
+    to discover those — same kh ⇒ same set)."""
     cross = (
         jac.join(
             sets.select(F.col("kh").alias("kh1"), F.col("doc_id").alias("da")), "kh1"
@@ -326,6 +451,108 @@ def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
     x, y = sets.alias("x"), sets.alias("y")
     same = (
         x.join(y, "kh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(same)
+
+
+def _jaccard_pairs_mask64(base: DataFrame, vocab: list) -> DataFrame:
+    """The V ≤ 64 collapse of the AllPairs plan: every token set is ONE
+    BIGINT mask (bit i = token i of the probe's sorted vocab), so
+
+    - set identity = the mask itself (injective by construction) — the
+      candidate join, its distinct, and the doc expansion all key on
+      8-byte longs instead of 32-char md5 strings;
+    - verification needs NO join at all: shared = bit_count(m1 & m2)
+      and each size = bit_count(m), evaluated inline on the candidate
+      row (whole-stage codegen integer ops);
+    - the jaccard-1 branch groups docs by mask directly.
+
+    The AllPairs prefix/length filters are unchanged (same per-set
+    window ordered by set-level document frequency — any total order
+    is correct for the prefix theorem, so the gid order standing in
+    for the token-string order does not change the result set)."""
+    spark = base.sparkSession
+    gids = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "tok string, gid int"
+    )
+    # (doc_id, mask): persisted — consumed by the freq path, both doc
+    # expansions and the same-mask branch; 16 bytes/doc, recomputing it
+    # would re-run the explode+groupBy per consumer.
+    doc_mask = tracked_persist(
+        base.select("doc_id", F.explode("arr").alias("tok"))
+        .join(F.broadcast(gids), "tok")
+        .groupBy("doc_id")
+        .agg(F.bit_or(F.expr("shiftleft(1L, gid)")).alias("m"))
+    )
+    ms = doc_mask.select("m").distinct()
+    # per-set prefix ranking, rarest-first by set-level document
+    # frequency — identical window shape to the kh branch (partitioned
+    # by set identity; never a global rank)
+    mtoks = ms.select(
+        "m",
+        F.bit_count("m").alias("n"),
+        F.explode(
+            F.expr("filter(sequence(0, 63), b -> (shiftright(m, b) & 1) = 1)")
+        ).alias("gid"),
+    )
+    freq = mtoks.groupBy("gid").agg(F.count("*").alias("dfreq"))
+    pos = mtoks.join(freq, "gid").select(
+        "m",
+        "gid",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("m").orderBy("dfreq", "gid"))
+        .alias("pos"),
+    )
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"({JACCARD_T_NUM} * n + {JACCARD_T_NUM}) div {JACCARD_T_DEN}")
+        + 1
+    )
+    pref = pos.filter(F.col("pos") <= prefix_len).select("m", "gid", "n")
+    a = pref.select(F.col("m").alias("m1"), "gid", F.col("n").alias("pn1"))
+    b = pref.select(F.col("m").alias("m2"), "gid", F.col("n").alias("pn2"))
+    cand = (
+        a.join(b, "gid")
+        .filter(
+            (F.col("m1") < F.col("m2"))
+            & (
+                JACCARD_T_DEN * F.least("pn1", "pn2")
+                >= JACCARD_T_NUM * F.greatest("pn1", "pn2")
+            )
+        )
+        .select("m1", "m2")
+        .distinct()
+    )
+    shared = F.bit_count(F.col("m1").bitwiseAND(F.col("m2")))
+    n1, n2 = F.bit_count("m1"), F.bit_count("m2")
+    jac = cand.select(
+        "m1", "m2", (shared / (n1 + n2 - shared)).alias("j")
+    ).filter(F.col("j") > JACCARD_THRESHOLD)
+    cross = (
+        jac.join(
+            doc_mask.select(F.col("m").alias("m1"), F.col("doc_id").alias("da")),
+            "m1",
+        )
+        .join(
+            doc_mask.select(F.col("m").alias("m2"), F.col("doc_id").alias("db")),
+            "m2",
+        )
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            F.round("j", 4).alias("jaccard"),
+        )
+    )
+    x, y = doc_mask.alias("x"), doc_mask.alias("y")
+    same = (
+        x.join(y, "m")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("d1"),

@@ -41,3 +41,39 @@ def test_dedup_exact_survivors_cover_all_content(spark):
     docs = load_table(spark, SF, "documents")
     n_distinct = docs.select(F.md5("text")).distinct().count()
     assert OPS["dedup_exact"].fn(spark, SF).count() == n_distinct
+
+
+def test_allpairs_jaccard_branch_equivalence(spark):
+    """Round-9 vocab-gated verify: the three AllPairs representations
+    (V<=64 bigint-mask collapse, kh-keyed fixed-width-bitmap verify,
+    kh-keyed array_intersect verify) must produce the IDENTICAL pair
+    relation — representation is a plan choice, never a result change.
+    The sf0.01 corpus (V=31) naturally takes the mask branch; the other
+    two are forced through the factored internals."""
+    from insight_gp_import_spark.operators.llm import (
+        _allpairs_candidates,
+        _doc_token_sets,
+        _expand_set_pairs,
+        _jaccard_pairs_mask64,
+        _jaccard_verify_arrays,
+        _jaccard_verify_bitmap,
+    )
+
+    base = _doc_token_sets(spark, SF).withColumn("kh", F.md5("k"))
+    vocab = sorted(
+        r.tok for r in base.select(F.explode("arr").alias("tok")).distinct().collect()
+    )
+    assert len(vocab) <= 64, "fixture vocab grew past the mask branch"
+    sets = base.select("doc_id", "kh")
+    gs = base.groupBy("kh").agg(F.first("arr").alias("arr"), F.first("n").alias("n"))
+    cand = _allpairs_candidates(gs)
+
+    def rel(df):
+        return {(r.d1, r.d2, r.jaccard) for r in df.collect()}
+
+    mask = rel(_jaccard_pairs_mask64(base, vocab))
+    bitmap = rel(_expand_set_pairs(_jaccard_verify_bitmap(cand, gs, vocab), sets))
+    arrays = rel(_expand_set_pairs(_jaccard_verify_arrays(cand, gs), sets))
+    assert mask, "pair relation empty — fixture changed?"
+    assert mask == bitmap
+    assert mask == arrays
