@@ -3501,13 +3501,35 @@ def _exact_global_rank(
     order-preserving fixed-width byte-prefix pack of a string key),
     so equal-order rows land in one bucket and bucket boundaries
     respect the order; coarseness/collisions only affect balance,
-    never correctness."""
+    never correctness.
+
+    Overflow guard (r8 ADVICE): the integer bucket expression
+    ``((val - lo) * n_buckets) div (hi - lo + 1)`` overflows BIGINT
+    once the value range exceeds ~2^63/n_buckets, which would silently
+    misbucket (and so misrank) wide-range keys. The kernel therefore
+    branches on the range itself: integer arithmetic when provably
+    safe, else monotone double scaling with a least/greatest clamp.
+    The double branch stays CORRECT because bucketing only needs
+    bucket(val) non-decreasing in val — int64→double conversion is
+    weakly order-preserving (IEEE round-to-nearest), as are the
+    positive-constant multiply and floor — so at worst precision loss
+    merges neighboring values into one bucket (balance, not
+    correctness; the in-bucket sort still orders them exactly)."""
     rng = df.agg(F.min(val_col).alias("_egn_lo"), F.max(val_col).alias("_egn_hi"))
+    # Conservative integer-path gate: range strictly below 2^62/n_buckets
+    # (the compare itself is double-side, so it never overflows either).
+    int_safe_range = (1 << 62) // n_buckets
     bucketed = df.crossJoin(F.broadcast(rng)).withColumn(
         "_egn_bkt",
         F.expr(
-            f"least({n_buckets - 1}, (({val_col} - _egn_lo) * {n_buckets})"
+            f"CASE WHEN CAST(_egn_hi AS DOUBLE) - CAST(_egn_lo AS DOUBLE)"
+            f" < {int_safe_range} THEN"
+            f" least({n_buckets - 1}, (({val_col} - _egn_lo) * {n_buckets})"
             " div (_egn_hi - _egn_lo + 1))"
+            f" ELSE least({n_buckets - 1}, greatest(0, CAST(floor("
+            f"(CAST({val_col} AS DOUBLE) - CAST(_egn_lo AS DOUBLE))"
+            f" / (CAST(_egn_hi AS DOUBLE) - CAST(_egn_lo AS DOUBLE) + 1.0D)"
+            f" * {n_buckets}) AS BIGINT))) END"
         ),
     )
     counts = bucketed.groupBy("_egn_bkt").agg(F.count("*").alias("_egn_cnt"))

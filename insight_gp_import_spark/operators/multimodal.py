@@ -28,9 +28,15 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+try:  # classic (py4j) runtime; absent under Spark Connect
+    from py4j.protocol import Py4JJavaError
+except ImportError:  # pragma: no cover
+    Py4JJavaError = AnalysisException
 
 from insight_gp_import_spark.registry import op
 from insight_gp_import_spark.tables import load_table
@@ -870,13 +876,25 @@ def _spread_for_python(df: DataFrame, spark: SparkSession) -> DataFrame:
     Connect. File count is a conservative lower bound on scan splits
     (a many-row-group file can split further), so the only error mode
     is an unnecessary repartition of id-sized rows — never a missed
-    spread on the single-file fixtures this exists for."""
+    spread on the single-file fixtures this exists for.
+
+    A NON-file batch source (createDataFrame fixtures) reports zero
+    input files and is widened too — local-collection parallelism is
+    unknowable without a plan-to-RDD probe, and an extra round-robin
+    exchange of id-sized rows is cheaper than a single-core codec
+    stage (the exact regime this helper exists for). Only a plan
+    where ``inputFiles()`` itself fails — streaming relations and
+    other unsupported-plan analysis errors — is left untouched, and
+    only those error types are caught (r9: the old bare
+    ``except Exception`` could mask unrelated analysis bugs)."""
     want = spark.sparkContext.defaultParallelism
     try:
         n_inputs = len(df.inputFiles())
-    except Exception:  # non-file source: nothing to detect
+    except (AnalysisException, Py4JJavaError):
+        # inputFiles() unsupported for this plan (e.g. streaming):
+        # nothing to detect, leave the plan untouched.
         return df
-    if 0 < n_inputs < want:
+    if n_inputs < want:
         return df.repartition(want)
     return df
 

@@ -26,6 +26,22 @@ def _cases():
     yield "two_values_skewed", [(0 if i else 10**12, i) for i in range(300)]
     yield "tiny", [(5, 0), (3, 1)]
     yield "single_row", [(42, 0)]
+    # Ranges past 2^63/n_buckets: the integer bucket expression would
+    # overflow BIGINT (r8 ADVICE) — these must route through the
+    # monotone-double branch and still rank bit-identically.
+    yield "wide_range_overflow", [
+        (rng.randint(-(2**62), 2**62), i) for i in range(400)
+    ]
+    yield "wide_range_extremes", [
+        (-(2**62) - 100, 0),
+        (2**62 + 100, 1),
+        (0, 2),
+        (-(2**62) - 100, 3),
+        (17, 4),
+    ]
+    yield "wide_range_dense_ties", [
+        ((-(2**62) if i % 3 else 2**62) + (i % 7), i) for i in range(350)
+    ]
 
 
 @pytest.mark.parametrize("name,rows", list(_cases()))

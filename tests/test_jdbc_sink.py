@@ -29,7 +29,7 @@ def test_jdbc_properties_override():
     assert props["user"] == "gpadmin"
 
 
-def test_prepare_shrinks_with_coalesce(spark):
+def test_prepare_exact_writer_count_narrow(spark):
     df = load_table(spark, SF, "lineitem").repartition(16)
     cfg = JdbcSinkConfig(url="jdbc:x", table="t", num_partitions=4)
     shaped = prepare_jdbc_write(df, cfg)
@@ -41,6 +41,37 @@ def test_prepare_widens_with_repartition(spark):
     cfg = JdbcSinkConfig(url="jdbc:x", table="t", num_partitions=8)
     shaped = prepare_jdbc_write(df, cfg)
     assert shaped.rdd.getNumPartitions() == 8
+
+
+def test_prepare_multifile_source_takes_coalesce_path(spark, tmp_path):
+    """When the scan provably has >= num_partitions splits (file count
+    is the Connect-safe lower bound), shaping narrows WITHOUT a
+    shuffle: the shaped plan must contain a Coalesce node and no
+    exchange above the scan."""
+    out = str(tmp_path / "many")
+    load_table(spark, SF, "lineitem").repartition(16).write.parquet(out)
+    df = spark.read.parquet(out)
+    assert len(df.inputFiles()) >= 4
+    cfg = JdbcSinkConfig(url="jdbc:x", table="t", num_partitions=4)
+    shaped = prepare_jdbc_write(df, cfg)
+    assert shaped.rdd.getNumPartitions() == 4
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" in plan and "Exchange" not in plan
+
+
+def test_prepare_no_rdd_materialization():
+    """prepare_jdbc_write must not touch df.rdd (plan-to-RDD conversion
+    per call; unavailable under Spark Connect)."""
+    import ast
+    import inspect
+
+    import insight_gp_import_spark.sources.jdbc as jdbc_mod
+
+    tree = ast.parse(inspect.getsource(jdbc_mod))
+    rdd_accesses = [
+        n for n in ast.walk(tree) if isinstance(n, ast.Attribute) and n.attr == "rdd"
+    ]
+    assert not rdd_accesses
 
 
 def test_jdbc_round_trip_derby(spark):
