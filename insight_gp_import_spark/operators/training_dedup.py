@@ -672,7 +672,7 @@ def _ngram_verify_routed(cs: DataFrame, gd: DataFrame) -> DataFrame:
     b2 = banded.select(
         F.col("doc_id").alias("d2"), "band", F.col("gs").alias("gs2")
     )
-    large = (
+    banded_sums = (
         large_pairs.select("d1", "d2")
         .join(b1, "d1")
         .join(b2, ["d2", "band"])
@@ -682,8 +682,20 @@ def _ngram_verify_routed(cs: DataFrame, gd: DataFrame) -> DataFrame:
         )
         .groupBy("d1", "d2")
         .agg(F.sum("sh").cast("bigint").alias("shared"))
-        .join(large_pairs.select("d1", "d2", "n1", "n2"), ["d1", "d2"])
-        .select("d1", "d2", "n1", "n2", "shared")
+    )
+    # LEFT join from large_pairs (r8 ADVICE): a pair whose banded
+    # intersection is empty emits no banded_sums row at all — an inner
+    # join would silently DROP it, when exact verification must return
+    # shared = 0. dedup_ngram_jaccard's downstream filter requires
+    # shared > 0 either way, but this helper is the exact-verify
+    # primitive and must be total over its candidate input.
+    large = (
+        large_pairs.select("d1", "d2", "n1", "n2")
+        .join(banded_sums, ["d1", "d2"], "left")
+        .select(
+            "d1", "d2", "n1", "n2",
+            F.coalesce(F.col("shared"), F.lit(0).cast("bigint")).alias("shared"),
+        )
     )
     return small.unionByName(large)
 
@@ -2052,15 +2064,127 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SWEEP_THRESHOLDS_PM = (400, 450, 500, 550)  # permille; 400 = production cut
 
+# Spine gate (r9, verdict item 2): above this corpus size the sweep runs
+# on the deterministic 1-in-s spine vec_id % s = 0, s = ceil(n/GATE) —
+# the declared, SQL-portable sampled tier that caps the pair stage at
+# GATE²/2 comparisons no matter how large the corpus. At every test SF
+# (n <= 2000) s = 1 and the spine is the whole corpus, so the exact
+# small-corpus semantics are unchanged.
+SWEEP_EXACT_MAX = 8192
+SWEEP_BLOCK = 512  # vectors per matmul block (~128 KB of float32)
+
+
+def _sweep_pairs_blas(samp: DataFrame, t0: float) -> DataFrame:
+    """Pair stage of the threshold sweep as BLOCKED MATRIX MULTIPLY:
+    vectors are hash-assigned to ~SWEEP_BLOCK-row blocks, the tiny
+    block relation is self-joined on bid_a <= bid_b (nb(nb+1)/2 rows,
+    nb <= 16 under the spine gate), and one Arrow batch per block pair
+    computes the full cross-block similarity tile with a single
+    float64 GEMM — replacing the former per-pair zip_with/aggregate
+    Catalyst expression tree, whose interpreted higher-order functions
+    cost ~8 µs/pair (the measured Θ(n²)-with-a-huge-constant driver of
+    the r8 stress: 52.5/250.4/553.6 s at 1×/2×/3×).
+
+    Numerics: products and sums in float64, exactly as the former
+    ``cast(p as double) * cast(q as double)`` fold (float32 inputs →
+    exact float64 products; summation-order deltas are sub-ulp
+    relative to the 1e-4 rounding grain and already tolerated between
+    Spark and DuckDB float32 cosine). Rounding uses
+    copysign(floor(|x|·10⁴ + 0.5)) — HALF-UP, Spark's F.round rule —
+    so the only reachable exact-boundary values (dyadics like 1/32,
+    which ARE representable and whose 5th decimal is 5) round
+    identically to the JVM path; np.round's HALF_EVEN would flip them.
+
+    Block assignment uses hash(vec_id) so spine-strided ids spread
+    evenly; assignment affects only tile shapes, never the output
+    (every unordered pair lands in exactly one tile: same-block tiles
+    take the id-ordered upper triangle, cross-block tiles are unique
+    by the bid_a < bid_b join and emit v2 = max id)."""
+    import numpy as np
+    import pandas as pd
+
+    cnt = samp.agg(F.count("*").alias("m"))
+    blocks = samp.crossJoin(F.broadcast(cnt)).select(
+        F.expr(
+            f"pmod(hash(vec_id),"
+            f" greatest(1, cast(ceil(m / {SWEEP_BLOCK}.0D) as int)))"
+        ).alias("bid"),
+        "vec_id",
+        "embedding",
+    )
+    blk = blocks.groupBy("bid").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("items")
+    )
+    bp = blk.select(F.col("bid").alias("bid_a"), F.col("items").alias("items_a")).join(
+        F.broadcast(
+            blk.select(F.col("bid").alias("bid_b"), F.col("items").alias("items_b"))
+        ),
+        F.col("bid_a") <= F.col("bid_b"),
+    )
+
+    def tiles(it):
+        for pdf in it:
+            v2_out: list = []
+            sim_out: list = []
+            for items_a, items_b, ba, bb in zip(
+                pdf["items_a"], pdf["items_b"], pdf["bid_a"], pdf["bid_b"]
+            ):
+                ida = np.fromiter(
+                    (r["vec_id"] for r in items_a), dtype=np.int64
+                )
+                A = np.array(
+                    [r["embedding"] for r in items_a], dtype=np.float64
+                )
+                if ba == bb:
+                    idb, B = ida, A
+                else:
+                    idb = np.fromiter(
+                        (r["vec_id"] for r in items_b), dtype=np.int64
+                    )
+                    B = np.array(
+                        [r["embedding"] for r in items_b], dtype=np.float64
+                    )
+                na = np.sqrt((A * A).sum(axis=1))
+                nb = na if ba == bb else np.sqrt((B * B).sum(axis=1))
+                sims = (A @ B.T) / np.outer(na, nb)
+                sim_r = (
+                    np.copysign(np.floor(np.abs(sims) * 1e4 + 0.5), sims)
+                    / 1e4
+                )
+                mask = sim_r > t0
+                if ba == bb:
+                    mask &= ida[:, None] < idb[None, :]
+                if not mask.any():
+                    continue
+                ii, jj = np.nonzero(mask)
+                v2_out.append(np.maximum(ida[ii], idb[jj]))
+                sim_out.append(sim_r[ii, jj])
+            if v2_out:
+                yield pd.DataFrame(
+                    {
+                        "v2": np.concatenate(v2_out),
+                        "sim_r": np.concatenate(sim_out),
+                    }
+                )
+
+    return bp.mapInPandas(tiles, "v2 long, sim_r double")
+
 
 @op(
     "embed_dedup_threshold_sweep",
     oracle=f"""
-    WITH pairs AS (
+    WITH allc AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM embeddings),
+    sp AS (
+        SELECT greatest(1, CAST(ceil(n_all / {SWEEP_EXACT_MAX}.0) AS BIGINT))
+            AS s
+        FROM allc
+    ), samp AS (
+        SELECT vec_id, embedding FROM embeddings, sp WHERE vec_id % sp.s = 0
+    ), pairs AS (
         SELECT b.vec_id AS v2,
                round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                           AS DOUBLE), 4) AS sim_r
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM samp a JOIN samp b ON a.vec_id < b.vec_id
         WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                          AS DOUBLE), 4) > {SWEEP_THRESHOLDS_PM[0]} / 1000.0
     ), th AS (
@@ -2071,7 +2195,7 @@ SWEEP_THRESHOLDS_PM = (400, 450, 500, 550)  # permille; 400 = production cut
                CAST(count(DISTINCT p.v2) AS BIGINT) AS n_removed
         FROM th LEFT JOIN pairs p ON p.sim_r > th.t_pm / 1000.0
         GROUP BY th.t_pm
-    ), corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    ), corpus AS (SELECT CAST(count(*) AS BIGINT) AS n FROM samp)
     SELECT h.t_pm AS threshold_pm,
            coalesce(h.n_pairs, 0) AS n_pairs,
            coalesce(h.n_removed, 0) AS n_removed,
@@ -2101,41 +2225,39 @@ def embed_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     so band edges cannot disagree; threshold rows LEFT-join so a cut
     with zero survivors still reports its zero. Removal counts are
     distinct-id aggregates; shares integer ppm.
+
+    Scale tier (r9, verdict item 2 — the former plan was a full
+    quadratic HOF self-join, Θ(n²) with an ~8 µs/pair constant:
+    52.5/250.4/553.6 s at 1×/2×/3× in the r8 stress):
+
+    1. DECLARED SPINE — above ``SWEEP_EXACT_MAX`` vectors the sweep
+       runs on the deterministic spine ``vec_id % s = 0`` with
+       ``s = ceil(n / SWEEP_EXACT_MAX)``, capping the pair stage at
+       GATE²/2 comparisons at ANY corpus size; counts and removal_ppm
+       are then spine-sample statistics (the curve SHAPE — the elbow a
+       data lead reads — is what survives sampling; an exact
+       full-corpus pair count over 100 TB of embeddings is neither
+       computable nor what the decision needs). The spine is plain
+       integer arithmetic, bit-identical in the DuckDB oracle, and
+       s = 1 (exact, output unchanged from r8) at every test SF.
+    2. BLOCKED GEMM — the pair pass under the gate is
+       ``_sweep_pairs_blas``: hash-blocked float64 matmul tiles via
+       one Arrow batch per block pair, ~100× less per-pair cost than
+       the interpreted zip_with/aggregate tree it replaces.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    # Round-6 perf: precompute each row's norm ONCE before the O(n²)
-    # pair join — the former per-pair recomputation made every pair pay
-    # 3 array folds (192 mults + 2 sqrt) instead of 1 (64 mults). The
-    # arithmetic is bit-identical (dot / (sqrt_a * sqrt_b), same IEEE
-    # op tree, norms just computed earlier), so sim_r values — and the
-    # oracle hash — are unchanged. ~3x less inner-loop work at any n.
-    nrm = F.expr(
-        "sqrt(aggregate(zip_with(embedding, embedding,"
-        " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
-        " (acc, v) -> acc + v))"
+    sp = e.agg(F.count("*").alias("n_all")).select(
+        F.expr(
+            f"greatest(1L, cast(ceil(n_all / {SWEEP_EXACT_MAX}.0D)"
+            " as bigint))"
+        ).alias("s")
     )
-    sides = e.select("vec_id", "embedding", nrm.alias("nrm"))
-    a = sides.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    samp = (
+        e.crossJoin(F.broadcast(sp))
+        .filter(F.expr("vec_id % s = 0"))
+        .select("vec_id", "embedding")
     )
-    b = sides.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb,"
-        " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
-        " (acc, v) -> acc + v)"
-    )
-    sim_r = F.round(dot / (F.col("na") * F.col("nb")), 4)
-    pairs = (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .select("v2", sim_r.alias("sim_r"))
-        .filter(F.col("sim_r") > SWEEP_THRESHOLDS_PM[0] / 1000.0)
-    )
+    pairs = _sweep_pairs_blas(samp, SWEEP_THRESHOLDS_PM[0] / 1000.0)
     th = spark.createDataFrame(
         [(t,) for t in SWEEP_THRESHOLDS_PM], "t_pm int"
     )
@@ -2148,7 +2270,9 @@ def embed_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("v2").cast("bigint").alias("n_removed"),
         )
     )
-    corpus = e.agg(F.count("*").cast("bigint").alias("n"))
+    # ppm denominator = the SPINE size (sample statistics are reported
+    # against the sampled corpus; identical to the full corpus at s=1).
+    corpus = samp.agg(F.count("*").cast("bigint").alias("n"))
     return (
         hits.crossJoin(F.broadcast(corpus))
         .select(

@@ -706,12 +706,14 @@ def test_phash_hamming_banded_no_cartesian_and_persisted(spark):
     assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
 
 
-def test_threshold_sweep_precomputes_norms_once(spark):
-    """Round-6 rewrite guard: embed_dedup_threshold_sweep's pair join
-    must consume per-side precomputed norms — the join condition/output
-    carries `na * nb`, and no sqrt(aggregate(...)) runs on a
-    post-join (pair-level) projection. A regression re-inlining the
-    norm into the pair expression triples the O(n²) inner work."""
+def test_threshold_sweep_blocked_gemm_plan(spark):
+    """r9 rewrite guard: embed_dedup_threshold_sweep's pair stage is
+    the blocked-GEMM mapInPandas over block PAIRS — never the former
+    per-pair HOF theta-join of raw vectors (Θ(n²) rows through an
+    interpreted zip_with/aggregate tree). The only non-equi join left
+    is the tiny block-relation self-join (nb ≤ 16 rows under the spine
+    gate), which must be a broadcast BNLJ, and no sqrt/aggregate HOF
+    may appear in the physical plan at all (norms live in numpy)."""
     import io
     import contextlib
 
@@ -721,17 +723,10 @@ def test_threshold_sweep_precomputes_norms_once(spark):
         df.explain("extended")
     plan = buf.getvalue()
     phys = plan.split("== Physical Plan ==")[-1]
-    # each side computes its norm exactly once -> exactly 2 sqrt sites
-    # in the physical plan (side a + side b), not 2 per PAIR expression
-    assert phys.count("SQRT") + phys.count("sqrt") <= 4, (
-        phys.count("SQRT"), phys.count("sqrt")
-    )
-    # the theta join (a.vec_id < b.vec_id) has no equi keys, so the only
-    # acceptable physical shapes are BNLJ (small side broadcast) — never
-    # an un-broadcast CartesianProduct, which would shuffle-materialize
-    # both sides at scale
-    assert "CartesianProduct" not in phys, "theta join regressed to CartesianProduct"
-    assert "BroadcastNestedLoopJoin" in phys
+    assert "MapInPandas" in phys, "pair stage must be the GEMM tiles"
+    assert phys.count("SQRT") + phys.count("sqrt") == 0, "norms regressed to HOFs"
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" in phys  # the nb²-row block pairing
 
 
 def test_no_global_ranking_window_in_ntile_ops(spark):

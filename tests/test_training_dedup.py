@@ -331,3 +331,130 @@ def test_ngram_verify_branches_agree(spark, monkeypatch):
     monkeypatch.setattr(td, "NGRAM_SPLIT_GRAMS", 8)
     banded = {(r.d1, r.d2): r.jaccard for r in fn(spark, sf).collect()}
     assert banded == default
+
+
+def test_ngram_verify_routed_total_over_zero_overlap_pairs(spark, monkeypatch):
+    """_ngram_verify_routed is the exact-verify primitive: a candidate
+    pair with EMPTY gram intersection must come back with shared = 0,
+    not vanish (r8 ADVICE — the banded giant-pair groupBy emits no row
+    for such a pair, so the join back must be a left join with
+    coalesce, never an inner join)."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(td, "NGRAM_SPLIT_GRAMS", 2)  # route via banding
+    # docs 1/2 share grams; docs 3/4 share none.
+    gd = spark.createDataFrame(
+        [(1, "abc"), (1, "bcd"), (1, "cde"),
+         (2, "abc"), (2, "bcd"), (2, "xyz"),
+         (3, "foo"), (3, "oof"), (3, "ofo"),
+         (4, "bar"), (4, "arb"), (4, "rba")],
+        "doc_id long, g string",
+    )
+    cs = spark.createDataFrame(
+        [(1, 2, 3, 3), (3, 4, 3, 3)], "d1 long, d2 long, n1 long, n2 long"
+    )
+    got = {
+        (r.d1, r.d2): r.shared
+        for r in td._ngram_verify_routed(cs, gd).collect()
+    }
+    assert got == {(1, 2): 2, (3, 4): 0}
+    # And the small-pair (array_intersect) branch agrees on totality.
+    monkeypatch.setattr(td, "NGRAM_SPLIT_GRAMS", 4096)
+    got_small = {
+        (r.d1, r.d2): r.shared
+        for r in td._ngram_verify_routed(cs, gd).collect()
+    }
+    assert got_small == got
+
+
+def test_sweep_gemm_pairs_match_hof_pairs(spark):
+    """The blocked-GEMM pair stage (r9) must emit the IDENTICAL
+    (v2, sim_r) multiset as the former zip_with/aggregate HOF form —
+    representation is a plan choice, never semantics. The HOF twin is
+    rebuilt inline here as the ground truth."""
+    from collections import Counter
+
+    emb = load_table(spark, SF, "embeddings")
+    t0 = td.SWEEP_THRESHOLDS_PM[0] / 1000.0
+    got = Counter(
+        (r.v2, r.sim_r) for r in td._sweep_pairs_blas(emb, t0).collect()
+    )
+
+    nrm = F.expr(
+        "sqrt(aggregate(zip_with(embedding, embedding,"
+        " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
+        " (acc, v) -> acc + v))"
+    )
+    sides = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    a = sides.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb,"
+        " (p, q) -> cast(p as double) * cast(q as double)), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+    want = Counter(
+        (r.v2, r.sim_r)
+        for r in (
+            a.join(b, F.col("v1") < F.col("v2"))
+            .select("v2", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("sim_r"))
+            .filter(F.col("sim_r") > t0)
+        ).collect()
+    )
+    assert got == want
+    assert got  # non-degenerate fixture
+
+
+def test_sweep_spine_tier_matches_oracle(spark, monkeypatch):
+    """The sampled tier (n > SWEEP_EXACT_MAX -> vec_id % s = 0 spine)
+    must agree with a DuckDB twin computing the same spine — forced by
+    shrinking the gate below the sf0.1 corpus (n=2000, gate=300 ->
+    s=7, 286-row spine). Counts and ppm are then SAMPLE statistics on
+    an identical deterministic subset in both engines."""
+    import re
+
+    import duckdb
+
+    gate = 300
+    monkeypatch.setattr(td, "SWEEP_EXACT_MAX", gate)
+    sf = "/root/testdata/sf0.1"
+    sdf = OPS["embed_dedup_threshold_sweep"].fn(spark, sf)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(v) for v in r) for r in sdf.select(*scols).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT *"
+        f" FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    sql = re.sub(
+        r"ceil\(n_all / \d+\.0\)",
+        f"ceil(n_all / {gate}.0)",
+        OPS["embed_dedup_threshold_sweep"].oracle,
+    )
+    cur = con.execute(sql)
+    desc = [d[0] for d in cur.description]
+    order = sorted(range(len(desc)), key=lambda i: desc[i])
+    drows = sorted(
+        tuple(str(r[i]) for i in order) for r in cur.fetchall()
+    )
+    assert scols == sorted(desc)
+    assert srows == drows
+    # the spine genuinely engaged: fewer pairs than the exact tier
+    monkeypatch.setattr(td, "SWEEP_EXACT_MAX", 8192)
+    full = {
+        r.threshold_pm: r.n_pairs
+        for r in OPS["embed_dedup_threshold_sweep"].fn(spark, sf).collect()
+    }
+    sampled = {int(r[3]): int(r[0]) for r in (tuple(x) for x in srows)}
+    assert sum(sampled.values()) < sum(full.values())

@@ -16,11 +16,18 @@ streaming (BENCH_NOTES.md round-6 pattern):
   whose sub-quadraticity is the whole point of LSH/AllPairs/quarter
   banding (the ×10 corpus mutates the token alphabet per replica, so
   true near-dup volume grows ×10, not ×100 — see make_sf_scale.py).
-- embed_dedup_threshold_sweep is EXACT all-pairs BY SPEC (it is the
-  sensitivity table read before choosing a production threshold), so
-  its cost is Θ(n²) by definition; the tool fits that empirically at
-  1×/2×/3× and contrasts it with dedup_embed_lsh — the banded sibling
-  that IS the 100 TB path — run at 1× and 10×.
+- embed_dedup_threshold_sweep (r9 rewrite): blocked-GEMM pair tiles
+  under a declared spine gate (vec_id % s = 0, s = ceil(n/8192)). The
+  tool fits it at 1×/2×/3× (all under the gate — the GEMM constant)
+  AND at 10× (n=9170 > gate → the spine tier engages, capping the
+  pair stage), and contrasts it with dedup_embed_lsh — the banded
+  sibling that is the per-pair-output 100 TB path.
+- dedup_near_jaccard (r9 rewrite): AllPairs prefix-filter candidates
+  with the vocab-gated bitmap verify ported from dedup_ngram_jaccard;
+  timed as a full op at 1× and 10× (its candidate stage is not
+  separately exposed; the EXACT token-level op is minhash's oracle
+  baseline, so it keeps full-corpus semantics — the measurement shows
+  the bitmap verify's sub-quadratic wall, not a sampling cap).
 
 Usage: python tools/dedup_scale_stress.py [sf_dir] [sf10_dir]
 Defaults: /root/testdata/sf0.1 /tmp/igis_sf1 (build the latter first
@@ -98,13 +105,20 @@ def main() -> None:
                 check=True,
             )
     for scale, sf in (("1x", SF1), ("2x", "/tmp/igis_sweep_2x"),
-                      ("3x", "/tmp/igis_sweep_3x")):
+                      ("3x", "/tmp/igis_sweep_3x"), ("10x", SF10)):
         df = REGISTRY["embed_dedup_threshold_sweep"].fn(spark, sf)
         t0 = time.perf_counter()
         rows = {r["threshold_pm"]: r["n_pairs"] for r in df.collect()}
         secs = round(time.perf_counter() - t0, 1)
         record("embed_dedup_threshold_sweep", scale, "sweep",
                min(rows.items())[1], secs)
+
+    # exact token-level Jaccard (minhash's oracle baseline) — r9
+    # AllPairs+bitmap rewrite: full op at 1x and 10x
+    for scale, sf in (("1x", SF1), ("10x", SF10)):
+        n, secs = timed_count(REGISTRY["dedup_near_jaccard"].fn(spark, sf))
+        record("dedup_near_jaccard", scale, "pairs", n, secs)
+        spark.catalog.clearCache()
 
     # ...and the banded sibling that IS the embedding scale path
     for scale, sf in (("1x", SF1), ("10x", SF10)):
