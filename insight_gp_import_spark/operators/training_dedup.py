@@ -2348,11 +2348,14 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     stated, one pass shown). Ground truth rides the surrogate-key
     offset, so recall is measured, not estimated.
 
-    One global sort by the fuzzy key is INHERENT to the method (it
-    IS the sorted method — noted as its scale cost; the rank
-    self-join on r..r+{SNM_WINDOW} makes candidate volume exactly
-    n·w); match scoring reuses the linkage op's field rules; all
-    counts integer with ppm recall.
+    One global ORDER by the fuzzy key is inherent to the method (it
+    IS the sorted method), but not a one-task sort: the rank comes
+    from the _exact_global_rank bucket-offset kernel over an
+    LCP-stripped byte-prefix proxy (r9), and the r..r+{SNM_WINDOW}
+    neighborhood is an equi-join on broadcast rank offsets, so
+    candidate volume is exactly n·w and no stage is quadratic or
+    single-task. Match scoring reuses the linkage op's field rules;
+    all counts integer with ppm recall.
     """
     c = load_table(spark, sf_dir, "customer")
     clean = c.select(
@@ -2374,12 +2377,49 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bal_c"),
     )
     allrec = clean.unionAll(dirty)
-    ranked = allrec.withColumn(
-        "r",
-        F.row_number()
-        .over(Window.orderBy("nm", "bal_c", "rid"))
-        .cast("bigint"),
+    # r9 (plan guard follow-through): the global fuzzy-key ORDER is
+    # inherent to SNM, but the one-task sort is not — rank via the
+    # bucket-offset kernel. The bucket proxy packs 7 bytes of nm AFTER
+    # the longest common prefix of min(nm)/max(nm) (every row shares
+    # any prefix common to the global min and max, so stripping it is
+    # order-neutral; without it the constant 'Customer#' head would
+    # collapse all rows into one bucket). Byte packing is monotone for
+    # single-byte-codepoint keys (this fixture is ASCII); collisions
+    # only cost balance, never order (kernel order_cols contract).
+    lcp_len = F.expr(
+        "aggregate(sequence(1, least(length(lo), length(hi))), 0,"
+        " (acc, i) -> CASE WHEN acc = i - 1"
+        " AND substring(lo, i, 1) = substring(hi, i, 1)"
+        " THEN i ELSE acc END)"
     )
+    bounds = allrec.agg(
+        F.min("nm").alias("lo"), F.max("nm").alias("hi")
+    ).select(lcp_len.alias("lcp"))
+    pack = " + ".join(
+        f"coalesce(ascii(substring(nm, lcp + {1 + i}, 1)), 0)"
+        f" * {256 ** (6 - i)}"
+        for i in range(7)
+    )
+    staged = allrec.crossJoin(F.broadcast(bounds)).withColumn(
+        "pk", F.expr(f"cast({pack} as bigint)")
+    )
+    from insight_gp_import_spark.operators.aggregation import (
+        _exact_global_rank,
+    )
+
+    ranked = (
+        _exact_global_rank(
+            staged, "pk", "rid", "r", order_cols=["nm", "bal_c", "rid"]
+        )
+        .withColumn("r", F.col("r").cast("bigint"))
+        .drop("pk", "lcp")
+    )
+    # rank-band neighborhood as SNM_WINDOW broadcast OFFSETS: an
+    # equi-join on r + off == b.r (one rank-keyed exchange, n·w rows)
+    # — never the former non-equi (b.r > a.r AND b.r <= a.r + w)
+    # range join, which degrades to a BroadcastNestedLoopJoin with
+    # O(n²) predicate evaluations.
+    off = spark.range(1, SNM_WINDOW + 1).select(F.col("id").alias("off"))
     a, b = ranked.alias("a"), ranked.alias("b")
     matched = (
         (F.abs(F.col("a.bal_c") - F.col("b.bal_c")) <= 10)
@@ -2389,14 +2429,15 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("b.nm") == F.concat(F.col("a.nm"), F.lit("X")))
         )
     )
-    cand = a.join(
-        b,
-        (F.col("b.r") > F.col("a.r"))
-        & (F.col("b.r") <= F.col("a.r") + SNM_WINDOW),
-    ).select(
-        F.col("a.rid").alias("r1"),
-        F.col("b.rid").alias("r2"),
-        matched.alias("matched"),
+    cand = (
+        a.crossJoin(F.broadcast(off))
+        .withColumn("rb", F.col("a.r") + F.col("off"))
+        .join(b, F.col("rb") == F.col("b.r"))
+        .select(
+            F.col("a.rid").alias("r1"),
+            F.col("b.rid").alias("r2"),
+            matched.alias("matched"),
+        )
     )
     truth_n = clean.count()
     return cand.agg(
