@@ -55,7 +55,7 @@ HEAVY_OPS = [
 
 _WORKER = r"""
 import sys, time, json
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 from insight_gp_import_spark.session import get_session
 from insight_gp_import_spark.registry import load_all_ops
 from insight_gp_import_spark.compare import compare
@@ -90,7 +90,8 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             proc = subprocess.run(
-                [sys.executable, "-c", _WORKER.format(repo=REPO),
+                [sys.executable, "-c",
+                 _WORKER.replace("__REPO__", repr(REPO)),
                  name, args.sf10],
                 capture_output=True, text=True, timeout=args.timeout,
             )
