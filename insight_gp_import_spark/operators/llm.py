@@ -601,7 +601,7 @@ MINHASH_PAIRS_SQL = f"""
 
 @op("dedup_near_minhash", oracle=MINHASH_PAIRS_SQL, category=CAT)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs — the 100 TB scale path (rows-only).
+    """MinHash+LSH near-dup pairs — the 100 TB scale path.
 
     32 md5-derived minhashes per doc computed in ONE pass (array_min
     over a transform — pure JVM expressions, no row explosion), banded
@@ -627,41 +627,157 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(_doc_token_sets(spark, sf_dir))
 
 
+def _set_groups(sets_in: DataFrame) -> DataFrame:
+    """(sid, arr, docs) — ONE row per DISTINCT token set: sid is the
+    smallest member doc_id, docs the sorted member list.
+
+    SET-COLLAPSE (round 9, the near_jaccard bitmap-branch lesson
+    generalized): every MinHash signature, band hash, and exact-jaccard
+    verdict is a function of the token SET alone, so documents with
+    identical sets are interchangeable everywhere downstream — band,
+    verify, and threshold ONCE per distinct set, then expand back to
+    doc pairs only for the output. The groupBy key is the full sorted
+    token ARRAY (exact — unlike the '|'-joined string key, which could
+    alias two sets whose tokens contain '|'); arrays shuffle once here
+    and never again."""
+    return tracked_persist(
+        sets_in.select("doc_id", "arr")
+        .groupBy("arr")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .select(F.element_at("docs", 1).alias("sid"), "arr", "docs")
+    )
+
+
 def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     """Banded-MinHash near-dup pairs over a (doc_id, arr) token-set
     frame — the scale path (see the op docstring).
 
-    Shuffle discipline (round-4 fix, caught by the sf1 stress run):
-    the banding join carries ONLY (doc_id, band, bh) triples — token
-    arrays must never ride the candidate shuffle. A duplication-heavy
-    corpus collides identical docs in all 8 bands, so pre-dedup
-    candidate volume is ~8× the pair count; with array payloads
-    attached that blew executor memory at 10× scale (GCLocker
-    retries → OOM), while id-only candidates dedup cheaply and the
-    arrays join back once per SURVIVING pair for exact verification —
-    the same payload-last shape embed_lsh_pairs uses."""
-    sets = sets_in.select("doc_id", "arr")
-    cand = minhash_candidates(sets)
-    s1 = sets.select(F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"))
-    s2 = sets.select(F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"))
-    shared = F.size(F.array_intersect("arr1", "arr2"))
-    union = F.size("arr1") + F.size("arr2") - shared
-    return (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", (shared / union).alias("j"))
-        .filter(F.col("j") > JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round("j", 4).alias("jaccard"))
+    Round-9 rewrite, second iteration (the first — set-collapse with
+    the banding join still the candidate GENERATOR — measured 628 s at
+    the 10× stress corpus because banding there emits 146 M set-level
+    candidates for 24.9 M true pairs; the staged counts are in
+    BENCH_NOTES round-9b). The output relation is
+    {pairs: band-collide ∧ jaccard > t}, and BOTH conjuncts are
+    set-level properties, so the plan may generate candidates from
+    whichever conjunct is cheaper and filter by the other:
+
+    1. exact jaccard > t SET pairs via the AllPairs prefix machinery
+       shared with dedup_near_jaccard (``_allpairs_candidates`` + the
+       vocab-gated bitmap/array verify) — complete for the j > t
+       conjunct by the prefix theorem, and proportional to true
+       near-duplication instead of band-bucket volume;
+    2. a band-collision filter on the survivors, exact by BUCKET
+       LEADERS: per (band, bh) bucket the leader is the minimum member
+       sid, and each set carries the 8-long array
+       lb[b] = leader_sid·N_BANDS + b. Two sets share a band bucket
+       ⟺ their lb arrays overlap (a leader belongs to exactly one
+       bucket per band, so equal lb values force the same (band, bh)),
+       which replaces a 32-char md5 equi-join at bucket volume with an
+       arrays_overlap over 64-byte payloads at SURVIVOR volume.
+    3. ``_expand_set_pairs`` maps surviving set pairs back to doc
+       pairs; identical-set doc pairs (jaccard exactly 1.0, band
+       hashes trivially equal) come from its same-kh branch.
+
+    The md5 minhash/band-hash definitions, the threshold, and the
+    DuckDB oracle are all untouched — only candidate ORDER changed,
+    and each filter is individually lossless for the output relation.
+    """
+    base = sets_in.select("doc_id", "arr").withColumn(
+        "kh", F.md5(F.array_join("arr", "|"))
     )
+    sets = base.select("doc_id", "kh")
+    gs = tracked_persist(
+        base.groupBy("kh")
+        .agg(F.first("arr").alias("arr"), F.min("doc_id").alias("sid"))
+        .withColumn("n", F.size("arr"))
+    )
+    # bounded branch probe — plan choice + gid map only, never results
+    # (same protocol as allpairs_jaccard_pairs / dedup_ngram_jaccard)
+    probe = (
+        gs.select(F.explode("arr").alias("tok"))
+        .distinct()
+        .limit(JACCARD_BITMAP_MAX_VOCAB + 1)
+        .collect()
+    )
+    vocab = sorted(r[0] for r in probe)
+    cand = _allpairs_candidates(gs)
+    if len(vocab) <= JACCARD_BITMAP_MAX_VOCAB:
+        jac = _jaccard_verify_bitmap(cand, gs, vocab)
+    else:
+        jac = _jaccard_verify_arrays(cand, gs)
+    bands = _band_hashes(gs, "kh").join(gs.select("kh", "sid"), "kh")
+    leaders = bands.groupBy("band", "bh").agg(F.min("sid").alias("lsid"))
+    lbv = (
+        bands.join(leaders, ["band", "bh"])
+        .groupBy("kh")
+        .agg(
+            F.collect_set(
+                F.col("lsid") * N_BANDS + F.col("band")
+            ).alias("lb")
+        )
+    )
+    banded = (
+        jac.join(
+            lbv.select(F.col("kh").alias("kh1"), F.col("lb").alias("lb1")),
+            "kh1",
+        )
+        .join(
+            lbv.select(F.col("kh").alias("kh2"), F.col("lb").alias("lb2")),
+            "kh2",
+        )
+        .filter(F.arrays_overlap("lb1", "lb2"))
+        .select("kh1", "kh2", "j")
+    )
+    return _expand_set_pairs(banded, sets)
 
 
 def minhash_candidates(sets_in: DataFrame) -> DataFrame:
-    """The LSH banding stage of ``minhash_pairs``, exposed (round-7
-    verdict item 3) so the sf1 scale stress can measure CANDIDATE
-    volume separately from verified pairs — the quantity whose
-    sub-quadratic growth is the entire point of banding. Pure code
-    motion from minhash_pairs; the op's plan is unchanged."""
-    sets = sets_in.select("doc_id", "arr")
+    """Doc-level LSH banding candidates of ``minhash_pairs``, exposed
+    (round-7 verdict item 3) so the sf1 scale stress can measure
+    CANDIDATE volume separately from verified pairs. Round 9: computed
+    as set-level banding + member expansion — the SAME relation as the
+    r8 doc-level banding join (identical sets share all 8 band hashes,
+    so same-set member pairs are always candidates, and cross-set
+    candidacy depends only on set content), without materializing the
+    band join at doc cardinality. No final dropDuplicates is needed:
+    set-level candidates are distinct, each doc belongs to exactly one
+    set group (so a doc pair expands from exactly one set pair), and
+    the same-set/cross-set unions are disjoint by construction."""
+    grp = _set_groups(sets_in)
+    reps = grp.select(F.col("sid").alias("doc_id"), "arr")
+    cand = _band_candidates(reps)
+    members = grp.select("sid", F.explode("docs").alias("m"))
+    cross = (
+        cand.select(F.col("d1").alias("s1"), F.col("d2").alias("s2"))
+        .join(
+            members.select(F.col("sid").alias("s1"), F.col("m").alias("da")),
+            "s1",
+        )
+        .join(
+            members.select(F.col("sid").alias("s2"), F.col("m").alias("db")),
+            "s2",
+        )
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+        )
+    )
+    x = members.select("sid", F.col("m").alias("d1"))
+    y = members.select("sid", F.col("m").alias("d2"))
+    same = (
+        x.join(y, "sid")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+    )
+    return cross.unionByName(same)
+
+
+def _band_hashes(sets_in: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bh) — the 8 banded-MinHash band hashes of each token
+    set: 32 md5 permutation-minima computed in one pass, 4 per band,
+    band hash = md5 of the '|'-joined minima. Shared by the candidate
+    join (``_band_candidates``) and the bucket-leader collision filter
+    (``minhash_pairs``)."""
 
     def _perm_hash(s: int):
         # A FACTORY, not `lambda t, s=s: ...`: PySpark decides a HOF
@@ -674,16 +790,16 @@ def minhash_candidates(sets_in: DataFrame) -> DataFrame:
         # lambdas the session had built before).
         return lambda t: F.md5(F.concat(F.lit(f"{s}_"), t))
 
-    mh = sets.select(
-        "doc_id",
+    mh = sets_in.select(
+        id_col,
         *[
             F.array_min(F.transform("arr", _perm_hash(s))).alias(f"mh{s}")
             for s in range(N_MINHASH)
         ],
     )
     rows_per_band = N_MINHASH // N_BANDS
-    bands = mh.select(
-        "doc_id",
+    return mh.select(
+        id_col,
         F.posexplode(
             F.array(
                 *[
@@ -701,6 +817,15 @@ def minhash_candidates(sets_in: DataFrame) -> DataFrame:
             )
         ).alias("band", "bh"),
     )
+
+
+def _band_candidates(sets_in: DataFrame) -> DataFrame:
+    """The raw banded-MinHash candidate join over a (doc_id, arr)
+    frame: equi-join of ``_band_hashes`` with itself on
+    (band, band-hash), distinct (d1 < d2) pairs. Since round 9 this
+    runs over set-group representatives (|distinct sets| rows), never
+    the full corpus — see ``_set_groups``."""
+    bands = _band_hashes(sets_in.select("doc_id", "arr"))
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(r, ["band", "bh"])

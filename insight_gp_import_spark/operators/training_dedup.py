@@ -534,16 +534,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is untouched. The branch is decided by a bounded driver probe
     # (the same bounded-driver-state class as the k-means centroids)
     # used only for PLAN CHOICE, never for results.
-    sizes = gd.groupBy("doc_id").agg(F.count("*").alias("n"))
-    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     # ids + sizes only; persisted because the verify (and in the
     # routed branch BOTH its halves) consumes it — without the persist
     # each consumer recomputes the whole AllPairs candidate join
     # (measured: 2x verify wall at 1x SF). Four bigints per candidate
     # pair, the same id-only-materialization precedent as
-    # dedup_phash_hamming's persisted quarter table.
-    cs = tracked_persist(cand.join(n1, "d1").join(n2, "d2"))
+    # dedup_phash_hamming's persisted quarter table. Sizes ride along
+    # from the candidate aggregate itself (round 9) — no size joins at
+    # candidate cardinality.
+    cs = tracked_persist(cand)
     # one bounded probe decides the branch AND feeds the gid mapping:
     # collecting at most MAX_VOCAB+1 distinct grams is bounded driver
     # state by construction; overflow means "large vocabulary", where
@@ -740,13 +739,42 @@ def ngram_candidates(
         f"({NGRAM_T_NUM} * n + {NGRAM_T_NUM}) div {NGRAM_T_DEN}"
     ) + 1
     pref = pos.join(sized, "doc_id").filter(F.col("pos") <= prefix_len).select(
-        "doc_id", "g", "n"
+        "doc_id", "g", "n", "pos"
     )
-    a = pref.select(F.col("doc_id").alias("d1"), "g", F.col("n").alias("pn1"))
-    b = pref.select(F.col("doc_id").alias("d2"), "g", F.col("n").alias("pn2"))
+    a = pref.select(
+        F.col("doc_id").alias("d1"),
+        "g",
+        F.col("n").alias("pn1"),
+        F.col("pos").alias("p1"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("d2"),
+        "g",
+        F.col("n").alias("pn2"),
+        F.col("pos").alias("p2"),
+    )
     # length filter (part of AllPairs): J ≥ t forces set sizes within
     # t — prune size-incompatible pairs inside the join, before the
     # expensive distinct+verify (3× wall-clock here; lossless)
+    #
+    # POSITIONAL filter (round 9 — PPJoin, Xiao et al., WWW'08): for a
+    # qualifying pair let g* be its smallest shared gram in the global
+    # (dfreq, g) order that lands in BOTH prefixes. Positions are
+    # per-doc ranks in that same total order, so g* attains min(p1)
+    # AND min(p2) simultaneously over the pair's matched rows — and
+    # every shared gram smaller than a both-prefix match is itself a
+    # both-prefix match (if u < w with w inside a prefix, u's position
+    # is smaller still on both sides), so the overlap BEFORE g* is
+    # exactly zero. Hence overlap ≤ 1 + min(n1 − min p1, n2 − min p2);
+    # pairs whose bound can't reach the threshold's minimum overlap
+    # o_min = ⌊NUM·(n1+n2)/(NUM+DEN)⌋ + 1 (strict J > t) are pruned
+    # LOSSLESSLY before they ever reach the verify join. The groupBy
+    # replaces the old .distinct() — same shuffle key, two extra ints
+    # per row — and cand now carries (n1, n2), saving the caller two
+    # size joins at candidate cardinality.
+    o_min = F.expr(
+        f"({NGRAM_T_NUM} * (n1 + n2)) div {NGRAM_T_NUM + NGRAM_T_DEN} + 1"
+    )
     cand = (
         a.join(b, "g")
         .filter(
@@ -756,8 +784,18 @@ def ngram_candidates(
                 >= NGRAM_T_NUM * F.greatest("pn1", "pn2")
             )
         )
-        .select("d1", "d2")
-        .distinct()
+        .groupBy("d1", "d2")
+        .agg(
+            F.min("pn1").alias("n1"),
+            F.min("pn2").alias("n2"),
+            F.min("p1").alias("mp1"),
+            F.min("p2").alias("mp2"),
+        )
+        .filter(
+            1 + F.least(F.col("n1") - F.col("mp1"), F.col("n2") - F.col("mp2"))
+            >= o_min
+        )
+        .select("d1", "d2", "n1", "n2")
     )
     return cand, gd
 
