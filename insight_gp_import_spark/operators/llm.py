@@ -295,10 +295,18 @@ def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
     vocab = sorted(r[0] for r in probe)
     if len(vocab) <= 64:
         return _jaccard_pairs_mask64(base, vocab)
-    sets = base.select("doc_id", "kh")
+    # both persisted (round 9b): sets feeds _expand_set_pairs' THREE
+    # member joins and gs feeds the candidate join + the verify bitmap
+    # build — without the persists every consumer re-runs the full
+    # tokenize-explode-distinct-groupBy lineage over the corpus. Both
+    # relations are tiny materialized (ids + hashes; the arrays in gs
+    # exist once per DISTINCT set).
+    sets = tracked_persist(base.select("doc_id", "kh"))
     # one representative row per distinct token-set (same kh ⇒ same arr/n)
-    gs = base.groupBy("kh").agg(
-        F.first("arr").alias("arr"), F.first("n").alias("n")
+    gs = tracked_persist(
+        base.groupBy("kh").agg(
+            F.first("arr").alias("arr"), F.first("n").alias("n")
+        )
     )
     cand = _allpairs_candidates(gs)
     if len(vocab) <= JACCARD_BITMAP_MAX_VOCAB:
@@ -685,7 +693,9 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     base = sets_in.select("doc_id", "arr").withColumn(
         "kh", F.md5(F.array_join("arr", "|"))
     )
-    sets = base.select("doc_id", "kh")
+    # persisted: _expand_set_pairs joins this 3×, and its lineage is
+    # the full corpus tokenization (round 9b, same as allpairs)
+    sets = tracked_persist(base.select("doc_id", "kh"))
     gs = tracked_persist(
         base.groupBy("kh")
         .agg(F.first("arr").alias("arr"), F.min("doc_id").alias("sid"))
