@@ -194,21 +194,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - n_triangles = Σ over oriented edges (b, c) of
       |in(b) ∩ in(c)| — each edge joins its endpoints' in-neighbor
-      arrays (total array payload = |E| longs, NOT Σ deg²) and one
-      array_intersect per edge does the counting inside codegen;
-      inner joins suffice because an endpoint with no in-neighbors
-      contributes 0. A common in-neighbor a of the closure edge
-      (b, c) is exactly the wedge pivot, so the sum is the same
-      exactly-once count.
+      arrays (the ``inn`` RELATION totals |E| longs — each oriented
+      edge appears in exactly one in-list) and one array_intersect
+      per edge does the counting inside codegen; inner joins suffice
+      because an endpoint with no in-neighbors contributes 0. A common
+      in-neighbor a of the closure edge (b, c) is exactly the wedge
+      pivot, so the sum is the same exactly-once count.
     - n_wedges = Σ out-deg·(out-deg−1)/2 from the degree aggregate —
       the COUNT of the wedge relation without its rows.
+
+    SKEW CAVEAT (r10, ADVICE): only OUT-degree is ~√(2|E|)-bounded by
+    the orientation; IN-degree is not, so a mega-hub's collect_set row
+    can be arbitrarily wide, and the closure JOIN OUTPUT carries
+    ib+ic arrays per edge — a Σ in-deg·(in-deg+out-deg) volume, not
+    |E| longs. On this corpus degrees are near-uniform (measured:
+    degree-ordering shrank wedges only 493 M → 411 M) so the plan wins
+    outright; on a hub-skewed 100 TB graph, band-partition mega-hub
+    in-lists first (the _ngram_verify_routed size-routing pattern,
+    training_dedup.py) so no single task owns a hub's full list.
 
     Measured at the 10× corpus: 424–495 s (materialized wedges, both
     orientations) → 103.9 s, with identical output counts.
     Exact integer counts; the wedge/edge counts published alongside
-    make the clustering ratio auditable (n_wedges is DEFINED by the
-    orientation — the DuckDB twin counts the identical degree-ordered
-    wedge relation).
+    make the clustering ratio auditable. NOTE (r9b semantic change,
+    flagged in BENCH_NOTES): n_wedges counts the DEGREE-ORDERED wedge
+    relation (Σ C(out-deg, 2), e.g. 411 M vs 493 M ordered wedges at
+    10×) — the orientation-invariant "all ordered wedges" figure of
+    rounds ≤8 is a different, larger number; the DuckDB twin counts
+    the identical degree-ordered relation.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"

@@ -252,6 +252,32 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_jaccard_pairs(_doc_token_sets(spark, sf_dir))
 
 
+def _keyed_set_groups(sets_in: DataFrame) -> DataFrame:
+    """(kh, sid, arr, n, docs) — one persisted row per DISTINCT token
+    set. Set identity comes from grouping on the sorted token ARRAY
+    itself (round 10, ADVICE fix): the previous '|'-joined md5 string
+    key aliased two distinct sets whose tokens contain '|' (tokens are
+    space-split, so '|' is a legal token byte — {'a|b'} vs {'a','b'}
+    collide), merging them into one group and emitting spurious
+    jaccard-1.0 pairs. ``kh = md5(min-member doc_id)`` is injective
+    because each doc owns exactly one token set, so group minima are
+    distinct across groups; every downstream consumer (AllPairs
+    candidates, verify joins, band hashes, pair expansion) uses kh only
+    as an opaque join/order key, never as content."""
+    return tracked_persist(
+        sets_in.select("doc_id", "arr")
+        .groupBy("arr")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .select(
+            F.md5(F.element_at("docs", 1).cast("string")).alias("kh"),
+            F.element_at("docs", 1).alias("sid"),
+            "arr",
+            F.size("arr").alias("n"),
+            "docs",
+        )
+    )
+
+
 def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
     """Exact Jaccard > t pairs over a (doc_id, arr, k, n) token-set
     frame (AllPairs prefix + length filtering; see the op docstring).
@@ -281,33 +307,28 @@ def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
     branch-equivalence test). The oracle stays the NAIVE all-token
     join, untouched.
     """
-    base = sets_in.withColumn("kh", F.md5("k"))
     # bounded branch probe (plan choice + gid map only, never results):
     # collecting at most MAX_VOCAB+1 distinct tokens is bounded driver
     # state by construction; overflow means "large vocabulary", where
     # only the probe's LENGTH (never its content) is used.
     probe = (
-        base.select(F.explode("arr").alias("tok"))
+        sets_in.select(F.explode("arr").alias("tok"))
         .distinct()
         .limit(JACCARD_BITMAP_MAX_VOCAB + 1)
         .collect()
     )
     vocab = sorted(r[0] for r in probe)
     if len(vocab) <= 64:
-        return _jaccard_pairs_mask64(base, vocab)
+        return _jaccard_pairs_mask64(sets_in, vocab)
     # both persisted (round 9b): sets feeds _expand_set_pairs' THREE
-    # member joins and gs feeds the candidate join + the verify bitmap
+    # member joins and grp feeds the candidate join + the verify bitmap
     # build — without the persists every consumer re-runs the full
     # tokenize-explode-distinct-groupBy lineage over the corpus. Both
-    # relations are tiny materialized (ids + hashes; the arrays in gs
+    # relations are tiny materialized (ids + hashes; the arrays in grp
     # exist once per DISTINCT set).
-    sets = tracked_persist(base.select("doc_id", "kh"))
-    # one representative row per distinct token-set (same kh ⇒ same arr/n)
-    gs = tracked_persist(
-        base.groupBy("kh").agg(
-            F.first("arr").alias("arr"), F.first("n").alias("n")
-        )
-    )
+    grp = _keyed_set_groups(sets_in)
+    sets = tracked_persist(grp.select("kh", F.explode("docs").alias("doc_id")))
+    gs = grp.select("kh", "arr", "n")
     cand = _allpairs_candidates(gs)
     if len(vocab) <= JACCARD_BITMAP_MAX_VOCAB:
         jac = _jaccard_verify_bitmap(cand, gs, vocab)
@@ -690,17 +711,13 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     DuckDB oracle are all untouched — only candidate ORDER changed,
     and each filter is individually lossless for the output relation.
     """
-    base = sets_in.select("doc_id", "arr").withColumn(
-        "kh", F.md5(F.array_join("arr", "|"))
-    )
-    # persisted: _expand_set_pairs joins this 3×, and its lineage is
-    # the full corpus tokenization (round 9b, same as allpairs)
-    sets = tracked_persist(base.select("doc_id", "kh"))
-    gs = tracked_persist(
-        base.groupBy("kh")
-        .agg(F.first("arr").alias("arr"), F.min("doc_id").alias("sid"))
-        .withColumn("n", F.size("arr"))
-    )
+    # set identity from the ARRAY group (_keyed_set_groups, round-10
+    # ADVICE fix — the '|'-joined md5 key aliased sets whose tokens
+    # contain '|'); persisted: _expand_set_pairs joins sets 3×, and
+    # grp's lineage is the full corpus tokenization (round 9b)
+    grp = _keyed_set_groups(sets_in)
+    sets = tracked_persist(grp.select("kh", F.explode("docs").alias("doc_id")))
+    gs = grp.select("kh", "arr", "sid", "n")
     # bounded branch probe — plan choice + gid map only, never results
     # (same protocol as allpairs_jaccard_pairs / dedup_ngram_jaccard)
     probe = (
@@ -919,30 +936,131 @@ KNN_K = 3
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: label-0 probes against the label-1 corpus, k=3.
 
-    Probe side is small → broadcast it, so the corpus never shuffles
-    for the join; the only exchange is the per-probe window. At scale
-    the window becomes a partial top-k (AQE) — still one shuffle.
+    Round-10 rewrite (r9 verdict item 2 — this was the last quadratic
+    production plan): the former ``corpus.crossJoin(broadcast(probes))``
+    evaluated |probes|·|corpus| interpreted zip_with/aggregate dot
+    products (~µs/pair) and ranked a full pair relation; at 100× the
+    probe side stops broadcasting and the HOF constant dominates —
+    the exact failure mode embed_dedup_threshold_sweep had before its
+    r9 blocked-GEMM rewrite. Now the same tile machinery
+    (training_dedup._sweep_pairs_blas, float64 GEMM per hash-assigned
+    block pair) computes the similarities at BLAS speed, and each tile
+    emits only its per-probe top-k — so the ranked relation is
+    |probes|·⌈|corpus|/BLOCK⌉·k rows, not |probes|·|corpus|, and the
+    final window partitions by probe over that bounded set. Per-tile
+    top-k under the total order (−sim, neighbor_id) is a lossless
+    partial top-k merge (the order is total: neighbor ids are unique).
+
+    Exact kNN is inherently an all-blocks product; neither side
+    broadcasts — probe blocks replicate only against the tiny corpus
+    block-ID list, and the tile join itself is an equi-join on the
+    block id (no CartesianProduct in the plan). Numerics: float64
+    products/sums exactly like the interpreted fold it replaces;
+    GEMM summation-order deltas are sub-ulp against the 1e-4 rounding
+    grain (the _sweep_pairs_blas argument, proven by the unchanged
+    oracle there and here).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms materialize once per vector on each side, BEFORE the cross
-    # join — per pair only one dot product remains
     probes = emb.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pv"),
-        _norm("embedding").alias("pn"),
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv")
     )
     corpus = emb.filter(F.col("label") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        _norm("embedding").alias("cn"),
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
+    cand = _knn_tile_topk(probes, corpus, KNN_K)
     w = Window.partitionBy("probe_id").orderBy(F.desc("raw_sim"), "neighbor_id")
     return (
-        corpus.crossJoin(F.broadcast(probes))
-        .withColumn("raw_sim", _dot("pv", "cv") / (F.col("pn") * F.col("cn")))
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select("probe_id", "neighbor_id", F.round("raw_sim", 4).alias("sim"), "rank")
+    )
+
+
+KNN_BLOCK = 1024  # vectors per GEMM tile side (~1.2 MB float64 at d=300)
+
+
+def _knn_tile_topk(probes: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """(probe_id, neighbor_id, raw_sim) — per-(probe, corpus-block)
+    top-k cosine candidates via one float64 GEMM per tile.
+
+    Both sides are hash-blocked to ~KNN_BLOCK rows; probe blocks are
+    replicated against the corpus BLOCK-ID list (a broadcast of nb_c
+    integers — dim-sized, never the vectors) and the tile input is the
+    equi-join of that expansion with the corpus blocks on the id, so
+    the exchanged volume is |probes|·nb_c + |corpus| vectors. Inside a
+    tile: stable argsort of −sim per probe row over columns pre-sorted
+    by neighbor_id ⇒ exact top-k under (−sim, neighbor_id)."""
+    import numpy as np
+    import pandas as pd
+
+    ccnt = corpus.agg(F.count("*").alias("m"))
+    cblk = (
+        corpus.crossJoin(F.broadcast(ccnt))
+        .select(
+            F.expr(
+                f"pmod(hash(neighbor_id),"
+                f" greatest(1, cast(ceil(m / {KNN_BLOCK}.0D) as int)))"
+            ).alias("bid"),
+            "neighbor_id",
+            "cv",
+        )
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("neighbor_id", "cv")).alias("citems"))
+    )
+    pcnt = probes.agg(F.count("*").alias("m"))
+    pblk = (
+        probes.crossJoin(F.broadcast(pcnt))
+        .select(
+            F.expr(
+                f"pmod(hash(probe_id),"
+                f" greatest(1, cast(ceil(m / {KNN_BLOCK}.0D) as int)))"
+            ).alias("pbid"),
+            "probe_id",
+            "pv",
+        )
+        .groupBy("pbid")
+        .agg(F.collect_list(F.struct("probe_id", "pv")).alias("pitems"))
+    )
+    tiles_in = pblk.crossJoin(F.broadcast(cblk.select("bid"))).join(cblk, "bid")
+
+    def tiles(it):
+        for pdf in it:
+            p_out: list = []
+            n_out: list = []
+            s_out: list = []
+            for pitems, citems in zip(pdf["pitems"], pdf["citems"]):
+                pid = np.fromiter(
+                    (r["probe_id"] for r in pitems), dtype=np.int64
+                )
+                P = np.array([r["pv"] for r in pitems], dtype=np.float64)
+                nid = np.fromiter(
+                    (r["neighbor_id"] for r in citems), dtype=np.int64
+                )
+                C = np.array([r["cv"] for r in citems], dtype=np.float64)
+                # columns in neighbor_id order so the STABLE sort below
+                # breaks sim ties by ascending id — the oracle's order
+                ord_id = np.argsort(nid, kind="stable")
+                nid = nid[ord_id]
+                C = C[ord_id]
+                pn = np.sqrt((P * P).sum(axis=1))
+                cn = np.sqrt((C * C).sum(axis=1))
+                sims = (P @ C.T) / np.outer(pn, cn)
+                kk = min(k, sims.shape[1])
+                topk = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                p_out.append(np.repeat(pid, kk))
+                n_out.append(nid[topk.ravel()])
+                s_out.append(np.take_along_axis(sims, topk, axis=1).ravel())
+            if p_out:
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.concatenate(p_out),
+                        "neighbor_id": np.concatenate(n_out),
+                        "raw_sim": np.concatenate(s_out),
+                    }
+                )
+
+    return tiles_in.mapInPandas(
+        tiles, "probe_id long, neighbor_id long, raw_sim double"
     )
 
 

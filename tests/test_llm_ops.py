@@ -57,15 +57,17 @@ def test_allpairs_jaccard_branch_equivalence(spark):
         _jaccard_pairs_mask64,
         _jaccard_verify_arrays,
         _jaccard_verify_bitmap,
+        _keyed_set_groups,
     )
 
-    base = _doc_token_sets(spark, SF).withColumn("kh", F.md5("k"))
+    base = _doc_token_sets(spark, SF)
     vocab = sorted(
         r.tok for r in base.select(F.explode("arr").alias("tok")).distinct().collect()
     )
     assert len(vocab) <= 64, "fixture vocab grew past the mask branch"
-    sets = base.select("doc_id", "kh")
-    gs = base.groupBy("kh").agg(F.first("arr").alias("arr"), F.first("n").alias("n"))
+    grp = _keyed_set_groups(base)
+    sets = grp.select("kh", F.explode("docs").alias("doc_id"))
+    gs = grp.select("kh", "arr", "n")
     cand = _allpairs_candidates(gs)
 
     def rel(df):
@@ -77,3 +79,27 @@ def test_allpairs_jaccard_branch_equivalence(spark):
     assert mask, "pair relation empty — fixture changed?"
     assert mask == bitmap
     assert mask == arrays
+
+
+def test_set_identity_pipe_token_no_alias(spark):
+    """Round-10 ADVICE regression: tokens are space-split, so '|' is a
+    legal token byte — {'a|b','c'} and {'a','b','c'} are DIFFERENT sets
+    (jaccard 1/4) whose old '|'-joined md5 keys collided, merging the
+    groups and emitting a spurious jaccard-1.0 pair. _keyed_set_groups
+    must keep them distinct in BOTH dedup formulations."""
+    from insight_gp_import_spark.operators.llm import (
+        allpairs_jaccard_pairs,
+        minhash_pairs,
+        token_sets_from_docs,
+    )
+
+    rows = [(1, "a|b c"), (2, "a b c")]
+    # 63 unique filler tokens push V past 64 so allpairs takes the
+    # kh-keyed branch (the mask64 branch was never alias-prone)
+    rows += [(10 + i, f"filler{i:03d}") for i in range(63)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = token_sets_from_docs(docs)
+
+    for fn in (minhash_pairs, allpairs_jaccard_pairs):
+        pairs = {(r.d1, r.d2) for r in fn(sets).collect()}
+        assert (1, 2) not in pairs, f"{fn.__name__} aliased pipe-token sets"

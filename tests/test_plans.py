@@ -65,9 +65,18 @@ def test_manifest_dedup_broadcasts(spark):
     )
 
 
-def test_knn_broadcasts_probe_side(spark):
+def test_knn_tile_plan_no_cartesian_no_hof(spark):
+    """r10 rewrite (r9 verdict item 2): sim_knn_join's pair stage must
+    be blocked-GEMM tiles — no CartesianProduct, no interpreted
+    zip_with/aggregate dot products, and the only nested-loop join is
+    the dim-sized corpus block-ID expansion. The per-probe window runs
+    over the tile top-k relation, never the full pair relation."""
     plan = plan_of(spark, "sim_knn_join")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "zip_with" not in plan
+    assert "MapInPandas" in plan
+    # tile input is an equi-join on the block id
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_bucketed_join_has_no_shuffle(spark):

@@ -116,7 +116,15 @@ def main() -> int:
                     print(f"STALE {op_name}@{sf}: oracle SQL changed")
                     bad += 1
                     continue
-                got = run_oracle(oracle, f"/root/testdata/{sf}")
+                sf_path = (
+                    f"/root/testdata/{sf}"
+                    if os.path.isdir(f"/root/testdata/{sf}")
+                    else f"/tmp/{sf}"  # path-certified corpora (igis_sf1)
+                )
+                if not os.path.isdir(sf_path):
+                    print(f"SKIP {op_name}@{sf}: corpus dir not present")
+                    continue
+                got = run_oracle(oracle, sf_path)
                 ok = got["sha256"] == cert["sha256"] and got["rows"] == cert["rows"]
                 print(f"{'OK   ' if ok else 'DIFF '}{op_name}@{sf} "
                       f"[{got['oracle_secs']}s]")
@@ -129,16 +137,22 @@ def main() -> int:
         for sf in args.sf:
             from insight_gp_import_spark.compare import sf_dir_digest
 
-            cert = run_oracle(o.oracle, f"/root/testdata/{sf}")
+            # r10 (verdict item 5): an --sf argument containing "/" is
+            # an explicit corpus dir (e.g. /tmp/igis_sf1); the cert is
+            # keyed by its basename — exactly how compare.compare looks
+            # certificates up, so the sf1 spot-gate hits it.
+            sf_path = sf if "/" in sf else f"/root/testdata/{sf}"
+            sf_key = os.path.basename(sf_path.rstrip("/"))
+            cert = run_oracle(o.oracle, sf_path)
             cert["sql_sha256"] = sql_sha(o.oracle)
-            cert["sf_digest"] = sf_dir_digest(f"/root/testdata/{sf}")
+            cert["sf_digest"] = sf_dir_digest(sf_path)
             cert["certified_utc"] = time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             )
-            certs.setdefault(op_name, {})[sf] = cert
+            certs.setdefault(op_name, {})[sf_key] = cert
             with open(args.out, "w") as f:
                 json.dump(certs, f, indent=1, sort_keys=True)
-            print(f"certified {op_name}@{sf}: {cert['rows']} rows, "
+            print(f"certified {op_name}@{sf_key}: {cert['rows']} rows, "
                   f"oracle took {cert['oracle_secs']}s", flush=True)
     return 0
 

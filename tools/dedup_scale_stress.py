@@ -125,8 +125,58 @@ def main() -> None:
         n, secs = timed_count(REGISTRY["dedup_embed_lsh"].fn(spark, sf))
         record("dedup_embed_lsh", scale, "pairs", n, secs)
 
+    # the wedge op rewritten in r9b rides along for the walls table
+    for scale, sf in (("1x", SF1), ("10x", SF10)):
+        n, secs = timed_count(REGISTRY["graph_triangle_count"].fn(spark, sf))
+        record("graph_triangle_count", scale, "pairs", n, secs)
+        spark.catalog.clearCache()
+
+    emit_walls_table(results)
     print(json.dumps({"summary": results}), flush=True)
     spark.stop()
+
+
+# Round-9b idle-box reference walls at the 10× corpus (BENCH_NOTES
+# round-9b; r9 verdict item 6: these are GUARANTEES now, re-measured
+# every round). A run is flagged when it exceeds reference × MARGIN on
+# a quiet box — host load only ever ADDS time, so check load1 before
+# believing a flag.
+REFERENCE_WALLS_10X = {
+    "dedup_near_jaccard": 38.9,
+    "dedup_ngram_jaccard": 152.0,
+    "dedup_near_minhash": 186.0,
+    "graph_triangle_count": 35.7,
+}
+WALL_MARGIN = 1.5
+
+
+def emit_walls_table(results: dict) -> None:
+    """Markdown regression table for the r9b 10× walls (paste into
+    ROUND{N}.md / BENCH_NOTES.md)."""
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
+    lines = [
+        f"10× walls vs r9b reference (quiet-box guarantee, load1={load1}):",
+        "| op | r9b ref (s) | this run (s) | ratio | flag |",
+        "|---|---|---|---|---|",
+    ]
+    flags = {}
+    for op, ref in REFERENCE_WALLS_10X.items():
+        row = results.get(op, {}).get("10x_pairs")
+        if row is None:
+            lines.append(f"| {op} | {ref} | (not run) | — | — |")
+            continue
+        ratio = row["secs"] / ref
+        flag = "REGRESSION?" if ratio > WALL_MARGIN else "ok"
+        flags[op] = {"secs": row["secs"], "ref": ref,
+                     "ratio": round(ratio, 2), "flag": flag}
+        lines.append(
+            f"| {op} | {ref} | {row['secs']} | {ratio:.2f}× | {flag} |"
+        )
+    print("\n".join(lines), flush=True)
+    print(json.dumps({"walls_10x": flags, "load1": load1}), flush=True)
 
 
 if __name__ == "__main__":

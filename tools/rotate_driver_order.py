@@ -39,12 +39,10 @@ sys.path.insert(0, REPO)
 # Explicit per-round promotions (judge "Next round" items). Keep short;
 # everything else is computed.
 PRIORITY: list[str] = [
-    # r9 verdict item 3: the four sketch ops graduated from rows-only
-    # to law oracles this round — each needs its first hash row.
-    "win_rolling_wau_sketch",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_hll_partial_merge",
+    # r10 (verdict item 1): no promotions — every slot goes to the
+    # never-hashed drain so the r10 union reaches 429 + 50 = 479/503.
+    # (The r9 sketch-op promotions all got their hash rows and are
+    # back in the evidence-driven tiers.)
 ]
 
 

@@ -78,15 +78,50 @@ else:
 """
 
 
+def _live_spark_jvms() -> int:
+    """Count OTHER live local Spark JVMs (r9 verdict item 7: the
+    documented concurrent-session flake forced dedup_phash_hamming's
+    sf1 row onto a manual isolated re-run). Python-worker/Arrow ops
+    must not share the box with another driver JVM, so the gate
+    waits for quiet before those ops and stamps `contended` into
+    every row — a flake is then attributable from the artifact alone."""
+    n = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"java" in cmd and (b"spark" in cmd or b"Spark" in cmd):
+            n += 1
+    return n
+
+
+# ops whose Python-worker/Arrow plans are the concurrent-session flake
+# class (mirrors tools/parity_sweep.py's isolation phase)
+FLAKE_CLASS = {"dedup_phash_hamming"}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf10", nargs="?", default="/tmp/igis_sf1")
     ap.add_argument("--timeout", type=int, default=2400)
     ap.add_argument("--ops", nargs="*", default=None)
+    ap.add_argument("--quiet-wait", type=int, default=600,
+                    help="max secs to wait for other Spark JVMs to exit "
+                         "before a flake-class op")
     args = ap.parse_args()
 
     results = []
     for name in args.ops or HEAVY_OPS:
+        if name in FLAKE_CLASS or name.startswith("mm_"):
+            waited = 0
+            while _live_spark_jvms() and waited < args.quiet_wait:
+                time.sleep(10)
+                waited += 10
+        contended = _live_spark_jvms()
         t0 = time.perf_counter()
         try:
             proc = subprocess.run(
@@ -106,6 +141,8 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             row = {"op": name, "status": "TIMEOUT",
                    "secs": args.timeout}
+        if contended:
+            row["contended"] = contended
         results.append(row)
         print(json.dumps(row), flush=True)
 
