@@ -184,14 +184,15 @@ JACCARD_PAIRS_SQL = f"""
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents
     ), sets AS (
-        SELECT doc_id,
-               array_to_string(list_sort(list(tok)), '|') AS k,
-               count(*) AS n
+        -- set identity = the sorted token LIST itself (r10: the
+        -- '|'-joined string key aliased sets whose tokens contain '|',
+        -- the same hazard fixed Spark-side in _keyed_set_groups)
+        SELECT doc_id, list_sort(list(tok)) AS k, count(*) AS n
         FROM toks GROUP BY doc_id
     ), gs AS (
         SELECT k, n FROM sets GROUP BY k, n
     ), g_toks AS (
-        SELECT k, n, unnest(string_split(k, '|')) AS tok FROM gs
+        SELECT k, n, unnest(k) AS tok FROM gs
     ), pairs AS (
         SELECT a.k AS k1, b.k AS k2, a.n AS n1, b.n AS n2,
                count(*) AS shared

@@ -2047,12 +2047,18 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cluster_id,
            CAST(count(*) AS BIGINT) AS n_members,
-           CAST(min(doc_id) FILTER (WHERE n_chars =
-               (SELECT max(s2.n_chars) FROM scored s2
-                WHERE s2.cluster_id = scored.cluster_id)) AS BIGINT)
+           -- survivor = min doc_id among the cluster-max-n_chars rows;
+           -- window form of the original correlated max-subquery
+           -- (r10: the correlated form re-evaluated the scored CTE
+           -- chain per row in DuckDB — 5x the sibling oracles' wall)
+           CAST(min(doc_id) FILTER (WHERE n_chars = mx) AS BIGINT)
                AS survivor_doc_id,
            CAST(max(n_chars) AS BIGINT) AS survivor_chars
-    FROM scored
+    FROM (
+        SELECT cluster_id, doc_id, n_chars,
+               max(n_chars) OVER (PARTITION BY cluster_id) AS mx
+        FROM scored
+    ) s
     GROUP BY cluster_id
     HAVING count(*) >= 2
     """,

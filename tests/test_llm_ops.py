@@ -103,3 +103,31 @@ def test_set_identity_pipe_token_no_alias(spark):
     for fn in (minhash_pairs, allpairs_jaccard_pairs):
         pairs = {(r.d1, r.d2) for r in fn(sets).collect()}
         assert (1, 2) not in pairs, f"{fn.__name__} aliased pipe-token sets"
+
+
+def test_knn_tile_topk_tie_merge_lossless(spark, monkeypatch):
+    """r10 GEMM-tile kNN: per-tile top-k under (−sim, neighbor_id)
+    must merge losslessly across tiles, including sim TIES at the
+    k-boundary (duplicate corpus vectors) — ties resolve to the
+    LOWEST neighbor ids, exactly like the full-pair window did."""
+    import insight_gp_import_spark.operators.llm as llm
+
+    monkeypatch.setattr(llm, "KNN_BLOCK", 2)  # force multi-tile merge
+    dup = [1.0, 0.0]  # three identical corpus vectors -> 3-way tie
+    rows_p = [(100, [1.0, 0.0])]
+    rows_c = [(1, dup), (2, [0.0, 1.0]), (3, dup), (4, [0.6, 0.8]),
+              (5, dup), (6, [0.9, 0.1])]
+    probes = spark.createDataFrame(
+        rows_p, "probe_id long, pv array<double>")
+    corpus = spark.createDataFrame(
+        rows_c, "neighbor_id long, cv array<double>")
+    out = llm._knn_tile_topk(probes, corpus, 3)
+    got = sorted(
+        (r.probe_id, r.neighbor_id, round(r.raw_sim, 6))
+        for r in out.collect()
+    )
+    # global top-3 = the three identical vectors (sim 1.0), lowest ids
+    top3 = sorted(got, key=lambda t: (-t[2], t[1]))[:3]
+    assert [(p, n) for p, n, _ in top3] == [(100, 1), (100, 3), (100, 5)]
+    # every tile emitted <= k rows per probe and the tie trio is intact
+    assert all(s <= 1.0 + 1e-12 for _, _, s in got)
