@@ -1132,25 +1132,89 @@ def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_MAX_ITERS = 50
 
+# DuckDB-side connected components for the cluster-family oracles —
+# r10 bounded reformulation (r9 verdict item 5). The original
+# `WITH RECURSIVE walk(node, label)` spec enumerates EVERY (node,
+# reaching-label) pair, i.e. Θ(Σ |C|²) rows — at the 10× corpus the
+# near-dup graph has ~49.8 M directed edges and clique-like components
+# of ~10³ members, so the walk spilled >70 GB and never completed
+# (PARITY_r09). This builder unrolls min-label propagation + pointer
+# jumping instead: per round, (a) every node takes the min label over
+# its closed neighborhood (one |E|-row join), then (b) chases its
+# label's label (one |V|-row join) — reach grows geometrically, so
+# CC_ORACLE_ROUNDS=12 covers any component of diameter ≲ 2¹². The
+# result is EXACT whenever propagation has reached its fixpoint, and
+# the fixpoint is CHECKED, not assumed: one extra propagation round
+# feeds a sentinel row (doc_id = -1) emitted only on non-convergence —
+# a row the Spark side can never produce, so an insufficient bound
+# hash-FAILS loudly instead of passing silently. At a propagation
+# fixpoint labels are constant per component and equal the component
+# minimum (min-monotone, member-id-valued), matching the recursive
+# spec exactly.
+CC_ORACLE_ROUNDS = 12
+
+
+def _cc_labels_cte(rounds: int = CC_ORACLE_ROUNDS) -> tuple[str, str, str]:
+    """(with_clause, labels_cte_name, sentinel_predicate) for the
+    unrolled connected-components computation over the near-dup pair
+    graph. `sentinel_predicate` is an EXISTS(...) that is true iff one
+    more propagation round would still change a label."""
+    # every CTE is MATERIALIZED: DuckDB 1.0 inlines plain CTEs per
+    # reference, and the pointer-jump self-join references each level
+    # twice — un-materialized, the plan (and the parquet-open count)
+    # doubles per round, i.e. 2^rounds copies of the whole chain.
+    parts = [
+        f"pairs AS MATERIALIZED (SELECT * FROM ({JACCARD_PAIRS_SQL}) jp)",
+        "edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs"
+        " UNION SELECT d2 AS src, d1 AS dst FROM pairs)",
+        "l0 AS MATERIALIZED"
+        " (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT node, min(label) AS label FROM ("
+            f"SELECT node, label FROM {prev}"
+            f" UNION ALL SELECT e.dst AS node, l.label"
+            f" FROM {prev} l JOIN edges e ON l.node = e.src"
+            f") GROUP BY node)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED"
+            f" (SELECT a.node, least(a.label, b.label) AS label"
+            f" FROM p{i} a JOIN p{i} b ON a.label = b.node)"
+        )
+        prev = f"l{i}"
+    parts.append(
+        f"chk AS MATERIALIZED (SELECT node, min(label) AS label FROM ("
+        f"SELECT node, label FROM {prev}"
+        f" UNION ALL SELECT e.dst AS node, l.label"
+        f" FROM {prev} l JOIN edges e ON l.node = e.src"
+        f") GROUP BY node)"
+    )
+    sentinel = (
+        f"EXISTS (SELECT 1 FROM chk c JOIN {prev} f ON c.node = f.node"
+        f" AND c.label <> f.label)"
+    )
+    return "WITH " + ",\n    ".join(parts), prev, sentinel
+
+
+_CC_WITH, _CC_LABELS, _CC_SENTINEL = _cc_labels_cte()
+
+CLUSTER_ORACLE_SQL = f"""
+    {_CC_WITH}
+    SELECT node AS doc_id, label AS cluster_id,
+           node = label AS is_survivor
+    FROM {_CC_LABELS}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), NULL
+    WHERE {_CC_SENTINEL}
+    """
+
 
 @op(
     "dedup_cluster",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (SELECT * FROM ({JACCARD_PAIRS_SQL}) jp),
-    edges AS (
-        SELECT d1 AS src, d2 AS dst FROM pairs
-        UNION
-        SELECT d2 AS src, d1 AS dst FROM pairs
-    ),
-    walk(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
-    )
-    SELECT node AS doc_id, min(label) AS cluster_id,
-           node = min(label) AS is_survivor
-    FROM walk GROUP BY node
-    """,
+    oracle=CLUSTER_ORACLE_SQL,
     category=CAT,
 )
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1171,7 +1235,8 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     — without it the plan doubles per iteration. At extreme scale the
     same loop upgrades to large-star/small-star (O(log²) rounds) with
     identical output; the oracle is an independent formulation
-    entirely (DuckDB recursive-CTE reachability over the same edges).
+    entirely (DuckDB unrolled min-label+pointer-jump propagation
+    with a checked convergence sentinel — see _cc_labels_cte).
     """
     pairs = dedup_near_jaccard(spark, sf_dir).select("d1", "d2")
     edges = (
@@ -1268,22 +1333,7 @@ BIGSTAR_MAX_ROUNDS = 30
 
 @op(
     "dedup_cluster_bigstar",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (SELECT * FROM ({JACCARD_PAIRS_SQL}) jp),
-    edges AS (
-        SELECT d1 AS src, d2 AS dst FROM pairs
-        UNION
-        SELECT d2 AS src, d1 AS dst FROM pairs
-    ),
-    walk(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
-    )
-    SELECT node AS doc_id, min(label) AS cluster_id,
-           node = min(label) AS is_survivor
-    FROM walk GROUP BY node
-    """,
+    oracle=CLUSTER_ORACLE_SQL,
     category=CAT,
 )
 def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,9 +1341,10 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — the O(log² n)-round upgrade path dedup_cluster's
     docstring promises, implemented as a first-class op and
-    hash-checked against the SAME independent DuckDB recursive-CTE
-    oracle (so both algorithms are proven to produce identical
-    clusters).
+    hash-checked against the SAME independent DuckDB oracle
+    (unrolled min-label propagation with a convergence sentinel,
+    _cc_labels_cte) — so both algorithms are proven to produce
+    identical clusters.
 
     Why this wins at 100 TB: min-label propagation needs rounds ~
     graph DIAMETER (a 10⁶-node chain needs 10⁶ rounds); large-star
@@ -2026,20 +2077,9 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "dedup_survivor_quality",
     oracle=f"""
-    WITH RECURSIVE pairs AS (SELECT * FROM ({JACCARD_PAIRS_SQL}) jp),
-    edges AS (
-        SELECT d1 AS src, d2 AS dst FROM pairs
-        UNION
-        SELECT d2 AS src, d1 AS dst FROM pairs
-    ),
-    walk(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.node = e.src
-    ),
+    {_CC_WITH},
     clusters AS (
-        SELECT node AS doc_id, min(label) AS cluster_id
-        FROM walk GROUP BY node
+        SELECT node AS doc_id, label AS cluster_id FROM {_CC_LABELS}
     ),
     scored AS (
         SELECT c.cluster_id, c.doc_id, d.n_chars
@@ -2061,6 +2101,10 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) s
     GROUP BY cluster_id
     HAVING count(*) >= 2
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    WHERE {_CC_SENTINEL}
     """,
     category=CAT,
 )
