@@ -180,39 +180,47 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared with dedup_cluster's oracle (which embeds the pair relation as
 # a CTE under its recursive connected-components walk)
 JACCARD_PAIRS_SQL = f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents
-    ), sets AS (
+    ), sets AS MATERIALIZED (
         -- set identity = the sorted token LIST itself (r10: the
         -- '|'-joined string key aliased sets whose tokens contain '|',
         -- the same hazard fixed Spark-side in _keyed_set_groups)
-        SELECT doc_id, list_sort(list(tok)) AS k, count(*) AS n
+        SELECT doc_id, list_sort(list(tok)) AS karr, count(*) AS n
         FROM toks GROUP BY doc_id
-    ), gs AS (
-        SELECT k, n FROM sets GROUP BY k, n
-    ), g_toks AS (
-        SELECT k, n, unnest(k) AS tok FROM gs
+    ), gs AS MATERIALIZED (
+        -- sid = min member doc_id: injective (every doc owns exactly
+        -- one token set), so the QUADRATIC pair stage below keys on
+        -- BIGINTs; hashing the full LIST per pair row instead measured
+        -- 23x slower at sf0.1 (349.5s vs 15.0s, identical output).
+        -- The list appears as a key only here and in smap — once per
+        -- distinct set / per doc, never per pair.
+        SELECT karr, n, min(doc_id) AS sid FROM sets GROUP BY karr, n
+    ), smap AS MATERIALIZED (
+        SELECT s.doc_id, g.sid FROM sets s JOIN gs g USING (karr, n)
+    ), g_toks AS MATERIALIZED (
+        SELECT sid, n, unnest(karr) AS tok FROM gs
     ), pairs AS (
-        SELECT a.k AS k1, b.k AS k2, a.n AS n1, b.n AS n2,
+        SELECT a.sid AS s1, b.sid AS s2, a.n AS n1, b.n AS n2,
                count(*) AS shared
         FROM g_toks a JOIN g_toks b USING (tok)
-        WHERE a.k < b.k
+        WHERE a.sid < b.sid
         GROUP BY 1, 2, 3, 4
     ), jac AS (
-        SELECT k1, k2, shared * 1.0 / (n1 + n2 - shared) AS j
+        SELECT s1, s2, shared * 1.0 / (n1 + n2 - shared) AS j
         FROM pairs
         WHERE shared * 1.0 / (n1 + n2 - shared) > {JACCARD_THRESHOLD}
     )
-    SELECT least(s1.doc_id, s2.doc_id) AS d1,
-           greatest(s1.doc_id, s2.doc_id) AS d2,
+    SELECT least(m1.doc_id, m2.doc_id) AS d1,
+           greatest(m1.doc_id, m2.doc_id) AS d2,
            round(j, 4) AS jaccard
     FROM jac
-    JOIN sets s1 ON jac.k1 = s1.k
-    JOIN sets s2 ON jac.k2 = s2.k
+    JOIN smap m1 ON jac.s1 = m1.sid
+    JOIN smap m2 ON jac.s2 = m2.sid
     UNION ALL
     SELECT x.doc_id AS d1, y.doc_id AS d2, 1.0 AS jaccard
-    FROM sets x JOIN sets y USING (k)
+    FROM smap x JOIN smap y USING (sid)
     WHERE x.doc_id < y.doc_id
     """
 
