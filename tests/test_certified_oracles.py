@@ -46,12 +46,20 @@ def test_certificates_match_current_oracle_sql():
             assert cert["rows"] >= 1 and len(cert["sha256"]) == 64
             # round-6: certificates must be bound to the data they were
             # minted on, and that data must be the CURRENT testdata —
-            # otherwise the fast path would assert stale oracle output
+            # otherwise the fast path would assert stale oracle output.
+            # r10: certs may also be keyed by a derived-corpus basename
+            # (e.g. igis_sf1 under /tmp, tools/make_sf_scale.py); those
+            # corpora are ephemeral — verify the digest when the dir is
+            # present, otherwise the runtime lookup simply misses (the
+            # digest guard in compare() falls back to the live oracle).
             from insight_gp_import_spark.compare import sf_dir_digest
 
-            assert cert.get("sf_digest") == sf_dir_digest(
-                f"/root/testdata/{sf}"
-            ), (
+            sf_path = Path(f"/root/testdata/{sf}")
+            if not sf_path.is_dir():
+                sf_path = Path(f"/tmp/{sf}")
+            if not sf_path.is_dir():
+                continue
+            assert cert.get("sf_digest") == sf_dir_digest(str(sf_path)), (
                 f"{op_name}@{sf}: certificate minted against different "
                 f"parquet inputs (testdata regenerated?); re-run "
                 f"tools/certify_oracle.py {op_name}"
