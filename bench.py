@@ -91,8 +91,8 @@ def main() -> None:
     # quiet box — never on the medians.
     try:
         load1, load5, _ = os.getloadavg()
-    except OSError:  # platform without getloadavg
-        load1 = load5 = -1.0
+    except (OSError, AttributeError):  # platform without getloadavg
+        load1 = load5 = -1.0  # (e.g. Windows lacks the attribute)
     noisy = any(
         s["spread"] > 0.3 * s["median"] for s in stats.values() if s["median"] > 0
     )

@@ -678,12 +678,9 @@ def _set_groups(sets_in: DataFrame) -> DataFrame:
     token ARRAY (exact — unlike the '|'-joined string key, which could
     alias two sets whose tokens contain '|'); arrays shuffle once here
     and never again."""
-    return tracked_persist(
-        sets_in.select("doc_id", "arr")
-        .groupBy("arr")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .select(F.element_at("docs", 1).alias("sid"), "arr", "docs")
-    )
+    # Round 11 (ADVICE): thin projection of _keyed_set_groups so the
+    # array-keyed set-identity logic lives in exactly one place.
+    return _keyed_set_groups(sets_in).select("sid", "arr", "docs")
 
 
 def minhash_pairs(sets_in: DataFrame) -> DataFrame:
@@ -968,6 +965,14 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     GEMM summation-order deltas are sub-ulp against the 1e-4 rounding
     grain (the _sweep_pairs_blas argument, proven by the unchanged
     oracle there and here).
+
+    Preconditions/determinism (round 11, ADVICE items 1–2): zero-norm
+    embeddings are rejected loudly inside the tile (cosine would be
+    NaN, which argsort drops and Arrow nulls — unreproducible vs the
+    oracle's NaN-greatest ordering); emitted sims are re-evaluated per
+    selected pair with a tile-shape-independent einsum kernel, so
+    bitwise-identical vectors tie exactly across tiles and the global
+    (−sim, neighbor_id) tie-break is deterministic.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("label") == 0).select(
@@ -1053,12 +1058,46 @@ def _knn_tile_topk(probes: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
                 C = C[ord_id]
                 pn = np.sqrt((P * P).sum(axis=1))
                 cn = np.sqrt((C * C).sum(axis=1))
+                # Zero-norm precondition guard (round 11, ADVICE item 1):
+                # cosine to a zero vector is NaN (0/0); argsort would
+                # silently DROP it from the tile top-k (NaN sorts last),
+                # and NaN emitted from mapInPandas does not round-trip
+                # Arrow anyway (pandas NaN → null), so a zero-norm
+                # embedding cannot reproduce the NaN-greatest ordering
+                # the oracle uses. Fail loudly instead of silently
+                # changing top-k membership.
+                if (pn == 0).any() or (cn == 0).any():
+                    bad = np.concatenate(
+                        [pid[pn == 0], nid[cn == 0]]
+                    ).tolist()
+                    raise ValueError(
+                        "sim_knn_join: zero-norm embedding(s) "
+                        f"{bad[:5]} — cosine is undefined (NaN) and "
+                        "NaN does not survive Arrow; normalize or "
+                        "filter zero vectors upstream"
+                    )
                 sims = (P @ C.T) / np.outer(pn, cn)
                 kk = min(k, sims.shape[1])
                 topk = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                rows = np.repeat(np.arange(topk.shape[0]), kk)
+                cols = topk.ravel()
+                # Re-evaluate the SELECTED pairs with a tile-shape-
+                # independent kernel (sequential einsum row-dot): GEMM
+                # kernel paths vary with tile shape, so bitwise-identical
+                # corpus vectors landing in different hash blocks could
+                # get last-ulp-different sims and flip the (−sim, id)
+                # tie-break at the global k boundary (ADVICE item 2).
+                # The einsum result depends only on the two vectors, so
+                # duplicate vectors now tie exactly across tiles. GEMM
+                # remains selection-only; at a sub-ulp GEMM selection
+                # boundary the kept candidate is arbitrary among sims
+                # that round to the same 1e-4 output grain.
+                sel = np.einsum("ij,ij->i", P[rows], C[cols]) / (
+                    pn[rows] * cn[cols]
+                )
                 p_out.append(np.repeat(pid, kk))
-                n_out.append(nid[topk.ravel()])
-                s_out.append(np.take_along_axis(sims, topk, axis=1).ravel())
+                n_out.append(nid[cols])
+                s_out.append(sel)
             if p_out:
                 yield pd.DataFrame(
                     {

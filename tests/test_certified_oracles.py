@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -52,13 +53,24 @@ def test_certificates_match_current_oracle_sql():
             # corpora are ephemeral — verify the digest when the dir is
             # present, otherwise the runtime lookup simply misses (the
             # digest guard in compare() falls back to the live oracle).
+            # r11 ADVICE: the skip applies ONLY to ephemeral derived-
+            # corpus keys. A standard sfN key (sf0.01, sf0.1, ...) MUST
+            # resolve under /root/testdata — a deleted/renamed testdata
+            # dir would otherwise make the stale-cert guard pass
+            # vacuously, and a /tmp/{sf} fallback could digest-check an
+            # unrelated same-named dir.
             from insight_gp_import_spark.compare import sf_dir_digest
 
-            sf_path = Path(f"/root/testdata/{sf}")
-            if not sf_path.is_dir():
+            if re.fullmatch(r"sf[0-9.]+", sf):
+                sf_path = Path(f"/root/testdata/{sf}")
+                assert sf_path.is_dir(), (
+                    f"{op_name}@{sf}: standard scale-factor dir "
+                    f"{sf_path} is missing — testdata deleted/renamed?"
+                )
+            else:
                 sf_path = Path(f"/tmp/{sf}")
-            if not sf_path.is_dir():
-                continue
+                if not sf_path.is_dir():
+                    continue  # ephemeral derived corpus, not present
             assert cert.get("sf_digest") == sf_dir_digest(str(sf_path)), (
                 f"{op_name}@{sf}: certificate minted against different "
                 f"parquet inputs (testdata regenerated?); re-run "

@@ -131,3 +131,32 @@ def test_knn_tile_topk_tie_merge_lossless(spark, monkeypatch):
     assert [(p, n) for p, n, _ in top3] == [(100, 1), (100, 3), (100, 5)]
     # every tile emitted <= k rows per probe and the tie trio is intact
     assert all(s <= 1.0 + 1e-12 for _, _, s in got)
+    # r11 ADVICE item 2: bitwise-identical vector pairs must get
+    # bitwise-identical raw_sim regardless of which tile computed them
+    # (selection is GEMM, but emitted sims come from the shape-
+    # independent einsum kernel)
+    dup_sims = {r.raw_sim for r in out.collect() if r.neighbor_id in (1, 3, 5)}
+    assert len(dup_sims) == 1
+
+
+def test_knn_tile_topk_zero_norm_guard(spark, monkeypatch):
+    """r11 ADVICE item 1: a zero-norm vector yields NaN cosine (0/0),
+    which argsort would silently drop from the tile top-k AND which
+    cannot round-trip Arrow (pandas NaN → null) to reproduce the
+    NaN-greatest ordering the oracle uses — so the op must fail loudly
+    on zero-norm embeddings instead of silently changing membership."""
+    import pytest
+
+    import insight_gp_import_spark.operators.llm as llm
+
+    monkeypatch.setattr(llm, "KNN_BLOCK", 2)
+    rows_p = [(100, [1.0, 0.0])]
+    rows_c = [(1, [0.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8]),
+              (4, [0.9, 0.1]), (5, [1.0, 0.0])]
+    probes = spark.createDataFrame(
+        rows_p, "probe_id long, pv array<double>")
+    corpus = spark.createDataFrame(
+        rows_c, "neighbor_id long, cv array<double>")
+    with pytest.raises(Exception) as exc:
+        llm._knn_tile_topk(probes, corpus, 2).collect()
+    assert "zero-norm" in str(exc.value)
