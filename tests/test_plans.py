@@ -50,6 +50,21 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_topn_per_group_partial_window_group_limit(spark):
+    """B4's rank-filter must engage WindowGroupLimit BOTH map-side
+    (Partial, before the exchange — caps shuffle at <=N rows/group)
+    and reduce-side (Final), with exactly one exchange (r10 verdict
+    item 5's plan criterion, pinned so it cannot silently regress)."""
+    import re
+
+    plan = plan_of(spark, "win_topn_per_group")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Partial" in plan and "Final" in plan
+    # exactly one exchange node (formatted output mentions each node
+    # twice: once in the tree, once as a "(n) Exchange" detail header)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
 def test_sim_search_single_scan_no_join(spark):
     plan = plan_of(spark, "sim_search_topk")
     # literal query vector: one corpus scan, no join/exchange before
