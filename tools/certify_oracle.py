@@ -52,6 +52,19 @@ def run_oracle(oracle: str, sf_dir: str) -> dict:
     t0 = time.time()
     con = duckdb_connect(sf_dir)
     try:
+        # r11: the sf1 cluster-family oracles exceed the box's spill
+        # budget under default settings (the first igis_sf1 mint died
+        # on "No space left on device" at ~18 GB RSS). Certification
+        # only hashes SORTED normalized rows (compare.normalize), so
+        # insertion order is free to drop — that plus an explicit
+        # memory ceiling keeps the big CTE pipelines in RAM instead of
+        # on disk. These pragmas affect RESOURCE USE only, never
+        # results; the live-compare path (compare.duckdb_connect) is
+        # deliberately untouched — certificates must stay comparable
+        # to what the driver's protocol would compute.
+        mem = os.environ.get("IGIS_CERT_DUCKDB_MEM", "60GB")
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET preserve_insertion_order=false")
         d_types = declared_types(con, oracle)
         cur = con.execute(oracle)
         cols = [d[0] for d in cur.description]
