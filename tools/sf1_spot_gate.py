@@ -54,7 +54,7 @@ HEAVY_OPS = [
 ]
 
 _WORKER = r"""
-import sys, time, json
+import os, sys, time, json
 sys.path.insert(0, __REPO__)
 from insight_gp_import_spark.session import get_session
 from insight_gp_import_spark.registry import load_all_ops
@@ -75,6 +75,17 @@ else:
     print(json.dumps({"op": name, "status": "ok" if res.ok else "FAIL",
                       "detail": None if res.ok else res.detail[:300],
                       "secs": round(time.perf_counter() - t0, 1)}))
+# r11: dedup_phash_hamming produced an ERROR row whose direct re-run
+# was hash-green — the JSON had been printed but the worker's exit
+# code was nonzero (py4j/JVM shutdown race). Flush and stop the
+# session explicitly, then exit 0 on the success path so the parent
+# judges the JSON line, not the interpreter teardown.
+sys.stdout.flush()
+try:
+    spark.stop()
+except Exception:
+    pass
+os._exit(0)
 """
 
 
@@ -130,8 +141,17 @@ def main() -> None:
                  name, args.sf10],
                 capture_output=True, text=True, timeout=args.timeout,
             )
-            out = [ln for ln in proc.stdout.splitlines()
-                   if ln.startswith("{")]
+            # r11: the row may not start its line — DuckDB's live-
+            # oracle progress bar writes to stdout WITHOUT a trailing
+            # newline, so the worker's JSON lands mid-line (the cause
+            # of r11's false ERROR for dedup_phash_hamming, whose
+            # direct re-run was hash-green). Locate the marker
+            # anywhere in the line.
+            out = []
+            for ln in proc.stdout.splitlines():
+                i = ln.find('{"op":')
+                if i >= 0:
+                    out.append(ln[i:])
             if proc.returncode == 0 and out:
                 row = json.loads(out[-1])
             else:
