@@ -58,8 +58,22 @@ def test_topn_per_group_partial_window_group_limit(spark):
     import re
 
     plan = plan_of(spark, "win_topn_per_group")
-    assert plan.count("WindowGroupLimit") >= 2, plan
-    assert "Partial" in plan and "Final" in plan
+    # two DISTINCT WindowGroupLimit nodes (each node appears twice in
+    # formatted output — tree + "(n) Node" detail header — so a plain
+    # substring count of 2 is satisfiable by ONE node; count headers).
+    wgl_nodes = re.findall(r"\(\d+\) WindowGroupLimit", plan)
+    assert len(wgl_nodes) == 2, plan
+    # ... and the pair must be one Partial (map-side, pre-exchange) and
+    # one Final (reduce-side). "Final"/"Partial" as bare substrings are
+    # vacuous under AQE ("isFinalPlan=false" always matches); anchor
+    # the mode word to each WindowGroupLimit detail block's Arguments.
+    blocks = re.findall(
+        r"\(\d+\) WindowGroupLimit\n(?:[^\n(]*\n)*?Arguments:([^\n]*)", plan
+    )
+    assert len(blocks) == 2, plan
+    modes = {("Partial" if "Partial" in b else
+              "Final" if "Final" in b else "?") for b in blocks}
+    assert modes == {"Partial", "Final"}, blocks
     # exactly one exchange node (formatted output mentions each node
     # twice: once in the tree, once as a "(n) Exchange" detail header)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

@@ -152,9 +152,17 @@ def main() -> None:
                 i = ln.find('{"op":')
                 if i >= 0:
                     out.append(ln[i:])
+            row = None
             if proc.returncode == 0 and out:
-                row = json.loads(out[-1])
-            else:
+                # The marker heuristic can slice trailing garbage (the
+                # same stdout-interleaving class it works around) or
+                # match '{"op":' inside non-JSON text; a decode error
+                # must cost THIS op's row, not abort the whole gate.
+                try:
+                    row = json.loads(out[-1])
+                except json.JSONDecodeError:
+                    row = None
+            if row is None:
                 row = {"op": name, "status": "ERROR",
                        "detail": (proc.stderr or proc.stdout)[-300:],
                        "secs": round(time.perf_counter() - t0, 1)}
