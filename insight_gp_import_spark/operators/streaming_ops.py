@@ -8,8 +8,12 @@ dedup, upsert), which is what the DuckDB oracle checks; actual
 micro-batch execution (readStream → foreachBatch → sink) is covered by
 tests/test_streaming_runtime.py and insight_gp_import_spark/streaming/.
 
-Watermarks are a no-op in batch, so `stream_watermark_late` is
-runtime-only (no queries() entry can observe it deterministically).
+Watermarks are a no-op in batch, but their *effect* on a fixed,
+mtime-ordered batch replay is deterministic, so `stream_watermark_late`
+carries a LAW oracle (DuckDB recomputes the exact finalized-window
+relation from the raw table; see the op), as does `stream_rate_source`
+(closed-form gapless-prefix / clock laws). Nothing here is rows-only
+anymore.
 """
 
 from __future__ import annotations
@@ -271,15 +275,46 @@ def stream_source_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_watermark_late", oracle=None, category=CAT)
+@op(
+    "stream_watermark_late",
+    # LAW oracle (r11 verdict item 1; previously rows-only): the
+    # watermark pipeline below is DETERMINISTIC given the batch split,
+    # so DuckDB can recompute the exact emitted relation from the raw
+    # table by modelling the two watermark laws:
+    #   1. late-row drop — batch c (ts < jan8) arrives when the filter
+    #      watermark (which lags eviction by ONE batch: filter wm of
+    #      batch N = max event time through batch N-2, minus the 1 h
+    #      delay) already stands at max(batch a) - 1 h, so every c row
+    #      is dropped; batches a and b survive in full (b by the same
+    #      one-batch lag: its filter wm is still the epoch).
+    #   2. append-mode finalization — a window is emitted iff its END
+    #      <= the final eviction watermark = max(surviving ts) - 1 h,
+    #      so the last partial day never appears.
+    # A broken watermark (late rows aggregated, early emission, or a
+    # never-finalized window) changes rows/counts and hash-fails.
+    oracle="""
+    WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ws,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events, m
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+      AND date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+          <= mx - INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+    category=CAT,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark late-data drop, observed end-to-end (rows-only; a
-    watermark is a no-op in batch so no oracle can see it).
+    """Watermark late-data drop, observed end-to-end and hash-gated by
+    a LAW oracle: the watermark itself is a no-op in batch, but its
+    *effect* on this fixed three-batch replay is closed-form (see the
+    oracle comment), so DuckDB recomputes the exact finalized-window
+    relation the stream must emit.
 
     Three mtime-ordered micro-batches: recent rows first (advance the
     watermark), mid rows (one-batch filter-lag grace), then stale rows
     — which MUST be dropped. Returns the finalized windows; the stale
-    days are absent (asserted in tests/test_streaming_runtime.py).
+    days are absent (also asserted in tests/test_streaming_runtime.py).
     """
     from insight_gp_import_spark.streaming import read_events_stream, run_to_memory
 
@@ -565,17 +600,42 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_rate_source", oracle=None, category=CAT)
+RATE_ROWS_PER_SEC = 5000
+
+
+@op(
+    "stream_rate_source",
+    # LAW oracle (r11 verdict item 1; previously rows-only): the row
+    # COUNT depends on wall-clock, but three closed-form laws do not —
+    # the op must compute each verdict from the streamed rows and
+    # arrive at `true`; DuckDB states the expected constants. Any
+    # duplicate/gap/replay (exactly-once break), a dead source, or a
+    # mis-clocked event time flips a verdict and hash-fails.
+    oracle="""
+    SELECT true AS gapless_prefix, true AS reached_bar, true AS clock_law
+    """,
+    category=CAT,
+)
 def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The built-in `rate` source: a self-clocking benchmark/soak
     stream (monotonic `value` + event-time `timestamp` at a
     configured rows/sec) — the source every streaming deployment
     uses FIRST, because it isolates the engine from the feed: if a
     topology misbehaves on `rate`, the bug is yours, not Kafka's.
-    Rows-only by nature (row count depends on wall-clock); the
-    asserted invariants are structural: values are unique and form
-    a gapless 0..max prefix — which is also the exactly-once claim
-    of the source.
+    The row count depends on wall-clock, so the hashed relation is
+    three LAW verdicts instead:
+
+    - ``gapless_prefix``: values are unique and form a gapless
+      0..max prefix — the source's exactly-once claim.
+    - ``reached_bar``: the bounded wait actually saw >= 20 rows
+      (a dead source can't pass by emitting nothing).
+    - ``clock_law``: event time is the configured linear clock,
+      ``epoch_ms(ts) - epoch_ms(ts@value=0) == value * 1000 //
+      rowsPerSecond`` (probe-verified exact at 5000 rows/s: Spark
+      assigns ``start + floor(value * msPerValue)``); checked with a
+      +-1 ms slack so a sub-ms rounding change in a future Spark
+      can't flake it, while a real clock bug (wall-clock stamping,
+      batch-boundary jumps) deviates by whole trigger intervals.
 
     Unlike the file-source ops, `rate` is UNBOUNDED, so availableNow
     doesn't terminate it: the query is started, polled until the
@@ -595,7 +655,7 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fail-loud deadline (which remains as the loud failure path).
     stream = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", 5000)
+        .option("rowsPerSecond", RATE_ROWS_PER_SEC)
         .load()
     )
     with tempfile.TemporaryDirectory(prefix="igis-rate-ckpt-") as ckpt:
@@ -618,14 +678,21 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     got = spark.table(name)
+    # clock law, expressed flat (no nested aggregates, no global
+    # window): adjusted = ts_ms - floor(value * msPerValue) is the
+    # stream's START time for every row, so its spread over the whole
+    # relation must be 0 (<= 1 ms slack, see docstring).
+    adjusted = F.unix_millis("timestamp") - F.floor(
+        F.col("value") * F.lit(1000.0 / RATE_ROWS_PER_SEC)
+    ).cast("long")
     return got.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.countDistinct("value").cast("bigint").alias("n_distinct"),
-        (F.max("value") - F.min("value") + 1).cast("bigint").alias("span"),
         (
             (F.countDistinct("value") == F.count("*"))
             & (F.min("value") == 0)
+            & (F.max("value") + 1 == F.count("*"))
         ).alias("gapless_prefix"),
+        (F.count("*") >= 20).alias("reached_bar"),
+        ((F.max(adjusted) - F.min(adjusted)) <= 1).alias("clock_law"),
     )
 
 

@@ -334,3 +334,46 @@ def test_session_state_bounded_under_rocksdb(spark):
     # bounded: RocksDB-reported state memory stays in the tens of MB at
     # test scale (HDFS provider holds the same state fully on heap)
     assert rec["state_mem_peak_mb"] < 64, rec
+
+
+def test_watermark_law_oracle_matches_live_stream(spark):
+    """r11 verdict item 1: stream_watermark_late's LAW oracle — DuckDB
+    recomputes the exact finalized-window relation (late batch dropped,
+    last partial day unemitted) and the live streamed result must
+    hash-match it. This is the cross-engine value check the op lacked
+    while it was rows-only."""
+    from insight_gp_import_spark.compare import compare
+
+    ops = load_all_ops()
+    o = ops["stream_watermark_late"]
+    assert o.oracle is not None  # never rows-only again
+    df = o.fn(spark, SF)
+    res = compare("stream_watermark_late", df, o.oracle, SF)
+    assert res.ok, res.detail
+    # the law's two teeth, asserted directly on the emitted relation:
+    rows = {r["ws"].date().isoformat(): r["cnt"] for r in df.collect()}
+    assert min(rows) == "2024-01-08"  # stale days (batch c) absent
+    ev = load_events(spark, SF)
+    full = {
+        r["d"].date().isoformat(): r["cnt"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert max(full) > max(rows)  # open last window never emitted
+    for d, c in rows.items():
+        assert full[d] == c  # surviving batches aggregated in full
+
+
+def test_rate_source_laws_all_true(spark):
+    """r11 verdict item 1: stream_rate_source's three closed-form law
+    verdicts (gapless 0..max prefix = exactly-once, liveness bar, and
+    the linear event-time clock) must each come out true from a live
+    run of the unbounded source."""
+    ops = load_all_ops()
+    o = ops["stream_rate_source"]
+    assert o.oracle is not None
+    row = o.fn(spark, SF).collect()[0]
+    assert row["gapless_prefix"] is True
+    assert row["reached_bar"] is True
+    assert row["clock_law"] is True
