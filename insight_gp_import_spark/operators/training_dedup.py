@@ -1154,17 +1154,27 @@ CLUSTER_MAX_ITERS = 50
 CC_ORACLE_ROUNDS = 12
 
 
-def _cc_labels_cte(rounds: int = CC_ORACLE_ROUNDS) -> tuple[str, str, str]:
+def _cc_labels_cte(
+    rounds: int = CC_ORACLE_ROUNDS, pairs_sql: str = JACCARD_PAIRS_SQL
+) -> tuple[str, str, str]:
     """(with_clause, labels_cte_name, sentinel_predicate) for the
     unrolled connected-components computation over the near-dup pair
     graph. `sentinel_predicate` is an EXISTS(...) that is true iff one
-    more propagation round would still change a label."""
+    more propagation round would still change a label.
+
+    ``pairs_sql`` is the embedded near-dup pair relation; the default
+    (naive AllPairs-free formulation) is the registered oracle, and
+    insight_gp_import_spark/banded_oracles.py re-instantiates the SAME
+    unrolled propagation over the prefix-banded pair SQL for sf1
+    certification (r11 verdict item 2) — everything downstream of the
+    pair CTE is byte-identical between the two, so pair-relation
+    equivalence implies cluster-relation equivalence."""
     # every CTE is MATERIALIZED: DuckDB 1.0 inlines plain CTEs per
     # reference, and the pointer-jump self-join references each level
     # twice — un-materialized, the plan (and the parquet-open count)
     # doubles per round, i.e. 2^rounds copies of the whole chain.
     parts = [
-        f"pairs AS MATERIALIZED (SELECT * FROM ({JACCARD_PAIRS_SQL}) jp)",
+        f"pairs AS MATERIALIZED (SELECT * FROM ({pairs_sql}) jp)",
         "edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs"
         " UNION SELECT d2 AS src, d1 AS dst FROM pairs)",
         "l0 AS MATERIALIZED"
@@ -1201,15 +1211,24 @@ def _cc_labels_cte(rounds: int = CC_ORACLE_ROUNDS) -> tuple[str, str, str]:
 
 _CC_WITH, _CC_LABELS, _CC_SENTINEL = _cc_labels_cte()
 
-CLUSTER_ORACLE_SQL = f"""
-    {_CC_WITH}
+
+def _cluster_oracle_sql(cc: tuple[str, str, str]) -> str:
+    """Cluster-oracle text over a (with, labels, sentinel) CC triple —
+    shared verbatim between the registered (naive-pairs) oracle and the
+    banded sf1 twin so the tail can never drift between them."""
+    w, labels, sentinel = cc
+    return f"""
+    {w}
     SELECT node AS doc_id, label AS cluster_id,
            node = label AS is_survivor
-    FROM {_CC_LABELS}
+    FROM {labels}
     UNION ALL
     SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), NULL
-    WHERE {_CC_SENTINEL}
+    WHERE {sentinel}
     """
+
+
+CLUSTER_ORACLE_SQL = _cluster_oracle_sql((_CC_WITH, _CC_LABELS, _CC_SENTINEL))
 
 
 @op(
@@ -2074,12 +2093,15 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op(
-    "dedup_survivor_quality",
-    oracle=f"""
-    {_CC_WITH},
+def _survivor_quality_oracle_sql(cc: tuple[str, str, str]) -> str:
+    """Survivor-quality oracle text over a CC triple — shared verbatim
+    between the registered oracle and the banded sf1 twin (see
+    _cluster_oracle_sql)."""
+    w, labels, sentinel = cc
+    return f"""
+    {w},
     clusters AS (
-        SELECT node AS doc_id, label AS cluster_id FROM {_CC_LABELS}
+        SELECT node AS doc_id, label AS cluster_id FROM {labels}
     ),
     scored AS (
         SELECT c.cluster_id, c.doc_id, d.n_chars
@@ -2104,8 +2126,13 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
            CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
-    WHERE {_CC_SENTINEL}
-    """,
+    WHERE {sentinel}
+    """
+
+
+@op(
+    "dedup_survivor_quality",
+    oracle=_survivor_quality_oracle_sql((_CC_WITH, _CC_LABELS, _CC_SENTINEL)),
     category=CAT,
 )
 def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

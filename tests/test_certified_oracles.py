@@ -138,3 +138,102 @@ def test_certificate_fast_path_round_trip(spark, tmp_path, monkeypatch):
     certs["agg_global"]["sf0.01"]["sf_digest"] = "deadbeef"  # ...but detach it
     res4 = cmp.compare("agg_global", o.fn(spark, sf_dir), o.oracle, sf_dir)
     assert res4.ok and "certified" not in res4.detail  # live path, not cert
+
+
+def _duck_rows(con, sql):
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def test_banded_oracles_match_naive_sf001():
+    """r11 verdict item 2: the banded sf1-mint twins must be
+    row-identical to the registered naive oracles — the equivalence
+    that lets a banded run stamp a certificate under the naive SQL's
+    sha. Runs the full five-pack at sf0.01 (seconds); the sf0.1 proof
+    is env-gated below and recorded in PARITY_r12.md."""
+    import duckdb
+
+    from insight_gp_import_spark.banded_oracles import BANDED_ORACLES
+
+    reg = _registry()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    for name, banded in BANDED_ORACLES.items():
+        assert banded != reg[name].oracle  # a real twin, not an alias
+        assert _duck_rows(con, reg[name].oracle) == _duck_rows(con, banded), name
+
+
+def test_banded_oracles_match_naive_sf01():
+    """The sf0.1 leg of the equivalence proof (IGIS_PARITY_SF10=1; the
+    naive ngram oracle alone is ~2 min here). Checks the three pair
+    relations; the cluster-family twins share a byte-identical CC tail
+    over the pair CTE (asserted below), so pair equivalence implies
+    cluster equivalence without re-running the 1 h naive CC chains."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("IGIS_PARITY_SF10"):
+        pytest.skip("set IGIS_PARITY_SF10=1 for the sf0.1 equivalence leg")
+    import duckdb
+
+    from insight_gp_import_spark.banded_oracles import BANDED_ORACLES
+
+    reg = _registry()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.1/documents.parquet')"
+    )
+    for name in ("dedup_near_jaccard", "dedup_near_minhash", "dedup_ngram_jaccard"):
+        assert _duck_rows(con, reg[name].oracle) == _duck_rows(
+            con, BANDED_ORACLES[name]
+        ), name
+
+
+def test_banded_cluster_tail_is_byte_identical():
+    """The cluster/survivor banded twins must differ from the
+    registered oracles ONLY in the embedded pair CTE — render both
+    through the same tail templates and compare the texts directly, so
+    the pair-equivalence ⟹ cluster-equivalence argument is pinned
+    structurally, not just claimed."""
+    from insight_gp_import_spark.banded_oracles import (
+        BANDED_ORACLES,
+        JACCARD_PAIRS_SQL_BANDED,
+    )
+    from insight_gp_import_spark.operators.llm import JACCARD_PAIRS_SQL
+
+    reg = _registry()
+    for name in ("dedup_cluster", "dedup_cluster_bigstar", "dedup_survivor_quality"):
+        swapped = reg[name].oracle.replace(
+            JACCARD_PAIRS_SQL, JACCARD_PAIRS_SQL_BANDED
+        )
+        assert swapped != reg[name].oracle  # the pair CTE was present
+        assert swapped == BANDED_ORACLES[name], name
+
+
+def test_banded_minted_certs_carry_provenance():
+    """Any certificate minted via a banded twin must say so in the
+    artifact: banded_sql_sha256 matching the CURRENT twin text plus a
+    minted_via pointer. A drifted twin makes the cert stale exactly
+    like an edited naive oracle."""
+    if not CERT_PATH.exists():
+        return
+    from insight_gp_import_spark.banded_oracles import BANDED_ORACLES
+
+    certs = json.loads(CERT_PATH.read_text())
+    for op_name, by_sf in certs.items():
+        for sf, cert in by_sf.items():
+            if "banded_sql_sha256" not in cert:
+                continue
+            assert op_name in BANDED_ORACLES, f"{op_name}@{sf}"
+            want = hashlib.sha256(
+                BANDED_ORACLES[op_name].encode()
+            ).hexdigest()
+            assert cert["banded_sql_sha256"] == want, (
+                f"{op_name}@{sf}: banded twin changed since mint — "
+                f"re-run tools/certify_oracle.py --banded {op_name}"
+            )
+            assert "minted_via" in cert

@@ -106,6 +106,16 @@ def main() -> int:
                          "certification runs; merge shards with --merge)")
     ap.add_argument("--merge", nargs="+", default=None,
                     help="merge these shard json files into --out")
+    ap.add_argument("--banded", action="store_true",
+                    help="run the banded-equivalent oracle from "
+                         "insight_gp_import_spark.banded_oracles instead of "
+                         "the registered naive SQL (r11 verdict item 2: the "
+                         "five sf1-infeasible dedup oracles). The minted "
+                         "certificate still carries the REGISTERED oracle's "
+                         "sql_sha256 — equivalence is proven row-identical "
+                         "at sf0.01+sf0.1 by tests/test_certified_oracles.py "
+                         "— plus banded_sql_sha256 and a minted_via pointer "
+                         "so the provenance is in the artifact itself.")
     args = ap.parse_args()
 
     import insight_gp_import_spark.operators  # noqa: F401
@@ -128,6 +138,8 @@ def main() -> int:
         return 0
 
     if args.verify:
+        from insight_gp_import_spark.banded_oracles import BANDED_ORACLES
+
         bad = 0
         for op_name, by_sf in certs.items():
             if op_name not in REGISTRY:
@@ -142,6 +154,16 @@ def main() -> int:
                     print(f"STALE {op_name}@{sf}: oracle SQL changed")
                     bad += 1
                     continue
+                # a banded-minted cert re-verifies through the banded
+                # twin (the naive SQL is sf1-infeasible by design); a
+                # drifted twin is stale evidence, same as a sha change
+                run_sql = oracle
+                if "banded_sql_sha256" in cert:
+                    run_sql = BANDED_ORACLES.get(op_name)
+                    if run_sql is None or sql_sha(run_sql) != cert["banded_sql_sha256"]:
+                        print(f"STALE {op_name}@{sf}: banded twin changed")
+                        bad += 1
+                        continue
                 sf_path = (
                     f"/root/testdata/{sf}"
                     if os.path.isdir(f"/root/testdata/{sf}")
@@ -150,16 +172,25 @@ def main() -> int:
                 if not os.path.isdir(sf_path):
                     print(f"SKIP {op_name}@{sf}: corpus dir not present")
                     continue
-                got = run_oracle(oracle, sf_path)
+                got = run_oracle(run_sql, sf_path)
                 ok = got["sha256"] == cert["sha256"] and got["rows"] == cert["rows"]
                 print(f"{'OK   ' if ok else 'DIFF '}{op_name}@{sf} "
                       f"[{got['oracle_secs']}s]")
                 bad += 0 if ok else 1
         return 1 if bad else 0
 
+    banded = {}
+    if args.banded:
+        from insight_gp_import_spark.banded_oracles import BANDED_ORACLES
+
+        banded = BANDED_ORACLES
+
     for op_name in args.ops:
         o = REGISTRY[op_name]
         assert o.oracle, f"{op_name} has no oracle"
+        if args.banded:
+            assert op_name in banded, f"{op_name} has no banded twin"
+        run_sql = banded.get(op_name, o.oracle) if args.banded else o.oracle
         for sf in args.sf:
             from insight_gp_import_spark.compare import sf_dir_digest
 
@@ -169,8 +200,16 @@ def main() -> int:
             # certificates up, so the sf1 spot-gate hits it.
             sf_path = sf if "/" in sf else f"/root/testdata/{sf}"
             sf_key = os.path.basename(sf_path.rstrip("/"))
-            cert = run_oracle(o.oracle, sf_path)
+            cert = run_oracle(run_sql, sf_path)
             cert["sql_sha256"] = sql_sha(o.oracle)
+            if args.banded:
+                cert["banded_sql_sha256"] = sql_sha(run_sql)
+                cert["minted_via"] = (
+                    "banded-equivalent oracle "
+                    "(insight_gp_import_spark/banded_oracles.py; proven "
+                    "row-identical to the registered naive SQL at "
+                    "sf0.01+sf0.1 by tests/test_certified_oracles.py)"
+                )
             cert["sf_digest"] = sf_dir_digest(sf_path)
             cert["certified_utc"] = time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()

@@ -68,11 +68,18 @@ def evidence_files() -> list[str]:
         return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
 
 
-def evidence() -> tuple[set[str], set[str], dict[str, int]]:
-    """(hashed, executed, first_round_seen) from COMMITTED CORRECTNESS_r*.json."""
+def evidence() -> tuple[set[str], set[str], dict[str, int], dict[str, int]]:
+    """(hashed, executed, first_round_seen, last_hash_round) from
+    COMMITTED CORRECTNESS_r*.json. last_hash_round is the MOST RECENT
+    round with a hash_match=true row — the staleness key for the
+    re-confirmation tier (r11 verdict item 5: 75 ops were last
+    driver-hashed in r01/r02; first_round can't see that, because an
+    op hashed in r01 AND r11 sorts identically to one hashed only in
+    r01)."""
     hashed: set[str] = set()
     executed: set[str] = set()
     first_round: dict[str, int] = {}
+    last_hash: dict[str, int] = {}
     for path in evidence_files():
         m = re.search(r"_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -83,7 +90,8 @@ def evidence() -> tuple[set[str], set[str], dict[str, int]]:
             first_round.setdefault(name, rnd)
             if row.get("hash_match") is True:
                 hashed.add(name)
-    return hashed, executed, first_round
+                last_hash[name] = max(last_hash.get(name, 0), rnd)
+    return hashed, executed, first_round, last_hash
 
 
 def build_order() -> list[str]:
@@ -91,7 +99,7 @@ def build_order() -> list[str]:
 
     from insight_gp_import_spark.registry import REGISTRY
 
-    hashed, executed, first_round = evidence()
+    hashed, executed, first_round, last_hash = evidence()
     order: list[str] = []
     seen: set[str] = set()
 
@@ -126,9 +134,10 @@ def build_order() -> list[str]:
     emit(sorted((n for n in rows_only if n in executed),
                 key=lambda n: (first_round.get(n, 99), n)))
 
-    # 4. already-hashed, oldest evidence first.
+    # 4. already-hashed, stalest driver evidence first (by the most
+    #    recent hash round, not the first — see evidence()).
     emit(sorted((n for n in hashed if n in REGISTRY),
-                key=lambda n: (first_round.get(n, 99), n)))
+                key=lambda n: (last_hash.get(n, 99), n)))
 
     emit(list(REGISTRY))  # safety net: anything not yet placed
     assert len(order) == len(REGISTRY), (len(order), len(REGISTRY))
