@@ -184,3 +184,105 @@ def test_jdbc_atomic_swap_and_crash_mid_write(spark, tmp_path):
     )
     write_jdbc_atomic(spark, batch2, cfg)
     assert _read_live(spark, cfg) == {(i, 3 * i) for i in range(100, 200)}
+
+
+# ---------------------------------------------------------------------------
+# Postgres/Greenplum wire-protocol leg (r11 verdict item 6): no pgjdbc
+# jar ships with Spark and the box has no network, so the GP dialect is
+# exercised through the pure-stdlib v3 COPY loader against the
+# in-process stub server — real sockets, real protocol framing, real
+# parallel per-partition connections.
+# ---------------------------------------------------------------------------
+
+
+def test_pgwire_copy_round_trip_parallel(spark):
+    from insight_gp_import_spark.sources import (
+        PgCopyConfig,
+        PgWireStubServer,
+        write_postgres_copy,
+    )
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    with PgWireStubServer() as srv:
+        cfg = PgCopyConfig(host=srv.host, port=srv.port,
+                           table="orders_live", num_partitions=4)
+        write_postgres_copy(df, cfg)
+        landed = srv.tables["orders_live"]
+        want = {tuple(str(v) for v in r) for r in df.collect()}
+        got = {tuple(r) for r in landed}
+        assert len(landed) == df.count()
+        assert got == want  # exact landed relation, stringified compare
+        # one connection per non-empty partition — the parallel-load shape
+        assert srv.connections == 4
+        # each writer COPYed inside its own transaction
+        begins = sum(s.upper().startswith("BEGIN") for s in srv.statements)
+        commits = sum(s.upper().startswith("COMMIT") for s in srv.statements)
+        assert begins == commits == 4
+
+
+def test_pgwire_copy_null_and_escapes(spark):
+    """COPY text framing survives the values that break naive loaders:
+    NULLs, tabs, newlines, backslashes."""
+    from insight_gp_import_spark.sources import (
+        PgCopyConfig,
+        PgWireStubServer,
+        write_postgres_copy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "plain"), (2, None), (3, "tab\there"), (4, "nl\nhere"),
+         (5, "back\\slash"), (6, "\\N literal")],
+        "id int, payload string",
+    )
+    with PgWireStubServer() as srv:
+        cfg = PgCopyConfig(host=srv.host, port=srv.port,
+                           table="tricky", num_partitions=2)
+        write_postgres_copy(df, cfg)
+        got = {r[0]: r[1] for r in srv.tables["tricky"]}
+    assert got["2"] is None
+    assert got["3"] == "tab\there"
+    assert got["4"] == "nl\nhere"
+    assert got["5"] == "back\\slash"
+    assert got["6"] == "\\N literal"
+
+
+def test_gp_create_table_ddl(spark):
+    from insight_gp_import_spark.sources import gp_create_table_ddl
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    )
+    ddl = gp_create_table_ddl(df, "orders_gp", distributed_by=("o_orderkey",))
+    assert ddl.startswith("CREATE TABLE orders_gp (")
+    assert "o_orderkey bigint" in ddl
+    assert "o_totalprice double precision" in ddl
+    assert "o_orderstatus text" in ddl
+    assert ddl.endswith("DISTRIBUTED BY (o_orderkey)")
+
+    stage = gp_create_table_ddl(df, "orders_stage")
+    assert stage.endswith("DISTRIBUTED RANDOMLY")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        gp_create_table_ddl(df, "t", distributed_by=("nope",))
+
+
+def test_pgwire_stub_accepts_ddl_and_records_statements():
+    """The DDL leg of write_jdbc_atomic's dialect (ALTER TABLE RENAME)
+    goes through the stub as plain statements — the GP spelling, not
+    Derby's RENAME TABLE."""
+    from insight_gp_import_spark.sources import PgWireClient, PgWireStubServer
+    from insight_gp_import_spark.sources.jdbc import _rename_stmt
+
+    stmt = _rename_stmt("jdbc:postgresql://gp:5432/x", "t__stage", "t")
+    assert stmt == "ALTER TABLE t__stage RENAME TO t"
+    with PgWireStubServer() as srv:
+        c = PgWireClient(srv.host, srv.port)
+        c.query("CREATE TABLE t__stage (id integer) DISTRIBUTED BY (id)")
+        c.query(stmt)
+        c.close()
+        assert "t__stage" in srv.tables
+        assert stmt in srv.statements
