@@ -6,6 +6,8 @@ One module per SURVEY.md §2 category. Each operator is a pure function
 
 from insight_gp_import_spark.operators import (  # noqa: F401
     aggregation,
+    aggregation_business,
+    aggregation_stats,
     corpus_ops,
     graph_ops,
     joins,
@@ -18,6 +20,7 @@ from insight_gp_import_spark.operators import (  # noqa: F401
     scalar_functions,
     streaming_ops,
     timeseries,
+    timeseries_models,
     training_dedup,
     training_text,
     udfs,
