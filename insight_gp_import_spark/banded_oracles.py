@@ -163,8 +163,11 @@ MINHASH_PAIRS_SQL_BANDED = f"""
 
 # must cover max(grank); measured gram vocabulary is 648 at sf1 and
 # 377 at sf0.1 — bitstring_agg raises on out-of-range (loud, never
-# silent), at which point the live naive oracle is the fallback
-NGRAM_BITSTRING_BOUND = 4096
+# silent), at which point the live naive oracle is the fallback. Width
+# is ALSO the verify-join payload (both sides' bitstrings ride every
+# one of the ~129M sf1 candidate rows), so keep it tight: 1024 bits =
+# 128 B/doc, ~1.5x headroom over the measured vocabulary.
+NGRAM_BITSTRING_BOUND = 1024
 
 NGRAM_JACCARD_SQL_BANDED = f"""
     WITH grams AS MATERIALIZED (
