@@ -568,24 +568,35 @@ def join_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-collapse keeps multi-line duplicates of the same part from
     inflating pair counts.
 
-    Scale: one shuffle on l_orderkey for the self-join (both sides the
-    same relation → same partitioning, AQE-coalesced), then the pair
-    aggregation shuffles the already-collapsed pair list. Hot orders
-    don't exist (order size is bounded), so no salting needed.
+    Scale (r12 optimization, guide §2.4 "remove shuffles outright"):
+    the old form was distinct() + equi-self-join + pair groupBy — THREE
+    exchanges, with the distinct subtree evaluated on both join sides.
+    Pair generation within one order needs no join at all: one shuffle
+    on l_orderkey builds the sorted distinct item set per order
+    (collect_set has map-side partial aggregation), an in-JVM
+    higher-order function expands the strictly-increasing pairs
+    (quadratic only in order size, ~7 items → ~21 pairs — exactly the
+    bound the join had), and one shuffle aggregates the pairs. Plan:
+    2 Exchanges, no join, single scan of lineitem. Hot orders don't
+    exist (order size is bounded), so no salting needed.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    a, b = li.alias("a"), li.alias("b")
+    # sorted strictly-increasing distinct items → (ps[i], ps[j]) for
+    # i < j enumerates exactly the p1 < p2 pairs of the old theta-join
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        pairs.groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )

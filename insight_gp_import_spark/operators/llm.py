@@ -166,14 +166,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-groupBy shuffle on the md5 key; at 100 TB this is the cheapest
     dedup (one shuffle of (hash, id) pairs, never the payload — column
     pruning keeps `text` out of the exchange).
+
+    r12 optimization (guide §2.3 "aggregate before you shuffle"): the
+    survivor rule "first doc_id per hash" IS ``min(doc_id) group by
+    hash``, so a HashAggregate with map-side partial aggregation
+    replaces the old row_number window (which shuffled EVERY (hash, id)
+    row and sorted each partition). The exchange now carries at most
+    one pre-aggregated row per distinct hash per map task, and the
+    reduce side does no sort. Result-identical: row_number()=1 ordered
+    by doc_id ≡ min(doc_id).
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
     return (
         docs.select("doc_id", F.md5("text").alias("content_md5"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_md5")
     )
 
 

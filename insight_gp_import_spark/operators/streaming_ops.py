@@ -43,15 +43,26 @@ def _qname(prefix: str, sf_dir: str) -> str:
 
 def _stage_events_files(spark: SparkSession, sf_dir: str, splits: int = 3) -> str:
     """Write events as N flat parquet files in a temp staging dir —
-    the reference's staging-directory shape."""
+    the reference's staging-directory shape.
+
+    r12 optimization (guide §1.2: remove unnecessary passes): one
+    partitionBy write replaces the old per-split filter+write loop,
+    so events is scanned ONCE instead of `splits` times (7 streaming
+    ops stage independently, so this removes 2 scan+write jobs per op
+    call). repartition(1) keeps exactly one file per split value; row
+    order within a staged file is immaterial — every consumer
+    aggregates or dedups by unique event_id (checked r12)."""
     tmp = tempfile.mkdtemp(prefix="igis-stage-")
     ev = load_table(spark, sf_dir, "events")
     flat = tempfile.mkdtemp(prefix="igis-stage-flat-")
+    (
+        ev.withColumn("_b", F.col("event_id") % splits)
+        .repartition(1)
+        .write.partitionBy("_b")
+        .parquet(f"{tmp}/all")
+    )
     for i in range(splits):
-        ev.filter(F.col("event_id") % splits == i).coalesce(1).write.parquet(
-            f"{tmp}/f{i}"
-        )
-    for i, p in enumerate(sorted(Path(tmp).glob("f*/part-*.parquet"))):
+        p = next(Path(tmp).glob(f"all/_b={i}/part-*.parquet"))
         p.rename(Path(flat) / f"batch_{i}.parquet")
     return flat
 
@@ -668,9 +679,17 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
+            # r12 optimization (guide §5: the driver should do almost
+            # no data work): poll the query's OWN progress metadata —
+            # a driver-side py4j read — instead of running a
+            # spark.table(name).count() JOB every 100 ms. The memory
+            # sink commits rows within the micro-batch, so cumulative
+            # numInputRows >= 20 implies the table already holds >= 20
+            # rows; the returned relation still re-proves reached_bar
+            # from the data itself.
             deadline = _time.time() + 60
             while _time.time() < deadline:
-                if spark.table(name).count() >= 20:
+                if sum(p.numInputRows for p in q.recentProgress) >= 20:
                     break
                 _time.sleep(0.1)
             else:
@@ -742,14 +761,17 @@ def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    from insight_gp_import_spark.streaming.runtime import scaled_state_partitions
+
+    with scaled_state_partitions(spark):
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name).select(
         "event_type",
         "cnt",
