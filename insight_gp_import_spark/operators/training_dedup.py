@@ -200,24 +200,89 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embed_allpairs_cosine(emb: DataFrame) -> DataFrame:
     """Exact all-pairs cosine > threshold over a (vec_id, embedding)
-    frame — the quadratic ground-truth twin of ``embed_lsh_pairs``."""
-    sides = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
-    a = sides.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    frame — the quadratic ground-truth twin of ``embed_lsh_pairs``.
+
+    r12 optimization (guide §4.2: hand whole batches to vectorized
+    native code): the former BroadcastNestedLoopJoin evaluated an
+    interpreted ``zip_with``/``aggregate`` fold per pair (~µs/pair, the
+    same constant _sweep_pairs_blas's docstring measured driving its
+    Θ(n²) r8 stress walls) — 83 s at sf0.1's 2000×64 corpus. Now the
+    same hash-blocked float64 GEMM tile machinery computes every
+    cross/upper-triangle block tile with one ``A @ B.T`` per tile
+    (measured 1.5 s). Numerics: float64 products and sums exactly like
+    the fold it replaces; GEMM summation-order deltas are sub-ulp vs
+    the 1e-4 rounding grain and the 0.4 threshold (the established
+    _sweep_pairs_blas / _knn_tile_topk argument — oracle hashes
+    unchanged at sf0.01 and sf0.1). The raw-sim filter and the final
+    F.round stay in the plan, so rounding semantics are untouched."""
+    cnt = emb.agg(F.count("*").alias("m"))
+    blocks = emb.crossJoin(F.broadcast(cnt)).select(
+        F.expr(
+            f"pmod(hash(vec_id),"
+            f" greatest(1, cast(ceil(m / {SWEEP_BLOCK}.0D) as int)))"
+        ).alias("bid"),
+        "vec_id",
+        "embedding",
     )
-    b = sides.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+    blk = blocks.groupBy("bid").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("items")
     )
-    return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .withColumn("sim", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("sim") > EMBED_DUP_THRESHOLD)
-        .select("v1", "v2", F.round("sim", 4).alias("sim"))
+    bp = blk.select(F.col("bid").alias("bid_a"), F.col("items").alias("items_a")).join(
+        F.broadcast(
+            blk.select(F.col("bid").alias("bid_b"), F.col("items").alias("items_b"))
+        ),
+        F.col("bid_a") <= F.col("bid_b"),
     )
+
+    def tiles(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            v1_out: list = []
+            v2_out: list = []
+            sim_out: list = []
+            for items_a, items_b, ba, bb in zip(
+                pdf["items_a"], pdf["items_b"], pdf["bid_a"], pdf["bid_b"]
+            ):
+                ida = np.fromiter((r["vec_id"] for r in items_a), dtype=np.int64)
+                A = np.array([r["embedding"] for r in items_a], dtype=np.float64)
+                if ba == bb:
+                    idb, B = ida, A
+                else:
+                    idb = np.fromiter(
+                        (r["vec_id"] for r in items_b), dtype=np.int64
+                    )
+                    B = np.array(
+                        [r["embedding"] for r in items_b], dtype=np.float64
+                    )
+                na = np.sqrt((A * A).sum(axis=1))
+                nb = na if ba == bb else np.sqrt((B * B).sum(axis=1))
+                sims = (A @ B.T) / np.outer(na, nb)
+                # raw-sim threshold exactly as the old plan's filter;
+                # v1 < v2 orientation via min/max (same-block tiles
+                # take the id-ordered upper triangle so each unordered
+                # pair lands in exactly one tile)
+                mask = sims > EMBED_DUP_THRESHOLD
+                if ba == bb:
+                    mask &= ida[:, None] < idb[None, :]
+                if not mask.any():
+                    continue
+                ii, jj = np.nonzero(mask)
+                v1_out.append(np.minimum(ida[ii], idb[jj]))
+                v2_out.append(np.maximum(ida[ii], idb[jj]))
+                sim_out.append(sims[ii, jj])
+            if v1_out:
+                yield pd.DataFrame(
+                    {
+                        "v1": np.concatenate(v1_out),
+                        "v2": np.concatenate(v2_out),
+                        "sim": np.concatenate(sim_out),
+                    }
+                )
+
+    cand = bp.mapInPandas(tiles, "v1 long, v2 long, sim double")
+    return cand.select("v1", "v2", F.round("sim", 4).alias("sim"))
 
 
 N_CENTROIDS = 16
@@ -1258,28 +1323,38 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a checked convergence sentinel — see _cc_labels_cte).
     """
     pairs = dedup_near_jaccard(spark, sf_dir).select("d1", "d2")
-    edges = (
+    # tracked_persist, not a bare cache(): the registry flushes it at
+    # the next op call, so a 500-op sweep never accumulates edge sets
+    # in the block manager (guide §5: unpersist when done).
+    edges = tracked_persist(
         pairs.union(pairs.select("d2", "d1")).toDF("src", "dst").distinct()
-    ).cache()
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(CLUSTER_MAX_ITERS):
+        # r12 optimization (guide §2.4): the convergence check used to
+        # re-JOIN new labels against old ones — a second shuffle join
+        # per round. Carrying the old label THROUGH the min-label
+        # aggregation (every doc_id contributes exactly one non-null
+        # `old` from the labels side, so max(old) recovers it) makes
+        # the changed-count a plain filter over the already-checkpointed
+        # result: zero extra shuffles per round.
         prop = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
+        ).select(
+            F.col("dst").alias("doc_id"),
+            "label",
+            F.lit(None).cast("long").alias("old"),
+        )
         new = (
-            labels.unionByName(prop)
+            labels.select("doc_id", "label", F.col("label").alias("old"))
+            .unionByName(prop)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels = new.select("doc_id", "label")
         if changed == 0:
             break
     return labels.select(
@@ -1409,9 +1484,13 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         # Fixpoint when the (canonicalized) edge set is unchanged.
+        # r12 optimization: both relations are distinct sets, so
+        # A ⊆ B ∧ |A| = |B| ⟺ A = B — one exceptAll direction plus two
+        # cheap counts over already-checkpointed data replaces the
+        # second exceptAll's full shuffle join per round.
         if (
-            after_small.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(after_small).limit(1).count() == 0
+            after_small.count() == edges.count()
+            and after_small.exceptAll(edges).limit(1).count() == 0
         ):
             edges = after_small
             break
@@ -1809,13 +1888,23 @@ def pca_power_quantized(
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.expr(_IVF_QV_SQL).alias("qx")
     )
-    n = emb.count()
+    # r12 optimization: one pass for n + per-dim sums (was two jobs)
     sums = emb.agg(
-        *[F.sum(F.col("qx").getItem(i)).alias(f"s{i}") for i in range(EMBED_DIM)]
+        F.count("*").alias("_n"),
+        *[F.sum(F.col("qx").getItem(i)).alias(f"s{i}") for i in range(EMBED_DIM)],
     ).collect()[0]
+    n = int(sums["_n"])
     mu = [_trunc_div(int(sums[f"s{i}"]), n) for i in range(EMBED_DIM)]
     mu_lit = "array(" + ",".join(f"{m}L" for m in mu) + ")"
-    cent = emb.select(F.expr(f"zip_with(qx, {mu_lit}, (a, b) -> a - b)").alias("c"))
+    # r12 optimization (guide §5: cache exactly what many passes reuse):
+    # every one of the `iters`+1 iteration jobs below folds over the
+    # SAME centered quantized vectors; without the persist each job
+    # re-scans the parquet and re-runs the quantize+center zip_withs.
+    # tracked_persist keeps it for this op call and the registry
+    # flushes it at the next op invocation.
+    cent = tracked_persist(
+        emb.select(F.expr(f"zip_with(qx, {mu_lit}, (a, b) -> a - b)").alias("c"))
+    )
     qv = [int(math.floor(PCA_V_SCALE / math.sqrt(EMBED_DIM) + 0.5))] * EMBED_DIM
 
     def s_col(iterate: list[int]):
