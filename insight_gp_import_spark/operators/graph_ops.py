@@ -32,6 +32,55 @@ PR_TOP_K = 20
 PR_D_NUM, PR_D_DEN = 17, 20
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, w) with u < v: part pairs sharing an order and the number
+    of orders w containing both — WITHOUT the lineitem self-join.
+
+    r12 optimization (guide §2.4 "remove shuffles outright", the
+    join_copurchase_pairs de-join generalized to the whole graph
+    family): the old per-op build was distinct() + equi-self-join on
+    l_orderkey + pair groupBy — three exchanges, with the distinct
+    subtree evaluated on BOTH join sides. Pair generation within one
+    order needs no join: one shuffle builds each order's sorted
+    distinct item array (collect_set has map-side partial
+    aggregation), an in-JVM higher-order function expands the
+    strictly-increasing pairs (quadratic only in order size, the same
+    bound the join had), and one shuffle counts pairs. Hot orders
+    don't exist (order size is bounded), so no salting is needed."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("pr")
+    )
+    return pairs.groupBy(
+        F.col("pr.u").alias("u"), F.col("pr.v").alias("v")
+    ).agg(F.count("*").alias("w"))
+
+
+def _copurchase_directed(
+    spark: SparkSession, sf_dir: str, min_support: int = 1
+) -> DataFrame:
+    """Distinct directed co-purchase edges (src, dst), both
+    orientations, optionally support-pruned — the de-joined equivalent
+    of the old `a ⋈ b ON same order AND a.part <> b.part` builds. The
+    u < v pair relation is mirrored AFTER the support filter, so the
+    heavy distinct/count shuffle runs at half the directed volume."""
+    p = _copurchase_pairs(spark, sf_dir)
+    if min_support > 1:
+        p = p.filter(F.col("w") >= min_support)
+    return p.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        p.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
 def _pr_iter_sql(prev: str, t: int) -> str:
     """One fixed-point PageRank superstep as a DuckDB CTE body."""
     return f"""
@@ -98,21 +147,8 @@ def graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     many more supersteps, localCheckpoint every ~5 to cut lineage —
     the dedup_cluster pattern.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    # r12: de-joined edge build (see _copurchase_directed)
+    edges = _copurchase_directed(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
@@ -229,19 +265,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds ≤8 is a different, larger number; the DuckDB twin counts
     the identical degree-ordered relation.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    e = tracked_persist(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    # r12: de-joined edge build — the u < v pair relation from
+    # _copurchase_pairs IS the undirected distinct edge set
+    e = tracked_persist(_copurchase_pairs(spark, sf_dir).select("u", "v"))
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -421,18 +447,9 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative over levels. All exact integers, no global per-node
     window anywhere.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+    # r12: de-joined edge build (see _copurchase_directed)
+    e = _copurchase_directed(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     deg = e.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("degree")
@@ -499,23 +516,9 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB checkpoint the visited set per ~5 hops, the
     dedup_cluster pattern; bounded hops keep lineage linear).
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    # r12: de-joined edge build (see _copurchase_directed); every BFS
+    # superstep re-joins edges, so materialize the build once
+    edges = tracked_persist(_copurchase_directed(spark, sf_dir))
     src0 = edges.agg(F.min("src").alias("node"))
     visited = src0.select("node", F.lit(0).alias("dist"))
     frontier = visited
@@ -598,22 +601,8 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer scores make the top-K order exact; Jaccard is one
     rounded display division.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= CN_MIN_SUPPORT)
-        .select("src", "dst")
-    )
+    # r12: de-joined, support-pruned edge build (_copurchase_directed)
+    edges = _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
@@ -802,22 +791,8 @@ def graph_kcore_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shrinking edge set; integer degrees, total (deg, node)
     order.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= CN_MIN_SUPPORT)
-        .select("src", "dst")
-    )
+    # r12: de-joined, support-pruned edge build (_copurchase_directed)
+    edges = _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
     for _ in range(KCORE_ROUNDS - 1):
         keep = (
             edges.groupBy("src")
@@ -897,22 +872,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     halved to undirected; both densities and their ratio are
     integer ppm/milli divisions — no float anywhere.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= CN_MIN_SUPPORT)
-        .select("src", "dst")
-    )
+    # r12: de-joined, support-pruned edge build (_copurchase_directed)
+    edges = _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
@@ -1057,22 +1018,8 @@ def _pruned_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     why min-support pruning is load-bearing at scale: every downstream
     wedge/triangle stage is proportional to the SIGNAL graph (w>=2,
     ~7k edges at sf0.1), not the noise graph (w>=1, 2.4M edges)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= CN_MIN_SUPPORT)
-        .select("src", "dst")
-    )
+    # r12: de-joined, support-pruned edge build (_copurchase_directed)
+    return _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
 
 
 @op(

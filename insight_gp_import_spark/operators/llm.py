@@ -507,8 +507,13 @@ def _expand_set_pairs(jac: DataFrame, sets: DataFrame) -> DataFrame:
     return cross.unionByName(same)
 
 
-def _jaccard_pairs_mask64(base: DataFrame, vocab: list) -> DataFrame:
-    """The V ≤ 64 collapse of the AllPairs plan: every token set is ONE
+def _mask64_jac(base: DataFrame, vocab: list) -> tuple[DataFrame, DataFrame]:
+    """Candidate+verify core of the V ≤ 64 branch: returns
+    (jac (m1, m2, j) surviving SET-mask pairs, doc_mask (doc_id, m)).
+    Split out of _jaccard_pairs_mask64 (r12) so jaccard_set_adjacency
+    can consume the set-level relation without the doc expansion.
+
+    The V ≤ 64 collapse of the AllPairs plan: every token set is ONE
     BIGINT mask (bit i = token i of the probe's sorted vocab), so
 
     - set identity = the mask itself (injective by construction) — the
@@ -581,6 +586,14 @@ def _jaccard_pairs_mask64(base: DataFrame, vocab: list) -> DataFrame:
     jac = cand.select(
         "m1", "m2", (shared / (n1 + n2 - shared)).alias("j")
     ).filter(F.col("j") > JACCARD_THRESHOLD)
+    return jac, doc_mask
+
+
+def _jaccard_pairs_mask64(base: DataFrame, vocab: list) -> DataFrame:
+    """Doc-pair expansion of _mask64_jac (see there for the scheme):
+    surviving set-mask pairs cross-expand to member doc pairs, and
+    docs sharing one mask are the jaccard-1 pairs."""
+    jac, doc_mask = _mask64_jac(base, vocab)
     cross = (
         jac.join(
             doc_mask.select(F.col("m").alias("m1"), F.col("doc_id").alias("da")),
@@ -607,6 +620,63 @@ def _jaccard_pairs_mask64(base: DataFrame, vocab: list) -> DataFrame:
         )
     )
     return cross.unionByName(same)
+
+
+def jaccard_set_adjacency(sets_in: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Near-dup graph at DISTINCT-SET granularity (r12, for the
+    connected-components family): returns (edges (s1, s2), membership
+    (sid, doc_id)) where sid is each distinct token set's minimum
+    member doc_id.
+
+    Components over the expanded doc-pair graph == expand(components
+    over this set graph): docs sharing a set are one node (their
+    mutual jaccard-1 pairs add nothing), and a cross-set doc pair
+    survives the threshold iff its SET pair does — so cluster labels
+    (min doc_id per component = min sid per set-component) transfer
+    exactly through membership. The iterative loops then run on
+    |distinct sets| nodes and set-level edges instead of the
+    group-size-quadratic doc-pair expansion (~2.5 M doc pairs vs ~4 k
+    sets at sf0.1) — the guide-§8 "decide on lightweight proxies,
+    expand once at the end" shape."""
+    probe = (
+        sets_in.select(F.explode("arr").alias("tok"))
+        .distinct()
+        .limit(JACCARD_BITMAP_MAX_VOCAB + 1)
+        .collect()
+    )
+    vocab = sorted(r[0] for r in probe)
+    if len(vocab) <= 64:
+        jac, doc_mask = _mask64_jac(sets_in, vocab)
+        sm = doc_mask.groupBy("m").agg(F.min("doc_id").alias("sid"))
+        memb = doc_mask.join(sm, "m").select("sid", "doc_id")
+        edges = (
+            jac.join(
+                sm.select(F.col("m").alias("m1"), F.col("sid").alias("s1")), "m1"
+            )
+            .join(
+                sm.select(F.col("m").alias("m2"), F.col("sid").alias("s2")), "m2"
+            )
+            .select("s1", "s2")
+        )
+        return edges, memb
+    grp = _keyed_set_groups(sets_in)
+    gs = grp.select("kh", "arr", "n")
+    cand = _allpairs_candidates(gs)
+    if len(vocab) <= JACCARD_BITMAP_MAX_VOCAB:
+        jac = _jaccard_verify_bitmap(cand, gs, vocab)
+    else:
+        jac = _jaccard_verify_arrays(cand, gs)
+    memb = grp.select("sid", F.explode("docs").alias("doc_id"))
+    edges = (
+        jac.join(
+            grp.select(F.col("kh").alias("kh1"), F.col("sid").alias("s1")), "kh1"
+        )
+        .join(
+            grp.select(F.col("kh").alias("kh2"), F.col("sid").alias("s2")), "kh2"
+        )
+        .select("s1", "s2")
+    )
+    return edges, memb
 
 
 N_MINHASH = 32

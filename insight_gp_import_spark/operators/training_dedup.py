@@ -33,7 +33,6 @@ from insight_gp_import_spark.operators.llm import (
     _lit_vec_sql,
     _cosine,
     _norm,
-    dedup_near_jaccard,
 )
 from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table
@@ -658,13 +657,18 @@ def _ngram_verify_bitmap(
         .groupBy("doc_id")
         .agg(F.collect_set("gid").alias("gidset"))
     )
-    bm = docbits.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {nwords - 1}), w -> aggregate("
-            "filter(gidset, x -> CAST(x div 64 AS INT) = w), 0L,"
-            " (acc, x) -> acc | shiftleft(1L, CAST(x % 64 AS INT))))"
-        ).alias("bm"),
+    # persisted (r12): bm is read once per join side below and Spark
+    # does not reuse the groupBy+bitmap-pack subtree between them; one
+    # fixed-width row per doc, so the cache is ceil(V/64) longs × docs.
+    bm = tracked_persist(
+        docbits.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {nwords - 1}), w -> aggregate("
+                "filter(gidset, x -> CAST(x div 64 AS INT) = w), 0L,"
+                " (acc, x) -> acc | shiftleft(1L, CAST(x % 64 AS INT))))"
+            ).alias("bm"),
+        )
     )
     b1 = bm.select(F.col("doc_id").alias("d1"), F.col("bm").alias("bm1"))
     b2 = bm.select(F.col("doc_id").alias("d2"), F.col("bm").alias("bm2"))
@@ -791,7 +795,17 @@ def ngram_candidates(
     # the whole gram-frequency table (billions of rows at 100 TB). The
     # dfreq join reuses the groupBy's g-partitioning (no broadcast
     # hint: AQE converts when the vocab is actually small).
-    gd = grams.join(freq, "g")
+    #
+    # r12 optimization (guide §5: cache what many consumers reuse):
+    # gd is consumed by FOUR independent subtrees (sized, pos, and the
+    # caller's verify reads it once or twice) and Spark reuses none of
+    # them (measured: the pre-persist plan held 24 parquet scans and
+    # 12 Generate nodes — the full text-explode re-run per consumer,
+    # 0 ReusedExchange). Persisting the (doc_id, gram, dfreq) relation
+    # — ids and 3-char grams, never the text payload — computes the
+    # explode+distinct+freq join ONCE; MEMORY_AND_DISK spills instead
+    # of OOMing at scale, and the registry flushes it at the next op.
+    gd = tracked_persist(grams.join(freq, "g"))
     sized = gd.groupBy("doc_id").agg(F.count("*").alias("n"))
     pos = gd.select(
         "doc_id",
@@ -803,8 +817,13 @@ def ngram_candidates(
     prefix_len = F.col("n") - F.expr(
         f"({NGRAM_T_NUM} * n + {NGRAM_T_NUM}) div {NGRAM_T_DEN}"
     ) + 1
-    pref = pos.join(sized, "doc_id").filter(F.col("pos") <= prefix_len).select(
-        "doc_id", "g", "n", "pos"
+    # pref feeds BOTH sides of the candidate self-join; without a
+    # persist the per-doc window + size join runs twice (same measured
+    # no-reuse behavior as gd above). ~n/10 of the grams — tiny.
+    pref = tracked_persist(
+        pos.join(sized, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "g", "n", "pos")
     )
     a = pref.select(
         F.col("doc_id").alias("d1"),
@@ -1322,45 +1341,69 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely (DuckDB unrolled min-label+pointer-jump propagation
     with a checked convergence sentinel — see _cc_labels_cte).
     """
-    pairs = dedup_near_jaccard(spark, sf_dir).select("d1", "d2")
+    # r12 optimization (guide §8: decide on a lightweight proxy, expand
+    # once at the end): propagation runs on the DISTINCT-SET graph —
+    # ~4k set nodes / set-level edges at sf0.1 — instead of the
+    # expanded doc-pair graph (~2.5M pairs → 5M directed edges), and
+    # doc labels come from one membership join at the end. Components
+    # transfer exactly (jaccard_set_adjacency's docstring has the
+    # argument); min doc_id per component == min sid per
+    # set-component because sid is each set's minimum member.
+    from insight_gp_import_spark.operators.llm import (
+        _doc_token_sets,
+        jaccard_set_adjacency,
+    )
+
+    sedges, memb = jaccard_set_adjacency(_doc_token_sets(spark, sf_dir))
+    memb = tracked_persist(memb)
     # tracked_persist, not a bare cache(): the registry flushes it at
     # the next op call, so a 500-op sweep never accumulates edge sets
-    # in the block manager (guide §5: unpersist when done).
+    # in the block manager (guide §5: unpersist when done). No
+    # .distinct(): set pairs are unique by construction and min-label
+    # propagation is duplicate-invariant anyway.
     edges = tracked_persist(
-        pairs.union(pairs.select("d2", "d1")).toDF("src", "dst").distinct()
+        sedges.union(sedges.select("s2", "s1")).toDF("src", "dst")
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = memb.select(F.col("sid").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
     for _ in range(CLUSTER_MAX_ITERS):
         # r12 optimization (guide §2.4): the convergence check used to
         # re-JOIN new labels against old ones — a second shuffle join
         # per round. Carrying the old label THROUGH the min-label
-        # aggregation (every doc_id contributes exactly one non-null
+        # aggregation (every node contributes exactly one non-null
         # `old` from the labels side, so max(old) recovers it) makes
         # the changed-count a plain filter over the already-checkpointed
         # result: zero extra shuffles per round.
         prop = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
+            labels.withColumnRenamed("node", "src"), "src"
         ).select(
-            F.col("dst").alias("doc_id"),
+            F.col("dst").alias("node"),
             "label",
             F.lit(None).cast("long").alias("old"),
         )
         new = (
-            labels.select("doc_id", "label", F.col("label").alias("old"))
+            labels.select("node", "label", F.col("label").alias("old"))
             .unionByName(prop)
-            .groupBy("doc_id")
+            .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
         )
         changed = new.filter(F.col("label") != F.col("old")).count()
-        labels = new.select("doc_id", "label")
+        labels = new.select("node", "label")
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(memb, "doc_id", "left")
+        .join(labels.withColumnRenamed("node", "sid"), "sid", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("label", "doc_id")).alias(
+                "is_survivor"
+            ),
+        )
     )
 
 
@@ -1450,9 +1493,21 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set reaches a fixpoint (stars pointing at component minima);
     the per-round driver check is O(1) counts, like dedup_cluster's.
     """
-    pairs = dedup_near_jaccard(spark, sf_dir).select("d1", "d2")
-    # Undirected edge set, deduplicated, self-loops impossible (d1<d2).
-    edges = pairs.toDF("u", "v").distinct().localCheckpoint()
+    # r12: star contraction on the DISTINCT-SET graph (see
+    # dedup_cluster — same component-transfer argument via
+    # jaccard_set_adjacency); the (u, v) relation is canonicalized
+    # u < v on sids and unique by construction, so no .distinct() —
+    # the localCheckpoint still cuts the AllPairs lineage.
+    from insight_gp_import_spark.operators.llm import (
+        _doc_token_sets,
+        jaccard_set_adjacency,
+    )
+
+    sedges, memb = jaccard_set_adjacency(_doc_token_sets(spark, sf_dir))
+    memb = tracked_persist(memb)
+    edges = sedges.select(
+        F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
+    ).localCheckpoint()
 
     for _ in range(BIGSTAR_MAX_ROUNDS):
         # Large-star: per node u (over BOTH directions), every neighbor
@@ -1496,16 +1551,24 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         edges = after_small
 
-    # Converged: every non-min node carries exactly one edge to its
-    # component min (star). groupBy(min) is belt-and-braces.
-    roots = edges.groupBy(F.col("u").alias("doc_id")).agg(
+    # Converged: every non-min set node carries exactly one edge to its
+    # component min (star). groupBy(min) is belt-and-braces. Doc labels
+    # expand through the membership join (r12): a doc's cluster is its
+    # set's root, or its set's own sid for edgeless sets.
+    roots = edges.groupBy(F.col("u").alias("sid")).agg(
         F.min("v").alias("root")
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(roots, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("root", "doc_id").alias("cluster_id"),
-        (F.coalesce("root", "doc_id") == F.col("doc_id")).alias("is_survivor"),
+    return (
+        docs.join(memb, "doc_id", "left")
+        .join(roots, "sid", "left")
+        .select(
+            "doc_id",
+            F.coalesce("root", "sid", "doc_id").alias("cluster_id"),
+            (
+                F.col("doc_id") == F.coalesce("root", "sid", "doc_id")
+            ).alias("is_survivor"),
+        )
     )
 
 
@@ -1896,35 +1959,67 @@ def pca_power_quantized(
     n = int(sums["_n"])
     mu = [_trunc_div(int(sums[f"s{i}"]), n) for i in range(EMBED_DIM)]
     mu_lit = "array(" + ",".join(f"{m}L" for m in mu) + ")"
-    # r12 optimization (guide §5: cache exactly what many passes reuse):
-    # every one of the `iters`+1 iteration jobs below folds over the
-    # SAME centered quantized vectors; without the persist each job
-    # re-scans the parquet and re-runs the quantize+center zip_withs.
-    # tracked_persist keeps it for this op call and the registry
-    # flushes it at the next op invocation.
-    cent = tracked_persist(
-        emb.select(F.expr(f"zip_with(qx, {mu_lit}, (a, b) -> a - b)").alias("c"))
+    cent = emb.select(
+        F.expr(f"zip_with(qx, {mu_lit}, (a, b) -> a - b)").alias("c")
     )
+    # r12 optimization (guide §1.2 step 1 — fix the distributed
+    # algorithm): the old loop ran `iters`+1 SEQUENTIAL Spark jobs,
+    # each a 64-column decimal aggregate over the same centered
+    # vectors (~35 s at sf0.1, dominated by per-job codegen of the
+    # 64-aggregate expressions and job overhead, not data). But every
+    # per-iteration reduction is linear algebra over the SAME Gram
+    # matrix: w = Σ s·c with s = c·v is exactly (Σ c·cᵀ)·v = G·v, and
+    # the final SS = Σ s² = vᵀ·G·v. So ONE distributed pass builds the
+    # exact integer G (upper triangle, 2080 entries) and all `iters`
+    # iterations — and SS — run driver-side on 64×64 Python bigints:
+    # the identical integers in the identical order, so the oracle
+    # hash is unchanged (proved by parity at both SFs). Driver state
+    # is 2 080 numbers — the same bounded class as before.
+    #
+    # Exactness: per ≤8192-row chunk the int64 partial Gram is
+    # overflow-safe for max|c| < 3.3e7 (8192·M² < 2^63), asserted
+    # fail-loud below; chunk partials are summed as decimal(38,0) in
+    # Spark (exact) and as Python ints on the driver (exact).
+    def _gram_chunks(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            col = pdf["c"]
+            for lo in range(0, len(col), 8192):
+                a = np.array(list(col.iloc[lo : lo + 8192]), dtype=np.int64)
+                if a.size == 0:
+                    continue
+                m = int(np.abs(a).max())
+                if m >= 33_000_000:  # 8192 * m^2 must stay < 2^63
+                    raise ValueError(
+                        f"centered component {m} exceeds the int64-exact "
+                        "Gram chunk bound; shrink the chunk or widen"
+                    )
+                g = a.T @ a  # exact int64 under the asserted bound
+                iu, ju = np.triu_indices(a.shape[1])
+                yield pd.DataFrame(
+                    {"i": iu.astype("int32"), "j": ju.astype("int32"),
+                     "p": g[iu, ju]}
+                )
+
+    grows = (
+        cent.mapInPandas(_gram_chunks, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("g"))
+        .collect()
+    )
+    G = [[0] * EMBED_DIM for _ in range(EMBED_DIM)]
+    for r in grows:
+        v = int(r["g"])
+        G[r["i"]][r["j"]] = v
+        G[r["j"]][r["i"]] = v
+
     qv = [int(math.floor(PCA_V_SCALE / math.sqrt(EMBED_DIM) + 0.5))] * EMBED_DIM
-
-    def s_col(iterate: list[int]):
-        lit = "array(" + ",".join(f"{x}L" for x in iterate) + ")"
-        return F.expr(
-            f"aggregate(zip_with(c, {lit}, (a, b) -> a * b),"
-            " 0L, (acc, v) -> acc + v)"
-        )
-
     for _ in range(iters):
-        row = cent.select(s_col(qv).alias("s"), "c").agg(
-            *[
-                F.sum(
-                    F.col("s").cast("decimal(20,0)")
-                    * F.col("c").getItem(i).cast("decimal(10,0)")
-                ).alias(f"w{i}")
-                for i in range(EMBED_DIM)
-            ]
-        ).collect()[0]
-        w = [int(row[f"w{i}"]) for i in range(EMBED_DIM)]
+        # exact integer w = G·v — the same Σ s·cᵢ integers the old
+        # per-iteration decimal aggregate produced
+        w = [sum(G[i][k] * qv[k] for k in range(EMBED_DIM)) for i in range(EMBED_DIM)]
         acc = 0.0
         for x in w:  # fixed d-ascending fold — mirrors list_reduce
             xd = float(x)
@@ -1933,11 +2028,11 @@ def pca_power_quantized(
         qv = [
             int(math.floor(float(x) / nrm * float(PCA_V_SCALE) + 0.5)) for x in w
         ]
-    ss_row = cent.select(s_col(qv).alias("s")).agg(
-        F.sum(F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)"))
-        .alias("ss")
-    ).collect()[0]
-    return qv, int(ss_row.ss), sum(x * x for x in qv), n
+    # SS = Σ (c·qv)² = qvᵀ·G·qv, exact in Python ints
+    ss = sum(
+        qv[i] * G[i][k] * qv[k] for i in range(EMBED_DIM) for k in range(EMBED_DIM)
+    )
+    return qv, ss, sum(x * x for x in qv), n
 
 
 @op("embed_pca_power", oracle=_pca_oracle_sql(PCA_ITERS), category=CAT)
