@@ -147,15 +147,25 @@ def graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     many more supersteps, localCheckpoint every ~5 to cut lineage —
     the dedup_cluster pattern.
     """
-    # r12: de-joined edge build (see _copurchase_directed)
-    edges = _copurchase_directed(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg")
+    # r12: de-joined edge build (see _copurchase_directed), and both
+    # loop-invariant relations persisted (guide §2.4): every superstep
+    # re-joins edges and deg, so without materialization the whole
+    # lineitem scan + pair-expansion subtree is re-evaluated once per
+    # reference (the profiled plan had 59 Exchanges for 3 supersteps).
+    edges = tracked_persist(_copurchase_directed(spark, sf_dir))
+    deg = tracked_persist(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
     )
-    n_nodes = deg.agg(F.count("*").alias("nn"))
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
-        "node", F.expr(f"{PR_SCALE} div nn").alias("rank")
-    )
+    # r12: the node count is a SCALAR — one count() over the persisted
+    # degree table instead of a per-superstep
+    # crossJoin(broadcast(n_nodes)) (4 BroadcastNestedLoopJoins in the
+    # old plan). Python's // on positive BIGINTs matches Spark's `div`
+    # exactly, so every rank is the same integer.
+    nn = deg.count()
+    ranks = deg.select("node", F.lit(PR_SCALE // nn).alias("rank"))
+    teleport = (3 * PR_SCALE) // (20 * nn)
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(
@@ -167,11 +177,10 @@ def graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
-        ranks = contrib.crossJoin(F.broadcast(n_nodes)).select(
+        ranks = contrib.select(
             "node",
             F.expr(
-                f"(3 * {PR_SCALE}) div (20 * nn)"
-                f" + ({PR_D_NUM} * s) div {PR_D_DEN}"
+                f"{teleport} + ({PR_D_NUM} * s) div {PR_D_DEN}"
             ).alias("rank"),
         )
     return ranks.orderBy(F.desc("rank"), "node").limit(PR_TOP_K)
@@ -287,14 +296,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ydg"),
         )
     )
-    n_tri = _closure_triangle_sum(de)
-    n_edges = e.count()
-    n_wedges = (
-        de.groupBy("x")
-        .agg(F.count("*").alias("o"))
-        .agg(F.coalesce(F.sum(F.expr("o * (o - 1) div 2")), F.lit(0)))
-        .first()[0]
+    # r12: one aggregate pass over the persisted `de` yields all three
+    # scalar statistics the op used to compute as SEPARATE jobs
+    # (max in-degree probe, wedge count, edge count) — same integers:
+    # n_edges = Σ out-counts = |de| = |e|, n_wedges = Σ C(out, 2),
+    # max_ideg = max in-count.
+    roles = de.select(F.col("x").alias("node"), F.lit(1).alias("o")).unionAll(
+        de.select(F.col("y").alias("node"), F.lit(0).alias("o"))
     )
+    pern = roles.groupBy("node", "o").agg(F.count("*").alias("cnt"))
+    st = pern.agg(
+        F.coalesce(
+            F.max(F.when(F.col("o") == 0, F.col("cnt"))), F.lit(0)
+        ).alias("max_ideg"),
+        F.coalesce(
+            F.sum(F.when(F.col("o") == 1, F.expr("cnt * (cnt - 1) div 2"))),
+            F.lit(0),
+        ).alias("n_wedges"),
+        F.coalesce(
+            F.sum(F.when(F.col("o") == 1, F.col("cnt"))), F.lit(0)
+        ).alias("n_edges"),
+    ).first()
+    n_tri = _closure_triangle_sum(de, max_ideg=int(st["max_ideg"]))
+    n_edges = int(st["n_edges"])
+    n_wedges = int(st["n_wedges"])
     return spark.createDataFrame(
         [(n_tri, n_edges, n_wedges)],
         "n_triangles long, n_edges long, n_wedges long",
@@ -307,7 +332,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 INN_SMALL_MAX = 8192
 
 
-def _closure_triangle_sum(de: DataFrame) -> int:
+def _closure_triangle_sum(de: DataFrame, max_ideg: int | None = None) -> int:
     """Σ over oriented closure edges (b, c) of |in(b) ∩ in(c)| — the
     exactly-once triangle count of the degree-ordered edge set ``de``
     (columns x → y, persisted by the caller).
@@ -335,7 +360,8 @@ def _closure_triangle_sum(de: DataFrame) -> int:
     (regression-pinned against a brute-force oracle on a mega-hub
     fixture in tests/test_graph_ops.py)."""
     ideg = de.groupBy("y").agg(F.count("*").alias("idg"))
-    max_ideg = ideg.agg(F.max("idg")).first()[0] or 0
+    if max_ideg is None:  # op precomputes it in its fused stats pass
+        max_ideg = ideg.agg(F.max("idg")).first()[0] or 0
     closure = de.select(F.col("x").alias("b"), F.col("y").alias("c"))
     if max_ideg <= INN_SMALL_MAX:
         inn = de.groupBy("y").agg(F.collect_set("x").alias("ins"))
@@ -528,9 +554,16 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = reached.join(
-            visited.select("node"), "node", "left_anti"
-        ).select("node", F.lit(hop).alias("dist"))
+        # r12: persist each ring (guide §2.4) — frontier_h is referenced
+        # by the next hop's expansion join, by every later hop's
+        # anti-join (through the visited union), and by the final
+        # aggregate, so the unpersisted chain re-expands earlier rings
+        # once per reference (38 Exchanges profiled for 3 hops).
+        frontier = tracked_persist(
+            reached.join(
+                visited.select("node"), "node", "left_anti"
+            ).select("node", F.lit(hop).alias("dist"))
+        )
         visited = visited.unionAll(frontier)
     hops = visited.select("node", F.col("dist").cast("bigint").alias("dist"))
     return hops.groupBy("dist").agg(
@@ -601,8 +634,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer scores make the top-K order exact; Jaccard is one
     rounded display division.
     """
-    # r12: de-joined, support-pruned edge build (_copurchase_directed)
-    edges = _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
+    # r12: de-joined, support-pruned edge build, persisted (guide §2.4)
+    # — referenced by the degree aggregate, both wedge-join sides, and
+    # the adjacency anti-join (4 evaluations of the build unpersisted).
+    edges = tracked_persist(
+        _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
@@ -696,20 +733,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the symmetric edge set makes x/y moments equal by construction,
     which the published sx/sxx columns let a reviewer confirm.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    # r12: de-joined edge build (_copurchase_directed ≡ the old
+    # distinct-self-join relation, as proven for the rest of the
+    # family), persisted — referenced by the degree aggregate and the
+    # moment join's edge side.
+    edges = tracked_persist(_copurchase_directed(spark, sf_dir))
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
@@ -791,8 +819,16 @@ def graph_kcore_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shrinking edge set; integer degrees, total (deg, node)
     order.
     """
-    # r12: de-joined, support-pruned edge build (_copurchase_directed)
-    edges = _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
+    # r12: de-joined, support-pruned edge build (_copurchase_directed),
+    # each peel's shrinking edge set persisted (guide §2.4). Every round
+    # references its input edge set THREE times (degree aggregate + two
+    # semi-joins), so the unpersisted chain re-evaluates the build
+    # subtree 3^round times — the profiled plan had 126 Exchanges for
+    # 3 rounds; with per-round materialization each round is one degree
+    # shuffle + two (broadcastable-keep) semi-joins over the cache.
+    edges = tracked_persist(
+        _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
+    )
     for _ in range(KCORE_ROUNDS - 1):
         keep = (
             edges.groupBy("src")
@@ -800,8 +836,10 @@ def graph_kcore_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= KCORE_K)
             .select("src")
         )
-        edges = edges.join(keep, "src", "left_semi").join(
-            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        edges = tracked_persist(
+            edges.join(keep, "src", "left_semi").join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
         )
     return (
         edges.groupBy(F.col("src").alias("node"))
@@ -872,40 +910,48 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     halved to undirected; both densities and their ratio are
     integer ppm/milli divisions — no float anywhere.
     """
-    # r12: de-joined, support-pruned edge build (_copurchase_directed)
-    edges = _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("bigint").alias("deg")
+    # r12: de-joined, support-pruned edge build, persisted — referenced
+    # by the degree aggregate (itself read twice: club top-N and node
+    # count), the club-edge join, and the total edge count.
+    edges = tracked_persist(
+        _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
+    )
+    deg = tracked_persist(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").cast("bigint").alias("deg")
+        )
     )
     club = deg.orderBy(F.desc("deg"), "node").limit(RICH_CLUB_N).select("node")
     club_edges = edges.join(
         F.broadcast(club.withColumnRenamed("node", "src")), "src"
     ).join(F.broadcast(club.withColumnRenamed("node", "dst")), "dst")
+    # r12: all four statistics are SCALAR counts over the two persisted
+    # relations — collect them driver-side (the triangle_count pattern)
+    # and emit the one-row report directly, instead of the old
+    # crossJoin(broadcast(...)) chain (2 BroadcastNestedLoopJoins).
+    # Python // on positive BIGINTs ≡ Spark div, so every derived
+    # integer is unchanged.
     nk = club.count()
-    # counts are scalar metadata; assemble the one-row report relationally
-    stats = (
-        club_edges.agg(F.count("*").cast("bigint").alias("ek2"))
-        .crossJoin(F.broadcast(deg.agg(F.count("*").cast("bigint").alias("nn"))))
-        .crossJoin(F.broadcast(edges.agg(F.count("*").cast("bigint").alias("en2"))))
-        .withColumn("nk", F.lit(nk).cast("bigint"))
-    )
-    return stats.select(
-        F.col("nk").alias("club_size"),
-        F.expr("ek2 div 2").alias("club_edges"),
-        F.col("nn").alias("graph_nodes"),
-        F.expr("en2 div 2").alias("graph_edges"),
-        F.expr("(ek2 * 1000000) div (nk * (nk - 1))")
-        .cast("bigint")
-        .alias("club_density_ppm"),
-        F.expr("(en2 * 1000000) div (nn * (nn - 1))")
-        .cast("bigint")
-        .alias("graph_density_ppm"),
-        F.expr(
-            "((ek2 * 1000000) div (nk * (nk - 1))) * 1000"
-            " div ((en2 * 1000000) div (nn * (nn - 1)))"
-        )
-        .cast("bigint")
-        .alias("rich_club_ratio_milli"),
+    ek2 = club_edges.count()
+    nn = deg.count()
+    en2 = edges.count()
+    club_density_ppm = (ek2 * 1_000_000) // (nk * (nk - 1))
+    graph_density_ppm = (en2 * 1_000_000) // (nn * (nn - 1))
+    return spark.createDataFrame(
+        [
+            (
+                nk,
+                ek2 // 2,
+                nn,
+                en2 // 2,
+                club_density_ppm,
+                graph_density_ppm,
+                club_density_ppm * 1000 // graph_density_ppm,
+            )
+        ],
+        "club_size long, club_edges long, graph_nodes long, "
+        "graph_edges long, club_density_ppm long, graph_density_ppm long, "
+        "rich_club_ratio_milli long",
     )
 
 
@@ -965,39 +1011,31 @@ def graph_modularity_brand_partition(spark: SparkSession, sf_dir: str) -> DataFr
     from the part dim (broadcast); the edge pass is the standard
     pruned-graph build.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # r12: de-joined edge build (_copurchase_directed — same relation
+    # the old distinct-self-join + support filter produced), and the
+    # m2 crossJoin eliminated algebraically: dm = Σ_c deg_c, so
+    # Σ_c (dm·e_in2_c − deg_c²) = (Σdeg)·(Σe_in2) − Σdeg² — one
+    # aggregate over the per-community relation instead of evaluating
+    # the labeled-edge subtree twice (once for dm, once for comm).
+    # Exact BIGINT throughout, identical q_num.
     p = load_table(spark, sf_dir, "part")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = d.alias("a"), d.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= CN_MIN_SUPPORT)
-        .select("src", "dst")
-    )
+    edges = _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
     lab = p.select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("comm"))
     ls = lab.select(F.col("node").alias("src"), F.col("comm").alias("c1"))
     ld = lab.select(F.col("node").alias("dst"), F.col("comm").alias("c2"))
     le = edges.join(F.broadcast(ls), "src").join(F.broadcast(ld), "dst")
-    m2 = le.agg(F.count("*").cast("bigint").alias("dm"))
     comm = le.groupBy("c1").agg(
         F.sum(F.when(F.col("c1") == F.col("c2"), 1).otherwise(0))
         .cast("bigint")
         .alias("e_in2"),
         F.count("*").cast("bigint").alias("deg"),
     )
-    numer = comm.crossJoin(F.broadcast(m2)).agg(
-        F.sum(F.col("dm") * F.col("e_in2") - F.col("deg") * F.col("deg"))
-        .cast("bigint")
-        .alias("q_num"),
-        F.max("dm").cast("bigint").alias("dm"),
+    numer = comm.agg(
+        (
+            F.sum("deg").cast("bigint") * F.sum("e_in2").cast("bigint")
+            - F.sum(F.col("deg") * F.col("deg")).cast("bigint")
+        ).alias("q_num"),
+        F.sum("deg").cast("bigint").alias("dm"),
     )
     return numer.select(
         F.expr("dm div 2").alias("n_edges"),
@@ -1018,8 +1056,14 @@ def _pruned_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     why min-support pruning is load-bearing at scale: every downstream
     wedge/triangle stage is proportional to the SIGNAL graph (w>=2,
     ~7k edges at sf0.1), not the noise graph (w>=1, 2.4M edges)."""
-    # r12: de-joined, support-pruned edge build (_copurchase_directed)
-    return _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
+    # r12: de-joined, support-pruned edge build (_copurchase_directed),
+    # persisted (guide §2.4) — both consumers (adamic_adar,
+    # local_clustering) reference the relation 4-5 times (degree
+    # aggregate, wedge-join sides, closure/anti-join), so the build
+    # subtree would otherwise be re-evaluated once per reference.
+    return tracked_persist(
+        _copurchase_directed(spark, sf_dir, min_support=CN_MIN_SUPPORT)
+    )
 
 
 @op(
@@ -1281,10 +1325,20 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def normalize(scores: DataFrame, col: str) -> DataFrame:
-        tot = scores.agg(F.sum(col).cast("bigint").alias("tot"))
-        return scores.crossJoin(F.broadcast(tot)).select(
+        # r12: persist the pre-normalization scores (guide §2.4) — the
+        # relation is referenced twice (total + re-scale join), and the
+        # normalized output feeds the NEXT superstep's normalize, so
+        # the unpersisted chain doubles the whole upstream subtree per
+        # round (2^4 evaluations of a1 by round 2; 67 Exchanges in the
+        # profiled plan). Node-sized relations, MEMORY_AND_DISK.
+        scores = tracked_persist(scores)
+        # the total is a SCALAR over the persisted frame: fold it in as
+        # a literal instead of crossJoin(broadcast(tot)) — the old plan
+        # carried 5 BroadcastNestedLoopJoins for the 4 normalizations.
+        tot = scores.agg(F.sum(col).cast("bigint")).first()[0]
+        return scores.select(
             scores.columns[0],
-            F.expr(f"{col} * {HITS_SCALE} div tot").cast("bigint").alias(col),
+            F.expr(f"{col} * {HITS_SCALE} div {tot}").cast("bigint").alias(col),
         )
 
     a1 = e.groupBy("p").agg(F.count("*").cast("bigint").alias("auth"))
