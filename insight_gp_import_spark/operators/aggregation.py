@@ -105,6 +105,13 @@ def _exact_global_rank(
     positive-constant multiply and floor — so at worst precision loss
     merges neighboring values into one bucket (balance, not
     correctness; the in-bucket sort still orders them exactly)."""
+    # r12 (guide §2.4): the kernel references its input THREE times
+    # (min/max range probe, bucket-count aggregate, final rank join) —
+    # persist it so the caller's upstream subtree evaluates once, not
+    # per reference. Chained calls (e.g. win_rank_change's two ranks)
+    # otherwise compound the re-evaluation 3x per level (51 Exchanges
+    # in the profiled plan).
+    df = tracked_persist(df)
     rng = df.agg(F.min(val_col).alias("_egn_lo"), F.max(val_col).alias("_egn_hi"))
     # Conservative integer-path gate: range strictly below 2^62/n_buckets
     # (the compare itself is double-side, so it never overflows either).

@@ -381,7 +381,12 @@ def _allpairs_candidates(gs: DataFrame) -> DataFrame:
         - F.expr(f"({JACCARD_T_NUM} * n + {JACCARD_T_NUM}) div {JACCARD_T_DEN}")
         + 1
     )
-    pref = pos.filter(F.col("pos") <= prefix_len).select("kh", "tok", "n")
+    # r12: persist the prefix relation — the candidate join is a
+    # SELF-join of pref, so the explode + dfreq join + per-set window
+    # chain otherwise runs twice (guide §2.4).
+    pref = tracked_persist(
+        pos.filter(F.col("pos") <= prefix_len).select("kh", "tok", "n")
+    )
     a = pref.select(F.col("kh").alias("kh1"), "tok", F.col("n").alias("pn1"))
     b = pref.select(F.col("kh").alias("kh2"), "tok", F.col("n").alias("pn2"))
     # length filter (part of AllPairs): J ≥ t bounds |x|/|y| within t
@@ -439,7 +444,10 @@ def _jaccard_verify_bitmap(
     gids = spark.createDataFrame(
         [(t, i) for i, t in enumerate(vocab)], "tok string, gid int"
     )
-    bm = (
+    # r12: persisted — the verify join consumes bm on BOTH candidate
+    # sides, so the explode + gid join + bitmap fold otherwise runs
+    # twice (guide §2.4).
+    bm = tracked_persist(
         gs.select("kh", "n", F.explode("arr").alias("tok"))
         .join(F.broadcast(gids), "tok")
         .groupBy("kh", "n")
@@ -544,13 +552,16 @@ def _mask64_jac(base: DataFrame, vocab: list) -> tuple[DataFrame, DataFrame]:
     ms = doc_mask.select("m").distinct()
     # per-set prefix ranking, rarest-first by set-level document
     # frequency — identical window shape to the kh branch (partitioned
-    # by set identity; never a global rank)
-    mtoks = ms.select(
-        "m",
-        F.bit_count("m").alias("n"),
-        F.explode(
-            F.expr("filter(sequence(0, 63), b -> (shiftright(m, b) & 1) = 1)")
-        ).alias("gid"),
+    # by set identity; never a global rank). r12: persisted — mtoks is
+    # referenced by both the dfreq aggregate and the ranking join.
+    mtoks = tracked_persist(
+        ms.select(
+            "m",
+            F.bit_count("m").alias("n"),
+            F.explode(
+                F.expr("filter(sequence(0, 63), b -> (shiftright(m, b) & 1) = 1)")
+            ).alias("gid"),
+        )
     )
     freq = mtoks.groupBy("gid").agg(F.count("*").alias("dfreq"))
     pos = mtoks.join(freq, "gid").select(
@@ -566,7 +577,11 @@ def _mask64_jac(base: DataFrame, vocab: list) -> tuple[DataFrame, DataFrame]:
         - F.expr(f"({JACCARD_T_NUM} * n + {JACCARD_T_NUM}) div {JACCARD_T_DEN}")
         + 1
     )
-    pref = pos.filter(F.col("pos") <= prefix_len).select("m", "gid", "n")
+    # r12: persist — the candidate join is a SELF-join of pref (the
+    # window chain otherwise evaluates twice, guide §2.4).
+    pref = tracked_persist(
+        pos.filter(F.col("pos") <= prefix_len).select("m", "gid", "n")
+    )
     a = pref.select(F.col("m").alias("m1"), "gid", F.col("n").alias("pn1"))
     b = pref.select(F.col("m").alias("m2"), "gid", F.col("n").alias("pn2"))
     cand = (
@@ -795,6 +810,21 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     DuckDB oracle are all untouched — only candidate ORDER changed,
     and each filter is individually lossless for the output relation.
     """
+    # bounded branch probe — plan choice + gid map only, never results
+    # (same protocol as allpairs_jaccard_pairs / dedup_ngram_jaccard)
+    probe = (
+        sets_in.select(F.explode("arr").alias("tok"))
+        .distinct()
+        .limit(JACCARD_BITMAP_MAX_VOCAB + 1)
+        .collect()
+    )
+    vocab = sorted(r[0] for r in probe)
+    # r12: V ≤ 64 collapses the whole pipeline onto BIGINT set masks
+    # (the allpairs_jaccard_pairs mask64 branch, extended with the
+    # band-leader collision filter) — same output relation, no md5
+    # keys, no array-keyed groupBy, no verify join.
+    if len(vocab) <= 64:
+        return _minhash_pairs_mask64(sets_in, vocab)
     # set identity from the ARRAY group (_keyed_set_groups, round-10
     # ADVICE fix — the '|'-joined md5 key aliased sets whose tokens
     # contain '|'); persisted: _expand_set_pairs joins sets 3×, and
@@ -802,21 +832,16 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
     grp = _keyed_set_groups(sets_in)
     sets = tracked_persist(grp.select("kh", F.explode("docs").alias("doc_id")))
     gs = grp.select("kh", "arr", "sid", "n")
-    # bounded branch probe — plan choice + gid map only, never results
-    # (same protocol as allpairs_jaccard_pairs / dedup_ngram_jaccard)
-    probe = (
-        gs.select(F.explode("arr").alias("tok"))
-        .distinct()
-        .limit(JACCARD_BITMAP_MAX_VOCAB + 1)
-        .collect()
-    )
-    vocab = sorted(r[0] for r in probe)
     cand = _allpairs_candidates(gs)
     if len(vocab) <= JACCARD_BITMAP_MAX_VOCAB:
         jac = _jaccard_verify_bitmap(cand, gs, vocab)
     else:
         jac = _jaccard_verify_arrays(cand, gs)
-    bands = _band_hashes(gs, "kh").join(gs.select("kh", "sid"), "kh")
+    # r12: persisted — bands feeds the leader aggregate AND the lb
+    # join, so the 32-minhash computation otherwise runs twice.
+    bands = tracked_persist(
+        _band_hashes(gs, "kh").join(gs.select("kh", "sid"), "kh")
+    )
     leaders = bands.groupBy("band", "bh").agg(F.min("sid").alias("lsid"))
     lbv = (
         bands.join(leaders, ["band", "bh"])
@@ -840,6 +865,84 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
         .select("kh1", "kh2", "j")
     )
     return _expand_set_pairs(banded, sets)
+
+
+def _minhash_pairs_mask64(sets_in: DataFrame, vocab: list) -> DataFrame:
+    """minhash_pairs for V ≤ 64 vocabularies (r12): the exact-jaccard
+    conjunct comes from ``_mask64_jac`` (token sets as BIGINT masks,
+    inline bit_count verify — the allpairs_jaccard_pairs fast branch),
+    and the band-collision conjunct is the same bucket-leader filter as
+    the generic path, computed over the DISTINCT-mask representatives
+    (arr rebuilt from the mask bits via the probe's vocab, so the 32
+    md5 permutation-minima and the 8 band hashes are byte-identical to
+    the oracle's). Set identity for banding/leaders is min member
+    doc_id per mask — the same sid the generic path derives per
+    distinct array, since mask ↔ token set is bijective under the
+    probe's dense gid map. Output relation therefore matches the
+    generic path row for row; only representation changes."""
+    jac, doc_mask = _mask64_jac(sets_in, vocab)
+    sm = tracked_persist(
+        doc_mask.groupBy("m").agg(F.min("doc_id").alias("sid"))
+    )
+    varr = F.array(*[F.lit(t) for t in vocab])
+    reps = sm.withColumn("varr", varr).select(
+        "sid",
+        F.expr(
+            "transform(filter(sequence(0, 63),"
+            " b -> (shiftright(m, b) & 1) = 1),"
+            " b -> element_at(varr, b + 1))"
+        ).alias("arr"),
+        "m",
+    )
+    # persisted — bands feeds the leader aggregate AND the lb join
+    bands = tracked_persist(_band_hashes(reps, "sid"))
+    leaders = bands.groupBy("band", "bh").agg(F.min("sid").alias("lsid"))
+    lbv = (
+        bands.join(leaders, ["band", "bh"])
+        .groupBy("sid")
+        .agg(
+            F.collect_set(
+                F.col("lsid") * N_BANDS + F.col("band")
+            ).alias("lb")
+        )
+    )
+    mlb = sm.join(lbv, "sid").select("m", "lb")
+    banded = (
+        jac.join(
+            mlb.select(F.col("m").alias("m1"), F.col("lb").alias("lb1")), "m1"
+        )
+        .join(
+            mlb.select(F.col("m").alias("m2"), F.col("lb").alias("lb2")), "m2"
+        )
+        .filter(F.arrays_overlap("lb1", "lb2"))
+        .select("m1", "m2", "j")
+    )
+    cross = (
+        banded.join(
+            doc_mask.select(F.col("m").alias("m1"), F.col("doc_id").alias("da")),
+            "m1",
+        )
+        .join(
+            doc_mask.select(F.col("m").alias("m2"), F.col("doc_id").alias("db")),
+            "m2",
+        )
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            F.round("j", 4).alias("jaccard"),
+        )
+    )
+    x, y = doc_mask.alias("x"), doc_mask.alias("y")
+    same = (
+        x.join(y, "m")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def minhash_candidates(sets_in: DataFrame) -> DataFrame:

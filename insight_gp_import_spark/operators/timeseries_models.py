@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table
 
 CAT = "timeseries"
@@ -427,8 +427,13 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACF over n−k points, the standard sample form).
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").alias("cnt")
+    # r12 (guide §2.4): the daily rollup is referenced twice per lag
+    # (both self-join sides) — persist it so the events scan+aggregate
+    # runs once instead of 14 times across the 7 lags.
+    daily = tracked_persist(
+        ev.groupBy(F.to_date("ts").alias("d")).agg(
+            F.count("*").alias("cnt")
+        )
     )
     outs = []
     for k in range(1, ACF_MAX_LAG + 1):
@@ -1391,8 +1396,14 @@ def ts_ljung_box_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = daily.select(
         "d", (F.col("x") - F.lag("x", 7).over(w)).alias("r")
     ).filter(F.col("r").isNotNull())
-    resid = lagged.select(
-        "r", F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn")
+    # r12 (guide §2.4): resid is referenced 15 times (the count + both
+    # sides of 7 per-lag self-joins) — persist the tiny residual series
+    # so the daily rollup + lag windows run once.
+    resid = tracked_persist(
+        lagged.select(
+            "r",
+            F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn"),
+        )
     )
     n_row = resid.agg(F.count("*").cast("bigint").alias("n"))
     rs = n_row

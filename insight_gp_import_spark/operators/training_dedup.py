@@ -57,26 +57,53 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     lesson). Term frequency weights votes (explode, no distinct) —
     classic Charikar SimHash.
     """
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .withColumn("m1", F.md5("tok"))
-        .withColumn("m2", F.md5(F.concat(F.lit("simhash2:"), F.col("tok"))))
+    # r12 (guide §1.2 per-task work): the sign-bit reads are INTEGER
+    # ops, not 60 per-token substring comparisons. Each md5's first 30
+    # hex nibbles are decoded once into two 60-bit longs via
+    # conv(hex, 16, 10); nibble i (1-indexed in its 15-char chunk)
+    # lands at bits [4·(15−i), 4·(15−i)+3], so its high bit — exactly
+    # the old `substring(src, pos, 1) >= '8'` test, since md5 hex is
+    # lowercase and '8'..'9' < 'a'..'f' in ASCII — is bit 63−4i.
+    # The ±1 vote sum folds to 2·Σbit − n_tokens, so the aggregate is
+    # 60 bit-extract sums plus one count, all codegen integer ops.
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(m, start, 15), 16, 10)
+            .cast("long")
+            .alias(f"h{c}")
+            for c, (m, start) in enumerate(
+                [
+                    (F.md5("tok"), 1),
+                    (F.md5("tok"), 16),
+                    (F.md5(F.concat(F.lit("simhash2:"), F.col("tok"))), 1),
+                    (F.md5(F.concat(F.lit("simhash2:"), F.col("tok"))), 16),
+                ]
+            )
+        ],
     )
 
-    def vote(b: int):
-        src = "m1" if b < 30 else "m2"
-        pos = (b % 30) + 1
-        return F.when(F.substring(src, pos, 1) >= "8", 1).otherwise(-1)
+    def bit(b: int):
+        pos = (b % 30) + 1  # 1-indexed nibble within its md5's first 30
+        chunk = (2 if b >= 30 else 0) + (0 if pos <= 15 else 1)
+        i = pos if pos <= 15 else pos - 15  # 1-indexed within the chunk
+        return F.shiftright(F.col(f"h{chunk}"), 63 - 4 * i).bitwiseAND(
+            F.lit(1)
+        )
 
     bitsums = toks.groupBy("doc_id").agg(
-        *[F.sum(vote(b)).alias(f"s{b}") for b in range(SIMHASH_BITS)]
+        F.count("*").alias("nt"),
+        *[F.sum(bit(b)).alias(f"s{b}") for b in range(SIMHASH_BITS)],
     )
     fp = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
+        # sign of the ±1 vote sum: 2·Σbit − n > 0
+        one = F.when(
+            2 * F.col(f"s{b}") - F.col("nt") > 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(one, b)
         fp = term if fp is None else fp + term
     return bitsums.select("doc_id", fp.alias("simhash"))
 
@@ -133,7 +160,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids+fingerprint only; the final filter is one xor+bit_count. All
     JVM builtins.
     """
-    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    # r12: persist the fingerprints — the banding candidate join is a
+    # SELF-join of chunks, so the exploded-token 60-bit-sum aggregation
+    # otherwise runs twice over the corpus (guide §2.4). 16 bytes/doc.
+    sigs = tracked_persist(
+        simhash_signatures(load_table(spark, sf_dir, "documents"))
+    )
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -1076,11 +1108,16 @@ def embed_lsh_pairs(emb: DataFrame, *, probe_all: bool = False) -> DataFrame:
     else:
         # (vec_id, table, code) rows ONLY — the embedding payload stays
         # out of the banding shuffle; it is joined back for verification
-        bands = coded.select(
-            "vec_id",
-            F.posexplode(
-                F.array(*[F.col(f"lsh_code{t}") for t in range(LSH_TABLES)])
-            ).alias("tbl", "code"),
+        # r12 (guide §2.4): persisted — the candidate join is a
+        # SELF-join of bands, so the 8 hyperplane code projections
+        # otherwise evaluate twice over the corpus.
+        bands = tracked_persist(
+            coded.select(
+                "vec_id",
+                F.posexplode(
+                    F.array(*[F.col(f"lsh_code{t}") for t in range(LSH_TABLES)])
+                ).alias("tbl", "code"),
+            )
         )
         l, r = bands.alias("l"), bands.alias("r")
         cand = (
@@ -1091,7 +1128,11 @@ def embed_lsh_pairs(emb: DataFrame, *, probe_all: bool = False) -> DataFrame:
             )
             .dropDuplicates(["v1", "v2"])
         )
-    sides = emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    # r12: persisted — consumed by BOTH verification join sides, so
+    # the scan + norm computation otherwise runs twice.
+    sides = tracked_persist(
+        emb.select("vec_id", "embedding", _norm("embedding").alias("nrm"))
+    )
     g1 = sides.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("ea"),
@@ -1455,8 +1496,17 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .withColumn("dist", F.levenshtein(F.col("a.pfx"), F.col("b.pfx")))
-        .filter(F.col("dist") <= LEV_MAX_DIST)
+        # r12 (guide §1.2 per-task work): the THRESHOLD form of
+        # levenshtein runs the banded O(k·n) algorithm with early exit
+        # instead of the full O(n²) table, returning -1 for pairs whose
+        # distance exceeds k — so `dist >= 0` ≡ the old
+        # `dist <= LEV_MAX_DIST`, with identical distances for every
+        # surviving pair.
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), LEV_MAX_DIST),
+        )
+        .filter(F.col("dist") >= 0)
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
@@ -1699,8 +1749,14 @@ def kmeans_lloyd_quantized(
 
     Returns the final (vec_id, cluster_id, d2) assignment frame.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_IVF_QV_SQL).alias("qv")
+    # r12 (guide §2.4/§5): persist the quantized vectors — the Lloyd
+    # loop re-reads them every iteration (init probe + `iters`
+    # assignment/update passes + the op's final aggregate), so the
+    # parquet scan + quantization expression otherwise re-runs 7x.
+    emb = tracked_persist(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr(_IVF_QV_SQL).alias("qv")
+        )
     )
     init = emb.orderBy("vec_id").limit(k).collect()
     # (cid, centroid) pairs ordered by cid — survives empty clusters

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table
 
 CAT = "training-text"
@@ -1027,13 +1027,20 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # r12 (guide §2.4): the global bigram count is a WINDOW over the
+    # per-(doc, bigram) relation partitioned by bigram — one shuffle on
+    # g, no self-referencing join, and the explode + first aggregate
+    # evaluate exactly once (the old groupBy + join-back re-ran them on
+    # both join sides). Same exact integers per row.
     per_doc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c_dg"))
-    global_g = per_doc.groupBy("g").agg(F.sum("c_dg").alias("c_g"))
+    scored = per_doc.withColumn(
+        "c_g", F.sum("c_dg").over(Window.partitionBy("g"))
+    )
     unique_here = F.when(F.col("c_g") == F.col("c_dg"), F.col("c_dg")).otherwise(
         F.lit(0)
     )
     return (
-        per_doc.join(global_g, "g")
+        scored
         .groupBy("doc_id")
         .agg(
             F.sum("c_dg").alias("n_bigrams"),
@@ -1107,17 +1114,22 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what the oracle grades (module docstring contract).
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, length(text) - 2),"
-                    " i -> substring(text, i, 3))"
+    # r12: the distinct-trigram explode is the expensive stage and is
+    # referenced TWICE (profile fit + scoring join) — persist it so
+    # fit and predict share one tokenization pass (guide §2.4).
+    grams = tracked_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                    )
                 )
-            )
-        ).alias("g"),
+            ).alias("g"),
+        )
     )
     lang_counts = grams.groupBy(
         F.col("lang").alias("plang"), "g"
@@ -1507,17 +1519,21 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation MACHINERY exactly (module-docstring contract).
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, length(text) - 2),"
-                    " i -> substring(text, i, 3))"
+    # r12: same persist as text_langid_ngram — fit and predict share
+    # one tokenization pass instead of exploding the corpus twice.
+    grams = tracked_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                    )
                 )
-            )
-        ).alias("g"),
+            ).alias("g"),
+        )
     )
     lang_counts = grams.groupBy(
         F.col("lang").alias("plang"), "g"
@@ -2330,12 +2346,17 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = REGISTRY["text_langid_ngram"].fn(spark, sf_dir).select(
         "doc_id", F.col("predicted").alias("p2")
     )
-    j = d1.join(d2, "doc_id").select("p1", "p2")
-    n_tot = j.agg(F.count("*").cast("bigint").alias("n"))
-    agree = j.agg(
+    # r12: persist the tiny prediction-pair relation — it is referenced
+    # FOUR times (total, agreement, both marginals), and each reference
+    # re-ran BOTH detector pipelines end to end (the trigram explode
+    # twice per detector run; 25 Exchanges in the profiled plan).
+    # n and agree also fold into ONE aggregate over the same relation.
+    j = tracked_persist(d1.join(d2, "doc_id").select("p1", "p2"))
+    stats = j.agg(
+        F.count("*").cast("bigint").alias("n"),
         F.sum(F.when(F.col("p1") == F.col("p2"), 1).otherwise(0))
         .cast("bigint")
-        .alias("a")
+        .alias("a"),
     )
     m1 = j.groupBy(F.col("p1").alias("p")).agg(
         F.count("*").cast("bigint").alias("c1")
@@ -2347,8 +2368,7 @@ def text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("rc")
     )
     return (
-        n_tot.crossJoin(agree)
-        .crossJoin(marg)
+        stats.crossJoin(marg)
         .select(
             "n",
             F.col("a").alias("n_agree"),
@@ -2618,6 +2638,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # r12: persist the bigram stream — referenced by the model-count
+    # aggregate AND the scoring join, so the split/transform explode
+    # otherwise runs twice over the corpus (guide §2.4).
+    big = tracked_persist(big)
     freq2 = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n"))
     ctx = freq2.groupBy("w1").agg(F.sum("n").cast("bigint").alias("ndot"))
     # No broadcast hints here: the bigram vocabulary grows ~linearly
