@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op, tracked_persist
-from insight_gp_import_spark.tables import load_table
+from insight_gp_import_spark.tables import load_table, spread_scan
 
 CAT = "llm"
 
@@ -120,7 +120,13 @@ def token_sets_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def _doc_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_sets_from_docs(load_table(spark, sf_dir, "documents"))
+    # r12: the corpus files are one-row-group parquet, so the tokenize
+    # explode inside token_sets_from_docs would run in a single task;
+    # spread_scan fans the docs across cores (no-op at production
+    # split counts — see tables.spread_scan).
+    return token_sets_from_docs(
+        spread_scan(load_table(spark, sf_dir, "documents"))
+    )
 
 
 @op(

@@ -35,7 +35,7 @@ from insight_gp_import_spark.operators.llm import (
     _norm,
 )
 from insight_gp_import_spark.registry import op, tracked_persist
-from insight_gp_import_spark.tables import load_table
+from insight_gp_import_spark.tables import load_table, spread_scan
 
 CAT = "training-dedup"
 
@@ -164,7 +164,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SELF-join of chunks, so the exploded-token 60-bit-sum aggregation
     # otherwise runs twice over the corpus (guide §2.4). 16 bytes/doc.
     sigs = tracked_persist(
-        simhash_signatures(load_table(spark, sf_dir, "documents"))
+        # spread_scan: the 64-bit-sum signature aggregation is per-row
+        # heavy and the one-row-group scan would serialize it (r12).
+        simhash_signatures(spread_scan(load_table(spark, sf_dir, "documents")))
     )
     chunks = sigs.select(
         "doc_id",
@@ -808,8 +810,15 @@ def ngram_candidates(
     (cand, gd) — exposed (round-7 verdict item 3) so the sf1 scale
     stress can measure candidate volume separately from verified pairs.
     Pure code motion; the op's plan is unchanged."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("n_chars") >= NGRAM_K
+    # r12: the sf corpora are one-row-group parquet — the scan is a
+    # single task and the gram explode below serialized on one core
+    # (measured 1.9 s of the op's 7.3 s at sf0.1). spread_scan fans the
+    # 5k docs across the session's cores; no-op at production split
+    # counts.
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("n_chars") >= NGRAM_K
+        )
     )
     grams = docs.select(
         "doc_id",

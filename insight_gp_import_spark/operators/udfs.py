@@ -330,6 +330,18 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
+    # r12 (guide §4): the per-frame Python hop is the whole cost of
+    # this op and its parallelism equals the window's partition count.
+    # Hash-repartition by the window key to AT LEAST the session's
+    # core count — the window reuses this partitioning (same number of
+    # Exchanges; measured 5.5 s → 0.8 s at sf0.1 with shuffle=8 on
+    # local[32]). Scale-adaptive: on a cluster shuffle.partitions
+    # already exceeds core count and the max() changes nothing.
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    ev = ev.repartition(n_parts, "user_id")
 
     @F.pandas_udf("long")
     def frame_sum(v: pd.Series) -> int:

@@ -136,6 +136,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Fan a narrow-split relation out to session parallelism before
+    heavy per-row work (optimization guide §2.5, "input skew": one
+    unsplittable file serializes every downstream JVM/Python operation
+    until the first exchange — the sf corpora are single-row-group
+    parquet files, so every scan is exactly one task regardless of
+    core count).
+
+    Scale-adaptive, never a local[32] constant: the probe is the actual
+    split count of THIS plan (its RDD partition count, ~30 ms of
+    driver-side planning). When the source already provides at least
+    half the session's default parallelism in splits — always true at
+    production scale, where row groups outnumber cores — the plan is
+    returned unchanged and no shuffle is added. The keyless round-robin
+    repartition is retry-deterministic (Spark sorts before repartition,
+    SPARK-23207). Apply ONLY where per-row work dominates the scan
+    (gram explodes, codec decodes, similarity kernels): for cheap
+    scan+aggregate plans the added exchange costs more than the
+    single-task map side."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a proper TIMESTAMP (µs), parity-safe vs
     DuckDB (memoized like every other table)."""
