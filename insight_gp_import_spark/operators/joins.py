@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from insight_gp_import_spark.registry import op
-from insight_gp_import_spark.tables import load_table
+from insight_gp_import_spark.tables import (
+    load_table,
+    spread_scan,
+    spread_scan_by,
+)
 
 CAT = "joins"
 
@@ -581,6 +585,9 @@ def join_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist (order size is bounded), so no salting needed.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r12b: keyed spread — see graph_ops._copurchase_pairs (same
+    # shape, same 1:1 exchange replacement; no-op at production).
+    li = spread_scan_by(li, "l_orderkey")
     sets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -2016,7 +2023,13 @@ def join_record_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only division is a BIGINT div.
     """
     c = load_table(spark, sf_dir, "customer")
-    clean = c.select(
+    # r12: the dirty side broadcasts (AQE), so the probe stage — which
+    # expands ~|c|²/|nations| candidate pairs and evaluates the three
+    # agreement tests on each — runs at the SCAN's parallelism: one
+    # task on the one-row-group test corpus. Spread the 15k-row probe
+    # side (id-sized rows, trivial exchange; no-op at production split
+    # counts): 3.2 s → measured below at sf0.1.
+    clean = spread_scan(c).select(
         F.col("c_custkey").alias("ck"),
         F.col("c_name").alias("name1"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c1"),

@@ -100,6 +100,25 @@ def _fetch_query_vector(sf_dir: str, vec_id: int) -> list[float]:
     return tuple(float(x) for x in tbl.column("embedding")[0].as_py())
 
 
+def char_trigram_zip_expr(cs: str) -> str:
+    """SQL expression: char-3-gram array from a pre-split chars array
+    column (``split(text, '')``), via zip_with over the array and its
+    shifted selves — ONE pass per doc. The direct form
+    ``transform(sequence(1, length(text)-2), i -> substring(text,i,3))``
+    re-seeks the UTF-8 byte offset of codepoint i on every element
+    (UTF8String.substring is O(i)), i.e. O(len²) per doc — measured
+    1.8× slower at sf0.1 (r12). Bit-identical output (both split on
+    codepoints; verified exceptAll-empty both ways). ``greatest(0, …)``
+    guards sub-3-char strings (empty result, like DuckDB's
+    generate_series; no such docs exist in any test corpus)."""
+    n = f"greatest(0, size({cs}) - 2)"
+    return (
+        f"zip_with(zip_with(slice({cs}, 1, {n}), slice({cs}, 2, {n}),"
+        f" (a, b) -> concat(a, b)), slice({cs}, 3, {n}),"
+        f" (ab, c) -> concat(ab, c))"
+    )
+
+
 def token_sets_from_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, arr sorted-distinct-token-array, k set-key, n set-size)
     from any (doc_id, text) frame — the df-level entry the library

@@ -33,6 +33,7 @@ from insight_gp_import_spark.operators.llm import (
     _lit_vec_sql,
     _cosine,
     _norm,
+    char_trigram_zip_expr,
 )
 from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import load_table, spread_scan
@@ -820,15 +821,17 @@ def ngram_candidates(
             F.col("n_chars") >= NGRAM_K
         )
     )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {NGRAM_K - 1}),"
-                f" i -> substring(text, i, {NGRAM_K}))"
-            )
-        ).alias("g"),
-    ).distinct()
+    # r12 (guide §1.2): gram generation via one split + zip_with — the
+    # per-element substring form re-seeks UTF-8 offsets, O(len²)/doc
+    # (see llm.char_trigram_zip_expr; measured 1.8× on this stage).
+    grams = (
+        docs.select("doc_id", F.split("text", "").alias("cs"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(char_trigram_zip_expr("cs"))).alias("g"),
+        )
+        .distinct()
+    )
     freq = grams.groupBy("g").agg(F.count("*").alias("dfreq"))
     # Rarest-first order per doc comes straight from the (dfreq, g)
     # tuple inside the per-doc window — never a global rank, which

@@ -18,8 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from insight_gp_import_spark.operators.llm import char_trigram_zip_expr
 from insight_gp_import_spark.registry import op, tracked_persist
-from insight_gp_import_spark.tables import load_table
+from insight_gp_import_spark.tables import load_table, spread_scan
 
 CAT = "training-text"
 
@@ -378,15 +379,23 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't flip the boolean. Pure JVM array expressions in the scan
     stage — per-doc work, zero shuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    arr = F.split("text", " ")
-    n = F.size(arr)
-    bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+    # r12 (guide §1.2 per-task work): split ONCE into a projected
+    # array — the old lambda re-ran split(text) per bigram ELEMENT
+    # (Catalyst does not hoist element_at(split(...), i) out of
+    # transform), O(tokens²) string splitting per doc. zip_with over
+    # the array and its own tail is one pass; outputs verified
+    # bit-identical (exceptAll both ways) at sf0.1. 2.4 s → 0.35 s.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
     )
-    uni_ratio = F.round(F.size(F.array_distinct(arr)).cast("double") / n, 6)
+    n = F.size("toks")
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"
+    )
+    uni_ratio = F.round(
+        F.size(F.array_distinct("toks")).cast("double") / n, 6
+    )
     bi_ratio = F.round(
         F.size(F.array_distinct(bigrams)).cast("double") / (n - 1), 6
     )
@@ -1016,14 +1025,23 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer equality; only the published ratio is a rounded
     double.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # r12 (guide §1.2 per-task work): the old lambda re-ran
+    # split(text) per ELEMENT (element_at(split(...), i) inside
+    # transform is not hoisted by Catalyst) — O(tokens²) string
+    # splitting per doc. Split once, zip the array with its own tail:
+    # one pass, bit-identical bigrams (verified exceptAll-empty both
+    # ways at sf0.1; 2.9 s → 0.44 s for the gram stage). spread_scan:
+    # one-row-group input, heavy per-row work.
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     grams = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(element_at(split(text, ' '), i), ' ',"
-                "             element_at(split(text, ' '), i + 1)))"
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
             )
         ).alias("g"),
     )
@@ -1117,17 +1135,17 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: the distinct-trigram explode is the expensive stage and is
     # referenced TWICE (profile fit + scoring join) — persist it so
     # fit and predict share one tokenization pass (guide §2.4).
+    # r12b: one-pass zip_with gram build (llm.char_trigram_zip_expr;
+    # the substring form is O(len²)/doc) over a spread scan (one-
+    # row-group input would serialize the explode on one core).
     grams = tracked_persist(
-        docs.select(
+        spread_scan(docs)
+        .select("doc_id", "lang", F.split("text", "").alias("cs"))
+        .select(
             "doc_id",
             "lang",
             F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, length(text) - 2),"
-                        " i -> substring(text, i, 3))"
-                    )
-                )
+                F.array_distinct(F.expr(char_trigram_zip_expr("cs")))
             ).alias("g"),
         )
     )
@@ -1521,17 +1539,16 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # r12: same persist as text_langid_ngram — fit and predict share
     # one tokenization pass instead of exploding the corpus twice.
+    # r12b: same one-pass zip_with gram build + spread scan as
+    # text_langid_ngram (see that op).
     grams = tracked_persist(
-        docs.select(
+        spread_scan(docs)
+        .select("doc_id", "lang", F.split("text", "").alias("cs"))
+        .select(
             "doc_id",
             "lang",
             F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, length(text) - 2),"
-                        " i -> substring(text, i, 3))"
-                    )
-                )
+                F.array_distinct(F.expr(char_trigram_zip_expr("cs")))
             ).alias("g"),
         )
     )

@@ -144,22 +144,55 @@ def spread_scan(df: DataFrame) -> DataFrame:
     parquet files, so every scan is exactly one task regardless of
     core count).
 
-    Scale-adaptive, never a local[32] constant: the probe is the actual
-    split count of THIS plan (its RDD partition count, ~30 ms of
-    driver-side planning). When the source already provides at least
-    half the session's default parallelism in splits — always true at
-    production scale, where row groups outnumber cores — the plan is
-    returned unchanged and no shuffle is added. The keyless round-robin
-    repartition is retry-deterministic (Spark sorts before repartition,
-    SPARK-23207). Apply ONLY where per-row work dominates the scan
-    (gram explodes, codec decodes, similarity kernels): for cheap
-    scan+aggregate plans the added exchange costs more than the
-    single-task map side."""
+    Scale-adaptive, never a local[32] constant: the probe is the plan's
+    input-file count (``df.inputFiles()`` — cheap, listing is cached;
+    the same probe operators/multimodal._spread_for_python settled on
+    after the r8 ADVICE flagged the plan-to-RDD conversion cost of
+    ``df.rdd.getNumPartitions()``). File count is a conservative lower
+    bound on scan splits, so the only error mode is an unnecessary
+    round-robin exchange — never a missed production split. When the
+    source already provides at least half the session's default
+    parallelism in files — always true at production scale — the plan
+    is returned unchanged and no shuffle is added. The keyless
+    round-robin repartition is retry-deterministic (Spark sorts before
+    repartition, SPARK-23207). Apply ONLY where per-row work dominates
+    the scan (gram explodes, codec decodes, JSON parsing, similarity
+    kernels): for cheap scan+aggregate plans the added exchange costs
+    more than the single-task map side. Plans where ``inputFiles()``
+    itself fails (streaming relations) are left untouched."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_inputs * 2 <= target:
         return df.repartition(target)
     return df
+
+
+def spread_scan_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Keyed variant of :func:`spread_scan`: when the source is
+    under-split, hash-repartition by ``cols`` to
+    max(defaultParallelism, shuffle.partitions) so that a following
+    groupBy/window on the same keys REUSES the exchange (same shuffle
+    count, wider reduce side, and the single-task map stage
+    disappears). Gated on the same input-file probe: at production
+    split counts this is a no-op, preserving map-side partial
+    aggregation where it actually combines."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_inputs * 2 > sc.defaultParallelism:
+        return df
+    target = max(
+        sc.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return df.repartition(target, *cols)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
