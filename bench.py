@@ -137,11 +137,26 @@ def main() -> None:
     from insight_gp_import_spark.registry import load_all_ops
     from insight_gp_import_spark.session import get_session
 
-    # Local-mode tuning: at sub-GB scale fewer shuffle partitions beat
-    # cpu_count (less task scheduling + fewer shuffle files; AQE still
-    # coalesces post-shuffle). On a cluster leave the session default
-    # (~2-3x executor cores) — see session.py's scale notes.
-    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    # r13 (r12 verdict item 2 — "restore a meaningful scaling
+    # contract"): the old fixed default (8) capped post-shuffle
+    # parallelism IDENTICALLY at every core count, so the driver's
+    # 8-vs-32-core probe executed near-identical task graphs and its
+    # ratios proved nothing. Shuffle partitions now scale with the
+    # requested cores — max(8, cpus) — and the effective value is
+    # stamped into the JSON line so the probe's conditions are in the
+    # artifact. SPARK_GRAFT_SHUFFLE still pins an explicit number
+    # (old behavior, byte-identical protocol otherwise); "auto" or
+    # unset selects the scaling default. AQE partition coalescing
+    # still shrinks tiny post-shuffle partitions at sub-GB scale, so
+    # the wider default costs only scheduling overhead locally.
+    shuffle_env = os.environ.get("SPARK_GRAFT_SHUFFLE", "auto")
+    try:
+        cpu_n = int(cpus)
+    except ValueError:  # e.g. SPARK_GRAFT_CPUS="*"
+        cpu_n = os.cpu_count() or 8
+    shuffle = (
+        max(8, cpu_n) if shuffle_env == "auto" else int(shuffle_env)
+    )
     spark = get_session(
         app_name="igis-bench", master=f"local[{cpus}]", shuffle_partitions=shuffle
     )
@@ -184,6 +199,7 @@ def main() -> None:
         ),
         "suite_normalized": head["suite_normalized"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "shuffle": shuffle,
         "load1": round(load1, 2),
         "load5": round(load5, 2),
         "noisy_host": noisy,

@@ -362,21 +362,21 @@ def allpairs_jaccard_pairs(sets_in: DataFrame) -> DataFrame:
     vocab = sorted(r[0] for r in probe)
     if len(vocab) <= 64:
         return _jaccard_pairs_mask64(sets_in, vocab)
-    # both persisted (round 9b): sets feeds _expand_set_pairs' THREE
-    # member joins and grp feeds the candidate join + the verify bitmap
-    # build — without the persists every consumer re-runs the full
-    # tokenize-explode-distinct-groupBy lineage over the corpus. Both
-    # relations are tiny materialized (ids + hashes; the arrays in grp
-    # exist once per DISTINCT set).
+    # grp persisted (round 9b, inside _keyed_set_groups): it feeds the
+    # candidate join, the verify bitmap build AND the expansion's
+    # member lists — without the persist every consumer re-runs the
+    # full tokenize-explode-distinct-groupBy lineage over the corpus.
+    # r13: the expansion consumes grp's docs ARRAYS directly (set-level
+    # joins, in-JVM fan-out) — the exploded (kh, doc_id) persist is
+    # gone with the doc-cardinality joins it served.
     grp = _keyed_set_groups(sets_in)
-    sets = tracked_persist(grp.select("kh", F.explode("docs").alias("doc_id")))
     gs = grp.select("kh", "arr", "n")
     cand = _allpairs_candidates(gs)
     if len(vocab) <= JACCARD_BITMAP_MAX_VOCAB:
         jac = _jaccard_verify_bitmap(cand, gs, vocab)
     else:
         jac = _jaccard_verify_arrays(cand, gs)
-    return _expand_set_pairs(jac, sets)
+    return _expand_set_pairs(jac, grp.select("kh", "docs"))
 
 
 def _allpairs_candidates(gs: DataFrame) -> DataFrame:
@@ -509,33 +509,71 @@ def _jaccard_verify_bitmap(
     )
 
 
-def _expand_set_pairs(jac: DataFrame, sets: DataFrame) -> DataFrame:
+# doc-pair fan-out of one surviving set pair, in-JVM: every (a, b)
+# combination of the two member lists as a struct array (flattened for
+# one explode). Shared by every pair-expansion path (r13).
+_CROSS_PAIRS_EXPR = (
+    "flatten(transform(da_arr, a -> "
+    "transform(db_arr, b -> struct(a AS da, b AS db))))"
+)
+
+
+def _same_group_pairs(grp_docs: DataFrame) -> DataFrame:
+    """(d1, d2) strictly-increasing member pairs WITHIN each group of a
+    (…, docs sorted-array) frame — the jaccard-1 pairs of docs sharing
+    one identical token set, enumerated in-JVM from the sorted member
+    list (the graph co-purchase expansion pattern) instead of a
+    self-join at doc cardinality."""
+    return grp_docs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) -> "
+                "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                "y -> struct(x AS d1, y AS d2))))"
+            )
+        ).alias("p")
+    ).select("p.d1", "p.d2")
+
+
+def _expand_set_pairs(jac: DataFrame, grp_docs: DataFrame) -> DataFrame:
     """(kh1, kh2, j) distinct-set pairs → (d1, d2, jaccard) doc pairs:
     cross-expand each surviving set pair into its doc pairs, plus the
     jaccard-1 pairs of docs sharing an identical set (no join needed
-    to discover those — same kh ⇒ same set)."""
+    to discover those — same kh ⇒ same set).
+
+    r13 (VERDICT item 4, guide §2.3 "aggregate before you shuffle" /
+    §8 expand-once-at-the-end): ``grp_docs`` carries each group's
+    member list as ONE row (kh, docs) — the list _keyed_set_groups
+    already aggregates — so both attachment joins run at DISTINCT-SET
+    cardinality and the output-proportional doc-pair fan-out happens
+    in-JVM via explode AFTER the joins. The old formulation joined an
+    exploded (kh, doc_id) relation twice: the second join's probe side
+    was already pair-expanded on the left group, so both joins
+    shuffled output-proportional volume (~2.49 M rows at sf0.1). The
+    jaccard-1 branch likewise replaces a doc-cardinality self-join
+    with the in-JVM member-pair enumeration."""
     cross = (
         jac.join(
-            sets.select(F.col("kh").alias("kh1"), F.col("doc_id").alias("da")), "kh1"
+            grp_docs.select(
+                F.col("kh").alias("kh1"), F.col("docs").alias("da_arr")
+            ),
+            "kh1",
         )
         .join(
-            sets.select(F.col("kh").alias("kh2"), F.col("doc_id").alias("db")), "kh2"
+            grp_docs.select(
+                F.col("kh").alias("kh2"), F.col("docs").alias("db_arr")
+            ),
+            "kh2",
         )
+        .select(F.explode(F.expr(_CROSS_PAIRS_EXPR)).alias("p"), "j")
         .select(
-            F.least("da", "db").alias("d1"),
-            F.greatest("da", "db").alias("d2"),
+            F.least("p.da", "p.db").alias("d1"),
+            F.greatest("p.da", "p.db").alias("d2"),
             F.round("j", 4).alias("jaccard"),
         )
     )
-    x, y = sets.alias("x"), sets.alias("y")
-    same = (
-        x.join(y, "kh")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    same = _same_group_pairs(grp_docs).select(
+        "d1", "d2", F.lit(1.0).alias("jaccard")
     )
     return cross.unionByName(same)
 
@@ -629,37 +667,54 @@ def _mask64_jac(base: DataFrame, vocab: list) -> tuple[DataFrame, DataFrame]:
     return jac, doc_mask
 
 
+def _mask_member_docs(doc_mask: DataFrame) -> DataFrame:
+    """(m, docs sorted-array) — one row per distinct mask with its
+    member doc list, persisted (r13): the set-level attachment joins
+    and the jaccard-1 enumeration both consume it, and docs sorted
+    ascending makes element_at(docs, 1) the group's min doc_id (the
+    sid the banding paths key on)."""
+    return tracked_persist(
+        doc_mask.groupBy("m").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("docs")
+        )
+    )
+
+
+def _expand_mask_pairs(jac: DataFrame, mdocs: DataFrame) -> DataFrame:
+    """(m1, m2, j) surviving mask pairs → (d1, d2, jaccard) doc pairs —
+    the mask64 twin of :func:`_expand_set_pairs` (r13, VERDICT item 4):
+    member lists attach at DISTINCT-MASK cardinality and the
+    output-proportional fan-out is an in-JVM explode, so no join ever
+    shuffles pair-proportional volume; jaccard-1 pairs enumerate from
+    each mask's sorted member list instead of a doc-level self-join."""
+    cross = (
+        jac.join(
+            mdocs.select(F.col("m").alias("m1"), F.col("docs").alias("da_arr")),
+            "m1",
+        )
+        .join(
+            mdocs.select(F.col("m").alias("m2"), F.col("docs").alias("db_arr")),
+            "m2",
+        )
+        .select(F.explode(F.expr(_CROSS_PAIRS_EXPR)).alias("p"), "j")
+        .select(
+            F.least("p.da", "p.db").alias("d1"),
+            F.greatest("p.da", "p.db").alias("d2"),
+            F.round("j", 4).alias("jaccard"),
+        )
+    )
+    same = _same_group_pairs(mdocs).select(
+        "d1", "d2", F.lit(1.0).alias("jaccard")
+    )
+    return cross.unionByName(same)
+
+
 def _jaccard_pairs_mask64(base: DataFrame, vocab: list) -> DataFrame:
     """Doc-pair expansion of _mask64_jac (see there for the scheme):
     surviving set-mask pairs cross-expand to member doc pairs, and
     docs sharing one mask are the jaccard-1 pairs."""
     jac, doc_mask = _mask64_jac(base, vocab)
-    cross = (
-        jac.join(
-            doc_mask.select(F.col("m").alias("m1"), F.col("doc_id").alias("da")),
-            "m1",
-        )
-        .join(
-            doc_mask.select(F.col("m").alias("m2"), F.col("doc_id").alias("db")),
-            "m2",
-        )
-        .select(
-            F.least("da", "db").alias("d1"),
-            F.greatest("da", "db").alias("d2"),
-            F.round("j", 4).alias("jaccard"),
-        )
-    )
-    x, y = doc_mask.alias("x"), doc_mask.alias("y")
-    same = (
-        x.join(y, "m")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(same)
+    return _expand_mask_pairs(jac, _mask_member_docs(doc_mask))
 
 
 def jaccard_set_adjacency(sets_in: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -852,10 +907,10 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
         return _minhash_pairs_mask64(sets_in, vocab)
     # set identity from the ARRAY group (_keyed_set_groups, round-10
     # ADVICE fix — the '|'-joined md5 key aliased sets whose tokens
-    # contain '|'); persisted: _expand_set_pairs joins sets 3×, and
-    # grp's lineage is the full corpus tokenization (round 9b)
+    # contain '|'); grp persisted inside _keyed_set_groups (its lineage
+    # is the full corpus tokenization, round 9b). r13: the expansion
+    # consumes grp's docs arrays directly — no exploded doc relation.
     grp = _keyed_set_groups(sets_in)
-    sets = tracked_persist(grp.select("kh", F.explode("docs").alias("doc_id")))
     gs = grp.select("kh", "arr", "sid", "n")
     cand = _allpairs_candidates(gs)
     if len(vocab) <= JACCARD_BITMAP_MAX_VOCAB:
@@ -889,7 +944,7 @@ def minhash_pairs(sets_in: DataFrame) -> DataFrame:
         .filter(F.arrays_overlap("lb1", "lb2"))
         .select("kh1", "kh2", "j")
     )
-    return _expand_set_pairs(banded, sets)
+    return _expand_set_pairs(banded, grp.select("kh", "docs"))
 
 
 def _minhash_pairs_mask64(sets_in: DataFrame, vocab: list) -> DataFrame:
@@ -906,9 +961,12 @@ def _minhash_pairs_mask64(sets_in: DataFrame, vocab: list) -> DataFrame:
     probe's dense gid map. Output relation therefore matches the
     generic path row for row; only representation changes."""
     jac, doc_mask = _mask64_jac(sets_in, vocab)
-    sm = tracked_persist(
-        doc_mask.groupBy("m").agg(F.min("doc_id").alias("sid"))
-    )
+    # r13: one persisted (m, sorted member docs) relation serves the
+    # sid map (element_at(docs, 1) == min member), both attachment
+    # joins and the jaccard-1 enumeration — replacing the separate
+    # min-aggregate persist plus doc-cardinality expansion joins.
+    mdocs = _mask_member_docs(doc_mask)
+    sm = mdocs.select("m", F.element_at("docs", 1).alias("sid"))
     varr = F.array(*[F.lit(t) for t in vocab])
     reps = sm.withColumn("varr", varr).select(
         "sid",
@@ -942,32 +1000,7 @@ def _minhash_pairs_mask64(sets_in: DataFrame, vocab: list) -> DataFrame:
         .filter(F.arrays_overlap("lb1", "lb2"))
         .select("m1", "m2", "j")
     )
-    cross = (
-        banded.join(
-            doc_mask.select(F.col("m").alias("m1"), F.col("doc_id").alias("da")),
-            "m1",
-        )
-        .join(
-            doc_mask.select(F.col("m").alias("m2"), F.col("doc_id").alias("db")),
-            "m2",
-        )
-        .select(
-            F.least("da", "db").alias("d1"),
-            F.greatest("da", "db").alias("d2"),
-            F.round("j", 4).alias("jaccard"),
-        )
-    )
-    x, y = doc_mask.alias("x"), doc_mask.alias("y")
-    same = (
-        x.join(y, "m")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(same)
+    return _expand_mask_pairs(banded, mdocs)
 
 
 def minhash_candidates(sets_in: DataFrame) -> DataFrame:

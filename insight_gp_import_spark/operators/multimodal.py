@@ -873,10 +873,13 @@ def _spread_for_python(df: DataFrame, spark: SparkSession) -> DataFrame:
     Under-split detection uses ``df.inputFiles()`` (r8 ADVICE fix):
     the old ``df.rdd.getNumPartitions()`` forced a full plan-to-RDD
     conversion per op invocation and is unavailable under Spark
-    Connect. File count is a conservative lower bound on scan splits
-    (a many-row-group file can split further), so the only error mode
-    is an unnecessary repartition of id-sized rows — never a missed
-    spread on the single-file fixtures this exists for.
+    Connect. r13 (VERDICT item 1, shared with tables.spread_scan):
+    file count alone only LOWER-bounds split count, so a few-large-
+    files production layout is additionally ruled out by the
+    byte-bounded estimate Σ ceil(size / maxPartitionBytes) over the
+    same listing (tables.estimate_splits_from_files) — a compacted
+    multi-GB-file table can never be round-robin-shuffled by this
+    helper.
 
     A NON-file batch source (createDataFrame fixtures) reports zero
     input files and is widened too — local-collection parallelism is
@@ -887,14 +890,17 @@ def _spread_for_python(df: DataFrame, spark: SparkSession) -> DataFrame:
     other unsupported-plan analysis errors — is left untouched, and
     only those error types are caught (r9: the old bare
     ``except Exception`` could mask unrelated analysis bugs)."""
+    from insight_gp_import_spark.tables import estimate_splits_from_files
+
     want = spark.sparkContext.defaultParallelism
     try:
-        n_inputs = len(df.inputFiles())
+        files = df.inputFiles()
     except (AnalysisException, Py4JJavaError):
         # inputFiles() unsupported for this plan (e.g. streaming):
         # nothing to detect, leave the plan untouched.
         return df
-    if n_inputs < want:
+    est = estimate_splits_from_files(spark, files)
+    if est is not None and est < want:
         return df.repartition(want)
     return df
 

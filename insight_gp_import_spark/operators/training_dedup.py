@@ -1414,8 +1414,25 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the block manager (guide §5: unpersist when done). No
     # .distinct(): set pairs are unique by construction and min-label
     # propagation is duplicate-invariant anyway.
+    #
+    # r13 (VERDICT item 3, guide §2.4): the edge relation is persisted
+    # PRE-PARTITIONED (hash by the join key src, at the shuffle
+    # partition count the per-round join would use) and pre-sorted
+    # within partitions — so EVERY round's propagation join consumes
+    # the cached partitioning and the loop never exchanges (or
+    # re-sorts) the edge side again. Before, each round's sort-merge
+    # plan shuffled the full directed edge set and only AQE's runtime
+    # broadcast conversion might have saved it — at 100 TB edge volume
+    # that is one full edge shuffle per round on the slow path.
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        n_parts = spark.sparkContext.defaultParallelism
     edges = tracked_persist(
-        sedges.union(sedges.select("s2", "s1")).toDF("src", "dst")
+        sedges.union(sedges.select("s2", "s1"))
+        .toDF("src", "dst")
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
     )
     labels = memb.select(F.col("sid").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -1435,12 +1452,16 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.lit(None).cast("long").alias("old"),
         )
+        # r13: LAZY localCheckpoint — the changed-count action both
+        # materializes the checkpoint and answers convergence, ONE job
+        # per round instead of the eager checkpoint's two (guide §1.2:
+        # per-round fixed overhead dominates the KB-scale label state).
         new = (
             labels.select("node", "label", F.col("label").alias("old"))
             .unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("label") != F.col("old")).count()
         labels = new.select("node", "label")
@@ -1570,6 +1591,12 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = sedges.select(
         F.least("s1", "s2").alias("u"), F.greatest("s1", "s2").alias("v")
     ).localCheckpoint()
+    # r13 (VERDICT item 3): carry |edges| across rounds — the fixpoint
+    # test needs |new| == |old| and the count of the PREVIOUS round's
+    # relation is already known, so each round pays one count job (which
+    # also materializes the lazy checkpoint below), not two, and the
+    # exceptAll probe only runs when the counts actually match.
+    n_edges = edges.count()
 
     for _ in range(BIGSTAR_MAX_ROUNDS):
         # Large-star: per node u (over BOTH directions), every neighbor
@@ -1598,20 +1625,26 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Fixpoint when the (canonicalized) edge set is unchanged.
         # r12 optimization: both relations are distinct sets, so
         # A ⊆ B ∧ |A| = |B| ⟺ A = B — one exceptAll direction plus two
         # cheap counts over already-checkpointed data replaces the
-        # second exceptAll's full shuffle join per round.
+        # second exceptAll's full shuffle join per round. r13: the
+        # count also MATERIALIZES the lazy checkpoint (one job), the
+        # old relation's count is carried from the previous round, and
+        # the exceptAll probe is skipped entirely while the counts
+        # still differ.
+        n_new = after_small.count()
         if (
-            after_small.count() == edges.count()
+            n_new == n_edges
             and after_small.exceptAll(edges).limit(1).count() == 0
         ):
             edges = after_small
             break
         edges = after_small
+        n_edges = n_new
 
     # Converged: every non-min set node carries exactly one edge to its
     # component min (star). groupBy(min) is belt-and-braces. Doc labels
@@ -1775,22 +1808,31 @@ def kmeans_lloyd_quantized(
     cents: list[tuple[int, list[int]]] = [
         (i, [int(v) for v in r.qv]) for i, r in enumerate(init)
     ]
+    # r13 (VERDICT item 7 — per-iteration overhead dominates on 2000
+    # rows): the old loop inlined each round's centroids as 64·k long
+    # LITERALS inside the distance expression, so every round generated
+    # DIFFERENT codegen source and paid a fresh Janino compile of the
+    # (large) zip_with/aggregate stage. Centroids now arrive as COLUMNS
+    # of a broadcast one-row relation (k×64 BIGINTs — same bounded
+    # driver state), so every round's generated code is byte-identical
+    # and the codegen cache compiles it once; the arithmetic is the
+    # same integer zip_with fold over the same values in the same
+    # order, so assignments and d2 are bit-identical (oracle-gated).
+    dists = F.expr(
+        "transform(carr, c -> aggregate(zip_with(qv, c, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v))"
+    )
     assigned = None
     for it in range(iters):
-        dists = F.array(*[
-            F.expr(
-                "aggregate(zip_with(qv, "
-                "array(" + ",".join(f"{v}L" for v in c) + "), "
-                "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
-            )
-            for _, c in cents
-        ])
-        cid_lits = F.array(*[F.lit(cid).cast("long") for cid, _ in cents])
-        assigned = emb.select(
+        cents_row = spark.createDataFrame(
+            [([list(c) for _, c in cents], [cid for cid, _ in cents])],
+            "carr array<array<bigint>>, cids array<bigint>",
+        )
+        assigned = emb.crossJoin(F.broadcast(cents_row)).select(
             "vec_id",
             "qv",
             F.element_at(
-                cid_lits, F.array_position(dists, F.array_min(dists)).cast("int")
+                "cids", F.array_position(dists, F.array_min(dists)).cast("int")
             ).alias("cluster_id"),
             F.array_min(dists).alias("d2"),
         )

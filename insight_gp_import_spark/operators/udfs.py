@@ -337,10 +337,12 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exchanges; measured 5.5 s → 0.8 s at sf0.1 with shuffle=8 on
     # local[32]). Scale-adaptive: on a cluster shuffle.partitions
     # already exceeds core count and the max() changes nothing.
-    n_parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
+    # (r12 ADVICE: tolerate a non-numeric platform value like "auto".)
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        shuffle = spark.sparkContext.defaultParallelism
+    n_parts = max(spark.sparkContext.defaultParallelism, shuffle)
     ev = ev.repartition(n_parts, "user_id")
 
     @F.pandas_udf("long")
