@@ -66,7 +66,10 @@ def test_allpairs_jaccard_branch_equivalence(spark):
     )
     assert len(vocab) <= 64, "fixture vocab grew past the mask branch"
     grp = _keyed_set_groups(base)
-    sets = grp.select("kh", F.explode("docs").alias("doc_id"))
+    # r13: _expand_set_pairs consumes the (kh, docs ARRAY) groups
+    # directly (set-level attachment joins + in-JVM fan-out) instead of
+    # an exploded (kh, doc_id) relation
+    grp_docs = grp.select("kh", "docs")
     gs = grp.select("kh", "arr", "n")
     cand = _allpairs_candidates(gs)
 
@@ -74,8 +77,10 @@ def test_allpairs_jaccard_branch_equivalence(spark):
         return {(r.d1, r.d2, r.jaccard) for r in df.collect()}
 
     mask = rel(_jaccard_pairs_mask64(base, vocab))
-    bitmap = rel(_expand_set_pairs(_jaccard_verify_bitmap(cand, gs, vocab), sets))
-    arrays = rel(_expand_set_pairs(_jaccard_verify_arrays(cand, gs), sets))
+    bitmap = rel(
+        _expand_set_pairs(_jaccard_verify_bitmap(cand, gs, vocab), grp_docs)
+    )
+    arrays = rel(_expand_set_pairs(_jaccard_verify_arrays(cand, gs), grp_docs))
     assert mask, "pair relation empty — fixture changed?"
     assert mask == bitmap
     assert mask == arrays
