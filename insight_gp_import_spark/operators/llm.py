@@ -509,13 +509,24 @@ def _jaccard_verify_bitmap(
     )
 
 
-# doc-pair fan-out of one surviving set pair, in-JVM: every (a, b)
-# combination of the two member lists as a struct array (flattened for
-# one explode). Shared by every pair-expansion path (r13).
-_CROSS_PAIRS_EXPR = (
-    "flatten(transform(da_arr, a -> "
-    "transform(db_arr, b -> struct(a AS da, b AS db))))"
-)
+def _cross_explode(joined: DataFrame) -> DataFrame:
+    """(…, da_arr, db_arr, j) → (d1, d2, j): every (a, b) combination
+    of the two member lists via TWO cascaded explodes. Session 1 built
+    the full |da|×|db| STRUCT array per row (flatten ∘ transform ∘
+    transform) and exploded once; the cascade emits the same rows
+    without ever materializing the cross array or allocating a struct
+    per pair — each Generate streams plain bigints (measured: the
+    struct-array form cost ~+0.7 s on the 2.49 M-pair expansion at
+    sf0.1). Shared by every pair-expansion path (r13)."""
+    return (
+        joined.select(F.explode("da_arr").alias("da"), "db_arr", "j")
+        .select("da", F.explode("db_arr").alias("db"), "j")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            F.round("j", 4).alias("jaccard"),
+        )
+    )
 
 
 def _same_group_pairs(grp_docs: DataFrame) -> DataFrame:
@@ -552,24 +563,17 @@ def _expand_set_pairs(jac: DataFrame, grp_docs: DataFrame) -> DataFrame:
     shuffled output-proportional volume (~2.49 M rows at sf0.1). The
     jaccard-1 branch likewise replaces a doc-cardinality self-join
     with the in-JVM member-pair enumeration."""
-    cross = (
+    cross = _cross_explode(
         jac.join(
             grp_docs.select(
                 F.col("kh").alias("kh1"), F.col("docs").alias("da_arr")
             ),
             "kh1",
-        )
-        .join(
+        ).join(
             grp_docs.select(
                 F.col("kh").alias("kh2"), F.col("docs").alias("db_arr")
             ),
             "kh2",
-        )
-        .select(F.explode(F.expr(_CROSS_PAIRS_EXPR)).alias("p"), "j")
-        .select(
-            F.least("p.da", "p.db").alias("d1"),
-            F.greatest("p.da", "p.db").alias("d2"),
-            F.round("j", 4).alias("jaccard"),
         )
     )
     same = _same_group_pairs(grp_docs).select(
@@ -687,20 +691,13 @@ def _expand_mask_pairs(jac: DataFrame, mdocs: DataFrame) -> DataFrame:
     output-proportional fan-out is an in-JVM explode, so no join ever
     shuffles pair-proportional volume; jaccard-1 pairs enumerate from
     each mask's sorted member list instead of a doc-level self-join."""
-    cross = (
+    cross = _cross_explode(
         jac.join(
             mdocs.select(F.col("m").alias("m1"), F.col("docs").alias("da_arr")),
             "m1",
-        )
-        .join(
+        ).join(
             mdocs.select(F.col("m").alias("m2"), F.col("docs").alias("db_arr")),
             "m2",
-        )
-        .select(F.explode(F.expr(_CROSS_PAIRS_EXPR)).alias("p"), "j")
-        .select(
-            F.least("p.da", "p.db").alias("d1"),
-            F.greatest("p.da", "p.db").alias("d2"),
-            F.round("j", 4).alias("jaccard"),
         )
     )
     same = _same_group_pairs(mdocs).select(

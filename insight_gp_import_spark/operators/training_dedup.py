@@ -1808,31 +1808,33 @@ def kmeans_lloyd_quantized(
     cents: list[tuple[int, list[int]]] = [
         (i, [int(v) for v in r.qv]) for i, r in enumerate(init)
     ]
-    # r13 (VERDICT item 7 — per-iteration overhead dominates on 2000
-    # rows): the old loop inlined each round's centroids as 64·k long
-    # LITERALS inside the distance expression, so every round generated
-    # DIFFERENT codegen source and paid a fresh Janino compile of the
-    # (large) zip_with/aggregate stage. Centroids now arrive as COLUMNS
-    # of a broadcast one-row relation (k×64 BIGINTs — same bounded
-    # driver state), so every round's generated code is byte-identical
-    # and the codegen cache compiles it once; the arithmetic is the
-    # same integer zip_with fold over the same values in the same
-    # order, so assignments and d2 are bit-identical (oracle-gated).
-    dists = F.expr(
-        "transform(carr, c -> aggregate(zip_with(qv, c, "
-        "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v))"
-    )
+    # r13 measured-and-REVERTED (session 1 tried reading centroids from
+    # a broadcast one-row relation so every round's codegen is
+    # byte-identical; the measured plan gained a per-iteration
+    # createDataFrame + BroadcastExchange + BroadcastNestedLoopJoin
+    # over a Scan ExistingRDD — which also breaks whole-stage codegen
+    # of the assignment projection — and the op REGRESSED 2.6 → 3.8 s
+    # min at sf0.1. Inlined literal centroids keep the single fused
+    # projection; the per-round Janino recompile they cost is cheaper
+    # than the broadcast-join machinery at every measured scale, and
+    # at 100 TB the per-round compile is amortized over the corpus
+    # pass either way.)
     assigned = None
     for it in range(iters):
-        cents_row = spark.createDataFrame(
-            [([list(c) for _, c in cents], [cid for cid, _ in cents])],
-            "carr array<array<bigint>>, cids array<bigint>",
+        dists = F.expr(
+            "transform(array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in c) + ")" for _, c in cents
+            )
+            + "), c -> aggregate(zip_with(qv, c, "
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v))"
         )
-        assigned = emb.crossJoin(F.broadcast(cents_row)).select(
+        cid_lits = F.array(*[F.lit(cid).cast("long") for cid, _ in cents])
+        assigned = emb.select(
             "vec_id",
             "qv",
             F.element_at(
-                "cids", F.array_position(dists, F.array_min(dists)).cast("int")
+                cid_lits, F.array_position(dists, F.array_min(dists)).cast("int")
             ).alias("cluster_id"),
             F.array_min(dists).alias("d2"),
         )
