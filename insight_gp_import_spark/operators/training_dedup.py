@@ -1415,15 +1415,123 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .distinct(): set pairs are unique by construction and min-label
     # propagation is duplicate-invariant anyway.
     #
-    # r13 (VERDICT item 3, guide §2.4): the edge relation is persisted
-    # PRE-PARTITIONED (hash by the join key src, at the shuffle
-    # partition count the per-round join would use) and pre-sorted
-    # within partitions — so EVERY round's propagation join consumes
-    # the cached partitioning and the loop never exchanges (or
-    # re-sorts) the edge side again. Before, each round's sort-merge
-    # plan shuffled the full directed edge set and only AQE's runtime
-    # broadcast conversion might have saved it — at 100 TB edge volume
-    # that is one full edge shuffle per round on the slow path.
+    # r13 (VERDICT item 3, guide §1.2 "the distributed algorithm"):
+    # the set-level edge relation is a LIGHTWEIGHT PROXY of the doc
+    # graph (distinct-set cardinality — the §8 design the components
+    # already run on), so its size is knowable for one count job, and
+    # when it is SMALL the whole fixpoint loop is per-round scheduling
+    # overhead on KB-scale state: ~5 rounds × (join + agg + checkpoint
+    # + convergence count) to propagate labels over a few thousand
+    # nodes. Below a bounded threshold (CC_LOCAL_MAX_EDGES pairs,
+    # env-overridable, 0 disables) the edges are collected ONCE and a
+    # driver-side min-root union-find labels the components — the same
+    # vocab-probe-style two-level plan choice as the mask64 branch,
+    # with the same bounded-driver-state class as the PCA Gram
+    # collect. Above the threshold (any genuinely large corpus) the
+    # distributed loop runs exactly as before, on the edge relation
+    # persisted PRE-PARTITIONED by the join key (hash by src at the
+    # shuffle partition count) and pre-sorted — every round's
+    # propagation join then consumes the cached partitioning instead
+    # of re-shuffling the full directed edge set per round when the
+    # label side is too big to broadcast (the 100 TB slow path).
+    sedges = tracked_persist(sedges)
+    n_pairs = sedges.count()
+    if n_pairs == 0:
+        labels = None
+    elif n_pairs <= _cc_local_max():
+        labels = _cc_local_labels(spark, _collect_pairs(sedges))
+    else:
+        labels = _cc_loop_labels(spark, sedges)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = docs.join(memb, "doc_id", "left")
+    if labels is not None:
+        out = out.join(labels.withColumnRenamed("node", "sid"), "sid", "left")
+    else:
+        out = out.withColumn("label", F.lit(None).cast("long"))
+    # coalesce(label, sid, doc_id): connected nodes carry their
+    # component min; an edgeless set's members cluster at its sid (its
+    # min member); docs without a set row fall back to themselves.
+    # (The loop path used to label every node incl. singletons, making
+    # the sid leg redundant there — keeping it lets both paths share
+    # one tail with identical results.)
+    root = F.coalesce("label", "sid", "doc_id")
+    return out.select(
+        "doc_id",
+        root.alias("cluster_id"),
+        (F.col("doc_id") == root).alias("is_survivor"),
+    )
+
+
+# Collect-and-union-find threshold for the CC family's set-level edge
+# relation: 1M (s1, s2) BIGINT pairs ≈ 16 MB on the driver — the same
+# bounded-collect class as broadcast build sides, far under
+# spark.driver.maxResultSize. IGIS_CC_LOCAL_MAX overrides; 0 disables
+# (forces the distributed loop — used by tests to pin branch
+# equivalence).
+CC_LOCAL_MAX_EDGES = 1_000_000
+
+
+def _collect_pairs(sedges: DataFrame):
+    """Driver-side (s1, s2) pair list. ``toArrow()`` (Spark 4) moves
+    the columns as Arrow buffers — measured ~8× faster than row
+    ``collect()``'s per-row pickling at the 511k-pair sf0.1 relation —
+    with a ``collect()`` fallback for sessions/plans where the Arrow
+    path is unavailable. Values are identical either way (exact
+    BIGINTs)."""
+    try:
+        tbl = sedges.toArrow()
+        return list(
+            zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())
+        )
+    except Exception:
+        return sedges.collect()
+
+
+def _cc_local_max() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("IGIS_CC_LOCAL_MAX", ""))
+    except ValueError:
+        return CC_LOCAL_MAX_EDGES
+
+
+def _cc_local_labels(spark: SparkSession, pairs) -> DataFrame:
+    """(node, label) for every node appearing in ``pairs`` via
+    driver-side union-find with min-root unions: the root of every
+    tree is its component's minimum node seen so far, so after all
+    unions find(x) is exactly the component minimum — the identical
+    labeling the distributed min-label fixpoint converges to."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[int] = set()
+    for row in pairs:
+        x, y = int(row[0]), int(row[1])
+        nodes.add(x)
+        nodes.add(y)
+        a, b = find(x), find(y)
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a  # larger root attaches under smaller: root=min
+    return F.broadcast(
+        spark.createDataFrame(
+            [(n, find(n)) for n in nodes], "node long, label long"
+        )
+    )
+
+
+def _cc_loop_labels(spark: SparkSession, sedges: DataFrame) -> DataFrame:
+    """Distributed min-label fixpoint over the (persisted) set-level
+    pair relation — the above-threshold path of dedup_cluster."""
     try:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (ValueError, TypeError):
@@ -1434,9 +1542,8 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts, "src")
         .sortWithinPartitions("src")
     )
-    labels = memb.select(F.col("sid").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(CLUSTER_MAX_ITERS):
         # r12 optimization (guide §2.4): the convergence check used to
         # re-JOIN new labels against old ones — a second shuffle join
@@ -1467,18 +1574,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new.select("node", "label")
         if changed == 0:
             break
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return (
-        docs.join(memb, "doc_id", "left")
-        .join(labels.withColumnRenamed("node", "sid"), "sid", "left")
-        .select(
-            "doc_id",
-            F.coalesce("label", "doc_id").alias("cluster_id"),
-            (F.col("doc_id") == F.coalesce("label", "doc_id")).alias(
-                "is_survivor"
-            ),
-        )
-    )
+    return labels
 
 
 LEV_BLOCK_CHARS = 10  # n_chars blocking bucket width

@@ -458,3 +458,22 @@ def test_sweep_spine_tier_matches_oracle(spark, monkeypatch):
     }
     sampled = {int(r[3]): int(r[0]) for r in (tuple(x) for x in srows)}
     assert sum(sampled.values()) < sum(full.values())
+
+
+def test_dedup_cluster_local_vs_distributed_cc(spark, monkeypatch):
+    """r13: dedup_cluster's bounded-collect union-find branch (fires at
+    every test SF) and the distributed min-label fixpoint
+    (IGIS_CC_LOCAL_MAX=0 forces it) must produce the IDENTICAL
+    (doc_id, cluster_id, is_survivor) relation — the CC engine is a
+    plan choice, never a result change."""
+    rel_local = {
+        (r.doc_id, r.cluster_id, r.is_survivor)
+        for r in OPS["dedup_cluster"].fn(spark, SF).collect()
+    }
+    monkeypatch.setenv("IGIS_CC_LOCAL_MAX", "0")
+    rel_loop = {
+        (r.doc_id, r.cluster_id, r.is_survivor)
+        for r in OPS["dedup_cluster"].fn(spark, SF).collect()
+    }
+    assert rel_local == rel_loop
+    assert rel_local  # fixture sanity: non-empty
