@@ -2166,9 +2166,14 @@ def agg_boxplot_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    cents = o.join(c, c.c_custkey == o.o_custkey).select(
-        F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    # r13 (guide §5 persist-twice-referenced, the r12 pattern): cents
+    # feeds BOTH the quantile aggregate and the fence-count join, so
+    # the orders⋈customer join + projection otherwise evaluates twice.
+    cents = tracked_persist(
+        o.join(c, c.c_custkey == o.o_custkey).select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        )
     )
     qs = cents.groupBy("seg").agg(
         F.count("*").cast("bigint").alias("n"),

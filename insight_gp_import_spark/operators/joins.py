@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from insight_gp_import_spark.registry import op
+from insight_gp_import_spark.registry import op, tracked_persist
 from insight_gp_import_spark.tables import (
     load_table,
     spread_scan,
@@ -2347,24 +2347,32 @@ def join_repeat_basket_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("ck").orderBy("o_orderdate", "ok")
-    ord_ = o.select(
-        F.col("o_custkey").alias("ck"),
-        F.col("o_orderkey").alias("ok"),
-        "o_orderdate",
-    ).withColumn("rn", F.row_number().over(w))
-    a, b = ord_.alias("a"), ord_.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.ck") == F.col("a.ck")) & (F.col("b.rn") == F.col("a.rn") + 1),
-    ).select(
-        F.col("a.ck").alias("ck"),
-        F.col("a.ok").alias("ok1"),
-        F.col("b.ok").alias("ok2"),
+    # r13 (guide §2.4 remove shuffles outright): adjacent pairs come
+    # from lead() over the SAME per-customer window the old rank took —
+    # the rn+1 SELF-join (which re-ran the window on both sides and
+    # shuffled orders twice more) produced exactly the pairs
+    # (row rn, row rn+1) under this total order, and lead(ok) IS the
+    # rn+1 row's ok (pair relation verified exceptAll-identical both
+    # ways at sf0.1 before the swap). Persisted: consumed by the
+    # overlap aggregate AND the scoring join.
+    pairs = tracked_persist(
+        o.select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderkey").alias("ok1"),
+            "o_orderdate",
+        )
+        .select("ck", "ok1", F.lead("ok1").over(
+            Window.partitionBy("ck").orderBy("o_orderdate", "ok1")
+        ).alias("ok2"))
+        .filter(F.col("ok2").isNotNull())
     )
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # r13 (guide §5): consumed by sizes + both intersection sides —
+    # the distinct otherwise evaluates three times.
+    items = tracked_persist(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+    )
     sizes = items.groupBy("ok").agg(F.count("*").cast("bigint").alias("n"))
     i1 = items.select(F.col("ok").alias("ok1"), F.col("pk").alias("pk1"))
     i2 = items.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))

@@ -1042,15 +1042,33 @@ def sink_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("width_suppkey_bp"),
         ).select(F.lit(layout).alias("layout"), "*")
 
+    # r13 (guide §2.6 overlap independent jobs): the z-order and linear
+    # layouts are fully independent write→read-back pipelines to
+    # separate directories, so submit both writes from a 2-thread pool
+    # and let the second job's tasks back-fill the first's stragglers
+    # (the writes are the op's eager actions; the returned stats
+    # relation is unchanged — write_and_measure only becomes eager
+    # work here, results are a deterministic function of the data).
+    from concurrent.futures import ThreadPoolExecutor
+
     out_z = tempfile.mkdtemp(prefix="igis-zorder-")
-    zstats = write_and_measure(
-        li.withColumn("__z", z), F.shiftright(F.col("__z"), 28), ["__z"], out_z, "zorder"
-    )
     lbucket = F.expr(
         f"((cast(l_partkey as bigint) - {mnx}) * {ZORDER_FILES}) div {dx}"
     )
     out_lin = tempfile.mkdtemp(prefix="igis-linsort-")
-    lstats = write_and_measure(li, lbucket, ["l_partkey"], out_lin, "linear")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fz = pool.submit(
+            write_and_measure,
+            li.withColumn("__z", z),
+            F.shiftright(F.col("__z"), 28),
+            ["__z"],
+            out_z,
+            "zorder",
+        )
+        fl = pool.submit(
+            write_and_measure, li, lbucket, ["l_partkey"], out_lin, "linear"
+        )
+        zstats, lstats = fz.result(), fl.result()
     return zstats.unionByName(lstats)
 
 

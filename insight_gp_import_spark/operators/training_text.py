@@ -2646,12 +2646,21 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc average is one rounded division of agreed integers.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §1.2 per-task work; same fix text_novelty_score got in
+    # r12): the old transform's lambda re-evaluated split(text, ' ')[i+1]
+    # PER ELEMENT — O(tokens²) string splitting per doc. Split once,
+    # then zip_with over the array and its own tail — one pass,
+    # bit-identical pairs (toks[j], toks[j+1]) (exceptAll both ways
+    # verified at sf0.1 before the swap).
     big = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-                " (x, i) -> struct(x AS w1, split(text, ' ')[i + 1] AS w2))"
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
